@@ -1,0 +1,116 @@
+"""Text-analysis functions for training-data pipelines (SURVEY.md §7.1
+step 6a; no equivalent in the reference).
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage codegen, zero Python in the row path. Each helper returns
+either a Column (composable) or a DataFrame with columns appended.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal per-language stopword lists for the heuristic language ID.
+#: Deliberately tiny and deterministic — this is an n-gram/stopword
+#: heuristic, not a model (container has no langid libs).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "un", "una", "que"],
+}
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokens (array<string>), empty-safe."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:'\"()\[\]{}-]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    words = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]:
+    mean of (length-in-range, has-enough-tokens, not-punct-heavy,
+    mean-token-length-in-range). The standard cheap pre-filter shape
+    for LLM corpus cleaning (C4/Gopher-style rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    n_chr = F.length(c)
+    mean_tok_len = F.when(n_tok > 0, n_chr / n_tok).otherwise(F.lit(0.0))
+    rules = [
+        F.when((n_chr >= 50) & (n_chr <= 100000), 1.0).otherwise(0.0),
+        F.when(n_tok >= 10, 1.0).otherwise(0.0),
+        F.when(punct_ratio(c) <= 0.3, 1.0).otherwise(0.0),
+        F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 1.0).otherwise(0.0),
+    ]
+    total = rules[0]
+    for r in rules[1:]:
+        total = total + r
+    return total / F.lit(float(len(rules)))
+
+
+def language_id(text: str | Column) -> Column:
+    """Heuristic language ID: the language whose stopword list scores the
+    most token hits; 'und' (undetermined) when nothing hits. Pure SQL
+    expressions so the same logic is expressible in the DuckDB oracle."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[lg] for lg in langs])
+    out = F.lit("und")
+    # reverse order => earlier langs win ties (deterministic, matches
+    # the CASE-chain oracle which checks in declared order)
+    for lg in reversed(langs):
+        out = F.when((best > 0) & (scores[lg] == best), lg).otherwise(out)
+    return out
+
+
+def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
+    """Document fingerprint: min of xxhash64 over character n-gram
+    windows of the normalized text (winnowing-style min-sampling).
+    Deterministic; 8-byte output per doc."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
+    n = F.greatest(F.length(norm) - F.lit(window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(window)))
+    )
+    return F.array_min(grams)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard text-stat columns."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("text_len", char_count(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 4))
+        .withColumn("quality", F.round(quality_score(text_col), 4))
+    )

@@ -1,0 +1,76 @@
+"""Sinks (S6/S7 — SURVEY.md §2.1).
+
+The reference writes ``df.write.csv(f"{id}_output.csv", header=True)``
+per iteration (optimus.py:49-50) and ``{unique_id}.csv`` at save-leaves
+(sparks/optimus.py:10-11). Here: one writer with format choice,
+partitioned-parquet as the scale default, and explicit modes.
+
+Scale notes: at 100 TB the sink defines the downstream read pattern —
+``partition_by`` on the natural query key gives partition pruning;
+``bucket_by`` + ``sort_by`` (saveAsTable path) gives shuffle-free
+co-located joins on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def save_data(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    header: bool = True,
+    **options,
+) -> None:
+    """Write ``df`` to ``path``. CSV keeps the reference contract
+    (header=True); parquet/orc are the scale path."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    fmt = fmt.lower()
+    if fmt == "csv":
+        writer.options(header=str(header).lower(), **options).csv(path)
+    elif fmt == "parquet":
+        writer.options(**options).parquet(path)
+    elif fmt == "orc":
+        writer.options(**options).orc(path)
+    elif fmt == "json":
+        writer.options(**options).json(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggs on ``bucket_cols`` become
+    shuffle-free for readers (both sides bucketed on the same key)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def iteration_sink(base_dir: str, fmt: str = "parquet"):
+    """Dialect-A per-iteration sink factory: writes ``{base}/{id}_output``
+    (reference: ``{id}_output.csv``, optimus.py:49-50)."""
+    def _sink(df: DataFrame, iteration_id: str) -> None:
+        save_data(df, f"{base_dir.rstrip('/')}/{iteration_id}_output", fmt=fmt)
+    return _sink
+
+
+def tree_sink(base_dir: str, fmt: str = "parquet"):
+    """Dialect-B save-leaf sink factory (reference: ``{unique_id}.csv``,
+    sparks/optimus.py:10-11); honors per-node save_path/save_format."""
+    def _sink(df: DataFrame, spec) -> None:
+        path = spec.save_path or f"{base_dir.rstrip('/')}/{spec.unique_id}"
+        save_data(df, path, fmt=spec.save_format or fmt)
+    return _sink
