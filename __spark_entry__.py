@@ -326,6 +326,173 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bp_grandchild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level B' nesting (hotrod.py:103-110 grandchild example):
+    child and grandchild aggregates land with cascading name prefixes."""
+    meta = {
+        "id": "root",
+        "group_by": ["l_returnflag"],
+        "aggregate": {"l_quantity": "sum"},
+        "rename": {"l_quantity": "total_qty"},
+        "children": [
+            {
+                "id": "st",
+                "link": ["l_returnflag"],
+                "group_by": ["l_returnflag"],
+                "aggregate": {"l_extendedprice": "avg"},
+                "rename": {"l_extendedprice": "avg_price"},
+                "children": [
+                    {
+                        "id": "mn",
+                        "link": ["l_returnflag"],
+                        "group_by": ["l_returnflag"],
+                        "aggregate": {"l_discount": "min"},
+                        "rename": {"l_discount": "min_disc"},
+                    }
+                ],
+            }
+        ],
+    }
+    out = nested_aggregate(_t(spark, sf_dir, "lineitem"), meta)
+    return out.select(
+        "l_returnflag",
+        F.round("total_qty", 2).alias("total_qty"),
+        F.round("root_avg_price", 2).alias("root_avg_price"),
+        F.round("root_st_min_disc", 4).alias("root_st_min_disc"),
+    )
+
+
+def q_a_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chain_iterations=True: iteration 2 consumes iteration 1's output —
+    the reference's carried-state behavior (optimus.py:41-46), opt-in."""
+    config = {
+        "chain_iterations": True,
+        "iterations": [
+            {
+                "id": "it1",
+                "level_1": {
+                    "group_by": ["l_returnflag", "l_linestatus"],
+                    "aggregations": [
+                        {"agg_col": "l_quantity", "agg_func": "sum", "new_name": "sum_qty"}
+                    ],
+                },
+            },
+            {
+                "id": "it2",
+                "level_1": {
+                    "group_by": ["l_returnflag"],
+                    "aggregations": [
+                        {"agg_col": "sum_qty", "agg_func": "max", "new_name": "max_qty"}
+                    ],
+                },
+            },
+        ],
+    }
+    out = run_pipeline(_t(spark, sf_dir, "lineitem"), config)["it2"]
+    return out.select("l_returnflag", F.round("max_qty", 2).alias("max_qty"))
+
+
+def q_agg_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended agg functions beyond the reference's five:
+    count_distinct / stddev / median (AGG_FUNCS completions)."""
+    config = {
+        "iterations": [
+            {
+                "id": "x",
+                "level_1": {
+                    "group_by": ["o_orderstatus"],
+                    "aggregations": [
+                        {"agg_col": "o_custkey", "agg_func": "count_distinct", "new_name": "n_cust"},
+                        {"agg_col": "o_totalprice", "agg_func": "stddev", "new_name": "sd_price"},
+                        {"agg_col": "o_totalprice", "agg_func": "median", "new_name": "med_price"},
+                    ],
+                },
+            }
+        ]
+    }
+    out = run_pipeline(_t(spark, sf_dir, "orders"), config)["x"]
+    return out.select(
+        "o_orderstatus", "n_cust",
+        F.round("sd_price", 2).alias("sd_price"),
+        F.round("med_price", 2).alias("med_price"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10
+    (brute-force baseline, SURVEY.md §7.1 step 6c)."""
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (scale path; no oracle — approximate
+    by construction, recall asserted in tests/test_similarity.py)."""
+    from meta_frame_spark.operators.similarity import srp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH candidates + exact
+    verify (no oracle: candidate recall is probabilistic)."""
+    from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs over documents, exact-Jaccard verified
+    (no oracle: LSH banding not SQL-expressible; planted-dup recall is
+    tested in tests/test_similarity.py)."""
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dup groups (identical 64-bit signature)."""
+    from meta_frame_spark.operators.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document (C4/Gopher-style rules)."""
+    from meta_frame_spark.functions.text import with_text_stats
+
+    out = with_text_stats(_t(spark, sf_dir, "documents"), text_col="text")
+    return out.select("doc_id", "n_tokens", "quality")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID, reported as a confusion matrix
+    against the ground-truth lang column."""
+    from meta_frame_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", language_id("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint per document (no oracle:
+    xxhash64 is Spark-specific; determinism checked by the driver's
+    rows-only re-run)."""
+    from meta_frame_spark.functions.text import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -345,8 +512,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_semi_join": q_b_semi_join,
         "b_anti_join": q_b_anti_join,
         "bp_nested": q_bp_nested,
+        "bp_grandchild": q_bp_grandchild,
+        "a_chained": q_a_chained,
+        "agg_extended": q_agg_extended,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "emb_near_dup": q_emb_near_dup,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
     }
@@ -428,6 +606,96 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_returnflag, COUNT(l_orderkey) AS root_n_lines
                 FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1
             ) b USING (l_returnflag)
+        """,
+        "bp_grandchild": """
+            SELECT r.l_returnflag,
+                   ROUND(r.total_qty, 2) AS total_qty,
+                   ROUND(s.root_avg_price, 2) AS root_avg_price,
+                   ROUND(m.root_st_min_disc, 4) AS root_st_min_disc
+            FROM (SELECT l_returnflag, SUM(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY 1) r
+            LEFT JOIN (SELECT l_returnflag, AVG(l_extendedprice) AS root_avg_price
+                       FROM lineitem GROUP BY 1) s USING (l_returnflag)
+            LEFT JOIN (SELECT l_returnflag, MIN(l_discount) AS root_st_min_disc
+                       FROM lineitem GROUP BY 1) m USING (l_returnflag)
+        """,
+        "a_chained": """
+            SELECT l_returnflag, ROUND(MAX(sum_qty), 2) AS max_qty
+            FROM (
+                SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1, 2
+            )
+            GROUP BY 1
+        """,
+        "agg_extended": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_cust,
+                   ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+                   ROUND(MEDIAN(o_totalprice), 2) AS med_price
+            FROM orders
+            GROUP BY 1
+        """,
+        "ann_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                        FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y))
+                       / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                                FROM (SELECT unnest(q.embedding) AS x)))
+                        * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                                FROM (SELECT unnest(c.embedding) AS y)))) AS score
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+                       ) AS rank
+                FROM scored
+            )
+            WHERE rank <= 5
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+                   ROUND((
+                       (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN length(text) > 0
+                                        THEN length(regexp_replace(text, '[^.!?,;:''"()\\[\\]{}-]', '', 'g')) / length(text)
+                                        ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                                        THEN length(text) / len(regexp_extract_all(text, '\\S+'))
+                                        ELSE 0.0 END) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0, 4) AS quality
+            FROM documents
+        """,
+        "lang_id": """
+            WITH scored AS (
+                SELECT lang,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que'))) AS s_fr,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('el','la','los','las','de','y','es','un','una','que'))) AS s_es
+                FROM documents
+            )
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM (
+                SELECT lang,
+                       CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                            WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                            WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                            ELSE 'es' END AS lang_pred
+                FROM scored
+            )
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

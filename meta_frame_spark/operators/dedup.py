@@ -55,15 +55,16 @@ def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> Da
     agg does map-side partial aggregation and a narrow shuffle.
     """
     keepers = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keepers, on=[*key_cols, id_col], how="left_semi")
+    return df.join(keepers, on=[*key_cols, id_col], how="left_semi").select(*df.columns)
 
 
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
-#: 2^61 - 1, a Mersenne prime large enough for 64-bit hash mixing.
-_MERSENNE = (1 << 61) - 1
+#: 2^31 - 1 (Mersenne prime). Hashes are masked to 31 bits so the
+#: permutation a*h+b stays < 2^62 — no long overflow under ANSI mode.
+_MERSENNE = (1 << 31) - 1
 
 
 def _shingles(text_col, n: int = 5):
@@ -88,10 +89,17 @@ def minhash_signatures(
     """(id, signature array<bigint>) — minhash over word shingles.
 
     Each of the ``num_hashes`` permutations is ``(a*h + b) mod P`` over
-    ``xxhash64`` of the shingle; the signature element is the min over
-    shingles. All built-in expressions (xxhash64 + transform +
-    array_min), so the whole signature computation is codegen'd and
-    embarrassingly parallel — no shuffle at all in this stage.
+    ``xxhash64`` of the shingle (masked to 31 bits); the signature
+    element is the min over shingles.
+
+    Implementation note: the permutations are computed in ONE fold over
+    the hash array — ``aggregate(hashes, [P]*k, (acc, h) ->
+    zip_with(acc, coef_structs, least(...)))`` — rather than ``k``
+    separate ``array_min(transform(...))`` expressions. The naive form
+    re-inlines the shingle+hash computation into every permutation
+    branch after Catalyst collapses projections (k× recompute of the
+    expensive string work); the fold computes shingles once per row.
+    Still 100% built-in expressions: codegen'd, map-only, no shuffle.
     """
     import random
 
@@ -99,14 +107,20 @@ def minhash_signatures(
     coefs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
 
     sh = _shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 61) - 1)))
-    sig = F.array(
+    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)))
+    ab = F.array(
         *[
-            F.array_min(
-                F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(coefs)
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for (a, b) in coefs
         ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (h * c["a"] + c["b"]) % F.lit(_MERSENNE))
+        ),
     )
     return df.select(F.col(id_col), sig.alias("signature"))
 

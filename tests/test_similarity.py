@@ -1,0 +1,97 @@
+"""Similarity search + dedup operators (SURVEY.md §7.1 step 6b/6c)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    srp_lsh_topk,
+)
+from meta_frame_spark.operators.dedup import (
+    exact_dedup,
+    drop_exact_duplicates,
+    minhash_lsh_dedup,
+    simhash_dup_groups,
+)
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    k = 5
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    got = brute_force_topk(embeddings, queries, k=k).collect()
+
+    rows = embeddings.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for qid, pairs in by_query.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = mat_n @ mat_n[qi]
+        sims[qi] = -np.inf  # exclude self
+        expect = ids[np.argsort(-sims, kind="stable")][:k].tolist()
+        gotlist = [nid for _, nid in sorted(pairs)]
+        assert gotlist == expect, f"query {qid}: {gotlist} != {expect}"
+
+
+def test_srp_lsh_topk_recall(spark, embeddings):
+    """LSH top-k should recover most of the exact top-k (recall >= 0.6
+    with 8 bands x 8 planes on 500 x 64-dim vectors)."""
+    k = 5
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(embeddings, queries, k=k).collect()
+    approx = srp_lsh_topk(embeddings, queries, k=k).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+def test_embedding_near_dup_symmetric_canonical(spark, embeddings):
+    pairs = embedding_near_dup_pairs(embeddings, threshold=0.5).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cosine >= 0.5
+
+
+def test_exact_dedup_counts(spark, documents):
+    out = exact_dedup(documents, key_cols=["text"], id_col="doc_id")
+    assert out.count() == documents.select("text").distinct().count()
+    survivors = drop_exact_duplicates(documents, ["text"], "doc_id")
+    assert survivors.count() == out.count()
+    assert survivors.columns == documents.columns
+
+
+def test_minhash_lsh_finds_planted_dup(spark, documents):
+    """Plant a near-duplicate of doc 0 and check LSH+Jaccard finds it."""
+    base = documents.limit(50)
+    r0 = base.filter(F.col("doc_id") == 0).collect()[0]
+    words = r0.text.split()
+    words[len(words) // 2] = "XDUPX"  # one-word change
+    dup = spark.createDataFrame(
+        [(99999, " ".join(words), r0.lang, r0.source, len(r0.text))],
+        schema=base.schema,
+    )
+    cand = base.union(dup)
+    pairs = minhash_lsh_dedup(
+        cand, threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3
+    ).collect()
+    assert any({p.id_a, p.id_b} == {0, 99999} for p in pairs), pairs
+
+
+def test_simhash_identical_docs_collide(spark, documents):
+    base = documents.limit(30)
+    clone = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    groups = simhash_dup_groups(base.union(clone)).collect()
+    # every doc now has an identical twin -> every simhash value present
+    # is a dup group (distinct base docs may also collide: tiny vocab)
+    from meta_frame_spark.operators.dedup import simhash
+
+    n_distinct = len({r.simhash for r in simhash(base).collect()})
+    assert len(groups) == n_distinct
+    assert all(g.n_members >= 2 for g in groups)
