@@ -296,6 +296,36 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "text_len")
 
 
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting: whitespace tokens vs BPE-ish pre-tokens
+    per document (LLM corpus sizing)."""
+    from meta_frame_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over the doc_id<200
+    subset (all pairs, no LSH) — the exact-verify building block that
+    minhash_lsh_dedup reuses; brute-forced on a bounded subset so it is
+    fully SQL-expressible for the oracle. At scale the candidate set
+    comes from LSH banding (q dedup_minhash), never all-pairs."""
+    from meta_frame_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling aggregation (batch form; streaming twin lives
     in meta_frame_spark.streaming)."""
@@ -521,8 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "emb_near_dup": q_emb_near_dup,
+        "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "token_bpe": q_token_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
@@ -696,6 +728,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             GROUP BY 1, 2
+        """,
+        "token_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
+            FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents WHERE doc_id < 200)
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            WHERE jaccard >= 0.2
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

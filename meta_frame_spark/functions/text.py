@@ -32,6 +32,24 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+#: GPT-2-style pre-tokenizer regex, simplified to the subset that is
+#: portable between Java regex (Spark) and RE2 (DuckDB oracle): a run
+#: of letters, a run of digits, or a run of other non-space symbols,
+#: each optionally preceded by one space. Counting these is the
+#: standard cheap token-budget estimate for LLM corpus accounting.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: str | Column) -> Column:
+    """BPE-ish pre-tokens (array<string>) via :data:`BPE_TOKEN_RE`."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)

@@ -1,0 +1,65 @@
+"""Text-analysis functions (SURVEY.md §7.1 step 6a)."""
+
+from pyspark.sql import functions as F
+
+from meta_frame_spark.functions.text import (
+    bpe_token_count,
+    language_id,
+    quality_score,
+    token_count,
+)
+from meta_frame_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("don't stop, it's 42km!",), ("",)], ["text"]
+    )
+    rows = df.select(
+        token_count("text").alias("ws"), bpe_token_count("text").alias("bpe")
+    ).collect()
+    assert [r.ws for r in rows] == [2, 4, 0]
+    # "don't stop, it's 42km!" -> don | ' | t | stop | , | it | ' | s | 42 | km | !
+    assert rows[1].bpe == 11
+    assert rows[2].bpe == 0
+
+
+def test_quality_score_bounds(spark, documents):
+    stats = documents.select(quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_language_id_obvious(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm", "en"),
+            ("le chat est dans la maison et il est chaud", "fr"),
+            ("der Hund ist in dem Haus und er ist warm", "de"),
+            ("xyzzy plugh", "und"),
+        ],
+        ["text", "expect"],
+    )
+    bad = df.withColumn("pred", language_id("text")).filter(
+        F.col("pred") != F.col("expect")
+    )
+    assert bad.count() == 0
+
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "q r s t u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, cands, shingle_n=3, threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
