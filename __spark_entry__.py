@@ -326,6 +326,48 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
 
 
+def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata-only scan: asset struct attached, payload
+    pruned by Catalyst (tests/test_multimodal.py asserts the plan)."""
+    from meta_frame_spark.multimodal import attach_fake_image_assets
+
+    df = attach_fake_image_assets(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "asset.media_type", "asset.n_bytes")
+
+
+def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (stub codec) -> pixel stats (no
+    oracle: the fake decoder's wrap-padding uses Spark's xxhash64-derived
+    dims, not reproducible in SQL; determinism asserted in tests)."""
+    from meta_frame_spark.multimodal import attach_fake_image_assets, image_pixel_stats
+
+    df = attach_fake_image_assets(_t(spark, sf_dir, "documents"))
+    out = image_pixel_stats(df)
+    return out.select(
+        "id", "width", "height",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side video frame sampling: payload declared as 4 raw frames,
+    cut with substring+posexplode (no Python in the plan)."""
+    from meta_frame_spark.multimodal.assets import make_asset, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.select(
+        "doc_id",
+        make_asset(F.encode("text", "UTF-8"), "video", n_frames=F.lit(4)).alias("asset"),
+    )
+    out = sample_frames(vids, every_n=1)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling aggregation (batch form; streaming twin lives
     in meta_frame_spark.streaming)."""
@@ -557,6 +599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "mm_meta": q_mm_meta,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "mm_frames": q_mm_frames,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
     }
@@ -728,6 +773,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             GROUP BY 1, 2
+        """,
+        "mm_meta": """
+            SELECT doc_id, 'image' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "mm_frames": """
+            SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(floor(octet_length(encode(text)) / 4.0) AS INTEGER) AS frame_len
+            FROM documents CROSS JOIN range(0, 4) t(i)
         """,
         "token_bpe": """
             SELECT doc_id,
