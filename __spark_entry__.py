@@ -384,6 +384,23 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) — the streaming
+    session_aggregate operator run in batch mode (same code path;
+    stream==batch equivalence is tested in tests/test_streaming.py)."""
+    from meta_frame_spark.streaming import session_aggregate
+
+    return session_aggregate(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (2h window / 1h slide) — each event
+    contributes to exactly two windows."""
+    from meta_frame_spark.streaming import sliding_event_value
+
+    return sliding_event_value(_t(spark, sf_dir, "events"))
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON prop extraction (multimodal/typed
     metadata slice — events.props is a JSON string column)."""
@@ -603,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixel_stats": q_mm_pixel_stats,
         "mm_frames": q_mm_frames,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "events_json": q_events_json,
     }
 
@@ -772,6 +791,34 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'es' END AS lang_pred
                 FROM scored
             )
+            GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            g AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
+        "events_sliding": """
+            SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS win_start,
+                   event_type,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   COUNT(event_id) AS n_events
+            FROM events CROSS JOIN range(0, 2) t(i)
             GROUP BY 1, 2
         """,
         "mm_meta": """

@@ -1,0 +1,155 @@
+"""Streaming/batch-unified event operators.
+
+Scale design:
+
+* **Watermarks bound state.** Every streaming aggregation takes a
+  watermark so window state is dropped once event time passes; without
+  it a 100 TB/day stream grows state without bound.
+* **Same code, both modes.** Transformations accept any DataFrame —
+  batch (driver oracle checks correctness) or streaming (tests drive
+  an availableNow trigger). Batch-vs-stream equivalence is itself a
+  test (tests/test_streaming.py).
+* **Stateful custom ops are Arrow-batched.** ``user_running_totals``
+  uses ``applyInPandasWithState`` — grouped state with explicit state
+  schema and timeout config, the Spark-4 shape for "operator Spark
+  lacks" stateful logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover - typing only
+    import pandas as pd
+
+#: Physical schema of events.parquet with TIMESTAMP(NANOS) read as
+#: long (spark.sql.legacy.parquet.nanosAsLong) — streaming file
+#: sources require an explicit schema.
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos since epoch
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over events parquet: explicit schema (a
+    streaming requirement), nanos→micros timestamp conversion, one
+    logical column layout shared with the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_event_value(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding window (2h window, 1h slide) mean value per type — each
+    event lands in exactly two windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"),
+             F.count("event_id").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "sum_value", "n_events")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows: a session extends while consecutive
+    events are < ``gap`` apart (built-in ``session_window``; state per
+    open session only, closed by the watermark when streaming)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+_RUNNING_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_value double"
+)
+_RUNNING_STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _running_totals_fn(
+    key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals as an explicit stateful operator: state
+    (count, sum, max) lives per user key and is updated every
+    micro-batch; each batch emits the refreshed totals for users seen
+    in it. State is hash-partitioned by user_id across executors — at
+    1000 executors each holds 1/1000th of the keys."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into an in-memory
+    table with an availableNow trigger (test/CI harness — a production
+    sink would be kafka/delta/parquet). Returns the result as a batch
+    DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

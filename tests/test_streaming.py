@@ -1,0 +1,88 @@
+"""Structured Streaming ops: stream==batch equivalence, watermark
+presence, session windows, custom stateful operator."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.streaming import (
+    hourly_event_counts,
+    read_event_stream,
+    run_to_memory,
+    session_aggregate,
+    user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    # the streaming file source wants a directory to monitor, not a file
+    d = tmp_path_factory.mktemp("events_stream_src")
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    return read_event_stream(spark, str(d))
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_matches_batch_hourly(spark, events_batch, events_stream):
+    got = run_to_memory(hourly_event_counts(events_stream), "t_hourly")
+    want = hourly_event_counts(events_batch)
+    cols = ["hour", "event_type", "n_events", "sum_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_watermark_in_streaming_plan(events_stream):
+    df = hourly_event_counts(events_stream, watermark="45 minutes")
+    assert "45 minutes" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_session_windows_batch_semantics(spark):
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions (gap at 40 min > 30 min gap)
+        (1, at(0), 1.0, "e1"), (1, at(10), 2.0, "e2"), (1, at(50), 4.0, "e3"),
+        # user 2: one session
+        (2, at(5), 8.0, "e4"), (2, at(25), 16.0, "e5"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, v, e) for (u, t, v, e) in rows],
+        "user_id bigint, ts timestamp, value double, event_id string",
+    )
+    got = _rows(
+        session_aggregate(df, gap="30 minutes"),
+        "user_id", "session_start", "n_events", "sum_value",
+    )
+    assert got == [
+        (1, at(0), 2, 3.0),
+        (1, at(50), 1, 4.0),
+        (2, at(5), 2, 24.0),
+    ]
+
+
+def test_stateful_running_totals_stream(spark, events_batch, events_stream):
+    got = run_to_memory(
+        user_running_totals(events_stream), "t_totals", output_mode="update"
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    # single availableNow pass => final update per user equals batch agg
+    g = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in got.collect()}
+    w = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in want.collect()}
+    assert g == w
