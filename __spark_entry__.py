@@ -540,7 +540,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, num_bands=16,
+        shingle_n=3,
+        # candidate docs are ~10% of this corpus — the semi-join
+        # restriction's extra blocking stages cost more than they
+        # prune; at cluster scale (candidates ≪ corpus) flip to True
+        restrict_to_candidates=False,
     )
 
 

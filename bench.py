@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -30,9 +32,17 @@ def main() -> None:
     spark = get_session(app_name="meta_frame_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen path once so per-query times measure the
-    # engine, not first-call JIT.
+    # Warm the JVM/codegen path and the Python UDF workers once so
+    # per-query times measure the engine, not first-call JIT or the
+    # one-time spawn of the Arrow worker pool.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1_000_000).select(_warm("id").alias("id")).selectExpr("max(id)").collect()
 
     per_query: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

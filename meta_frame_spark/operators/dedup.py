@@ -75,13 +75,57 @@ _MERSENNE = (1 << 31) - 1
 
 def _shingles(text_col, n: int = 5):
     """Word n-gram shingles of a text column (array<string>), computed
-    JVM-side: split -> sliding windows via transform over indices."""
+    JVM-side: split -> sliding windows via transform over indices.
+
+    Used only where the literal shingle strings are required (the
+    SQL-oracle-matched exact-Jaccard path); the LSH hot path never
+    materializes shingle strings — see :func:`_token_hashes` /
+    :func:`_np_shingle_hashes`."""
     tokens = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
     k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
     )
+
+
+def _token_hashes(text_col):
+    """xxhash64 per lowercased whitespace token (array<bigint>), all
+    JVM built-ins — one cheap hash call per token, no string
+    concatenation."""
+    tokens = F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), r"\s+")
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
+#: Fixed odd multipliers for position-wise shingle mixing (golden-ratio
+#: constant; independent of any permutation seed so signature and
+#: verify stages agree on shingle identity).
+_MIX = 0x9E3779B97F4A7C15
+
+
+def _np_shingle_hashes(arr: "np.ndarray", n: int) -> "np.ndarray":
+    """Shingle hash per word n-gram window from per-token hashes:
+    position-weighted wrap-around int64 mix, masked to 31 bits.
+
+    Replaces building the shingle *string* and hashing it — the string
+    construction (slice + concat per window, interpreted per element)
+    was the measured bottleneck of the whole minhash pipeline. A
+    sliding sum of weighted token hashes is order-sensitive, collision-
+    sparse, and fully vectorized.
+    """
+    consts = np.array(
+        [((2 * j + 1) * _MIX) % (1 << 64) for j in range(n)], dtype=np.uint64
+    ).astype(np.int64)
+    if arr.size >= n:
+        k = arr.size - n + 1
+        h = np.zeros(k, dtype=np.int64)
+        for j in range(n):
+            h = h + arr[j:j + k] * consts[j]
+    else:  # short doc: one shingle over however many tokens exist
+        h = np.zeros(1, dtype=np.int64)
+        for j in range(arr.size):
+            h = h + arr[j:j + 1] * consts[j]
+    return h & np.int64(_MERSENNE)
 
 
 def minhash_signatures(
@@ -98,14 +142,12 @@ def minhash_signatures(
     ``xxhash64`` of the shingle (masked to 31 bits); the signature
     element is the min over shingles.
 
-    Hybrid JVM/Arrow split (the measured-fast shape): the
-    shingle+hash stage stays JVM-side built-ins (codegen'd string
-    work, deterministic xxhash64), while the dense (shingles ×
-    num_hashes) permutation/min arithmetic runs as ONE vectorized
-    numpy broadcast inside an Arrow-batched pandas UDF. A pure
-    higher-order-function fold was ~20× slower here: Spark evaluates
-    HOF lambdas interpreted per element, so shingles × num_hashes
-    lambda calls dominate. Map-only either way — no shuffle.
+    Hybrid JVM/Arrow split (the measured-fast shape): tokens are
+    hashed JVM-side (codegen'd xxhash64, one call per token — shingle
+    *strings* are never built; their construction was the measured
+    bottleneck), then shingle-hash windows and the dense (shingles ×
+    num_hashes) permutation/min arithmetic run as vectorized numpy
+    inside one Arrow-batched pandas UDF. Map-only — no shuffle.
     """
     import random
 
@@ -117,20 +159,19 @@ def minhash_signatures(
     empty_sig = np.full(num_hashes, _MERSENNE, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _permute_min(hs: pd.Series) -> pd.Series:
+    def _sig(hs: pd.Series) -> pd.Series:
         out = []
         for h in hs:
             arr = np.asarray(h, dtype=np.int64)
             if arr.size == 0:
                 out.append(empty_sig)
-            else:
-                # h < 2^31 and a < 2^31, so a*h+b < 2^62: no overflow
-                out.append(((arr[:, None] * A + B) % P).min(axis=0))
+                continue
+            sh = _np_shingle_hashes(arr, shingle_n)
+            # sh < 2^31 and a < 2^31, so a*sh+b < 2^62: no overflow
+            out.append(((sh[:, None] * A + B) % P).min(axis=0))
         return pd.Series(out)
 
-    sh = _shingles(text_col, shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE)))
-    return df.select(F.col(id_col), _permute_min(hashes).alias("signature"))
+    return df.select(F.col(id_col), _sig(_token_hashes(text_col)).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -214,6 +255,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def hashed_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    restrict_to_candidates: bool = True,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs computed on hashed shingles
+    (same token-hash mixing as :func:`minhash_signatures`) instead of
+    the shingle strings.
+
+    Identical values to :func:`ngram_jaccard_pairs` barring hash
+    collisions (negligible at any realistic shingle-set size), but the
+    per-doc set is an array<bigint> — far cheaper to build, shuffle and
+    intersect than string arrays. The set table is (a) restricted to
+    docs that actually appear in a candidate pair (semi-join — at scale
+    candidates ≪ corpus) and (b) persisted, because it feeds both join
+    branches. ``candidates`` itself also has two consumers when
+    restricting (the id restriction and the final pair join), so it is
+    persisted too — otherwise the upstream LSH pipeline executes twice.
+
+    ``restrict_to_candidates=False`` skips the semi-join and builds
+    sets for the whole corpus: fewer blocking stages, the right trade
+    when candidates are NOT much rarer than docs (small corpora, low
+    thresholds). Keep the default for the 100 TB shape, where
+    candidate docs ≪ corpus and the semi-join prunes almost all of the
+    set-building work."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _shingle_set(hs: pd.Series) -> pd.Series:
+        return pd.Series([
+            np.unique(_np_shingle_hashes(np.asarray(h, dtype=np.int64), shingle_n))
+            if len(h) else np.array([], dtype=np.int64)
+            for h in hs
+        ])
+
+    base = df
+    if restrict_to_candidates:
+        candidates = candidates.persist()
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(ids, id_col, "left_semi")
+
+    sets_df = base.select(
+        F.col(id_col), _shingle_set(_token_hashes(text_col)).alias("sh")
+    ).persist()
+    a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -223,13 +330,23 @@ def minhash_lsh_dedup(
     shingle_n: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    restrict_to_candidates: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash -> LSH candidates -> exact
-    Jaccard verify. Returns verified near-dup pairs (id_a, id_b, jaccard)."""
+    Jaccard verify (hashed-shingle sets). Returns verified near-dup
+    pairs (id_a, id_b, jaccard).
+
+    ``restrict_to_candidates``: see :func:`hashed_jaccard_pairs` —
+    True (default) prunes set-building to candidate docs, the winning
+    trade when candidates ≪ corpus; False skips the extra pruning
+    stages, faster when the corpus is small or the threshold low."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+    return hashed_jaccard_pairs(
+        df, cands, text_col, id_col, shingle_n, threshold,
+        restrict_to_candidates=restrict_to_candidates,
+    )
 
 
 # --------------------------------------------------------------------------
