@@ -273,6 +273,57 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per orderstatus (ranking window —
+    surface completer beyond the reference, SURVEY.md §2.4)."""
+    from meta_frame_spark.operators.ranking import top_k_per_group
+
+    out = top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        group_cols=["o_orderstatus"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "o_orderstatus", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "rank",
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over (returnflag, linestatus): per-pair, per-
+    flag, and grand-total rows in one single-shuffle aggregation."""
+    from meta_frame_spark.operators.ranking import rollup_aggregate
+
+    out = rollup_aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        group_cols=["l_returnflag", "l_linestatus"],
+        aggs={"l_quantity": "sum", "l_extendedprice": "avg"},
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.round("avg_l_extendedprice", 2).alias("avg_l_extendedprice"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all four grouping
+    combinations in one pass."""
+    from meta_frame_spark.operators.ranking import cube_aggregate
+
+    out = cube_aggregate(
+        _t(spark, sf_dir, "orders"),
+        group_cols=["o_orderstatus", "o_orderpriority"],
+        aggs={"o_totalprice": "sum"},
+    )
+    return out.select(
+        "o_orderstatus", "o_orderpriority",
+        F.round("sum_o_totalprice", 2).alias("sum_o_totalprice"),
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators (SURVEY.md §7.1 step 6) — round-1 slice
 # --------------------------------------------------------------------------
@@ -609,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bp_grandchild": q_bp_grandchild,
         "a_chained": q_a_chained,
         "agg_extended": q_agg_extended,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -797,6 +851,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             GROUP BY 1, 2
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_l_quantity,
+                   ROUND(AVG(l_extendedprice), 2) AS avg_l_extendedprice
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "agg_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "topk_per_group": """
+            SELECT o_orderstatus, o_orderkey,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT o_orderstatus, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            )
+            WHERE rank <= 3
         """,
         "events_sessions": """
             WITH o AS (

@@ -1,0 +1,72 @@
+"""Ranking / multi-grain aggregation operators.
+
+Absent from the reference (SURVEY.md §2.4 lists window functions,
+grouping sets and top-k among the "not present" set); these are the
+standard Spark-native completions of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | Column,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Top-k rows per group via a ranking window.
+
+    Scale: one hash-shuffle on ``group_cols``; Spark inserts a
+    per-partition WindowGroupLimit (top-k pushdown) before the shuffle
+    in recent versions, so each map task forwards at most k rows per
+    group it sees."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [oc.desc() if descending else oc.asc()]
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        order.append(tb.asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    grand_total: bool = True,
+) -> DataFrame:
+    """Hierarchical subtotals (ROLLUP): one result row per prefix of
+    ``group_cols`` (… plus the grand total), NULL-filled at coarser
+    grains. ``aggs``: {column: func_name}. Single shuffle — Spark
+    expands the grouping sets map-side."""
+    agg_exprs = [
+        getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()
+    ]
+    out = df.rollup(*group_cols).agg(*agg_exprs)
+    if not grand_total:
+        cond = None
+        for c in group_cols[:1]:  # grand-total row has ALL keys null
+            cond = F.col(c).isNotNull()
+        out = out.filter(cond)
+    return out
+
+
+def cube_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """All 2^n grouping combinations (CUBE). Same single-shuffle
+    execution as rollup with more expansion rows."""
+    agg_exprs = [
+        getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()
+    ]
+    return df.cube(*group_cols).agg(*agg_exprs)

@@ -1,0 +1,104 @@
+"""Source registry + sinks (SURVEY.md §2.1, S1-S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.sources.registry import UnknownSourceError, load_data
+from meta_frame_spark.sources.sinks import (
+    iteration_sink,
+    save_bucketed_table,
+    save_data,
+    tree_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.25), (3, "a", 30.0)],
+        "id bigint, grp string, val double",
+    )
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip_inferred_and_explicit(spark, small, tmp_path):
+    p = str(tmp_path / "c.csv")
+    save_data(small, p, fmt="csv")
+    inferred = load_data(spark, "csv", path=p)
+    assert _sorted(inferred) == _sorted(small)
+    # explicit schema beats inference (fixes the all-string child-load
+    # bug, sparks/optimus.py:44)
+    explicit = load_data(spark, "csv", path=p, schema="id bigint, grp string, val double")
+    assert explicit.schema == small.schema
+    assert _sorted(explicit) == _sorted(small)
+
+
+def test_json_parquet_roundtrip(spark, small, tmp_path):
+    for fmt in ("json", "parquet"):
+        p = str(tmp_path / f"d_{fmt}")
+        save_data(small, p, fmt=fmt)
+        back = load_data(spark, fmt, path=p,
+                         schema="id bigint, grp string, val double" if fmt == "json" else None)
+        assert _sorted(back) == _sorted(small)
+
+
+def test_auto_source_by_extension(spark, small, tmp_path):
+    p = str(tmp_path / "auto.csv")
+    save_data(small, p, fmt="csv")
+    assert _sorted(load_data(spark, "auto", path=p)) == _sorted(small)
+
+
+def test_table_and_sql_sources(spark, small):
+    small.createOrReplaceTempView("t_sources_small")
+    t = load_data(spark, "table", table="t_sources_small")
+    assert _sorted(t) == _sorted(small)
+    q = load_data(spark, "sql", sql_query="SELECT id FROM t_sources_small WHERE id > 1")
+    assert _sorted(q) == [(2,), (3,)]
+
+
+def test_unknown_source_raises(spark):
+    with pytest.raises(UnknownSourceError):
+        load_data(spark, "excel", path="/tmp/x.xlsx")
+    with pytest.raises(ValueError):
+        load_data(spark, "csv")  # missing path
+    with pytest.raises(ValueError):
+        load_data(spark, "sql")  # missing sql_query
+
+
+def test_partitioned_parquet_prunes(spark, small, tmp_path):
+    p = str(tmp_path / "part")
+    save_data(small, p, fmt="parquet", partition_by=["grp"])
+    back = load_data(spark, "parquet", path=p).filter(F.col("grp") == "a")
+    assert back.count() == 2
+    # partition pruning visible in the scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_bucketed_table_join_has_no_shuffle(spark, small, tmp_path):
+    save_bucketed_table(small, "t_bucket_a", ["id"], n_buckets=4)
+    save_bucketed_table(small, "t_bucket_b", ["id"], n_buckets=4)
+    a, b = spark.table("t_bucket_a"), spark.table("t_bucket_b")
+    j = a.join(b.withColumnRenamed("val", "val2").withColumnRenamed("grp", "g2"), "id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert j.count() == 3
+    # co-located bucketed join: no exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql("DROP TABLE t_bucket_a")
+    spark.sql("DROP TABLE t_bucket_b")
+
+
+def test_iteration_and_tree_sinks(spark, small, tmp_path):
+    iteration_sink(str(tmp_path))(small, "it1")
+    assert _sorted(spark.read.parquet(str(tmp_path / "it1_output"))) == _sorted(small)
+
+    class Spec:
+        unique_id = "leaf1"
+        save_path = None
+        save_format = None
+
+    tree_sink(str(tmp_path))(small, Spec())
+    assert _sorted(spark.read.parquet(str(tmp_path / "leaf1"))) == _sorted(small)
