@@ -273,6 +273,35 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns in dialect A (engine extension: the reference
+    has zero scalar-expression surface, SURVEY.md §2.5): TPC-H-Q1-style
+    revenue expression derived before filter/agg."""
+    config = {
+        "iterations": [
+            {
+                "id": "rev",
+                "level_1": {
+                    "derive": {
+                        "revenue": "l_extendedprice * (1 - l_discount)",
+                        "is_bulk": "l_quantity >= 30",
+                    },
+                    "group_by": ["l_returnflag", "is_bulk"],
+                    "aggregations": [
+                        {"agg_col": "revenue", "agg_func": "sum", "new_name": "sum_revenue"},
+                        {"agg_col": "l_orderkey", "agg_func": "count", "new_name": "n_lines"},
+                    ],
+                },
+            }
+        ]
+    }
+    out = run_pipeline(_t(spark, sf_dir, "lineitem"), config)["rev"]
+    return out.select(
+        "l_returnflag", "is_bulk",
+        F.round("sum_revenue", 2).alias("sum_revenue"), "n_lines",
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per orderstatus (ranking window —
     surface completer beyond the reference, SURVEY.md §2.4)."""
@@ -660,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bp_grandchild": q_bp_grandchild,
         "a_chained": q_a_chained,
         "agg_extended": q_agg_extended,
+        "a_derive": q_a_derive,
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
         "topk_per_group": q_topk_per_group,
@@ -850,6 +880,13 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'es' END AS lang_pred
                 FROM scored
             )
+            GROUP BY 1, 2
+        """,
+        "a_derive": """
+            SELECT l_returnflag, l_quantity >= 30 AS is_bulk,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   COUNT(l_orderkey) AS n_lines
+            FROM lineitem
             GROUP BY 1, 2
         """,
         "agg_rollup": """

@@ -126,6 +126,10 @@ class LevelSpec:
     #: column (declared intent of optimus.py:59-60; the literal code at
     #: optimus.py:31-32 is broken); "group" = treat as extra group keys.
     keep_mode: str = "first"
+    #: computed columns {name: sql_expr}, applied in declared order
+    #: before filters/aggregation (engine extension; the reference has
+    #: no scalar-expression surface at all, SURVEY.md §2.5)
+    derive: dict = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict) -> "LevelSpec":
@@ -141,6 +145,7 @@ class LevelSpec:
             filters=tuple(FilterSpec.from_dict(f) for f in d.get("filters", [])),
             keep_columns=tuple(d.get("keep_columns", [])),
             keep_mode=keep_mode,
+            derive=dict(d.get("derive", {})),
         )
 
 
@@ -243,6 +248,8 @@ class TreeNodeSpec:
     children: tuple["TreeChildSpec", ...] = ()
     save_path: str | None = None
     save_format: str = "parquet"
+    #: computed columns {name: sql_expr}, applied before filters
+    derive: dict = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict) -> "TreeNodeSpec":
@@ -257,6 +264,7 @@ class TreeNodeSpec:
             children=tuple(TreeChildSpec.from_dict(c) for c in d.get("children", [])),
             save_path=d.get("save_path"),
             save_format=d.get("save_format", "parquet"),
+            derive=dict(d.get("derive", {})),
         )
 
 
@@ -323,6 +331,8 @@ class NestedNodeSpec:
     children: tuple["NestedNodeSpec", ...] = ()
     data_path: str | None = None
     source: str | None = None
+    #: computed columns {name: sql_expr}, applied before filters
+    derive: dict = field(default_factory=dict)
 
     @staticmethod
     def from_dict(d: dict, node_id: str | None = None) -> "NestedNodeSpec":
@@ -355,6 +365,7 @@ class NestedNodeSpec:
             children=tuple(NestedNodeSpec.from_dict(c) for c in d.get("children", [])),
             data_path=d.get("data_path"),
             source=d.get("source"),
+            derive=dict(d.get("derive", {})),
         )
 
 

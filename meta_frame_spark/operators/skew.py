@@ -1,0 +1,92 @@
+"""Skew-mitigation operators (SURVEY.md §7.1 step 7 scale pass).
+
+When they're needed: Spark's hash aggregation already does map-side
+partial aggregation, so a plain ``groupBy(k).agg(sum/count/min/max)``
+tolerates key skew well — every map task pre-collapses its local rows
+per key. The painful cases are (a) aggregates that buffer per-key
+state proportional to group size (``count_distinct``,
+``collect_list``), where one hot key concentrates memory in a single
+reduce task, and (b) joins on skewed keys (AQE's skew-join splitting
+covers the join side; ``spark.sql.adaptive.skewJoin`` is on in the
+session factory).
+
+These helpers split the hot-key reduce state explicitly:
+
+* ``salted_aggregate`` — two-phase agg through a salt: shuffle 1
+  spreads each key over ``n_salts`` reducers, shuffle 2 merges the
+  (tiny) per-salt partials. Worth it only for state-heavy aggregates;
+  for plain sums it just adds a shuffle.
+* ``two_phase_count_distinct`` — exact distinct counts without any
+  per-key hash-set: dedup on (key, value) first (skew spread across
+  value space), then count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (partial_fn, merge_fn) per supported aggregate: phase 1 computes
+#: partial_fn per (key, salt); phase 2 merges partials per key.
+_MERGEABLE = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation: {col: func} with func in
+    sum/count/min/max/avg.
+
+    ``salt_on``: column whose hash spreads rows of a hot key across
+    salts (deterministic); default salts on ``spark_partition_id`` —
+    rows of one key land on however many input partitions hold them.
+    avg is decomposed into mergeable sum+count.
+    """
+    for c, fn in aggs.items():
+        if fn not in _MERGEABLE and fn != "avg":
+            raise ValueError(
+                f"salted_aggregate supports {sorted(_MERGEABLE) + ['avg']}, got {fn!r} for {c!r}"
+            )
+    if salt_on is not None:
+        sc = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+        salt = F.pmod(F.xxhash64(sc), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.spark_partition_id(), F.lit(n_salts))
+
+    partials, merges = [], []
+    for c, fn in aggs.items():
+        if fn == "avg":
+            partials += [F.sum(c).alias(f"__s_{c}"), F.count(c).alias(f"__n_{c}")]
+            merges.append((F.sum(f"__s_{c}") / F.sum(f"__n_{c}")).alias(f"avg_{c}"))
+        else:
+            pf, mf = _MERGEABLE[fn]
+            partials.append(pf(c).alias(f"__p_{fn}_{c}"))
+            merges.append(mf(f"__p_{fn}_{c}").alias(f"{fn}_{c}"))
+
+    phase1 = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*partials)
+    return phase1.groupBy(*group_cols).agg(*merges)
+
+
+def two_phase_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_name: str | None = None,
+) -> DataFrame:
+    """Exact per-key distinct count as dedup-then-count: shuffle 1 on
+    (key, value) — a hot key's rows spread over the value space — then
+    a plain count per key with map-side combine. No per-key hash-set
+    ever materializes on a single reducer, unlike
+    ``countDistinct`` for a hot key."""
+    out = out_name or f"n_distinct_{value_col}"
+    dedup = df.select(*group_cols, value_col).distinct()
+    return dedup.groupBy(*group_cols).agg(F.count(value_col).alias(out))

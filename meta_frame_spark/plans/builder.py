@@ -87,6 +87,16 @@ def apply_filters(df: DataFrame, filters) -> DataFrame:
     return df
 
 
+def apply_derivations(df: DataFrame, derive: dict) -> DataFrame:
+    """Computed columns {name: sql_expr}, in declared order so later
+    derivations can reference earlier ones. Pure ``F.expr`` — stays in
+    whole-stage codegen; Catalyst folds constants and prunes unused
+    derivations."""
+    for name, expr in derive.items():
+        df = df.withColumn(name, expr if isinstance(expr, Column) else F.expr(expr))
+    return df
+
+
 def apply_string_filters(df: DataFrame, exprs) -> DataFrame:
     """String-expression filters -> ``F.expr`` (sparks/optimus.py:15-17).
 
@@ -145,6 +155,7 @@ def apply_level(df: DataFrame, level) -> DataFrame:
     per kept column; ``keep_mode="group"`` adds them as group keys.
     """
     spec = level if isinstance(level, LevelSpec) else LevelSpec.from_dict(level)
+    df = apply_derivations(df, spec.derive)
     df = apply_filters(df, spec.filters)
 
     group_cols = list(spec.group_by)
@@ -233,6 +244,7 @@ def aggregate_and_join(
     spark = df.sparkSession
     load = loader or _default_child_loader
 
+    df = apply_derivations(df, spec.derive)
     df = apply_string_filters(df, spec.filters)
     if spec.keep_columns:
         df = df.select(*spec.keep_columns)
@@ -284,9 +296,9 @@ def nested_aggregate(
     spec = meta if isinstance(meta, NestedNodeSpec) else validate_nested_config(meta)
     spark = df.sparkSession
 
-    # Node filters apply to the node's whole subtree: children re-aggregate
-    # the filtered input, not the raw one.
-    base = apply_string_filters(df, spec.filters)
+    # Node derivations/filters apply to the node's whole subtree:
+    # children re-aggregate the derived+filtered input, not the raw one.
+    base = apply_string_filters(apply_derivations(df, spec.derive), spec.filters)
     out = base
 
     if spec.aggregates or spec.group_by:

@@ -177,3 +177,34 @@ def test_filtered_aggregation(lineitem):
     exp = {r.l_returnflag: r.e for r in expected}
     for r in out:
         assert abs(r.avg_big - exp[r.l_returnflag]) < 1e-6
+
+
+def test_derive_columns(lineitem):
+    """derive: computed columns available to filters and aggregations,
+    later derivations can reference earlier ones."""
+    out = apply_level(
+        lineitem,
+        {
+            "derive": {
+                "revenue": "l_extendedprice * (1 - l_discount)",
+                "revenue_k": "revenue / 1000",
+            },
+            "filters": [
+                {"filter_col": "revenue", "filter_op": ">", "filter_value": 0}
+            ],
+            "group_by": ["l_returnflag"],
+            "aggregations": [
+                {"agg_col": "revenue_k", "agg_func": "sum", "new_name": "rev_k"}
+            ],
+        },
+    ).collect()
+    expected = (
+        lineitem.selectExpr("l_returnflag", "l_extendedprice * (1 - l_discount) / 1000 AS rk")
+        .filter("rk > 0")
+        .groupBy("l_returnflag")
+        .agg(F.sum("rk").alias("rk"))
+        .collect()
+    )
+    exp = {r.l_returnflag: r.rk for r in expected}
+    for r in out:
+        assert abs(r.rev_k - exp[r.l_returnflag]) < 1e-6

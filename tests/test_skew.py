@@ -1,0 +1,65 @@
+"""Skew-mitigation operators (meta_frame_spark.operators.skew)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.skew import salted_aggregate, two_phase_count_distinct
+
+
+def test_salted_aggregate_matches_plain(spark, lineitem):
+    got = {
+        r.l_returnflag: (r.sum_l_quantity, r.count_l_orderkey, r.min_l_discount,
+                         r.avg_l_extendedprice)
+        for r in salted_aggregate(
+            lineitem,
+            ["l_returnflag"],
+            {"l_quantity": "sum", "l_orderkey": "count", "l_discount": "min",
+             "l_extendedprice": "avg"},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.s, r.c, r.mn, r.a)
+        for r in lineitem.groupBy("l_returnflag").agg(
+            F.sum("l_quantity").alias("s"),
+            F.count("l_orderkey").alias("c"),
+            F.min("l_discount").alias("mn"),
+            F.avg("l_extendedprice").alias("a"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, (s, c, mn, a) in got.items():
+        ws, wc, wmn, wa = want[k]
+        assert abs(s - ws) < 1e-6 and c == wc and mn == wmn
+        assert abs(a - wa) < 1e-6
+
+
+def test_salted_aggregate_deterministic_salt(spark, lineitem):
+    a = salted_aggregate(
+        lineitem, ["l_returnflag"], {"l_quantity": "sum"},
+        n_salts=4, salt_on="l_orderkey",
+    ).collect()
+    b = salted_aggregate(
+        lineitem, ["l_returnflag"], {"l_quantity": "sum"},
+        n_salts=4, salt_on="l_orderkey",
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_aggregate_rejects_unmergeable(spark, lineitem):
+    with pytest.raises(ValueError):
+        salted_aggregate(lineitem, ["l_returnflag"], {"l_quantity": "median"})
+
+
+def test_two_phase_count_distinct_matches(spark, orders):
+    got = {
+        r.o_orderstatus: r.n_distinct_o_custkey
+        for r in two_phase_count_distinct(orders, ["o_orderstatus"], "o_custkey").collect()
+    }
+    want = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus").agg(
+            F.countDistinct("o_custkey").alias("n")
+        ).collect()
+    }
+    assert got == want
