@@ -481,6 +481,26 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_event_value(_t(spark, sf_dir, "events"))
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the latest prior view
+    event's value per user (union + single-shuffle window plan —
+    operators/temporal.py; oracle is DuckDB's native ASOF JOIN)."""
+    from meta_frame_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, "ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("value_right", 2).alias("last_view_value"),
+        F.col("ts_right").alias("last_view_ts"),
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON prop extraction (multimodal/typed
     metadata slice — events.props is a JSON string column)."""
@@ -711,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
+        "events_asof": q_events_asof,
         "events_json": q_events_json,
     }
 
@@ -943,6 +964,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(event_id) AS n_events
             FROM events CROSS JOIN range(0, 2) t(i)
             GROUP BY 1, 2
+        """,
+        "events_asof": """
+            SELECT p.event_id, p.user_id,
+                   ROUND(p.value, 2) AS purchase_value,
+                   ROUND(v.value, 2) AS last_view_value,
+                   v.ts AS last_view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "mm_meta": """
             SELECT doc_id, 'image' AS media_type,

@@ -1,0 +1,80 @@
+"""Temporal join operators (as-of join).
+
+Not in the reference (its only join is a single-key equi-join,
+SURVEY.md §2.3) and not built into Spark SQL; the standard need in
+event/time-series pipelines is "attach the latest right-side row at or
+before each left timestamp, per key".
+
+Spark-first design: instead of a range join (which explodes into a
+cross product per key before filtering) or a per-key sort-merge UDF,
+the as-of join is expressed as UNION + one ranking window:
+
+1. tag left rows src=1, right rows src=0, union by name;
+2. one hash-shuffle on the key columns, sort within partitions by
+   (time, src) — right rows sort before left rows at equal time, so
+   an exactly-at-timestamp right row is visible to the left row;
+3. ``last(value, ignorenulls=True)`` over rows-unbounded-preceding
+   forward-fills each right column onto subsequent left rows;
+4. keep only left rows.
+
+Cost: ONE shuffle of |left| + |right| skinny rows, linear scan per
+partition — survives arbitrary key cardinality and 100 TB inputs.
+AQE's skew handling applies to the single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by: list[str],
+    value_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the most recent right
+    row with ``right.time <= left.time`` within the same ``by`` keys.
+
+    ``value_cols``: right columns to attach (default: all non-key,
+    non-time right columns). Attached columns keep their name unless it
+    collides with a left column, then ``{name}{suffix}``. The matched
+    right timestamp is always attached as ``{time_col}{suffix}``.
+    ``tolerance``: max allowed ``left.time - right.time`` as an
+    INTERVAL column (e.g. ``F.expr("INTERVAL 1 HOUR")``); matches
+    older than that are nulled out.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in set(by) | {time_col}]
+    out_names = {
+        c: (f"{c}{suffix}" if c in left.columns else c) for c in value_cols
+    }
+    rt = f"{time_col}{suffix}"
+
+    l_tagged = left.withColumn("__src", F.lit(1))
+    r_tagged = right.select(
+        *by,
+        F.col(time_col),
+        *[F.col(c).alias(out_names[c]) for c in value_cols],
+    ).withColumn(rt, F.col(time_col)).withColumn("__src", F.lit(0))
+
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(time_col).asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in [*out_names.values(), rt]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = filled.filter(F.col("__src") == 1).drop("__src")
+    if tolerance is not None:
+        stale = F.col(rt) < (F.col(time_col) - tolerance)
+        for c in [*out_names.values(), rt]:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out

@@ -1,0 +1,61 @@
+"""As-of join (meta_frame_spark.operators.temporal)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.temporal import asof_join
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(5), "l1"), (1, _ts(20), "l2"), (2, _ts(10), "l3")],
+        "uid bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(15), 20.0), (2, _ts(30), 99.0)],
+        "uid bigint, ts timestamp, px double",
+    )
+    got = {
+        r.tag: (r.px, r.ts_right)
+        for r in asof_join(left, right, "ts", by=["uid"]).collect()
+    }
+    assert got["l1"] == (10.0, _ts(0))   # latest right <= 12:05
+    assert got["l2"] == (20.0, _ts(15))
+    assert got["l3"] == (None, None)     # right row is after the left ts
+
+
+def test_asof_exact_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts(10), "x")], "uid bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "uid bigint, ts timestamp, px double")
+    row = asof_join(left, right, "ts", by=["uid"]).first()
+    assert row.px == 7.0  # right at equal ts is visible (<=, not <)
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts(50), "x")], "uid bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(0), 7.0)], "uid bigint, ts timestamp, px double")
+    loose = asof_join(left, right, "ts", by=["uid"]).first()
+    assert loose.px == 7.0
+    tight = asof_join(
+        left, right, "ts", by=["uid"], tolerance=F.expr("INTERVAL 10 MINUTES")
+    ).first()
+    assert tight.px is None
+
+
+def test_asof_name_collision_gets_suffix(spark):
+    left = spark.createDataFrame([(1, _ts(10), 1.0)], "uid bigint, ts timestamp, px double")
+    right = spark.createDataFrame([(1, _ts(5), 2.0)], "uid bigint, ts timestamp, px double")
+    row = asof_join(left, right, "ts", by=["uid"]).first()
+    assert row.px == 1.0 and row.px_right == 2.0
+
+
+def test_asof_single_shuffle_plan(spark):
+    left = spark.createDataFrame([(1, _ts(10), "x")], "uid bigint, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts(5), 7.0)], "uid bigint, ts timestamp, px double")
+    plan = asof_join(left, right, "ts", by=["uid"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1  # one shuffle total
