@@ -501,6 +501,48 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION, distinct semantics)
+    over user segments — surface completer beyond the reference."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    view = ev.filter(F.col("event_type") == "view").select("user_id")
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    return (
+        seg("purchase_and_view", purch.intersect(view))
+        .unionByName(seg("purchase_only", purch.subtract(view)))
+        .unionByName(seg("either", purch.union(view).distinct()))
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) vs exact distinct per orderstatus.
+    No oracle: HLL estimates are engine-specific; the test asserts the
+    relative error bound instead."""
+    config = {
+        "iterations": [
+            {
+                "id": "x",
+                "level_1": {
+                    "group_by": ["o_orderstatus"],
+                    "aggregations": [
+                        {"agg_col": "o_custkey", "agg_func": "approx_count_distinct",
+                         "new_name": "approx_cust"},
+                        {"agg_col": "o_custkey", "agg_func": "count_distinct",
+                         "new_name": "exact_cust"},
+                    ],
+                },
+            }
+        ]
+    }
+    return run_pipeline(_t(spark, sf_dir, "orders"), config)["x"]
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON prop extraction (multimodal/typed
     metadata slice — events.props is a JSON string column)."""
@@ -732,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "set_ops": q_set_ops,
+        "agg_approx": q_agg_approx,
         "events_json": q_events_json,
     }
 
@@ -964,6 +1008,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(event_id) AS n_events
             FROM events CROSS JOIN range(0, 2) t(i)
             GROUP BY 1, 2
+        """,
+        "set_ops": """
+            SELECT 'purchase_and_view' AS segment, COUNT(*) AS n_users FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'view')
+            UNION ALL
+            SELECT 'purchase_only', COUNT(*) FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'view')
+            UNION ALL
+            SELECT 'either', COUNT(*) FROM (
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+                UNION
+                SELECT user_id FROM events WHERE event_type = 'view')
         """,
         "events_asof": """
             SELECT p.event_id, p.user_id,

@@ -53,6 +53,7 @@ FILTER_OPS = {"==", "!=", ">", "<", ">=", "<=", "isin", "not_isin", "is_null", "
 AGG_FUNCS = {
     "sum", "max", "min", "count", "avg", "mean", "first", "last",
     "count_distinct", "stddev", "variance", "collect_set_size", "median",
+    "approx_count_distinct",
 }
 
 JOIN_TYPES = {

@@ -1,1 +1,39 @@
+"""Column-function library: text analysis and vector math."""
 
+from meta_frame_spark.functions.text import (
+    bpe_token_count,
+    bpe_tokens,
+    char_count,
+    language_id,
+    punct_ratio,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+    with_text_stats,
+)
+from meta_frame_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_norm,
+)
+
+__all__ = [
+    "bpe_token_count",
+    "bpe_tokens",
+    "char_count",
+    "cosine_similarity",
+    "dot",
+    "l2_distance",
+    "l2_norm",
+    "language_id",
+    "punct_ratio",
+    "quality_score",
+    "rolling_fingerprint",
+    "stopword_ratio",
+    "token_count",
+    "tokens",
+    "with_text_stats",
+]

@@ -1,1 +1,54 @@
+"""Operator library: dedup, similarity, ranking, temporal, skew.
 
+These are the north-star extensions beyond the reference's surface
+(SURVEY.md §7.1 step 6) plus Spark-native completions of operator
+classes the reference lacks (§2.3/§2.4 "not present" lists).
+"""
+
+from meta_frame_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup,
+    hashed_jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+)
+from meta_frame_spark.operators.ranking import (
+    cube_aggregate,
+    rollup_aggregate,
+    top_k_per_group,
+)
+from meta_frame_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    srp_lsh_topk,
+)
+from meta_frame_spark.operators.skew import (
+    salted_aggregate,
+    two_phase_count_distinct,
+)
+from meta_frame_spark.operators.temporal import asof_join
+
+__all__ = [
+    "asof_join",
+    "brute_force_topk",
+    "cube_aggregate",
+    "drop_exact_duplicates",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "hashed_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "rollup_aggregate",
+    "salted_aggregate",
+    "simhash",
+    "simhash_dup_groups",
+    "srp_lsh_topk",
+    "top_k_per_group",
+    "two_phase_count_distinct",
+]

@@ -126,6 +126,9 @@ _AGG_BUILDERS: dict[str, Callable[[Column], Column]] = {
     "variance": F.variance,
     "collect_set_size": lambda c: F.size(F.collect_set(c)),
     "median": F.median,
+    # HLL sketch — constant memory per group regardless of cardinality;
+    # the scale-safe default for high-cardinality distinct counts
+    "approx_count_distinct": F.approx_count_distinct,
 }
 
 

@@ -208,3 +208,19 @@ def test_derive_columns(lineitem):
     exp = {r.l_returnflag: r.rk for r in expected}
     for r in out:
         assert abs(r.rev_k - exp[r.l_returnflag]) < 1e-6
+
+
+def test_approx_count_distinct_within_bound(orders):
+    """approx_count_distinct (HLL, default rsd 5%) lands near exact."""
+    out = apply_level(
+        orders,
+        {
+            "group_by": ["o_orderstatus"],
+            "aggregations": [
+                {"agg_col": "o_custkey", "agg_func": "approx_count_distinct", "new_name": "a"},
+                {"agg_col": "o_custkey", "agg_func": "count_distinct", "new_name": "e"},
+            ],
+        },
+    ).collect()
+    for r in out:
+        assert abs(r.a - r.e) <= max(0.15 * r.e, 2)
