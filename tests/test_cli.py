@@ -1,0 +1,50 @@
+"""CLI entrypoint (python -m meta_frame_spark)."""
+
+import json
+
+from meta_frame_spark.__main__ import main
+from meta_frame_spark.config.model import (
+    validate_nested_config,
+    validate_pipeline_config,
+    validate_tree_config,
+)
+
+
+def test_init_example_writes_valid_configs(tmp_path):
+    assert main(["init-example", str(tmp_path)]) == 0
+    pipeline = json.loads((tmp_path / "example_pipeline.json").read_text())
+    tree = json.loads((tmp_path / "example_tree.json").read_text())
+    nested = json.loads((tmp_path / "example_nested.json").read_text())
+    # every emitted example must validate against its dialect
+    validate_pipeline_config(pipeline)
+    validate_tree_config(tree)
+    validate_nested_config(nested)
+
+
+def test_run_dialect_a_end_to_end(spark, sf_dir, tmp_path):
+    cfg = tmp_path / "cfg"
+    assert main(["init-example", str(cfg)]) == 0
+    out = tmp_path / "out"
+    assert main([
+        "run",
+        "--config", str(cfg / "example_pipeline.json"),
+        "--input", f"{sf_dir}/lineitem.parquet",
+        "--output", str(out),
+        "--dialect", "a",
+    ]) == 0
+    result = spark.read.parquet(str(out / "by_flag_status"))
+    assert result.count() > 0
+    assert set(result.columns) == {"l_returnflag", "max_revenue"}
+
+
+def test_column_object_filters(spark, lineitem):
+    """P5: live Column predicates accepted alongside string filters
+    (declared in the reference at sparks/optimus.py:56-59)."""
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.plans.builder import apply_string_filters
+
+    out = apply_string_filters(
+        lineitem, [F.col("l_quantity") > 10, "l_linestatus = 'O'"]
+    )
+    assert out.filter("l_quantity <= 10 OR l_linestatus != 'O'").count() == 0
