@@ -667,6 +667,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + probe) approximate top-5 — the FAISS-style
+    scale path beside SRP-LSH (no oracle: approximate by construction;
+    recall asserted in tests/test_similarity.py)."""
+    from meta_frame_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates + exact
     verify (no oracle: candidate recall is probabilistic)."""
@@ -760,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "emb_near_dup": q_emb_near_dup,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,

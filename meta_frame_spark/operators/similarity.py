@@ -161,6 +161,91 @@ def srp_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    partitions the corpus into ``n_cells`` cells; each query probes its
+    ``n_probe`` nearest cells and exact-rescores only those vectors.
+
+    The scale shape of FAISS-style IVF on Spark:
+
+    * train: MLlib KMeans on (a sample of) the corpus — one fit;
+    * assign: ``model.transform`` maps every corpus vector to a cell
+      (map-only, codegen'd distance to n_cells centroids);
+    * probe: centroids are tiny (n_cells × dim) and ship to the
+      query-side pandas UDF as a literal numpy matrix — each query
+      emits its n_probe cell ids, posexploded to probe rows;
+    * candidates: equi-join probe rows to corpus on cell id — reads
+      ~n_probe/n_cells of the corpus per query instead of all of it.
+
+    Expected candidate fraction n_probe/n_cells tunes recall vs cost;
+    at 100 TB, cell id becomes the corpus partition key so a probe
+    reads only matching partitions (partition pruning on the sink
+    layout, SURVEY.md §7.1 step 7).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    # a coarse quantizer doesn't need convergence — a few iterations
+    # give cells good enough for probing (recall is tuned by n_probe)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=8).fit(corpus_vec)
+    assigned = model.transform(corpus_vec).select(
+        "_id", "v", F.col("prediction").alias("cell")
+    )
+
+    centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+
+    @F.pandas_udf("array<int>")
+    def _probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        # squared euclidean to every centroid: ||q||² - 2q·c + ||c||²
+        d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (centroids * centroids).sum(1)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            _probe_cells(F.col(vec_col)).alias("cells"),
+        )
+        .select("query_id", "q_vec", F.explode("cells").alias("cell"))
+    )
+
+    cands = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        "q_vec",
+        F.col("v").alias("c_vec"),
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    scored = cands.withColumn("score", cosine_similarity("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -12,6 +12,7 @@ memory sink).
 
 from meta_frame_spark.streaming.ops import (
     EVENTS_RAW_SCHEMA,
+    dedup_events,
     hourly_event_counts,
     read_event_stream,
     run_to_memory,
@@ -22,6 +23,7 @@ from meta_frame_spark.streaming.ops import (
 
 __all__ = [
     "EVENTS_RAW_SCHEMA",
+    "dedup_events",
     "hourly_event_counts",
     "read_event_stream",
     "run_to_memory",

@@ -137,6 +137,25 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key event dedup.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — state holds one
+    entry per key only until the watermark passes its event time, so
+    at-least-once sources (Kafka replays, retried batches) collapse to
+    exactly-once downstream with BOUNDED state. Batch: plain
+    ``dropDuplicates`` on the same keys — same semantics, no state.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Physical-plan audits: the engine's declarative configs must reach
+Catalyst in pushdown-able form. These tests pin the scale-critical
+plan properties (predicate pushdown to parquet, column pruning,
+broadcast hints) so a refactor can't silently regress them."""
+
+from pyspark.sql import functions as F
+
+from meta_frame_spark.plans.builder import aggregate_and_join, run_pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dialect_a_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = run_pipeline(
+        df,
+        {
+            "iterations": [
+                {
+                    "id": "x",
+                    "level_1": {
+                        "filters": [
+                            {"filter_col": "l_quantity", "filter_op": "<", "filter_value": 10}
+                        ],
+                        "group_by": ["l_returnflag"],
+                        "aggregations": [
+                            {"agg_col": "l_extendedprice", "agg_func": "sum", "new_name": "s"}
+                        ],
+                    },
+                }
+            ]
+        },
+    )["x"]
+    plan = _plan(out)
+    # the config filter must reach the scan, not sit above the agg
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_quantity,10" in plan
+
+
+def test_dialect_a_prunes_scan_columns(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = run_pipeline(
+        df,
+        {
+            "iterations": [
+                {
+                    "id": "x",
+                    "level_1": {
+                        "group_by": ["l_returnflag"],
+                        "aggregations": [
+                            {"agg_col": "l_quantity", "agg_func": "sum", "new_name": "s"}
+                        ],
+                    },
+                }
+            ]
+        },
+    )["x"]
+    plan = _plan(out)
+    # scan reads exactly the two referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_returnflag:string>" in plan \
+        or "ReadSchema: struct<l_returnflag:string,l_quantity:double>" in plan
+
+
+def test_tree_child_broadcast_hint_respected(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def loader(s, child):
+        return s.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+
+    out = aggregate_and_join(
+        orders,
+        {
+            "unique_id": "root",
+            "aggregation": {
+                "group_by": ["o_custkey"],
+                "aggregations": {"o_totalprice": "sum"},
+            },
+            "children": [
+                {
+                    "unique_id": "cust",
+                    "broadcast": True,
+                    "join": {"on": "o_custkey", "how": "left"},
+                }
+            ],
+        },
+        loader=loader,
+    )
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_string_filter_also_pushes_down(spark, sf_dir):
+    from meta_frame_spark.plans.builder import nested_aggregate
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = nested_aggregate(
+        df,
+        {
+            "id": "r",
+            "filter": ["l_linestatus = 'O'"],
+            "group_by": ["l_returnflag"],
+            "aggregate": {"l_quantity": "sum"},
+            "rename": {"l_quantity": "q"},
+        },
+    )
+    plan = _plan(out)
+    assert "EqualTo(l_linestatus,O)" in plan  # F.expr string filter pushed to scan

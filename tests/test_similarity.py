@@ -95,3 +95,21 @@ def test_simhash_identical_docs_collide(spark, documents):
     n_distinct = len({r.simhash for r in simhash(base).collect()})
     assert len(groups) == n_distinct
     assert all(g.n_members >= 2 for g in groups)
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF with 8 cells / 4 probes (half the corpus scanned) should
+    recover most of the exact top-k."""
+    from meta_frame_spark.operators.similarity import ivf_topk
+
+    k = 5
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(embeddings, queries, k=k).collect()
+    approx = ivf_topk(embeddings, queries, k=k, n_cells=8, n_probe=4).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # per-query result size never exceeds k
+    from collections import Counter
+    assert max(Counter(r.query_id for r in approx).values()) <= k

@@ -86,3 +86,29 @@ def test_stateful_running_totals_stream(spark, events_batch, events_stream):
     g = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in got.collect()}
     w = {r.user_id: (r.n_events, round(r.total_value, 6), r.max_value) for r in want.collect()}
     assert g == w
+
+
+def test_stream_dedup_collapses_replayed_file(spark, sf_dir, tmp_path):
+    """A replayed source file (same events twice) collapses to one row
+    per event_id via dropDuplicatesWithinWatermark."""
+    from meta_frame_spark.streaming import dedup_events
+
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    (d / "a.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    (d / "b.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    stream = read_event_stream(spark, str(d))
+    got = run_to_memory(
+        dedup_events(stream).groupBy().agg(F.count("event_id").alias("n")),
+        "t_dedup_n",
+    )
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    )
+    assert got.first().n == n_distinct
+
+
+def test_batch_dedup_same_code_path(spark, events_batch):
+    from meta_frame_spark.streaming import dedup_events
+
+    assert dedup_events(events_batch).count() == events_batch.select("event_id").distinct().count()
