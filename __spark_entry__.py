@@ -406,6 +406,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.2)
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality filter -> language
+    filter -> exact dedup (keep min doc_id per text) -> per-source doc
+    and token accounting. The composed form of the text/dedup operators
+    — what an LLM data pipeline actually runs."""
+    from meta_frame_spark.functions.text import language_id, quality_score, token_count
+    from meta_frame_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    filtered = docs.filter(quality_score("text") >= 0.5).filter(
+        language_id("text") == "en"
+    )
+    kept = drop_exact_duplicates(filtered, key_cols=["text"], id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
 def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata-only scan: asset struct attached, payload
     pruned by Catalyst (tests/test_multimodal.py asserts the plan)."""
@@ -766,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": q_agg_cube,
         "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
@@ -1054,6 +1074,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
                    CAST(floor(octet_length(encode(text)) / 4.0) AS INTEGER) AS frame_len
             FROM documents CROSS JOIN range(0, 4) t(i)
+        """,
+        "corpus_clean": """
+            WITH scored AS (
+                SELECT doc_id, text, source,
+                       ((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN (CASE WHEN length(text) > 0
+                                         THEN length(regexp_replace(text, '[^.!?,;:''"()\\[\\]{}-]', '', 'g')) / length(text)
+                                         ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                                         THEN length(text) / len(regexp_extract_all(text, '\\S+'))
+                                         ELSE 0.0 END) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0 AS q,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que'))) AS s_fr,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('el','la','los','las','de','y','es','un','una','que'))) AS s_es
+                FROM documents
+            ),
+            filtered AS (
+                SELECT doc_id, text, source FROM scored
+                WHERE q >= 0.5
+                  AND greatest(s_en, s_fr, s_de, s_es) > 0
+                  AND s_en = greatest(s_en, s_fr, s_de, s_es)
+            ),
+            kept AS (
+                SELECT f.* FROM filtered f
+                JOIN (SELECT text, MIN(doc_id) AS doc_id FROM filtered GROUP BY text) m
+                  ON f.doc_id = m.doc_id AND f.text = m.text
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY source
         """,
         "token_bpe": """
             SELECT doc_id,

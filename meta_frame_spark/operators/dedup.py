@@ -350,6 +350,74 @@ def minhash_lsh_dedup(
 
 
 # --------------------------------------------------------------------------
+# Dup-pair clustering (connected components) and canonical selection
+# --------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (node, cluster) where
+    ``cluster`` is the minimum id reachable through dup edges.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow (most
+    are size 2-3), so this terminates in a handful of shuffles. Each
+    round is one join + one groupBy; labels are persisted per round and
+    the loop stops when a round changes nothing (one small count per
+    round — the standard Spark shape for iterative graph algorithms
+    without GraphFrames).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster"))
+
+
+def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per near-dup cluster (the min id — deterministic)
+    plus every row not in any dup pair. ``pairs`` comes from
+    :func:`minhash_lsh_dedup` / :func:`embedding_near_dup_pairs`."""
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

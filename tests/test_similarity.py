@@ -113,3 +113,21 @@ def test_ivf_topk_recall(spark, embeddings):
     # per-query result size never exceeds k
     from collections import Counter
     assert max(Counter(r.query_id for r in approx).values()) <= k
+
+
+def test_dup_clusters_transitive(spark):
+    """Chains merge transitively: 1-2, 2-3 one cluster; 4-5 another."""
+    from meta_frame_spark.operators.dedup import drop_near_duplicates, dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (8, 9), (9, 10), (10, 11)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 8: 8, 9: 8, 10: 8, 11: 8}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(12)], "doc_id bigint, text string"
+    )
+    kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
+    assert kept == [0, 1, 4, 6, 7, 8]  # cluster minima + untouched docs
