@@ -520,6 +520,23 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (stream-stream-capable, run in batch): per
+    purchase, views by the same user within the prior hour."""
+    from meta_frame_spark.streaming import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = interval_join(purchases, views, by=["user_id"], lookback="1 hour")
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.round(F.max("r_value"), 2).alias("max_view_value"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT / UNION, distinct semantics)
     over user segments — surface completer beyond the reference."""
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
         "set_ops": q_set_ops,
         "agg_approx": q_agg_approx,
         "events_json": q_events_json,
@@ -1039,6 +1057,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(event_id) AS n_events
             FROM events CROSS JOIN range(0, 2) t(i)
             GROUP BY 1, 2
+        """,
+        "events_interval": """
+            SELECT p.event_id, COUNT(*) AS n_views,
+                   ROUND(MAX(v.value), 2) AS max_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY 1
         """,
         "set_ops": """
             SELECT 'purchase_and_view' AS segment, COUNT(*) AS n_users FROM (

@@ -14,6 +14,7 @@ from meta_frame_spark.streaming.ops import (
     EVENTS_RAW_SCHEMA,
     dedup_events,
     hourly_event_counts,
+    interval_join,
     read_event_stream,
     run_to_memory,
     session_aggregate,
@@ -25,6 +26,7 @@ __all__ = [
     "EVENTS_RAW_SCHEMA",
     "dedup_events",
     "hourly_event_counts",
+    "interval_join",
     "read_event_stream",
     "run_to_memory",
     "session_aggregate",

@@ -137,6 +137,50 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    time_col: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Pair each left row with every right row of the same key whose
+    time falls in ``[left.time - lookback, left.time]``.
+
+    Streaming: a stream-stream inner join — both sides watermarked, and
+    the range condition bounds how long right-side state is retained
+    (Spark derives the state watermark from it); without the time bound
+    a stream-stream join would buffer forever. Batch: the same
+    expression runs as an ordinary range join. Right columns come back
+    ``{right_prefix}``-prefixed; join keys are not duplicated.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(time_col, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(time_col, watermark)
+
+    r = right.select(
+        *by, F.col(time_col),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c not in set(by) | {time_col}
+        ],
+    ).withColumnRenamed(time_col, f"{right_prefix}{time_col}")
+
+    rt = F.col(f"{right_prefix}{time_col}")
+    lt = F.col(time_col)
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in by] + [
+        rt >= lt - F.expr(f"INTERVAL {lookback}"),
+        rt <= lt,
+    ]
+    out = left.alias("l").join(r.alias("r"), cond, "inner")
+    # drop the right-side copies of the join keys
+    return out.select("l.*", *[c for c in r.columns if c not in by])
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

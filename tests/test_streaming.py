@@ -112,3 +112,37 @@ def test_batch_dedup_same_code_path(spark, events_batch):
     from meta_frame_spark.streaming import dedup_events
 
     assert dedup_events(events_batch).count() == events_batch.select("event_id").distinct().count()
+
+
+def test_interval_join_stream_matches_batch(spark, events_batch, events_stream, sf_dir, tmp_path):
+    """Stream-stream interval join (purchases x views within 1h
+    lookback per user) equals the batch range join."""
+    from meta_frame_spark.streaming import interval_join
+
+    def split(src):
+        p = src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        v = src.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+        return p, v
+
+    # batch reference
+    bp, bv = split(events_batch)
+    want = interval_join(bp, bv, by=["user_id"], lookback="1 hour")
+    want_rows = sorted(
+        (r.event_id, r.r_ts, round(r.r_value, 6)) for r in want.collect()
+    )
+
+    # the same code on two streams
+    d = tmp_path / "ij_src"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    sp, sv = split(read_event_stream(spark, str(d)))
+    got = run_to_memory(
+        interval_join(sp, sv, by=["user_id"], lookback="1 hour"),
+        "t_ij", output_mode="append",
+    )
+    got_rows = sorted(
+        (r.event_id, r.r_ts, round(r.r_value, 6)) for r in got.collect()
+    )
+    assert got_rows == want_rows
