@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meta_frame_spark import aggregate_and_join, nested_aggregate, run_pipeline
@@ -270,6 +270,46 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "root_n_lines",
         "valid_from",
         "valid_to",
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): sum of quantity per returnflag with one
+    column per linestatus. Spark .pivot with explicit values (explicit
+    values skip the extra distinct-scan job and keep the plan static —
+    the scale-correct form)."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("F", 2).alias("qty_f"),
+        F.round("O", 2).alias("qty_o"),
+    )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag + running cumulative sum) over
+    each customer's order history — table-stakes OLAP surface absent
+    from the reference."""
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("prev_price", F.lag("o_totalprice").over(w_order))
+        .withColumn(
+            "cum_spend",
+            F.sum("o_totalprice").over(
+                w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("prev_price", 2).alias("prev_price"),
+        F.round("cum_spend", 2).alias("cum_spend"),
     )
 
 
@@ -800,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_derive": q_a_derive,
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
+        "pivot": q_pivot,
+        "window_analytics": q_window_analytics,
         "topk_per_group": q_topk_per_group,
         "dedup_exact": q_dedup_exact,
         "corpus_clean": q_corpus_clean,
@@ -1015,6 +1057,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+            FROM lineitem GROUP BY 1
+        """,
+        "window_analytics": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(lag(o_totalprice) OVER w, 2) AS prev_price,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS cum_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "topk_per_group": """
             SELECT o_orderstatus, o_orderkey,
