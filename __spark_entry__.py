@@ -455,9 +455,12 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.operators.dedup import drop_exact_duplicates
 
     docs = _t(spark, sf_dir, "documents")
+    # persisted: the dedup semi-join consumes the filtered corpus on
+    # both branches, and the quality/lang expressions are the expensive
+    # part — exactly where a production pipeline checkpoints
     filtered = docs.filter(quality_score("text") >= 0.5).filter(
         language_id("text") == "en"
-    )
+    ).persist()
     kept = drop_exact_duplicates(filtered, key_cols=["text"], id_col="doc_id")
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

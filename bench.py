@@ -47,8 +47,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop sink: evaluates EVERY column of the full plan (count()
+        # would let Catalyst prune map-only projection work entirely)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # operators persist() self-join inputs; drop them so cached
+        # blocks don't accumulate across the 40+ queries
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
     print(json.dumps({

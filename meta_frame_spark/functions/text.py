@@ -8,6 +8,9 @@ either a Column (composable) or a DataFrame with columns appended.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,16 +115,44 @@ def language_id(text: str | Column) -> Column:
 
 
 def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
-    """Document fingerprint: min of xxhash64 over character n-gram
-    windows of the normalized text (winnowing-style min-sampling).
-    Deterministic; 8-byte output per doc."""
+    """Document fingerprint: min over a Rabin-Karp rolling hash of
+    every ``window``-byte span of the normalized text (winnowing-style
+    min-sampling). Deterministic; 8-byte output per doc; null text →
+    null.
+
+    Vectorized in an Arrow-batched pandas UDF: the hash of all spans is
+    one sliding-window matmul over the byte array (int64 wraparound —
+    deterministic two's-complement math). The previous form hashed each
+    span with an interpreted per-element ``substr``+``xxhash64`` lambda
+    — measured >10× slower and invisible under count()-style probes
+    because Catalyst prunes unevaluated projections.
+    """
+    # fixed odd base powers B^(w-1) ... B^0 (mod 2^64, int64 view)
+    base = 1099511628211  # FNV-ish odd multiplier
+    powers = np.array(
+        [pow(base, window - 1 - j, 1 << 64) for j in range(window)], dtype=np.uint64
+    ).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            norm = " ".join(t.lower().split())
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if b.size == 0:
+                out.append(0)
+                continue
+            if b.size < window:
+                b = np.pad(b, (0, window - b.size))
+            spans = np.lib.stride_tricks.sliding_window_view(b, window)
+            out.append(int((spans @ powers).min()))
+        return pd.Series(out, dtype="object")
+
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.lower(F.regexp_replace(c, r"\s+", " "))
-    n = F.greatest(F.length(norm) - F.lit(window - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(norm.substr(i, F.lit(window)))
-    )
-    return F.array_min(grams)
+    return _fp(c)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

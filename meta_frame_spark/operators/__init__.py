@@ -7,6 +7,8 @@ classes the reference lacks (§2.3/§2.4 "not present" lists).
 
 from meta_frame_spark.operators.dedup import (
     drop_exact_duplicates,
+    drop_near_duplicates,
+    dup_clusters,
     exact_dedup,
     hashed_jaccard_pairs,
     minhash_lsh_candidates,
@@ -24,6 +26,7 @@ from meta_frame_spark.operators.ranking import (
 from meta_frame_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     srp_lsh_topk,
 )
 from meta_frame_spark.operators.skew import (
@@ -37,8 +40,11 @@ __all__ = [
     "brute_force_topk",
     "cube_aggregate",
     "drop_exact_duplicates",
+    "drop_near_duplicates",
+    "dup_clusters",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "ivf_topk",
     "hashed_jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",

@@ -162,6 +162,9 @@ def minhash_signatures(
     def _sig(hs: pd.Series) -> pd.Series:
         out = []
         for h in hs:
+            if h is None:  # null text -> null signature (as the pure
+                out.append(None)  # expression form null-propagated)
+                continue
             arr = np.asarray(h, dtype=np.int64)
             if arr.size == 0:
                 out.append(empty_sig)
@@ -288,8 +291,10 @@ def hashed_jaccard_pairs(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _shingle_set(hs: pd.Series) -> pd.Series:
         return pd.Series([
-            np.unique(_np_shingle_hashes(np.asarray(h, dtype=np.int64), shingle_n))
-            if len(h) else np.array([], dtype=np.int64)
+            None if h is None else (
+                np.unique(_np_shingle_hashes(np.asarray(h, dtype=np.int64), shingle_n))
+                if len(h) else np.array([], dtype=np.int64)
+            )
             for h in hs
         ])
 
@@ -353,7 +358,7 @@ def minhash_lsh_dedup(
 # Dup-pair clustering (connected components) and canonical selection
 # --------------------------------------------------------------------------
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs: (node, cluster) where
     ``cluster`` is the minimum id reachable through dup edges.
 
@@ -365,7 +370,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the loop stops when a round changes nothing (one small count per
     round — the standard Spark shape for iterative graph algorithms
     without GraphFrames).
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence (a silent partial result would let duplicates through
+    ``drop_near_duplicates`` undetected); raise ``max_iter`` for
+    corpora with very long duplicate chains.
     """
+    converged = False
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -401,8 +412,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds; "
+            "a duplicate chain is longer than max_iter — raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster"))
 
 
@@ -442,6 +459,8 @@ def simhash(
     def _vote_pack(hs: pd.Series) -> pd.Series:
         out = np.zeros(len(hs), dtype=np.int64)
         for i, h in enumerate(hs):
+            if h is None:  # null text -> 0, matching the expression
+                continue   # form (null votes fold to the otherwise-0)
             arr = np.asarray(h, dtype=np.int64)
             if arr.size == 0:
                 continue

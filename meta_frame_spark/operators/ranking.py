@@ -46,17 +46,23 @@ def rollup_aggregate(
     """Hierarchical subtotals (ROLLUP): one result row per prefix of
     ``group_cols`` (… plus the grand total), NULL-filled at coarser
     grains. ``aggs``: {column: func_name}. Single shuffle — Spark
-    expands the grouping sets map-side."""
+    expands the grouping sets map-side.
+
+    ``grand_total=False`` drops the all-keys-rolled-up row using
+    ``grouping_id`` — NOT a null filter, which would also drop
+    legitimate data rows whose first key IS null."""
+    if not group_cols:
+        raise ValueError("rollup_aggregate requires at least one group column")
     agg_exprs = [
         getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()
     ]
-    out = df.rollup(*group_cols).agg(*agg_exprs)
-    if not grand_total:
-        cond = None
-        for c in group_cols[:1]:  # grand-total row has ALL keys null
-            cond = F.col(c).isNotNull()
-        out = out.filter(cond)
-    return out
+    if grand_total:
+        return df.rollup(*group_cols).agg(*agg_exprs)
+    out = df.rollup(*group_cols).agg(
+        *agg_exprs, F.grouping_id().alias("__gid")
+    )
+    all_rolled = (1 << len(group_cols)) - 1  # grand-total grouping id
+    return out.filter(F.col("__gid") != all_rolled).drop("__gid")
 
 
 def cube_aggregate(

@@ -87,14 +87,24 @@ def _bucketize(df: DataFrame, ident: str, vec: str,
     P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
     weights = (1 << np.arange(planes_per_band - 1, -1, -1)).astype(np.int64)
 
+    dim = P.shape[1]
+
     @F.pandas_udf("array<int>")
     def _buckets(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        bits = (M @ P.T >= 0).astype(np.int64)  # (batch, n_planes)
-        bk = bits.reshape(len(vs), -1, len(weights)) @ weights  # (batch, num_bands)
-        return pd.Series(list(bk.astype(np.int32)))
+        # null / wrong-length vectors get a null bucket array; the
+        # posexplode downstream then drops those rows (null-propagating
+        # like the pure-expression form, instead of np.stack crashing)
+        valid = [i for i, v in enumerate(vs) if v is not None and len(v) == dim]
+        out = [None] * len(vs)
+        if valid:
+            M = np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in valid])
+            bits = (M @ P.T >= 0).astype(np.int64)  # (n_valid, n_planes)
+            bk = (bits.reshape(len(valid), -1, len(weights)) @ weights).astype(np.int32)
+            for j, i in enumerate(valid):
+                out[i] = bk[j]
+        return pd.Series(out)
 
     return (
         df.select(
@@ -195,7 +205,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    corpus_vec = corpus.select(
+    corpus_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
@@ -208,15 +218,22 @@ def ivf_topk(
 
     centroids = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
 
+    cdim = centroids.shape[1]
+
     @F.pandas_udf("array<int>")
     def _probe_cells(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        # squared euclidean to every centroid: ||q||² - 2q·c + ||c||²
-        d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (centroids * centroids).sum(1)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        valid = [i for i, v in enumerate(vs) if v is not None and len(v) == cdim]
+        out = [None] * len(vs)  # null/ragged query vectors probe nothing
+        if valid:
+            M = np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in valid])
+            # squared euclidean to every centroid: ||q||² - 2q·c + ||c||²
+            d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (centroids * centroids).sum(1)
+            order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+            for j, i in enumerate(valid):
+                out[i] = order[j]
+        return pd.Series(out)
 
     probes = (
         queries.select(

@@ -253,7 +253,12 @@ def aggregate_and_join(
         df = df.select(*spec.keep_columns)
     if spec.aggregation is not None:
         aggs = [agg_expr(c, f, out) for (c, f, out) in spec.aggregation.aggs]
-        df = df.groupBy(*spec.aggregation.group_by).agg(*aggs)
+        if aggs:
+            df = df.groupBy(*spec.aggregation.group_by).agg(*aggs)
+        else:
+            # group_by with no aggregations == distinct on the keys
+            # (mirrors dialect A, apply_level)
+            df = df.select(*spec.aggregation.group_by).distinct()
 
     for child in spec.children:
         child_df = load(spark, child)
@@ -309,7 +314,11 @@ def nested_aggregate(
         for a in spec.aggregates:
             out_name = f"{prefix}{spec.rename.get(a.col, f'{a.func}_{a.col}')}"
             aggs.append(agg_expr(a.col, a.func, out_name, a.where))
-        out = out.groupBy(*spec.group_by).agg(*aggs)
+        if aggs:
+            out = out.groupBy(*spec.group_by).agg(*aggs)
+        else:
+            # group_by with no aggregates == distinct on the keys
+            out = out.select(*spec.group_by).distinct()
     else:
         # Atomic leaf: tag with its id (C1, soundwave.py:71).
         out = out.withColumn("id", F.lit(spec.id))

@@ -47,3 +47,36 @@ def test_cube_has_all_grains(spark, orders):
     rows = out.collect()
     grains = {(r.o_orderstatus is None, r.o_orderpriority is None) for r in rows}
     assert grains == {(False, False), (False, True), (True, False), (True, True)}
+
+
+def test_rollup_no_grand_total_keeps_null_keys(spark):
+    """grand_total=False must use grouping_id, not a null filter —
+    genuine NULL key values stay in the output."""
+    df = spark.createDataFrame(
+        [(None, "x", 1.0), ("a", "x", 2.0), ("a", "y", 3.0)],
+        "g1 string, g2 string, v double",
+    )
+    rows = rollup_aggregate(df, ["g1", "g2"], {"v": "sum"}, grand_total=False).collect()
+    # detail row for the NULL data key survives
+    assert any(r.g1 is None and r.g2 == "x" for r in rows)
+    # the NULL-key subtotal (g1=NULL, g2 rolled) survives too
+    assert any(r.g1 is None and r.g2 is None and r.sum_v == 1.0 for r in rows)
+    # but no grand-total row (sum over everything = 6.0 with both null)
+    assert not any(r.g1 is None and r.g2 is None and r.sum_v == 6.0 for r in rows)
+
+
+def test_empty_group_agg_is_distinct(spark, lineitem):
+    """Dialect B/B': group_by with no aggregations degrades to
+    distinct-on-keys instead of an opaque AssertionError."""
+    from meta_frame_spark.plans.builder import aggregate_and_join, nested_aggregate
+
+    out_b = aggregate_and_join(
+        lineitem,
+        {"unique_id": "x",
+         "aggregation": {"group_by": ["l_returnflag"], "aggregations": {}}},
+    )
+    assert sorted(r.l_returnflag for r in out_b.collect()) == sorted(
+        r.l_returnflag for r in lineitem.select("l_returnflag").distinct().collect()
+    )
+    out_bp = nested_aggregate(lineitem, {"id": "y", "group_by": ["l_linestatus"]})
+    assert out_bp.columns == ["l_linestatus"]

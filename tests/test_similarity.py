@@ -131,3 +131,47 @@ def test_dup_clusters_transitive(spark):
     )
     kept = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
     assert kept == [0, 1, 4, 6, 7, 8]  # cluster minima + untouched docs
+
+
+def test_null_text_does_not_crash_dedup(spark):
+    """Regression: a NULL text row must null-propagate through minhash,
+    simhash and the LSH pipeline, not crash the numpy UDFs."""
+    from meta_frame_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_signatures,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, None),
+         (3, "the quick brown fox jumps over the dog")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r.doc_id: r.signature for r in minhash_signatures(df, shingle_n=3).collect()}
+    assert sigs[2] is None and sigs[1] == sigs[3]
+    sh = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert sh[2] == 0 and sh[1] == sh[3]
+    pairs = minhash_lsh_dedup(df, shingle_n=3, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+
+
+def test_null_embedding_does_not_crash_similarity(spark, embeddings):
+    """Regression: NULL / wrong-length vectors are dropped, not fatal."""
+    from pyspark.sql import types as T
+
+    from meta_frame_spark.operators.similarity import embedding_near_dup_pairs, srp_lsh_topk
+
+    bad = spark.createDataFrame(
+        [(990001, None), (990002, [1.0, 2.0])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    corpus = embeddings.select("vec_id", "embedding").unionByName(bad)
+    out = srp_lsh_topk(corpus, corpus.filter(F.col("vec_id") < 5), k=3)
+    assert out.count() > 0
+    assert out.filter(F.col("neighbor_id") >= 990001).count() == 0
+    nd = embedding_near_dup_pairs(corpus, threshold=0.99)
+    assert nd.filter(F.col("id_a") >= 990001).count() == 0
