@@ -273,6 +273,36 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string scalar functions through the derive surface (the
+    reference's only scalar op was F.lit): calendar grouping plus a
+    string-derived segment, via dialect A."""
+    config = {
+        "iterations": [
+            {
+                "id": "m",
+                "level_1": {
+                    "derive": {
+                        "order_year": "year(o_orderdate)",
+                        "order_month": "month(o_orderdate)",
+                        "prio_class": "upper(substring(o_orderpriority, 1, 1))",
+                    },
+                    "group_by": ["order_year", "order_month", "prio_class"],
+                    "aggregations": [
+                        {"agg_col": "o_orderkey", "agg_func": "count", "new_name": "n_orders"},
+                        {"agg_col": "o_totalprice", "agg_func": "sum", "new_name": "sum_price"},
+                    ],
+                },
+            }
+        ]
+    }
+    out = run_pipeline(_t(spark, sf_dir, "orders"), config)["m"]
+    return out.select(
+        "order_year", "order_month", "prio_class",
+        "n_orders", F.round("sum_price", 2).alias("sum_price"),
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): sum of quantity per returnflag with one
     column per linestatus. Spark .pivot with explicit values (explicit
@@ -843,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_derive": q_a_derive,
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
+        "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,
         "topk_per_group": q_topk_per_group,
@@ -1060,6 +1091,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "date_funcs": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS order_month,
+                   upper(substring(o_orderpriority, 1, 1)) AS prio_class,
+                   COUNT(o_orderkey) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY 1, 2, 3
         """,
         "pivot": """
             SELECT l_returnflag,

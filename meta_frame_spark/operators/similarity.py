@@ -209,9 +209,16 @@ def ivf_topk(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    # a coarse quantizer doesn't need convergence — a few iterations
-    # give cells good enough for probing (recall is tuned by n_probe)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=8).fit(corpus_vec)
+    # a coarse quantizer doesn't need convergence or the full corpus —
+    # fit on a bounded sample (cells only need to outline the density;
+    # recall is tuned by n_probe). At 100 TB the fit input stays
+    # constant-size while assignment scales out map-only.
+    fit_input = corpus_vec
+    target = max(n_cells * 50, 2000)
+    n = corpus_vec.count()
+    if n > target:
+        fit_input = corpus_vec.sample(fraction=target / n, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=8).fit(fit_input)
     assigned = model.transform(corpus_vec).select(
         "_id", "v", F.col("prediction").alias("cell")
     )

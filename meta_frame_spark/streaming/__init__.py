@@ -17,6 +17,7 @@ from meta_frame_spark.streaming.ops import (
     interval_join,
     read_event_stream,
     run_to_memory,
+    run_to_parquet,
     session_aggregate,
     sliding_event_value,
     user_running_totals,
@@ -29,6 +30,7 @@ __all__ = [
     "interval_join",
     "read_event_stream",
     "run_to_memory",
+    "run_to_parquet",
     "session_aggregate",
     "sliding_event_value",
     "user_running_totals",

@@ -200,6 +200,37 @@ def dedup_events(
     return events.dropDuplicates(keys)
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Production-shaped sink: drive the stream to completion
+    (availableNow) into partition-appended parquet via ``foreachBatch``.
+
+    foreachBatch is the standard escape hatch for sinks Spark lacks
+    (upserts, JDBC, multi-sink fanout): each micro-batch arrives as a
+    plain DataFrame with a batch id for idempotence. Checkpointing
+    makes restarts exactly-once per batch id.
+    """
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -146,3 +146,26 @@ def test_interval_join_stream_matches_batch(spark, events_batch, events_stream, 
         (r.event_id, r.r_ts, round(r.r_value, 6)) for r in got.collect()
     )
     assert got_rows == want_rows
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink: stream -> parquet with batch-id stamping and
+    checkpointed exactly-once; rerunning from the same checkpoint
+    writes nothing new."""
+    from meta_frame_spark.streaming import run_to_parquet
+
+    d = tmp_path / "fb_src"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    counts = hourly_event_counts(read_event_stream(spark, str(d)), watermark="0 seconds")
+    run_to_parquet(counts, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    assert "_batch_id" in spark.read.parquet(out).columns
+
+    # replaying with the same checkpoint is a no-op (no new batches)
+    run_to_parquet(counts, out, ckpt)
+    assert spark.read.parquet(out).count() == first
