@@ -333,7 +333,20 @@ def nested_aggregate(
         )
         on = list(child.link) if child.link else None
         if on:
-            out = out.join(child_out, on=on, how=child.join_how)
+            missing = [c for c in on if c not in out.columns]
+            if missing and spec.group_by:
+                # The link columns aren't part of this node's grain
+                # (hotrod.py:83-113: root grain (col1,col2), child link
+                # col5). The reference's literal code "joined" with no
+                # keys at all (soundwave.py:66); the coherent reading
+                # of the declared link is to bridge through the node's
+                # own input, which holds both the grain and the link:
+                # out ⋈ (distinct(grain ∪ link) ⋈ child) on grain.
+                bridge = base.select(*spec.group_by, *on).distinct()
+                linked = bridge.join(child_out, on=on, how=child.join_how)
+                out = out.join(linked, on=list(spec.group_by), how=child.join_how)
+            else:
+                out = out.join(child_out, on=on, how=child.join_how)
         else:
             out = out.crossJoin(child_out)
 
