@@ -133,3 +133,34 @@ def test_hotrod_example_config(spark):
     assert row.avg_col4_gt_10 == 20.0     # only col4>10 rows averaged
     assert row.root_count_col6 == 2       # child agg, id-prefixed
     assert row.root_child_1_min_col8 == 7.0  # grandchild, two prefixes
+
+
+def test_megatron_example_config(spark):
+    """megatron.py:96-111, verbatim: aggregations without new_name
+    default their output name to the agg column (optimus.py:31)."""
+    df = spark.createDataFrame(
+        [("a", "x", "k", 1.0, 5.0, 9.0), ("a", "x", "k", 2.0, 7.0, 3.0)],
+        "column1 string, column2 string, column3 string, "
+        "column4 double, column5 double, column6 double",
+    )
+    example_metadata = {
+        "iterations": [
+            {
+                "id": "iteration_1",
+                "level_1": {
+                    "group_by": ["column1", "column2"],
+                    "keep_columns": ["column3"],
+                    "aggregations": [
+                        {"agg_col": "column4", "agg_func": "sum", "new_name": "total_column4"},
+                        {"agg_col": "column5", "agg_func": "max"},
+                        {"agg_col": "column6", "agg_func": "min"},
+                    ],
+                },
+            }
+        ]
+    }
+    row = run_pipeline(df, example_metadata)["iteration_1"].collect()[0]
+    assert row.total_column4 == 3.0
+    assert row.column5 == 7.0   # default name = agg col
+    assert row.column6 == 3.0
+    assert row.column3 == "k"
