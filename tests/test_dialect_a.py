@@ -224,3 +224,22 @@ def test_approx_count_distinct_within_bound(orders):
     ).collect()
     for r in out:
         assert abs(r.a - r.e) <= max(0.15 * r.e, 2)
+
+
+def test_derive_supports_window_expressions(lineitem):
+    """derive strings go through the full Spark SQL parser, so window
+    expressions work in config — no special engine surface needed."""
+    out = apply_level(
+        lineitem.limit(100),
+        {
+            "derive": {
+                "qty_share": "l_quantity / sum(l_quantity) over (partition by l_returnflag)",
+            },
+            "group_by": ["l_returnflag"],
+            "aggregations": [
+                {"agg_col": "qty_share", "agg_func": "sum", "new_name": "total_share"}
+            ],
+        },
+    ).collect()
+    for r in out:
+        assert abs(r.total_share - 1.0) < 1e-6  # shares sum to 1 per group

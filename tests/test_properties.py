@@ -87,3 +87,29 @@ def test_unknown_agg_func_always_raises(frame, func):
 def test_unknown_filter_op_always_raises(frame, op):
     with pytest.raises(ConfigError):
         apply_filters(frame, [{"filter_col": "v1", "filter_op": op, "filter_value": 1}])
+
+
+nested_aggs = st.dictionaries(
+    st.sampled_from(["v1", "v2"]),
+    st.one_of(
+        st.sampled_from(["sum", "min", "max", "count", "avg"]),
+        st.builds(lambda f: {"filter": "v1 > 2", "function": f},
+                  st.sampled_from(["sum", "avg"])),
+    ),
+    min_size=1, max_size=2,
+)
+
+
+@_settings
+@given(keys=group_keys, aggs=nested_aggs)
+def test_nested_dialect_random_configs_execute(frame, keys, aggs):
+    """Random B' configs: validate, execute, output grain == distinct
+    keys, output columns renamed deterministically."""
+    from meta_frame_spark.plans.builder import nested_aggregate
+
+    meta = {"id": "r", "group_by": list(keys), "aggregate": dict(aggs)}
+    out = nested_aggregate(frame, meta)
+    assert out.count() == frame.select(*keys).distinct().count()
+    expected_cols = set(keys) | {f"{f if isinstance(f, str) else f['function']}_{c}"
+                                 for c, f in aggs.items()}
+    assert set(out.columns) == expected_cols
