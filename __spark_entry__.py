@@ -273,6 +273,17 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling of orders (count/nulls/distinct/
+    min/max) — data-quality surface; one scan regardless of width."""
+    from meta_frame_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/string scalar functions through the derive surface (the
     reference's only scalar op was F.lit): calendar grouping plus a
@@ -873,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_derive": q_a_derive,
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
+        "profile": q_profile,
         "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,
@@ -1091,6 +1103,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "profile": """
+            SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_custkey),
+                   CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_orderstatus),
+                   CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   COUNT(DISTINCT o_orderpriority),
+                   CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
         """,
         "date_funcs": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,

@@ -63,3 +63,16 @@ def test_two_phase_count_distinct_matches(spark, orders):
         ).collect()
     }
     assert got == want
+
+
+def test_profile_table_one_pass(spark, orders):
+    from meta_frame_spark.operators.profile import profile_table
+
+    rows = {r.column: r for r in profile_table(orders, ["o_orderkey", "o_orderstatus"]).collect()}
+    n = orders.count()
+    assert rows["o_orderkey"].n_rows == n
+    assert rows["o_orderkey"].n_nulls == 0
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert rows["o_orderstatus"].n_distinct == orders.select("o_orderstatus").distinct().count()
+    # min/max stringified
+    assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
