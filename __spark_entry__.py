@@ -281,6 +281,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         _t(spark, sf_dir, "orders"),
         cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,  # the oracle compares exact counts
     )
 
 

@@ -351,18 +351,14 @@ class NestedNodeSpec:
         filters = (filters,) if isinstance(filters, str) else tuple(filters)
         # A child with aggregates, link columns and no explicit group_by
         # groups by its link columns — the only grain that makes the
-        # declared link equi-join (soundwave.py:101) well-defined. Its
-        # own children's link columns join INTO this node's output, so
-        # they must survive the aggregation too: they are appended to
-        # the inferred grain (hotrod.py:103-110 grandchild example —
-        # the reference's literal code never resolved this; a key-less
-        # join was all it had).
+        # declared link equi-join (soundwave.py:101) well-defined.
+        # Grandchildren whose link columns are outside this grain are
+        # attached through the input bridge in the plan builder (the
+        # child's own aggregates keep their declared grain).
         children = tuple(NestedNodeSpec.from_dict(c) for c in d.get("children", []))
         group_by = tuple(d.get("group_by", []))
         if not group_by and aggs and link:
             group_by = link
-            for ch in children:
-                group_by += tuple(c for c in ch.link if c not in group_by)
         return NestedNodeSpec(
             id=nid,
             group_by=group_by,

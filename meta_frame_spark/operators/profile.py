@@ -16,16 +16,17 @@ from pyspark.sql import functions as F
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_value, max_value) per
     profiled column; min/max rendered as strings so mixed types share
     one schema.
 
-    ``exact_distinct=False`` switches to approx_count_distinct — the
-    right default at very high cardinality (exact distinct per column
-    shuffles each column's values; HLL keeps the whole profile
-    map-only + one tiny reduce).
+    Default distinct counting is approx (HLL): it keeps the whole
+    profile map-only + one tiny reduce at any cardinality.
+    ``exact_distinct=True`` uses countDistinct — note multiple exact
+    distincts make Catalyst Expand each row once per distinct agg and
+    shuffle the column values; fine for modest tables, not for 100 TB.
     """
     cols = cols or df.columns
     distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
@@ -39,8 +40,17 @@ def profile_table(
             F.max(c).cast("string").alias(f"__max_{c}"),
         ]
     wide = df.agg(*aggs)
+
+    def lit_(c: str) -> str:  # SQL string literal, quotes escaped
+        return "'" + c.replace("'", "''") + "'"
+
+    def ident(pref: str, c: str) -> str:  # backtick-quoted identifier
+        return "`" + f"__{pref}_{c}".replace("`", "``") + "`"
+
     stack_args = ", ".join(
-        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+        f"{lit_(c)}, {ident('n', c)}, {ident('null', c)}, "
+        f"{ident('dist', c)}, {ident('min', c)}, {ident('max', c)}"
+        for c in cols
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

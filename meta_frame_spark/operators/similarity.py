@@ -181,6 +181,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     exclude_self: bool = True,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     partitions the corpus into ``n_cells`` cells; each query probes its
@@ -210,14 +211,13 @@ def ivf_topk(
         array_to_vector(F.col(vec_col)).alias("features"),
     )
     # a coarse quantizer doesn't need convergence or the full corpus —
-    # fit on a bounded sample (cells only need to outline the density;
-    # recall is tuned by n_probe). At 100 TB the fit input stays
-    # constant-size while assignment scales out map-only.
+    # pass fit_fraction to train on a sample (cells only need to
+    # outline the density; recall is tuned by n_probe). Deliberately
+    # explicit rather than auto-sized: auto-sizing would need an eager
+    # count() — a full extra corpus scan per call.
     fit_input = corpus_vec
-    target = max(n_cells * 50, 2000)
-    n = corpus_vec.count()
-    if n > target:
-        fit_input = corpus_vec.sample(fraction=target / n, seed=seed)
+    if fit_fraction is not None:
+        fit_input = corpus_vec.sample(fraction=fit_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=8).fit(fit_input)
     assigned = model.transform(corpus_vec).select(
         "_id", "v", F.col("prediction").alias("cell")

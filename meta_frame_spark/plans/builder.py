@@ -342,7 +342,12 @@ def nested_aggregate(
                 # of the declared link is to bridge through the node's
                 # own input, which holds both the grain and the link:
                 # out ⋈ (distinct(grain ∪ link) ⋈ child) on grain.
-                bridge = base.select(*spec.group_by, *on).distinct()
+                # NB standard join semantics: if one grain value maps
+                # to several link values, the node's rows fan out —
+                # one output row per (grain, link) pair, the node's
+                # aggregates repeated on each.
+                extra = [c for c in on if c not in spec.group_by]
+                bridge = base.select(*spec.group_by, *extra).distinct()
                 linked = bridge.join(child_out, on=on, how=child.join_how)
                 out = out.join(linked, on=list(spec.group_by), how=child.join_how)
             else:

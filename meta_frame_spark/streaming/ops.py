@@ -211,13 +211,19 @@ def run_to_parquet(
 
     foreachBatch is the standard escape hatch for sinks Spark lacks
     (upserts, JDBC, multi-sink fanout): each micro-batch arrives as a
-    plain DataFrame with a batch id for idempotence. Checkpointing
-    makes restarts exactly-once per batch id.
+    plain DataFrame with a batch id. The write is idempotent per batch
+    — output is partitioned by ``_batch_id`` and written with dynamic
+    partition overwrite, so a batch replayed after a crash-between-
+    write-and-checkpoint overwrites its own partition instead of
+    appending duplicates. That (plus checkpointing) is what makes the
+    sink exactly-once; a bare append would only be at-least-once.
     """
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(path)
         )
 

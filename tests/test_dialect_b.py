@@ -112,3 +112,73 @@ def test_nested_aggregate_filtered_agg_and_prefix(lineitem):
 def test_nested_aggregate_leaf_tags_id(lineitem):
     out = nested_aggregate(lineitem.limit(10), {"id": "leaf1"})
     assert out.select("id").distinct().collect()[0][0] == "leaf1"
+
+
+def test_child_grain_not_polluted_by_grandchild_link(spark):
+    """A child's aggregates keep the child's declared grain even when a
+    grandchild links on a different column — grandchild results arrive
+    via the input bridge, never by silently widening the group_by."""
+    df = spark.createDataFrame(
+        [
+            # one link value p spanning two grandchild-link values q, r
+            ("a", "p", 1, "q", 10.0),
+            ("a", "p", 2, "q", 20.0),
+            ("a", "p", 3, "r", 30.0),
+        ],
+        "col1 string, col5 string, col6 int, col7 string, col8 double",
+    )
+    meta = {
+        "id": "root",
+        "group_by": ["col1"],
+        "aggregate": {"col6": "sum"},
+        "rename": {"col6": "sum6"},
+        "children": [
+            {
+                "id": "c",
+                "link": ["col5"],
+                "aggregate": {"col6": "count"},
+                "rename": {"col6": "n6"},
+                "children": [
+                    {
+                        "id": "g",
+                        "link": ["col7"],
+                        "aggregate": {"col8": "min"},
+                        "rename": {"col8": "min8"},
+                    }
+                ],
+            }
+        ],
+    }
+    out = nested_aggregate(df, meta).collect()
+    # child count is at col5 grain: count(p) == 3 on every row
+    assert all(r.root_n6 == 3 for r in out)
+    # bridge fan-out: one row per (col5, col7) pair => two rows,
+    # grandchild min at col7 grain
+    got = sorted((r.root_c_min8) for r in out)
+    assert got == [10.0, 30.0]
+
+
+def test_bridge_join_with_overlapping_link_keys(spark):
+    """Child link sharing a column with the parent grain must not
+    produce ambiguous-column errors in the bridge."""
+    df = spark.createDataFrame(
+        [("a", "p", 1.0), ("a", "q", 2.0), ("b", "p", 4.0)],
+        "col1 string, col5 string, v double",
+    )
+    meta = {
+        "id": "root",
+        "group_by": ["col1"],
+        "aggregate": {"v": "sum"},
+        "rename": {"v": "sv"},
+        "children": [
+            {
+                "id": "c",
+                "link": ["col1", "col5"],
+                "aggregate": {"v": "max"},
+                "rename": {"v": "mv"},
+            }
+        ],
+    }
+    out = nested_aggregate(df, meta)
+    rows = sorted((r.col1, r.col5, r.sv, r.root_mv) for r in out.collect())
+    assert rows == [("a", "p", 3.0, 1.0), ("a", "q", 3.0, 2.0), ("b", "p", 4.0, 4.0)]

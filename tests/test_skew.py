@@ -68,7 +68,12 @@ def test_two_phase_count_distinct_matches(spark, orders):
 def test_profile_table_one_pass(spark, orders):
     from meta_frame_spark.operators.profile import profile_table
 
-    rows = {r.column: r for r in profile_table(orders, ["o_orderkey", "o_orderstatus"]).collect()}
+    rows = {
+        r.column: r
+        for r in profile_table(
+            orders, ["o_orderkey", "o_orderstatus"], exact_distinct=True
+        ).collect()
+    }
     n = orders.count()
     assert rows["o_orderkey"].n_rows == n
     assert rows["o_orderkey"].n_nulls == 0
@@ -76,3 +81,12 @@ def test_profile_table_one_pass(spark, orders):
     assert rows["o_orderstatus"].n_distinct == orders.select("o_orderstatus").distinct().count()
     # min/max stringified
     assert rows["o_orderstatus"].min_value <= rows["o_orderstatus"].max_value
+
+
+def test_profile_table_odd_column_names(spark):
+    from meta_frame_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x")], ["order date", "it's"])
+    rows = {r.column: r for r in profile_table(df).collect()}
+    assert rows["order date"].n_rows == 1
+    assert rows["it's"].n_nulls == 0
