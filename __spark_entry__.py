@@ -273,6 +273,20 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split sizes (hash-bucketed by id —
+    partitioning-independent, unlike randomSplit; no oracle: xxhash64
+    is Spark-specific; determinism asserted in tests/test_skew.py)."""
+    from meta_frame_spark.operators.sampling import hash_split
+
+    out = hash_split(
+        _t(spark, sf_dir, "orders"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="o_orderkey",
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profiling of orders (count/nulls/distinct/
     min/max) — data-quality surface; one scan regardless of width."""
@@ -886,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": q_agg_rollup,
         "agg_cube": q_agg_cube,
         "profile": q_profile,
+        "hash_split": q_hash_split,
         "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,

@@ -155,6 +155,34 @@ def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
     return _fp(c)
 
 
+def normalize_text(text: str | Column) -> Column:
+    """Dedup-grade text normalization, all built-in expressions:
+    lowercase, collapse whitespace runs to single spaces, trim. The
+    canonical pre-step before exact/near dedup so byte-level variants
+    of the same content collide. (Unicode NFC needs Python's
+    unicodedata — see :func:`normalize_text_unicode`.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalize_text_unicode(text: str | Column, form: str = "NFC") -> Column:
+    """:func:`normalize_text` plus unicode normalization (NFC default:
+    composed form, so 'e'+combining-acute equals the precomposed
+    character). Spark ships no unicode-normalize expression, so this
+    is an Arrow-batched pandas UDF — use it where content arrives from
+    mixed sources; the expression-only variant is the cheap default."""
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None
+            else " ".join(unicodedata.normalize(form, t).lower().split())
+        )
+
+    return _norm(F.col(text) if isinstance(text, str) else text)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the standard text-stat columns."""
     return (

@@ -29,6 +29,8 @@ from meta_frame_spark.operators.similarity import (
     ivf_topk,
     srp_lsh_topk,
 )
+from meta_frame_spark.operators.profile import profile_table
+from meta_frame_spark.operators.sampling import hash_split, split_dataframes
 from meta_frame_spark.operators.skew import (
     salted_aggregate,
     two_phase_count_distinct,
@@ -45,12 +47,15 @@ __all__ = [
     "embedding_near_dup_pairs",
     "exact_dedup",
     "ivf_topk",
+    "hash_split",
     "hashed_jaccard_pairs",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "profile_table",
     "rollup_aggregate",
+    "split_dataframes",
     "salted_aggregate",
     "simhash",
     "simhash_dup_groups",

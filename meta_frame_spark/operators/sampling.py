@@ -1,0 +1,64 @@
+"""Dataset splitting / sampling for training pipelines.
+
+Spark's ``randomSplit`` is seed-deterministic only for a fixed
+partitioning — a repartition or input-file change reshuffles every
+row's assignment. For training-data lineage that is not good enough:
+``hash_split`` assigns each row by a stable hash of an id column, so
+the same row lands in the same split on any cluster, any partitioning,
+any day — and late-arriving data joins the right split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: granularity of split fractions (1/10000)
+_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append a deterministic split label: row -> bucket by
+    ``xxhash64(id, salt)``, buckets carved by ``weights`` (must sum to
+    1.0). Map-only — no shuffle, no sampling job.
+
+    ``salt`` re-deals the assignment (a new experiment) without
+    touching the id space.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(_BUCKETS))
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(round(w * _BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    # float-rounding slack: the last band absorbs the remainder
+    last = list(weights)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
+def split_dataframes(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str,
+    salt: str = "",
+) -> dict[str, DataFrame]:
+    """``hash_split`` then one filtered view per split name. Each view
+    is the same map-only plan with a different predicate — Catalyst
+    pushes the split filter to the scan when the label derives from a
+    stored id column."""
+    labeled = hash_split(df, weights, id_col, salt)
+    return {
+        name: labeled.filter(F.col("split") == name).drop("split")
+        for name in weights
+    }

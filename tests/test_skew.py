@@ -90,3 +90,34 @@ def test_profile_table_odd_column_names(spark):
     rows = {r.column: r for r in profile_table(df).collect()}
     assert rows["order date"].n_rows == 1
     assert rows["it's"].n_nulls == 0
+
+
+def test_hash_split_deterministic_and_complete(spark, orders):
+    from meta_frame_spark.operators.sampling import hash_split, split_dataframes
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(orders, w, id_col="o_orderkey")
+    b = hash_split(orders.repartition(7), w, id_col="o_orderkey")
+    # partitioning-independent assignment
+    ga = {r.o_orderkey: r.split for r in a.select("o_orderkey", "split").collect()}
+    gb = {r.o_orderkey: r.split for r in b.select("o_orderkey", "split").collect()}
+    assert ga == gb
+    # complete + disjoint + roughly the requested proportions
+    n = orders.count()
+    parts = split_dataframes(orders, w, id_col="o_orderkey")
+    counts = {k: v.count() for k, v in parts.items()}
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    # a different salt re-deals the assignment
+    c = hash_split(orders, w, id_col="o_orderkey", salt="v2")
+    gc = {r.o_orderkey: r.split for r in c.select("o_orderkey", "split").collect()}
+    assert gc != ga
+
+
+def test_hash_split_rejects_bad_weights(spark, orders):
+    import pytest
+
+    from meta_frame_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(orders, {"a": 0.5, "b": 0.2}, id_col="o_orderkey")

@@ -63,3 +63,19 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
     }
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == 0.0
+
+
+def test_normalize_text_variants_collide(spark):
+    from meta_frame_spark.functions.text import normalize_text, normalize_text_unicode
+
+    df = spark.createDataFrame(
+        [("  Hello\t WORLD  ",), ("hello world",), (None,)], ["t"]
+    )
+    got = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert got[0] == got[1] == "hello world"
+    assert got[2] is None
+
+    # NFC: combining acute (e + U+0301) == precomposed é
+    df2 = spark.createDataFrame([("Café",), ("Café",)], ["t"])
+    u = [r.n for r in df2.select(normalize_text_unicode("t").alias("n")).collect()]
+    assert u[0] == u[1] == "café"
