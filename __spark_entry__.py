@@ -287,6 +287,35 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministically downsample short documents
+    to 20% while keeping the rest (per-stratum hash sampling — no
+    oracle: xxhash64 is Spark-specific; proportions + determinism
+    asserted in tests/test_skew.py)."""
+    from meta_frame_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "len_band", F.when(F.length("text") < 200, "short").otherwise("long")
+    )
+    out = stratified_sample(docs, "len_band", {"short": 0.2}, id_col="doc_id")
+    return out.groupBy("len_band").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: BFD-pack documents into 2048-token context
+    windows by whitespace token count; returns corpus packing stats
+    (no oracle: hash sharding + greedy packing are not
+    SQL-expressible; invariants asserted in tests/test_packing.py)."""
+    from meta_frame_spark.functions.text import token_count
+    from meta_frame_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", 2048, id_col="doc_id", num_shards=8)
+    return pack_stats(packed, "n_tokens")
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column profiling of orders (count/nulls/distinct/
     min/max) — data-quality surface; one scan regardless of width."""
@@ -901,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": q_agg_cube,
         "profile": q_profile,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,

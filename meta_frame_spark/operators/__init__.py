@@ -29,8 +29,14 @@ from meta_frame_spark.operators.similarity import (
     ivf_topk,
     srp_lsh_topk,
 )
+from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import profile_table
-from meta_frame_spark.operators.sampling import hash_split, split_dataframes
+from meta_frame_spark.operators.sampling import (
+    hash_split,
+    shuffle_deterministic,
+    split_dataframes,
+    stratified_sample,
+)
 from meta_frame_spark.operators.skew import (
     salted_aggregate,
     two_phase_count_distinct,
@@ -53,9 +59,13 @@ __all__ = [
     "minhash_lsh_dedup",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pack_stats",
     "profile_table",
     "rollup_aggregate",
+    "shuffle_deterministic",
     "split_dataframes",
+    "stratified_sample",
     "salted_aggregate",
     "simhash",
     "simhash_dup_groups",

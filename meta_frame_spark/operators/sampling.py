@@ -47,6 +47,60 @@ def hash_split(
     return df.withColumn(split_col, expr.otherwise(F.lit(last)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive (downweight an over-represented language/domain/source
+    without touching the rest). Keeps each row iff its id-hash bucket
+    falls under the stratum's fraction, so the decision is per-row
+    stable: reruns, repartitions, and late-arriving data agree, and a
+    kept row's id stays kept when the fraction is raised (nested
+    samples: the 10% sample is a subset of the 20% sample).
+
+    ``fractions``: {stratum value: keep fraction in [0,1]}; strata not
+    listed keep ``default_fraction``. Map-only — no shuffle, no
+    count jobs; Spark's ``sampleBy`` by contrast is seed+partitioning
+    dependent.
+    """
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(_BUCKETS))
+    thresh = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == value
+        lim = F.lit(int(round(frac * _BUCKETS)))
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = (
+        thresh.otherwise(F.lit(int(round(default_fraction * _BUCKETS))))
+        if thresh is not None
+        else F.lit(int(round(default_fraction * _BUCKETS)))
+    )
+    return df.filter(bucket < thresh)
+
+
+def shuffle_deterministic(
+    df: DataFrame, id_col: str, salt: str = "", num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global shuffle for training-example order: rows
+    ordered by ``xxhash64(id, salt)`` — same order on any cluster and
+    partitioning, a new ``salt`` per epoch re-deals it. One range
+    shuffle (sort); at 100 TB write the result partitioned and let
+    readers stream partitions in filename order."""
+    key = F.xxhash64(F.col(id_col), F.lit(salt))
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, key).sortWithinPartitions(key)
+    return df.orderBy(key)
+
+
 def split_dataframes(
     df: DataFrame,
     weights: dict[str, float],

@@ -121,3 +121,50 @@ def test_hash_split_rejects_bad_weights(spark, orders):
 
     with pytest.raises(ValueError):
         hash_split(orders, {"a": 0.5, "b": 0.2}, id_col="o_orderkey")
+
+
+def test_stratified_sample_deterministic_and_nested(spark, orders):
+    from meta_frame_spark.operators.sampling import stratified_sample
+
+    frac = {"F": 0.2, "O": 1.0}
+    a = stratified_sample(orders, "o_orderstatus", frac, id_col="o_orderkey")
+    b = stratified_sample(
+        orders.repartition(5), "o_orderstatus", frac, id_col="o_orderkey"
+    )
+    ka = {r.o_orderkey for r in a.select("o_orderkey").collect()}
+    assert ka == {r.o_orderkey for r in b.select("o_orderkey").collect()}
+
+    # per-stratum proportions
+    tot = {r.o_orderstatus: r.n for r in
+           orders.groupBy("o_orderstatus").count().withColumnRenamed("count", "n").collect()}
+    got = {r.o_orderstatus: r.n for r in
+           a.groupBy("o_orderstatus").count().withColumnRenamed("count", "n").collect()}
+    assert got["O"] == tot["O"]                      # untouched stratum
+    assert abs(got["F"] / tot["F"] - 0.2) < 0.08     # downsampled stratum
+    assert got.get("P", tot.get("P")) == tot.get("P")  # default fraction 1.0
+
+    # nested: the 20% sample is a subset of the 50% sample
+    wide = stratified_sample(orders, "o_orderstatus", {"F": 0.5}, id_col="o_orderkey")
+    kw = {r.o_orderkey for r in wide.select("o_orderkey").collect()}
+    assert {k for k in ka} - kw == set()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(orders, "o_orderstatus", {"F": 1.5}, id_col="o_orderkey")
+
+
+def test_shuffle_deterministic_stable_order(spark, orders):
+    from meta_frame_spark.operators.sampling import shuffle_deterministic
+
+    a = [r.o_orderkey for r in
+         shuffle_deterministic(orders, "o_orderkey").select("o_orderkey").collect()]
+    b = [r.o_orderkey for r in
+         shuffle_deterministic(orders.repartition(9), "o_orderkey")
+         .select("o_orderkey").collect()]
+    assert a == b
+    assert a != sorted(a)  # actually shuffled, not key order
+    c = [r.o_orderkey for r in
+         shuffle_deterministic(orders, "o_orderkey", salt="epoch2")
+         .select("o_orderkey").collect()]
+    assert c != a and sorted(c) == sorted(a)
