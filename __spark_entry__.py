@@ -287,6 +287,49 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compaction: each customer's most recent order (ties
+    broken by greatest orderkey). One shuffle; row_number bounded to 1
+    becomes a map-side WindowGroupLimit."""
+    from meta_frame_spark.operators.changelog import latest_by_key
+
+    out = latest_by_key(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        order_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    return out.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.round("o_totalprice", 2).alias("latest_price"),
+    )
+
+
+def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: a synthetic changelog (every even orderkey is an
+    upsert, every 10th a delete) applied to a snapshot of the
+    non-divisible-by-3 orders; post-merge totals by status."""
+    from meta_frame_spark.operators.changelog import apply_changelog
+
+    orders = _t(spark, sf_dir, "orders")
+    snap = orders.filter(F.col("o_orderkey") % 3 != 0)
+    chg = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("seq", F.lit(1))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U"),
+        )
+    )
+    merged = apply_changelog(snap, chg, ["o_orderkey"], "seq", op_col="op")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing: deterministically downsample short documents
     to 20% while keeping the rest (per-stratum hash sampling — no
@@ -932,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "latest_by_key": q_latest_by_key,
+        "apply_changelog": q_apply_changelog,
         "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,
@@ -1150,6 +1195,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "latest_by_key": """
+            SELECT o_custkey,
+                   o_orderkey AS latest_orderkey,
+                   o_orderstatus AS latest_status,
+                   ROUND(o_totalprice, 2) AS latest_price
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC
+                ) AS rn
+                FROM orders
+            )
+            WHERE rn = 1
+        """,
+        "apply_changelog": """
+            WITH snap AS (
+                SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+            ), chg AS (
+                SELECT *,
+                       CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+                FROM orders WHERE o_orderkey % 2 = 0
+            ), merged AS (
+                SELECT s.o_orderstatus, s.o_totalprice FROM snap s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM chg c WHERE c.o_orderkey = s.o_orderkey
+                )
+                UNION ALL
+                SELECT o_orderstatus, o_totalprice FROM chg WHERE op <> 'D'
+            )
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM merged
+            GROUP BY 1
         """,
         "profile": """
             SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,

@@ -29,6 +29,7 @@ from meta_frame_spark.operators.similarity import (
     ivf_topk,
     srp_lsh_topk,
 )
+from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import profile_table
 from meta_frame_spark.operators.sampling import (
@@ -44,6 +45,8 @@ from meta_frame_spark.operators.skew import (
 from meta_frame_spark.operators.temporal import asof_join
 
 __all__ = [
+    "apply_changelog",
+    "latest_by_key",
     "asof_join",
     "brute_force_topk",
     "cube_aggregate",
