@@ -287,6 +287,40 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: inject deterministic contact info (email/URL/phone/IP
+    built from doc_id — the synthetic corpus has none) then redact with
+    typed markers; byte-exact oracle on the redacted string."""
+    from meta_frame_spark.functions.text import redact_pii
+
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://ex"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".org/page call 555-0100 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", redact_pii(dirty).alias("clean")
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (map-only: stats
+    from each doc's own token array, no corpus shuffle)."""
+    from meta_frame_spark.functions.text import with_repetition_stats
+
+    out = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return out.filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("distinct_token_frac", 4).alias("distinct_frac"),
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+    )
+
+
 def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot compaction: each customer's most recent order (ties
     broken by greatest orderkey). One shuffle; row_number bounded to 1
@@ -977,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "latest_by_key": q_latest_by_key,
         "apply_changelog": q_apply_changelog,
+        "redact_pii": q_redact_pii,
+        "text_repetition": q_text_repetition,
         "date_funcs": q_date_funcs,
         "pivot": q_pivot,
         "window_analytics": q_window_analytics,
@@ -1195,6 +1231,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "redact_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com or https://ex'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                            || '.org/page call 555-0100 at 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR),
+                       'https?://\S+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d .()-]{6,}\d', '<PHONE>', 'g') AS clean
+            FROM documents
+        """,
+        "text_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+            ), bigs AS (
+                SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS nd,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM toks WHERE len(t) >= 2
+            ), cnt AS (
+                SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                       any_value(nd) AS nd, bg, COUNT(*) AS c
+                FROM bigs GROUP BY doc_id, bg
+            )
+            SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                   ROUND(any_value(nd) / any_value(n_tokens), 4) AS distinct_frac,
+                   MAX(c) AS top_bigram_count
+            FROM cnt GROUP BY doc_id
         """,
         "latest_by_key": """
             SELECT o_custkey,

@@ -183,6 +183,80 @@ def normalize_text_unicode(text: str | Column, form: str = "NFC") -> Column:
     return _norm(F.col(text) if isinstance(text, str) else text)
 
 
+#: PII redaction patterns, applied in order (URL first so its host part
+#: can't be half-eaten by the email/IP rules). Restricted to syntax
+#: that behaves identically in Java regex (Spark) and RE2 (DuckDB
+#: oracle): no lookaround, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://\S+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d .()-]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: str | Column, kinds: list[str] | None = None) -> Column:
+    """Mask emails/URLs/IPs/phone numbers with typed markers — the
+    standard scrub before a corpus ships to training. Chained
+    ``regexp_replace`` (JVM, codegen); order per :data:`PII_PATTERNS`.
+    ``kinds`` selects a subset, keeping the canonical order."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat, marker in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            c = F.regexp_replace(c, pat, marker)
+    return c
+
+
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text", max_run_tokens: int = 4096
+) -> DataFrame:
+    """Gopher-style repetition quality signals, map-only (no shuffle —
+    each doc's stats come from its own token array):
+
+    - ``n_tokens``;
+    - ``distinct_token_frac`` — distinct/total tokens (low ⇒ loops);
+    - ``top_bigram_count`` — multiplicity of the most repeated word
+      bigram (high ⇒ boilerplate / TEMPLATE TEMPLATE … spam).
+
+    Bigram counting sorts the doc's bigram array and takes the longest
+    equal run with an ``aggregate`` HOF — interpreted per element, so
+    cost is per-token of a single doc, not per-corpus; docs beyond
+    ``max_run_tokens`` tokens fall back to null (route those few to a
+    pandas-UDF pass if they matter)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(
+        F.lit(" ").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(bigrams), zero, _merge, lambda acc: acc["best"])
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn(
+            "distinct_token_frac",
+            F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "top_bigram_count",
+            F.when(n <= max_run_tokens, top).otherwise(F.lit(None)),
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the standard text-stat columns."""
     return (

@@ -79,3 +79,38 @@ def test_normalize_text_variants_collide(spark):
     df2 = spark.createDataFrame([("Café",), ("Café",)], ["t"])
     u = [r.n for r in df2.select(normalize_text_unicode("t").alias("n")).collect()]
     assert u[0] == u[1] == "café"
+
+
+def test_redact_pii_all_kinds(spark):
+    from meta_frame_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail bob@ex.com site https://x.io/a?b=1 ip 10.0.0.1 tel +1 (555) 010-0199 end",)],
+        ["t"],
+    )
+    got = df.select(redact_pii("t").alias("r")).collect()[0].r
+    assert got == "mail <EMAIL> site <URL> ip <IP> tel <PHONE> end"
+
+    only_email = df.select(redact_pii("t", kinds=["email"]).alias("r")).collect()[0].r
+    assert "<EMAIL>" in only_email and "https://x.io" in only_email
+
+
+def test_repetition_stats(spark):
+    from meta_frame_spark.functions.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),   # "spam ham" bigram x3
+            (2, "a b c d e"),                    # all bigrams unique
+            (3, "one"),                          # no bigrams
+            (4, ""),                             # no tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert rows[1].top_bigram_count == 3
+    assert rows[1].n_tokens == 6
+    assert abs(rows[1].distinct_token_frac - 2 / 6) < 1e-9
+    assert rows[2].top_bigram_count == 1
+    assert rows[3].top_bigram_count == 0 and rows[3].n_tokens == 1
+    assert rows[4].n_tokens == 0 and rows[4].distinct_token_frac is None
