@@ -980,6 +980,90 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap counts between the
+    train partition (doc_id % 11 != 0) and the held-out benchmark
+    partition (doc_id % 11 == 0). Grams cross the broadcast join as
+    xxhash64 values, never strings (operators/decontaminate.py); the
+    train side stays map-only until the per-doc count."""
+    from meta_frame_spark.operators.decontaminate import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    return ngram_overlap(train, bench, n=3)
+
+
+def q_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating quality gate: keep documents inside the
+    per-language [p05, p95] n_chars band. Stats side is one row per
+    language broadcast back; the corpus never shuffles."""
+    from meta_frame_spark.operators.gating import quantile_band_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quantile_band_filter(
+        docs, "n_chars", 0.05, 0.95, group_cols=["lang"]
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing plan: per-source keep fractions realizing a target
+    char-share mix (40/30/20/10 over src0..src3) at the largest total
+    that up-samples nothing. The hash-gated application is covered by
+    stratified_sample; the plan itself is exactly SQL-expressible."""
+    from meta_frame_spark.operators.mixing import mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = mix_plan(docs, "source", _MIX_WEIGHTS, size_col="n_chars")
+    return plan.select(
+        "source",
+        "n_rows",
+        F.col("size").cast("long").alias("chars"),
+        "target_share",
+        F.round("keep_frac", 6).alias("keep_frac"),
+    )
+
+
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (batch twin): events broadcast-joined to
+    the customer dim, rolled up to nation market segments. The same
+    enrich_with_dim runs stateless against the event stream
+    (tests/test_streaming.py)."""
+    from meta_frame_spark.streaming.ops import enrich_with_dim
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    enriched = enrich_with_dim(events, customer, on=[("user_id", "c_custkey")])
+    return enriched.groupBy("d_c_nationkey", "d_c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — ((status, priority), (status), ()) in
+    one pass over orders (partial aggregation per set, one shuffle;
+    the rollup/cube queries are the fixed-shape specializations)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1042,6 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "agg_approx": q_agg_approx,
         "events_json": q_events_json,
+        "decontaminate": q_decontaminate,
+        "quantile_gate": q_quantile_gate,
+        "corpus_mix": q_corpus_mix,
+        "events_enriched": q_events_enriched,
+        "agg_grouping_sets": q_agg_grouping_sets,
     }
 
 
@@ -1521,5 +1610,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(event_id) AS n_events
             FROM events
             GROUP BY 1
+        """,
+        "decontaminate": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 11 = 0),
+            tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 11 <> 0)
+            SELECT tr.doc_id, COUNT(*) AS n_hit_ngrams
+            FROM tr JOIN ev ON tr.g = ev.g
+            GROUP BY 1
+        """,
+        "quantile_gate": """
+            WITH b AS (
+                SELECT lang,
+                       quantile_cont(n_chars, 0.05) AS lo,
+                       quantile_cont(n_chars, 0.95) AS hi
+                FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN b USING (lang)
+            WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        """,
+        "corpus_mix": """
+            WITH w(source, target_share) AS (
+                VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)
+            ),
+            a AS (
+                SELECT source, COUNT(*) AS n_rows,
+                       CAST(SUM(n_chars) AS DOUBLE) AS chars
+                FROM documents GROUP BY 1
+            ),
+            j AS (SELECT a.*, w.target_share FROM a JOIN w USING (source)),
+            t AS (SELECT MIN(chars / target_share) AS t FROM j)
+            SELECT source, n_rows, CAST(chars AS BIGINT) AS chars, target_share,
+                   ROUND(LEAST(1.0, target_share * t.t / chars), 6) AS keep_frac
+            FROM j, t
+        """,
+        "events_enriched": """
+            SELECT c.c_nationkey AS d_c_nationkey,
+                   c.c_mktsegment AS d_c_mktsegment,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 2) AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
+        "agg_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
         """,
     }

@@ -30,6 +30,9 @@ from meta_frame_spark.operators.similarity import (
     srp_lsh_topk,
 )
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
+from meta_frame_spark.operators.decontaminate import decontaminate, ngram_overlap
+from meta_frame_spark.operators.gating import quantile_band_filter
+from meta_frame_spark.operators.mixing import apply_mix, mix_plan
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import profile_table
 from meta_frame_spark.operators.sampling import (
@@ -46,7 +49,12 @@ from meta_frame_spark.operators.temporal import asof_join
 
 __all__ = [
     "apply_changelog",
+    "apply_mix",
+    "decontaminate",
     "latest_by_key",
+    "mix_plan",
+    "ngram_overlap",
+    "quantile_band_filter",
     "asof_join",
     "brute_force_topk",
     "cube_aggregate",

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: n-gram overlap between a training corpus
+and a reference (eval/benchmark) set.
+
+Not present in the reference repo (its surface stops at group/agg/join,
+SURVEY.md §2 bottom line); this is the standard pre-training hygiene
+step — drop training documents that contain verbatim n-grams from the
+evaluation benchmarks (the GPT-3 / PaLM 13-gram rule).
+
+Scale design (100 TB corpus vs ~MB-scale benchmark set):
+
+* The reference set is tiny relative to the corpus — its distinct
+  n-gram set is broadcast, so the corpus side is a map-only
+  explode + broadcast-hash-join probe. No corpus shuffle at all until
+  the per-document hit count (one aggregate on doc id).
+* Grams cross the join as ``xxhash64`` values (8 bytes), never as
+  strings — for 13-grams of web text that is a ~10× wire/memory
+  reduction. A 64-bit collision would need ~billions of *distinct
+  benchmark* grams to matter (birthday bound on the broadcast side
+  only), far beyond any eval suite.
+* ``decontaminate`` keeps the full corpus schema via a broadcast-able
+  anti-join on the flagged id set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.dedup import _shingles
+
+_GRAM = "_mfs_gram"
+
+
+def _distinct_gram_hashes(df: DataFrame, text_col: str, n: int, *extra_cols):
+    grams = F.array_distinct(_shingles(text_col, n))
+    return df.select(*extra_cols, F.explode(grams).alias(_GRAM)).withColumn(
+        _GRAM, F.xxhash64(_GRAM)
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-corpus-document count of distinct word ``n``-grams that also
+    occur anywhere in ``reference`` — ``(id_col, n_hit_ngrams)``, only
+    documents with at least one hit.
+
+    Tokenization matches the dedup family (lowercase, whitespace split,
+    docs shorter than ``n`` tokens contribute one partial gram), so the
+    contamination and near-dup passes agree on gram identity.
+    """
+    ref_grams = _distinct_gram_hashes(
+        reference, ref_text_col or text_col, n
+    ).distinct()
+    corpus_grams = _distinct_gram_hashes(corpus, text_col, n, id_col)
+    return (
+        corpus_grams.join(F.broadcast(ref_grams), _GRAM)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Corpus rows (full schema) whose overlap with ``reference`` is
+    below ``min_hits`` contaminating n-grams — the cleaned training set.
+
+    The flagged-id set is far smaller than the corpus, so the anti-join
+    broadcasts; the corpus is never shuffled.
+    """
+    flagged = ngram_overlap(
+        corpus, reference, text_col, id_col, n, ref_text_col
+    ).filter(F.col("n_hit_ngrams") >= min_hits)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )

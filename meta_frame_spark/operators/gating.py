@@ -1,0 +1,63 @@
+"""Distribution-based quality gating: keep rows whose metric falls
+inside a quantile band of its group.
+
+The absolute-threshold filters in ``functions.text`` (quality_score,
+repetition stats) need hand-picked cutoffs; the quantile gate is the
+self-calibrating variant a corpus pipeline runs first — e.g. drop
+documents outside the per-language [p05, p95] length band, whatever
+those lengths happen to be for that language.
+
+Scale design: the stats side is one aggregate producing one row per
+group (languages/domains — thousands at most), broadcast back onto the
+un-shuffled fact side; the corpus itself never shuffles. Exact
+``percentile`` sorts each group's values and is fine up to ~10⁸ rows
+per group; at 100 TB switch ``exact=False`` for ``approx_percentile``
+(a fixed-size sketch, single pass, mergeable map-side) — the band
+edges move by at most ``accuracy``-bounded rank error while the plan
+shape stays identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LO, _HI = "_mfs_q_lo", "_mfs_q_hi"
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    group_cols: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep rows with ``lower_q``-quantile <= value <= ``upper_q``-quantile,
+    quantiles computed per ``group_cols`` (or globally when None).
+    Returns the input schema unchanged.
+    """
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q <= upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+    v = F.col(value_col)
+    if exact:
+        aggs = [
+            F.percentile(v, F.lit(lower_q)).alias(_LO),
+            F.percentile(v, F.lit(upper_q)).alias(_HI),
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(v, F.lit(lower_q), F.lit(accuracy)).alias(_LO),
+            F.percentile_approx(v, F.lit(upper_q), F.lit(accuracy)).alias(_HI),
+        ]
+    keys = list(group_cols or [])
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return joined.filter((v >= F.col(_LO)) & (v <= F.col(_HI))).select(*df.columns)

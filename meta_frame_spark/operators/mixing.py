@@ -1,0 +1,99 @@
+"""Corpus mixing: hit target per-source proportions by deterministic
+downsampling.
+
+A training mix is specified as weight shares per source/domain
+("50% web, 20% books, ..."); the corpus on disk never matches. This
+operator computes, per source, the keep-fraction that realizes the
+largest corpus consistent with the target shares (no source is
+up-sampled), then applies it with the hash-gated ``stratified_sample``
+so the decision is per-row stable across reruns and repartitions.
+
+Math: with target share ``w_s`` (sum 1) and actual size ``a_s``
+(rows, tokens, or chars — any additive ``size_col``), the largest
+feasible total is ``T = min_s(a_s / w_s)`` and
+``keep_frac_s = w_s * T / a_s`` (== 1 for the binding source).
+
+Scale design: the plan is one aggregate to one row per source
+(thousands at most) plus scalar reductions — negligible at any corpus
+size. ``apply_mix`` collects only that tiny plan to the driver to
+parameterize a map-only filter; the corpus itself is never shuffled
+or collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.sampling import stratified_sample
+
+
+def mix_plan(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-source sampling plan for the target mix: ``(source, n_rows,
+    size, target_share, keep_frac)``. Sources absent from ``weights``
+    get ``keep_frac = 0`` implicitly (they are excluded from the plan —
+    and from ``apply_mix``'s output).
+
+    ``size_col``: additive size measure (token/char count); row count
+    when None.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"mix weights must sum to 1.0, got {total}")
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        list(weights.items()), f"{source_col} string, target_share double"
+    )
+    size = F.sum(size_col) if size_col else F.count(F.lit(1))
+    actual = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), size.cast("double").alias("size")
+    )
+    joined = actual.join(w, source_col)
+    # largest feasible total honoring every share without up-sampling
+    t = joined.agg(F.min(F.col("size") / F.col("target_share")).alias("_t"))
+    return (
+        joined.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            "n_rows",
+            "size",
+            "target_share",
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("_t") / F.col("size"),
+            ).alias("keep_frac"),
+        )
+    )
+
+
+def apply_mix(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    size_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize the mix: compute :func:`mix_plan`, then keep each row
+    iff its ``xxhash64(id, salt)`` bucket falls under its source's
+    ``keep_frac`` (sources not in ``weights`` are dropped). Per-row
+    deterministic — reruns and late-arriving data agree.
+    """
+    plan = mix_plan(df, source_col, weights, size_col)
+    fractions = {
+        r[source_col]: r["keep_frac"] for r in plan.collect()
+    }
+    in_mix = df.join(
+        F.broadcast(plan.select(source_col)), source_col, "left_semi"
+    )
+    return stratified_sample(
+        in_mix, source_col, fractions, id_col=id_col, salt=salt,
+        default_fraction=0.0,
+    )

@@ -13,6 +13,7 @@ memory sink).
 from meta_frame_spark.streaming.ops import (
     EVENTS_RAW_SCHEMA,
     dedup_events,
+    enrich_with_dim,
     hourly_event_counts,
     interval_join,
     read_event_stream,
@@ -26,6 +27,7 @@ from meta_frame_spark.streaming.ops import (
 __all__ = [
     "EVENTS_RAW_SCHEMA",
     "dedup_events",
+    "enrich_with_dim",
     "hourly_event_counts",
     "interval_join",
     "read_event_stream",

@@ -1,0 +1,117 @@
+"""Corpus-curation operators: decontamination, quantile gating, mixing.
+
+Each is verified twice — unit semantics here on tiny frames, and
+exact DuckDB oracles at sf0.01 via the driver contract
+(`__spark_entry__.oracle_sql`: decontaminate / quantile_gate /
+corpus_mix)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.decontaminate import decontaminate, ngram_overlap
+from meta_frame_spark.operators.gating import quantile_band_filter
+from meta_frame_spark.operators.mixing import apply_mix, mix_plan
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence with no overlap at all"),
+        (3, "quick brown fox seen again in this training document"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    return spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+
+
+def test_ngram_overlap_counts_distinct_shared_grams(corpus, bench_set):
+    got = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in ngram_overlap(corpus, bench_set, n=3).collect()
+    }
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    # "quick brown fox"; doc 2 shares nothing (absent, not zero)
+    assert got == {1: 2, 3: 1}
+
+
+def test_decontaminate_drops_flagged_keeps_clean(corpus, bench_set):
+    kept = decontaminate(corpus, bench_set, n=3)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    assert kept.columns == corpus.columns
+    # min_hits=2: only doc 1 is dirty enough to drop
+    kept2 = decontaminate(corpus, bench_set, n=3, min_hits=2)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [2, 3]
+
+
+def test_quantile_band_filter_trims_tails(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)], "id long, g string, v double"
+    )
+    kept = quantile_band_filter(df, "v", 0.10, 0.90, group_cols=["g"])
+    vals = sorted(r["v"] for r in kept.collect())
+    # p10 of 1..100 = 10.9, p90 = 90.1 (linear interpolation)
+    assert vals[0] == 11.0 and vals[-1] == 90.0
+    assert kept.columns == df.columns
+
+
+def test_quantile_band_filter_global_and_validation(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    assert quantile_band_filter(df, "v", 0.0, 1.0).count() == 10
+    with pytest.raises(ValueError):
+        quantile_band_filter(df, "v", 0.9, 0.1)
+
+
+@pytest.fixture(scope="module")
+def sized_corpus(spark):
+    # src a: 1000 chars, src b: 1000, src c: 4000 (over-represented)
+    rows = [(i, ["a", "b", "c"][min(i // 10, 2)], 100) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_mix_plan_math(sized_corpus):
+    plan = {
+        r["source"]: r
+        for r in mix_plan(
+            sized_corpus, "source", {"a": 0.25, "b": 0.25, "c": 0.5},
+            size_col="n_chars",
+        ).collect()
+    }
+    # a: 1000 chars, b: 1000, c: 4000 -> T = min(1000/.25, 1000/.25,
+    # 4000/.5) = 4000; fracs: a=b=1.0, c=.5
+    assert plan["a"]["keep_frac"] == pytest.approx(1.0)
+    assert plan["b"]["keep_frac"] == pytest.approx(1.0)
+    assert plan["c"]["keep_frac"] == pytest.approx(0.5)
+    assert plan["c"]["n_rows"] == 40
+
+
+def test_mix_plan_rejects_bad_weights(sized_corpus):
+    with pytest.raises(ValueError):
+        mix_plan(sized_corpus, "source", {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError):
+        mix_plan(sized_corpus, "source", {})
+
+
+def test_apply_mix_is_deterministic_and_drops_unlisted(sized_corpus):
+    out1 = apply_mix(
+        sized_corpus, "source", {"a": 0.5, "b": 0.5}, id_col="doc_id"
+    )
+    out2 = apply_mix(
+        sized_corpus.repartition(7), "source", {"a": 0.5, "b": 0.5}, id_col="doc_id"
+    )
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in out2.collect())
+    assert not out1.filter(F.col("source") == "c").count()
+
+
+def test_mix_plan_single_aggregate_shuffle(sized_corpus):
+    # plan side must stay tiny: one groupBy over the corpus, everything
+    # after operates on per-source rows
+    plan = mix_plan(sized_corpus, "source", {"a": 0.5, "b": 0.5})
+    expl = plan._jdf.queryExecution().executedPlan().toString()
+    assert expl.count("HashAggregate") <= 6  # partial+final for 3 aggs max

@@ -169,3 +169,24 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     # replaying with the same checkpoint is a no-op (no new batches)
     run_to_parquet(counts, out, ckpt)
     assert spark.read.parquet(out).count() == first
+
+
+def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream, sf_dir):
+    """Stream-static join: stateless (no watermark), dim broadcast,
+    stream result row-identical to the batch join."""
+    from meta_frame_spark.streaming import enrich_with_dim
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    on = [("user_id", "c_custkey")]
+    got = run_to_memory(
+        enrich_with_dim(events_stream, dim, on), "t_enrich", output_mode="append"
+    )
+    want = enrich_with_dim(events_batch, dim, on)
+    assert "d_c_nationkey" in want.columns and "c_custkey" not in want.columns
+    cols = ["event_id", "d_c_nationkey", "d_c_mktsegment"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+    # the batch twin must plan as a broadcast join (no stream shuffle)
+    plan = want._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
