@@ -1064,6 +1064,76 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history from the event changelog: each user's events
+    become versions valid until the user's next event (the real logic
+    behind the reference's hard-coded valid_from/valid_to stamps,
+    soundwave.py:76-78). One shuffle on user_id (operators/history.py)."""
+    from meta_frame_spark.operators.history import scd2_from_changelog
+
+    events = _t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        events, ["user_id"], "ts", tiebreak_col="event_id"
+    )
+    return hist.select(
+        "event_id", "user_id", "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling aggregates over events — a
+    time-RANGE frame (deterministic under timestamp ties, unlike a
+    ROWS frame), microsecond-exact ordering key."""
+    from meta_frame_spark.operators.temporal import rolling_agg
+
+    events = _t(spark, sf_dir, "events")
+    rolled = rolling_agg(
+        events,
+        "ts",
+        ["user_id"],
+        {"n_1h": ("value", "count"), "sum_1h": ("value", "sum")},
+        window_seconds=3600,
+    )
+    return rolled.select(
+        "event_id", "user_id", "n_1h", F.round("sum_1h", 2).alias("sum_1h")
+    )
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles via NTILE(10) — equal-frequency
+    quality bucketing with a deterministic doc_id tiebreak."""
+    from meta_frame_spark.operators.ranking import ntile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return ntile_buckets(
+        docs, "n_chars", 10, group_cols=["lang"], tiebreak="doc_id"
+    ).select("doc_id", "lang", "n_chars", "bucket")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup on 8-token chunks: any chunk seen
+    more than twice corpus-wide is cut from every document in place
+    (operators/linedup.py; census shuffles 8-byte hashes, reassembly
+    is one groupBy on doc_id)."""
+    from meta_frame_spark.operators.linedup import dedup_units
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_units(docs, chunk_tokens=8, max_occurrences=2)
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-calibrating quality score: unigram LM fit on
+    the corpus (top-100 vocab, OOV floored at count 1), documents
+    scored by mean negative log-likelihood (operators/scoring.py)."""
+    from meta_frame_spark.operators.scoring import score_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, top_v=100)
+    return scored.select(
+        "doc_id", "n_tokens", F.round("avg_neg_logprob", 6).alias("avg_neg_logprob")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1131,6 +1201,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "events_enriched": q_events_enriched,
         "agg_grouping_sets": q_agg_grouping_sets,
+        "scd2_versions": q_scd2_versions,
+        "rolling_1h": q_rolling_1h,
+        "quality_deciles": q_quality_deciles,
+        "chunk_dedup": q_chunk_dedup,
+        "doc_lm_score": q_doc_lm_score,
     }
 
 
@@ -1668,5 +1743,69 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())
+        """,
+        "scd2_versions": """
+            SELECT event_id, user_id,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events
+        """,
+        "rolling_1h": """
+            SELECT event_id, user_id,
+                   COUNT(value) OVER w AS n_1h,
+                   ROUND(SUM(value) OVER w, 2) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "quality_deciles": """
+            SELECT doc_id, lang, n_chars,
+                   NTILE(10) OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS bucket
+            FROM documents
+        """,
+        "chunk_dedup": """
+            WITH ch AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(toks[i*8+1:i*8+8], ' ') AS chunk
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents),
+                     UNNEST(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS t(i)
+            ),
+            flagged AS (
+                SELECT chunk FROM ch GROUP BY chunk HAVING COUNT(*) > 2
+            ),
+            tagged AS (
+                SELECT ch.*, f.chunk IS NOT NULL AS is_dup
+                FROM ch LEFT JOIN flagged f USING (chunk)
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                            FILTER (NOT is_dup), '') AS clean_text,
+                   CAST(COUNT(*) FILTER (NOT is_dup) AS INTEGER) AS n_kept,
+                   CAST(COUNT(*) FILTER (is_dup) AS INTEGER) AS n_dropped
+            FROM tagged
+            GROUP BY doc_id
+        """,
+        "doc_lm_score": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+                FROM documents
+            ),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            vocab AS (SELECT token, cnt FROM counts
+                      ORDER BY cnt DESC, token ASC LIMIT 100)
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_tokens,
+                   ROUND(AVG(-ln(COALESCE(v.cnt, 1) / total.total)), 6)
+                       AS avg_neg_logprob
+            FROM tok t LEFT JOIN vocab v USING (token), total
+            GROUP BY t.doc_id
         """,
     }

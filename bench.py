@@ -43,6 +43,9 @@ def main() -> None:
         return s
 
     spark.range(1_000_000).select(_warm("id").alias("id")).selectExpr("max(id)").collect()
+    # first createDataFrame initializes the Python local-relation path
+    # (~1.5s one-off) — warm it so no single query carries that cost
+    spark.createDataFrame([(1, "x")], "a long, b string").collect()
 
     per_query: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -32,9 +32,17 @@ from meta_frame_spark.operators.similarity import (
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.decontaminate import decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import quantile_band_filter
+from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
+from meta_frame_spark.operators.linedup import dedup_units, repeated_units
 from meta_frame_spark.operators.mixing import apply_mix, mix_plan
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import profile_table
+from meta_frame_spark.operators.ranking import ntile_buckets
+from meta_frame_spark.operators.scoring import (
+    score_documents,
+    unigram_logprob,
+    unigram_vocab,
+)
 from meta_frame_spark.operators.sampling import (
     hash_split,
     shuffle_deterministic,
@@ -45,7 +53,7 @@ from meta_frame_spark.operators.skew import (
     salted_aggregate,
     two_phase_count_distinct,
 )
-from meta_frame_spark.operators.temporal import asof_join
+from meta_frame_spark.operators.temporal import asof_join, rolling_agg
 
 __all__ = [
     "apply_changelog",
@@ -57,6 +65,15 @@ __all__ = [
     "quantile_band_filter",
     "asof_join",
     "brute_force_topk",
+    "dedup_units",
+    "ntile_buckets",
+    "repeated_units",
+    "rolling_agg",
+    "scd2_from_changelog",
+    "score_documents",
+    "snapshot_asof",
+    "unigram_logprob",
+    "unigram_vocab",
     "cube_aggregate",
     "drop_exact_duplicates",
     "drop_near_duplicates",

@@ -27,15 +27,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meta_frame_spark.operators.dedup import _shingles
+from meta_frame_spark.operators.skew import ensure_min_partitions
 
 _GRAM = "_mfs_gram"
 
 
 def _distinct_gram_hashes(df: DataFrame, text_col: str, n: int, *extra_cols):
+    # shingling is CPU-bound per row: fan coarse inputs out to all
+    # cores first (no-op on properly partitioned inputs)
     grams = F.array_distinct(_shingles(text_col, n))
-    return df.select(*extra_cols, F.explode(grams).alias(_GRAM)).withColumn(
-        _GRAM, F.xxhash64(_GRAM)
-    )
+    return ensure_min_partitions(df).select(
+        *extra_cols, F.explode(grams).alias(_GRAM)
+    ).withColumn(_GRAM, F.xxhash64(_GRAM))
 
 
 def ngram_overlap(

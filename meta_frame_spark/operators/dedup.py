@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from meta_frame_spark.operators.skew import ensure_min_partitions
+
 
 def exact_dedup(
     df: DataFrame,
@@ -174,7 +176,11 @@ def minhash_signatures(
             out.append(((sh[:, None] * A + B) % P).min(axis=0))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _sig(_token_hashes(text_col)).alias("signature"))
+    # the signature arithmetic is CPU-bound per row — fan a coarse
+    # input out to all cores (no-op on well-partitioned inputs)
+    return ensure_min_partitions(df).select(
+        F.col(id_col), _sig(_token_hashes(text_col)).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -240,7 +246,7 @@ def ngram_jaccard_pairs(
     id against a (usually much smaller) candidate list, so Catalyst
     broadcasts the candidate side when it fits.
     """
-    sets_df = df.select(
+    sets_df = ensure_min_partitions(df).select(
         F.col(id_col), F.array_distinct(_shingles(text_col, shingle_n)).alias("sh")
     )
     a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
@@ -308,7 +314,7 @@ def hashed_jaccard_pairs(
         )
         base = df.join(ids, id_col, "left_semi")
 
-    sets_df = base.select(
+    sets_df = ensure_min_partitions(base).select(
         F.col(id_col), _shingle_set(_token_hashes(text_col)).alias("sh")
     ).persist()
     a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
@@ -474,7 +480,9 @@ def simhash(
 
     tokens = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    return df.select(F.col(id_col), _vote_pack(hashes).alias("simhash"))
+    return ensure_min_partitions(df).select(
+        F.col(id_col), _vote_pack(hashes).alias("simhash")
+    )
 
 
 def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -22,7 +22,7 @@ or collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from meta_frame_spark.operators.sampling import stratified_sample
@@ -47,29 +47,42 @@ def mix_plan(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"mix weights must sum to 1.0, got {total}")
+    # literal inline relation (not createDataFrame: that path drags in
+    # the session's Python-local-relation machinery — measured ~1.5s
+    # first call — for what is a handful of constants)
     spark = df.sparkSession
-    w = spark.createDataFrame(
-        list(weights.items()), f"{source_col} string, target_share double"
-    )
+    w = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias(source_col),
+                        F.lit(float(v)).alias("target_share"),
+                    )
+                    for s, v in weights.items()
+                ]
+            )
+        ).alias("_w")
+    ).select("_w.*")
     size = F.sum(size_col) if size_col else F.count(F.lit(1))
     actual = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_rows"), size.cast("double").alias("size")
     )
-    joined = actual.join(w, source_col)
-    # largest feasible total honoring every share without up-sampling
-    t = joined.agg(F.min(F.col("size") / F.col("target_share")).alias("_t"))
-    return (
-        joined.crossJoin(F.broadcast(t))
-        .select(
-            source_col,
-            "n_rows",
-            "size",
-            "target_share",
-            F.least(
-                F.lit(1.0),
-                F.col("target_share") * F.col("_t") / F.col("size"),
-            ).alias("keep_frac"),
-        )
+    joined = actual.join(F.broadcast(w), source_col)
+    # largest feasible total honoring every share without up-sampling:
+    # T = min_s(size_s / w_s), taken with an empty-frame window over the
+    # per-source aggregate (one row per source) so the corpus is scanned
+    # and aggregated exactly once — the earlier self-referencing agg +
+    # cross-join shape re-ran the whole scan for one scalar.
+    t = F.min(F.col("size") / F.col("target_share")).over(Window.partitionBy())
+    return joined.select(
+        source_col,
+        "n_rows",
+        "size",
+        "target_share",
+        F.least(
+            F.lit(1.0), F.col("target_share") * t / F.col("size")
+        ).alias("keep_frac"),
     )
 
 

@@ -37,6 +37,36 @@ def top_k_per_group(
     )
 
 
+def ntile_buckets(
+    df: DataFrame,
+    order_col: str | Column,
+    n: int,
+    group_cols: list[str] | None = None,
+    descending: bool = False,
+    tiebreak: str | Column | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency bucketing (``NTILE(n)``): bucket 1..n per group
+    by rank on ``order_col`` — quality deciles per language, size
+    quartiles per source, etc.
+
+    ``tiebreak`` makes same-score rows rank deterministically (ntile
+    assigns by rank, so ties at a bucket boundary would otherwise split
+    arbitrarily across reruns). Scale: one shuffle on ``group_cols`` +
+    per-group sort. With NO group columns every row lands in a single
+    window partition — fine for bounded inputs (a stats table), wrong
+    for a 100 TB fact table; there, bucket against precomputed
+    ``approxQuantile`` boundaries instead (see
+    ``gating.quantile_band_filter`` for the pattern)."""
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    order = [oc.desc() if descending else oc.asc()]
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        order.append(tb.asc())
+    w = Window.partitionBy(*(group_cols or [])).orderBy(*order)
+    return df.withColumn(out_col, F.ntile(n).over(w))
+
+
 def rollup_aggregate(
     df: DataFrame,
     group_cols: list[str],

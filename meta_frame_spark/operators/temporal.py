@@ -28,6 +28,42 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    partition_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    window_seconds: int,
+) -> DataFrame:
+    """Trailing time-range window aggregates: for every row, each agg
+    over the rows of the same ``partition_cols`` key whose timestamp
+    lies in ``[ts - window_seconds, ts]`` (a RANGE frame — the frame is
+    defined by the *time value*, so same-timestamp rows share one frame
+    and the result is deterministic under any sort-tie order).
+
+    ``aggs``: ``{out_name: (value_col, fn)}`` with fn one of
+    sum/avg/min/max/count.
+
+    Scale: one hash-shuffle on ``partition_cols`` + per-key sort; the
+    frame slides incrementally within each sorted partition (Spark's
+    window operator keeps a running buffer bounded by the frame span,
+    not the partition). The ordering key is epoch *microseconds*
+    (RANGE frames need a numeric key, and a plain seconds cast would
+    truncate sub-second timestamps — rows near the frame edge would
+    then disagree with interval-exact engines).
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    out = df
+    for name, (col, fn) in aggs.items():
+        out = out.withColumn(name, getattr(F, fn)(col).over(w))
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

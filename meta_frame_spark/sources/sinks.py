@@ -43,6 +43,47 @@ def save_data(
         raise ValueError(f"unsupported sink format {fmt!r}")
 
 
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Output-size-controlled write — the small-files killer at scale.
+
+    A 100 TB pipeline's last shuffle often leaves thousands of tiny or
+    wildly skewed partitions; writing them 1:1 produces a file layout
+    that throttles every downstream scan (NameNode pressure, per-file
+    open cost, no effective column-chunk pruning). Two built-ins fix it
+    without a driver-side count:
+
+    * a ``REBALANCE`` hint — AQE splits oversized and coalesces
+      undersized shuffle partitions to ``spark.sql.adaptive.
+      advisoryPartitionSizeInBytes`` at runtime (a no-op when AQE is
+      off, so still safe);
+    * ``maxRecordsPerFile`` caps residual per-file row counts (rolls
+      to a new file mid-task, no extra shuffle).
+
+    When ``partition_by`` is set, the rebalance keys on those columns
+    so each task writes few directories (unkeyed rebalance would have
+    every task append to every partition directory — small files
+    again, multiplied by the partition count).
+    """
+    balanced = (
+        df.hint("rebalance", *partition_by) if partition_by
+        else df.hint("rebalance")
+    )
+    if max_records_per_file is not None:
+        options["maxRecordsPerFile"] = str(max_records_per_file)
+    save_data(
+        balanced, path, fmt=fmt, mode=mode, partition_by=partition_by,
+        **options,
+    )
+
+
 def save_bucketed_table(
     df: DataFrame,
     table: str,

@@ -1,0 +1,219 @@
+"""Unit tests for SCD2 history, time-range rolling aggregates, ntile
+bucketing, sub-document dedup, unigram LM scoring, and the compacted
+sink — each on tiny hand-checkable frames (SURVEY.md §5 strategy 1)."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# scd2_from_changelog / snapshot_asof
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    rows = [
+        (1, "k1", "2024-01-01 00:00:00", "a"),
+        (2, "k1", "2024-02-01 00:00:00", "b"),
+        (3, "k1", "2024-02-01 00:00:00", "c"),  # same-ts tie -> id order
+        (4, "k2", "2024-03-01 00:00:00", "d"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, key string, ts string, attr string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_scd2_intervals_and_current(changelog):
+    from meta_frame_spark.operators.history import scd2_from_changelog
+
+    hist = scd2_from_changelog(changelog, ["key"], "ts", tiebreak_col="id")
+    got = {r["id"]: r for r in hist.collect()}
+    assert str(got[1]["valid_to"]) == "2024-02-01 00:00:00"
+    # tie broken by id: version 2 closes at version 3's (equal) ts
+    assert str(got[2]["valid_to"]) == "2024-02-01 00:00:00"
+    assert got[3]["valid_to"] is None and got[3]["is_current"]
+    assert got[4]["valid_to"] is None and got[4]["is_current"]
+    assert not got[1]["is_current"] and not got[2]["is_current"]
+
+
+def test_scd2_end_of_time_and_snapshot(changelog):
+    from meta_frame_spark.operators.history import (
+        scd2_from_changelog,
+        snapshot_asof,
+    )
+
+    hist = scd2_from_changelog(
+        changelog, ["key"], "ts", tiebreak_col="id",
+        end_of_time="9999-12-31 00:00:00",
+    )
+    assert hist.filter(F.col("valid_to").isNull()).count() == 0
+    snap = snapshot_asof(hist, "2024-01-15 00:00:00")
+    assert [r["id"] for r in snap.collect()] == [1]  # k2 not born yet
+    # an exactly-at-valid_from instant is included, valid_to exclusive
+    snap2 = {r["id"] for r in snapshot_asof(hist, "2024-02-01 00:00:00").collect()}
+    assert snap2 == {3}
+
+
+# --------------------------------------------------------------------------
+# rolling_agg
+# --------------------------------------------------------------------------
+
+def test_rolling_agg_range_frame(spark):
+    from meta_frame_spark.operators.temporal import rolling_agg
+
+    rows = [
+        (1, "u", "2024-01-01 10:00:00", 1.0),
+        (2, "u", "2024-01-01 10:30:00", 2.0),
+        (3, "u", "2024-01-01 11:00:00", 4.0),   # 10:00 still in [t-1h, t]
+        (4, "u", "2024-01-01 12:30:00", 8.0),   # everything else aged out
+        (5, "v", "2024-01-01 10:45:00", 16.0),  # other key untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_agg(
+        df, "ts", ["k"], {"s": ("v", "sum"), "n": ("v", "count")}, 3600
+    )
+    got = {r["id"]: (r["s"], r["n"]) for r in out.collect()}
+    assert got == {1: (1.0, 1), 2: (3.0, 2), 3: (7.0, 3), 4: (8.0, 1), 5: (16.0, 1)}
+
+
+def test_rolling_agg_ties_share_frame(spark):
+    from meta_frame_spark.operators.temporal import rolling_agg
+
+    rows = [(1, "u", "2024-01-01 10:00:00", 1.0), (2, "u", "2024-01-01 10:00:00", 2.0)]
+    df = spark.createDataFrame(
+        rows, "id long, k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rolling_agg(df, "ts", ["k"], {"s": ("v", "sum")}, 60)
+    # RANGE frame: equal timestamps see each other regardless of order
+    assert {r["s"] for r in out.collect()} == {3.0}
+
+
+# --------------------------------------------------------------------------
+# ntile_buckets
+# --------------------------------------------------------------------------
+
+def test_ntile_buckets_deterministic(spark):
+    from meta_frame_spark.operators.ranking import ntile_buckets
+
+    df = spark.createDataFrame(
+        [(i, "g", 10 * (i % 3)) for i in range(12)], "id long, g string, score long"
+    )
+    out = ntile_buckets(
+        df, "score", 4, group_cols=["g"], tiebreak="id"
+    ).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+    assert sizes == {1: 3, 2: 3, 3: 3, 4: 3}
+    again = ntile_buckets(
+        df.repartition(7), "score", 4, group_cols=["g"], tiebreak="id"
+    ).collect()
+    assert {(r["id"], r["bucket"]) for r in again} == {
+        (r["id"], r["bucket"]) for r in out
+    }
+
+
+# --------------------------------------------------------------------------
+# dedup_units
+# --------------------------------------------------------------------------
+
+def test_dedup_units_lines(spark):
+    from meta_frame_spark.operators.linedup import dedup_units
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\ncommon banner\nkeep two"),
+            (2, "common banner\nunique line"),
+            (3, "common banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_units(
+            docs, delimiter_re="\n", max_occurrences=2, join_str="\n"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "keep one\nkeep two"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "unique line"
+    # doc made entirely of boilerplate -> empty, zero kept
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_dedup_units_chunks_preserve_order(spark):
+    from meta_frame_spark.operators.linedup import dedup_units
+
+    boiler = "x y"
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} {boiler} c{i} d{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_units(docs, chunk_tokens=2, max_occurrences=2).collect()
+    }
+    for i in range(4):
+        assert out[i] == f"a{i} b{i} c{i} d{i}"
+
+
+def test_dedup_units_requires_exactly_one_mode(spark):
+    from meta_frame_spark.operators.linedup import dedup_units
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_units(docs)
+    with pytest.raises(ValueError):
+        dedup_units(docs, delimiter_re="\n", chunk_tokens=2)
+
+
+# --------------------------------------------------------------------------
+# unigram scoring
+# --------------------------------------------------------------------------
+
+def test_unigram_scoring_oov_floor(spark):
+    import math
+
+    from meta_frame_spark.operators.scoring import (
+        unigram_logprob,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "zzz")], "doc_id long, text string"
+    )
+    vocab, total = unigram_vocab(docs, top_v=2)
+    assert total == 5
+    vset = {r["token"]: r["cnt"] for r in vocab.collect()}
+    assert vset == {"a": 3, "b": 1}  # top-2 by (cnt desc, token asc)
+    scored = {
+        r["doc_id"]: r for r in unigram_logprob(docs, vocab, total).collect()
+    }
+    expect1 = (3 * -math.log(3 / 5) + -math.log(1 / 5)) / 4
+    assert scored[1]["avg_neg_logprob"] == pytest.approx(expect1)
+    # zzz is OOV -> floored at count 1
+    assert scored[2]["avg_neg_logprob"] == pytest.approx(-math.log(1 / 5))
+    assert scored[2]["n_tokens"] == 1
+
+
+# --------------------------------------------------------------------------
+# write_compacted
+# --------------------------------------------------------------------------
+
+def test_write_compacted_caps_file_rows(spark, tmp_path):
+    from meta_frame_spark.sources.sinks import write_compacted
+
+    df = spark.range(1000).withColumn("part", (F.col("id") % 2).cast("int"))
+    out = str(tmp_path / "compacted")
+    write_compacted(
+        df, out, max_records_per_file=100, partition_by=["part"]
+    )
+    files = glob.glob(f"{out}/part=*/*.parquet")
+    assert files, "no parquet files written"
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
+    assert spark.read.parquet(out).count() == 1000
