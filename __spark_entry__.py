@@ -1134,6 +1134,66 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the 15 longest documents per source
+    (operators/quota.py), using the prefilter_counts scale path —
+    under-cap domains bypass the ranking sort entirely."""
+    from meta_frame_spark.operators.quota import quota_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_per_group(
+        docs, ["source"], cap=15, priority="n_chars", tiebreak="doc_id",
+        descending=True, prefilter_counts=True,
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window extraction: 64-token chunks, stride 48
+    (16-token overlap), ragged tail kept (operators/chunking.py —
+    one codegen'd map, no shuffle)."""
+    from meta_frame_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+def q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document length to the [p05, p95]
+    band (operators/gating.py winsorize — tiny stats agg broadcast
+    back, map-only clip)."""
+    from meta_frame_spark.operators.gating import winsorize
+
+    docs = _t(spark, sf_dir, "documents")
+    return winsorize(
+        docs, "n_chars", 0.05, 0.95, ["lang"], out_col="clipped"
+    ).select("doc_id", "lang", "n_chars", F.round("clipped", 2).alias("clipped"))
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram per language, 12 buckets over
+    [0, 600) plus under/overflow bands (operators/profile.py
+    histogram_fixed — one partial-agg shuffle of bucket ids)."""
+    from meta_frame_spark.operators.profile import histogram_fixed
+
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_fixed(docs, "n_chars", 0.0, 600.0, 12, ["lang"])
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the non-src0 batch anti-joined by
+    hashed text against the src0 "accumulated corpus", then collapsed
+    within-batch (operators/dedup.py dedup_against — 8-byte key
+    hashes cross the shuffle, never document text)."""
+    from meta_frame_spark.operators.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    return dedup_against(batch, corpus, ["text"], "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1206,6 +1266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "chunk_dedup": q_chunk_dedup,
         "doc_lm_score": q_doc_lm_score,
+        "domain_cap": q_domain_cap,
+        "doc_chunks": q_doc_chunks,
+        "winsorized_lengths": q_winsorized_lengths,
+        "length_histogram": q_length_histogram,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -1807,5 +1872,85 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_neg_logprob
             FROM tok t LEFT JOIN vocab v USING (token), total
             GROUP BY t.doc_id
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 15
+        """,
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+                       len(regexp_extract_all(text, '\\S+')) AS n
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, toks, n,
+                       CASE WHEN n >= 64 THEN (n - 64) // 48 + 1
+                            ELSE 0 END AS n_full
+                FROM t
+            ),
+            nw AS (
+                SELECT doc_id, toks, n,
+                       n_full + CASE WHEN n_full > 0
+                                          AND (n_full - 1) * 48 + 64 < n THEN 1
+                                     WHEN n_full = 0 THEN 1
+                                     ELSE 0 END AS n_windows
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text,
+                   CAST(LEAST(64, GREATEST(n - i*48, 0)) AS INTEGER)
+                       AS chunk_n_tokens
+            FROM nw, UNNEST(range(n_windows)) AS u(i)
+        """,
+        "winsorized_lengths": """
+            WITH s AS (
+                SELECT lang,
+                       quantile_cont(n_chars, 0.05) AS lo,
+                       quantile_cont(n_chars, 0.95) AS hi
+                FROM documents GROUP BY lang
+            )
+            SELECT doc_id, d.lang, n_chars,
+                   ROUND(LEAST(GREATEST(n_chars, lo), hi), 2) AS clipped
+            FROM documents d JOIN s USING (lang)
+        """,
+        "length_histogram": """
+            SELECT lang, bucket,
+                   CAST((bucket - 1) * 50.0 AS DOUBLE) AS bucket_lo,
+                   CAST(bucket * 50.0 AS DOUBLE) AS bucket_hi,
+                   COUNT(*) AS n
+            FROM (
+                SELECT lang,
+                       CAST(CASE WHEN n_chars < 0 THEN 0
+                                 WHEN n_chars >= 600 THEN 13
+                                 ELSE CAST(floor((n_chars - 0.0) / 50.0)
+                                           AS BIGINT) + 1
+                            END AS INTEGER) AS bucket
+                FROM documents
+            )
+            GROUP BY lang, bucket
+        """,
+        "dedup_incremental": """
+            WITH corpus AS (
+                SELECT text FROM documents WHERE source = 'src0'
+            ),
+            fresh AS (
+                SELECT doc_id, source, text
+                FROM documents b
+                WHERE source <> 'src0'
+                  AND NOT EXISTS (SELECT 1 FROM corpus c
+                                  WHERE c.text = b.text)
+            ),
+            keep AS (
+                SELECT text, MIN(doc_id) AS doc_id FROM fresh GROUP BY text
+            )
+            SELECT f.doc_id, f.source
+            FROM fresh f
+            JOIN keep k ON f.text = k.text AND f.doc_id = k.doc_id
         """,
     }

@@ -6,6 +6,7 @@ classes the reference lacks (§2.3/§2.4 "not present" lists).
 """
 
 from meta_frame_spark.operators.dedup import (
+    dedup_against,
     drop_exact_duplicates,
     drop_near_duplicates,
     dup_clusters,
@@ -30,13 +31,15 @@ from meta_frame_spark.operators.similarity import (
     srp_lsh_topk,
 )
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
+from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.decontaminate import decontaminate, ngram_overlap
-from meta_frame_spark.operators.gating import quantile_band_filter
+from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
+from meta_frame_spark.operators.quota import quota_per_group
 from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
 from meta_frame_spark.operators.linedup import dedup_units, repeated_units
 from meta_frame_spark.operators.mixing import apply_mix, mix_plan
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
-from meta_frame_spark.operators.profile import profile_table
+from meta_frame_spark.operators.profile import histogram_fixed, profile_table
 from meta_frame_spark.operators.ranking import ntile_buckets
 from meta_frame_spark.operators.scoring import (
     score_documents,
@@ -63,6 +66,11 @@ __all__ = [
     "mix_plan",
     "ngram_overlap",
     "quantile_band_filter",
+    "quota_per_group",
+    "chunk_documents",
+    "winsorize",
+    "histogram_fixed",
+    "dedup_against",
     "asof_join",
     "brute_force_topk",
     "dedup_units",

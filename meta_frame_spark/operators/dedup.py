@@ -66,6 +66,40 @@ def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> Da
     return df.join(keepers, on=[*key_cols, id_col], how="left_semi").select(*df.columns)
 
 
+def dedup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` whose key does not already
+    exist in ``corpus_df`` — the shape of every recurring ingest (crawl
+    N+1 against the accumulated corpus). ``within_batch`` additionally
+    collapses duplicates inside the new batch itself (min-id survivor),
+    so the output is safe to append to the corpus.
+
+    Scale: both sides reduce to hashed keys before the anti join —
+    ``xxhash64`` of the key columns, 8 bytes per row across the
+    shuffle, never the document text. The corpus side aggregates to
+    DISTINCT key hashes first (it has been deduped before, but the agg
+    also makes re-runs idempotent), and at 100 TB the anti join is a
+    shuffled join on those 8-byte keys; when the daily batch is small
+    relative to the corpus, Spark's AQE flips it to broadcast from the
+    batch side automatically.
+    """
+    kh = F.xxhash64(*key_cols).alias("_mfs_kh")
+    seen = corpus_df.select(kh).distinct()
+    fresh = (
+        new_df.withColumn("_mfs_kh", F.xxhash64(*key_cols))
+        .join(seen, "_mfs_kh", "left_anti")
+        .drop("_mfs_kh")
+    )
+    if within_batch:
+        fresh = drop_exact_duplicates(fresh, key_cols, id_col)
+    return fresh.select(*new_df.columns)
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------

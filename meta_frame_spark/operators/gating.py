@@ -61,3 +61,55 @@ def quantile_band_filter(
         else df.crossJoin(F.broadcast(stats))
     )
     return joined.filter((v >= F.col(_LO)) & (v <= F.col(_HI))).select(*df.columns)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Clip ``value_col`` into its per-group ``[lower_q, upper_q]``
+    quantile band instead of dropping rows — the outlier treatment for
+    metrics that feed downstream scores (a 10 MB document should count
+    as "very long", not poison a mean).
+
+    Same plan shape as :func:`quantile_band_filter` (tiny per-group
+    stats aggregate, broadcast back, map-only clip); same
+    ``exact=False`` sketch path at extreme scale. ``out_col`` defaults
+    to clipping in place.
+    """
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q <= upper_q <= 1, got {lower_q}, {upper_q}"
+        )
+    v = F.col(value_col)
+    if exact:
+        aggs = [
+            F.percentile(v, F.lit(lower_q)).alias(_LO),
+            F.percentile(v, F.lit(upper_q)).alias(_HI),
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(v, F.lit(lower_q), F.lit(accuracy)).alias(_LO),
+            F.percentile_approx(v, F.lit(upper_q), F.lit(accuracy)).alias(_HI),
+        ]
+    keys = list(group_cols or [])
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    clipped = F.least(F.greatest(v, F.col(_LO)), F.col(_HI))
+    out = out_col or value_col
+    sel = [
+        clipped.alias(out) if c == out else F.col(c) for c in df.columns
+    ]
+    if out not in df.columns:
+        sel.append(clipped.alias(out))
+    return joined.select(*sel)

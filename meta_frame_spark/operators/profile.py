@@ -56,3 +56,52 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) AS "
         "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over ``[lo, hi)``:
+    one row per (group, bucket) with the bucket range and count.
+    Bucket 0 catches values below ``lo``, bucket ``n_buckets + 1``
+    values ``>= hi`` (the SQL ``width_bucket`` convention), 1..n the
+    in-range bands — so the counts always sum to the row count and a
+    mis-guessed range is visible instead of silently clipped. The
+    bucket is computed as an explicit ``floor((v - lo) / width)`` so
+    any engine reproduces it bit-for-bit (built-in ``width_bucket``
+    implementations disagree across engines at FP boundaries).
+
+    Scale: a plain partial-aggregated groupBy on (group, bucket) —
+    at most ``n_buckets + 2`` rows per group cross the shuffle.
+    Empty buckets are absent (long form); pivot on the driver if a
+    dense vector is wanted — it is tiny.
+    """
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got {lo}, {hi}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    keys = list(group_cols or [])
+    width = (hi - lo) / n_buckets
+    v = F.col(value_col)
+    bucket = (
+        F.when(v < lo, 0)
+        .when(v >= hi, n_buckets + 1)
+        .otherwise(F.floor((v - F.lit(float(lo))) / F.lit(width)) + 1)
+        .cast("int")
+    )
+    return (
+        df.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            "bucket",
+            (F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_hi"),
+            "n",
+        )
+    )

@@ -1,0 +1,200 @@
+"""Quota capping, document chunking, winsorization, histograms, and
+incremental dedup — unit semantics on tiny frames; exact DuckDB
+oracles at sf0.01 cover the same operators via the driver contract
+(domain_cap / doc_chunks / winsorized_lengths / length_histogram /
+dedup_incremental)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.chunking import chunk_documents
+from meta_frame_spark.operators.dedup import dedup_against
+from meta_frame_spark.operators.gating import winsorize
+from meta_frame_spark.operators.profile import histogram_fixed
+from meta_frame_spark.operators.quota import quota_per_group
+
+
+@pytest.fixture(scope="module")
+def domains(spark):
+    rows = [
+        # domain "big": 5 rows, quality 10..50
+        *[(i, "big", i * 10.0) for i in range(1, 6)],
+        # domain "small": 2 rows
+        (10, "small", 5.0),
+        (11, "small", 7.0),
+        # quality ties inside "tied"
+        (20, "tied", 1.0),
+        (21, "tied", 1.0),
+        (22, "tied", 1.0),
+    ]
+    return spark.createDataFrame(rows, "id long, domain string, quality double")
+
+
+class TestQuotaPerGroup:
+    def test_caps_and_keeps_best(self, domains):
+        kept = quota_per_group(
+            domains, ["domain"], cap=3, priority="quality", tiebreak="id"
+        )
+        big = {r.id for r in kept.filter("domain = 'big'").collect()}
+        assert big == {3, 4, 5}  # top-3 by quality desc
+        assert kept.filter("domain = 'small'").count() == 2  # under cap
+
+    def test_tiebreak_deterministic(self, domains):
+        kept = quota_per_group(
+            domains, ["domain"], cap=2, priority="quality", tiebreak="id"
+        )
+        tied = {r.id for r in kept.filter("domain = 'tied'").collect()}
+        assert tied == {20, 21}  # min ids win equal-priority ties
+
+    def test_prefilter_path_identical(self, domains):
+        plain = quota_per_group(
+            domains, ["domain"], cap=3, priority="quality", tiebreak="id"
+        )
+        pre = quota_per_group(
+            domains, ["domain"], cap=3, priority="quality", tiebreak="id",
+            prefilter_counts=True,
+        )
+        assert {tuple(r) for r in plain.collect()} == {
+            tuple(r) for r in pre.collect()
+        }
+
+    def test_bad_cap_raises(self, domains):
+        with pytest.raises(ValueError):
+            quota_per_group(domains, ["domain"], 0, "quality", "id")
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "t0 t1 t2 t3 t4 t5 t6"),  # 7 tokens
+        (2, "a b"),                    # shorter than one chunk
+        (3, ""),                       # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDocuments:
+    def test_overlap_windows(self, tiny_docs):
+        out = chunk_documents(tiny_docs, chunk_tokens=4, stride=2)
+        d1 = {
+            r.chunk_idx: (r.chunk_text, r.chunk_n_tokens)
+            for r in out.filter("doc_id = 1").collect()
+        }
+        # starts 0,2 full; ragged tail at 4 adds t6
+        assert d1 == {
+            0: ("t0 t1 t2 t3", 4),
+            1: ("t2 t3 t4 t5", 4),
+            2: ("t4 t5 t6", 3),
+        }
+
+    def test_no_tail_when_grid_aligned(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=4, stride=2)
+        # starts 0,2 cover all 6 tokens; start 4 would add nothing new
+        assert out.count() == 2
+
+    def test_short_and_empty_docs_kept(self, tiny_docs):
+        out = chunk_documents(tiny_docs, chunk_tokens=4, stride=2)
+        assert [tuple(r) for r in out.filter("doc_id = 2").collect()] == [
+            (2, 0, "a b", 2)
+        ]
+        assert [tuple(r) for r in out.filter("doc_id = 3").collect()] == [
+            (3, 0, "", 0)
+        ]
+
+    def test_drop_partial(self, tiny_docs):
+        out = chunk_documents(tiny_docs, chunk_tokens=4, stride=2, drop_partial=True)
+        assert {r.doc_id for r in out.collect()} == {1}
+        assert out.count() == 2  # only the two full windows
+
+    def test_every_token_covered(self, documents):
+        """Concatenated non-overlapped chunks reproduce the corpus token
+        stream: sum of (stride-advance) tokens == total tokens."""
+        out = chunk_documents(
+            documents.limit(50), chunk_tokens=32, stride=32, id_col="doc_id"
+        )
+        got = out.agg(F.sum("chunk_n_tokens")).collect()[0][0]
+        want = (
+            documents.limit(50)
+            .select(F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        assert got == want
+
+    def test_bad_params_raise(self, tiny_docs):
+        with pytest.raises(ValueError):
+            chunk_documents(tiny_docs, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(tiny_docs, chunk_tokens=4, stride=5)
+
+
+class TestWinsorize:
+    def test_clips_in_place_preserving_schema(self, domains):
+        out = winsorize(domains, "quality", 0.25, 0.75, ["domain"])
+        assert out.columns == domains.columns
+        big = {r.id: r.quality for r in out.filter("domain = 'big'").collect()}
+        # p25 of 10..50 = 20, p75 = 40 (linear interpolation)
+        assert big[1] == 20.0 and big[5] == 40.0 and big[3] == 30.0
+
+    def test_out_col_appends(self, domains):
+        out = winsorize(domains, "quality", 0.0, 0.5, out_col="w")
+        assert out.columns == [*domains.columns, "w"]
+        assert out.filter(F.col("w") > F.col("quality")).count() == 0
+
+    def test_bad_band_raises(self, domains):
+        with pytest.raises(ValueError):
+            winsorize(domains, "quality", 0.9, 0.1)
+
+
+class TestHistogramFixed:
+    def test_counts_sum_and_overflow_bands(self, domains):
+        out = histogram_fixed(domains, "quality", 10.0, 30.0, 2)
+        rows = {r.bucket: r for r in out.collect()}
+        assert sum(r.n for r in rows.values()) == domains.count()
+        # 5,7,1,1,1 below 10 -> bucket 0; 30,40,50 >= 30 -> bucket 3
+        assert rows[0].n == 5
+        assert rows[3].n == 3
+        assert rows[1].n == 1 and rows[1].bucket_lo == 10.0 and rows[1].bucket_hi == 20.0
+        # boundary value 20 falls in the upper bucket
+        assert rows[2].n == 1
+
+    def test_grouped(self, domains):
+        out = histogram_fixed(domains, "quality", 0.0, 100.0, 1, ["domain"])
+        got = {(r.domain, r.bucket): r.n for r in out.collect()}
+        assert got[("big", 1)] == 5 and got[("tied", 1)] == 3
+
+    def test_bad_params_raise(self, domains):
+        with pytest.raises(ValueError):
+            histogram_fixed(domains, "quality", 5.0, 5.0, 4)
+        with pytest.raises(ValueError):
+            histogram_fixed(domains, "quality", 0.0, 1.0, 0)
+
+
+class TestDedupAgainst:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, "seen before"), (2, "also seen")], "id long, text string"
+        )
+
+    def test_drops_corpus_hits_and_batch_dupes(self, spark, corpus):
+        batch = spark.createDataFrame(
+            [
+                (10, "seen before"),   # in corpus -> dropped
+                (11, "brand new"),
+                (12, "brand new"),     # batch dupe -> collapsed to 11
+                (13, "another new"),
+            ],
+            "id long, text string",
+        )
+        out = dedup_against(batch, corpus, ["text"], "id")
+        assert {r.id for r in out.collect()} == {11, 13}
+        assert out.columns == batch.columns
+
+    def test_within_batch_false_keeps_dupes(self, spark, corpus):
+        batch = spark.createDataFrame(
+            [(11, "brand new"), (12, "brand new")], "id long, text string"
+        )
+        out = dedup_against(batch, corpus, ["text"], "id", within_batch=False)
+        assert out.count() == 2
