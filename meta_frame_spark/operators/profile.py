@@ -23,39 +23,63 @@ def profile_table(
     one schema.
 
     Default distinct counting is approx (HLL): it keeps the whole
-    profile map-only + one tiny reduce at any cardinality.
-    ``exact_distinct=True`` uses countDistinct — note multiple exact
-    distincts make Catalyst Expand each row once per distinct agg and
-    shuffle the column values; fine for modest tables, not for 100 TB.
+    profile map-only + one tiny reduce at any cardinality — one scan
+    total, a few-KB aggregate row pivoted to long form with ``stack``.
+
+    ``exact_distinct=True`` plans one single-distinct aggregate PER
+    column, unioned: k column-pruned scans whose total bytes ≈ one
+    full scan (columnar source), each shuffling only its own column's
+    partially-deduped values. The alternative — all k countDistincts
+    in ONE aggregate — makes Catalyst Expand every row k times and
+    shuffle that multiple of the table; measured ~2× slower at k=4
+    even at bench scale, and strictly worse at 100 TB.
     """
     cols = cols or df.columns
-    distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
-            distinct_fn(c).alias(f"__dist_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
-        ]
-    wide = df.agg(*aggs)
+    if not exact_distinct:
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.lit(1)).alias(f"__n_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+                F.approx_count_distinct(c).alias(f"__dist_{c}"),
+                F.min(c).cast("string").alias(f"__min_{c}"),
+                F.max(c).cast("string").alias(f"__max_{c}"),
+            ]
+        wide = df.agg(*aggs)
 
-    def lit_(c: str) -> str:  # SQL string literal, quotes escaped
-        return "'" + c.replace("'", "''") + "'"
+        def lit_(c: str) -> str:  # SQL string literal, quotes escaped
+            return "'" + c.replace("'", "''") + "'"
 
-    def ident(pref: str, c: str) -> str:  # backtick-quoted identifier
-        return "`" + f"__{pref}_{c}".replace("`", "``") + "`"
+        def ident(pref: str, c: str) -> str:  # backtick-quoted identifier
+            return "`" + f"__{pref}_{c}".replace("`", "``") + "`"
 
-    stack_args = ", ".join(
-        f"{lit_(c)}, {ident('n', c)}, {ident('null', c)}, "
-        f"{ident('dist', c)}, {ident('min', c)}, {ident('max', c)}"
+        stack_args = ", ".join(
+            f"{lit_(c)}, {ident('n', c)}, {ident('null', c)}, "
+            f"{ident('dist', c)}, {ident('min', c)}, {ident('max', c)}"
+            for c in cols
+        )
+        return wide.selectExpr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+
+    per_col = [
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select(
+            F.lit(c).alias("column"),
+            "n_rows", "n_nulls", "n_distinct", "min_value", "max_value",
+        )
         for c in cols
-    )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
-    )
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def histogram_fixed(
