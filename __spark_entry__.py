@@ -1194,6 +1194,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py):
+    partial aggs per (key, salt) then merged per key — identical
+    semantics to a plain GROUP BY, verified by exactly that oracle."""
+    from meta_frame_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": "sum", "l_extendedprice": "avg", "l_orderkey": "count"},
+        n_salts=16,
+        salt_on="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        F.round("avg_l_extendedprice", 2).alias("avg_price"),
+        F.col("count_l_orderkey").alias("n_rows"),
+    )
+
+
+def q_count_distinct_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT) as dedup-then-count
+    (operators/skew.py two_phase_count_distinct): a hot key's values
+    spread across the (key, value) shuffle instead of funneling into
+    one reducer's hash set."""
+    from meta_frame_spark.operators.skew import two_phase_count_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    return two_phase_count_distinct(li, ["l_returnflag"], "l_partkey", "n_parts")
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup: coarse k-means cells, in-cell
+    greedy cosine pruning (operators/semdedup.py). No oracle — the
+    quantizer is not SQL-expressible; determinism + planted-dup
+    behavior are unit-tested (tests/test_semdedup.py), the driver
+    records a rows-only check."""
+    from meta_frame_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.9, n_clusters=8)
+    return out.select(
+        "vec_id", "cell", "is_kept", "dup_of", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1271,6 +1319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_lengths": q_winsorized_lengths,
         "length_histogram": q_length_histogram,
         "dedup_incremental": q_dedup_incremental,
+        "agg_salted": q_agg_salted,
+        "count_distinct_skew": q_count_distinct_skew,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1952,5 +2003,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, f.source
             FROM fresh f
             JOIN keep k ON f.text = k.text AND f.doc_id = k.doc_id
+        """,
+        "agg_salted": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(AVG(l_extendedprice), 2) AS avg_price,
+                   COUNT(l_orderkey) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "count_distinct_skew": """
+            SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

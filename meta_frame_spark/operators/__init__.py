@@ -46,6 +46,7 @@ from meta_frame_spark.operators.scoring import (
     unigram_logprob,
     unigram_vocab,
 )
+from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
     hash_split,
     shuffle_deterministic,
@@ -67,6 +68,7 @@ __all__ = [
     "ngram_overlap",
     "quantile_band_filter",
     "quota_per_group",
+    "semantic_dedup",
     "chunk_documents",
     "winsorize",
     "histogram_fixed",

@@ -200,6 +200,51 @@ def _lloyd_kmeans(
     return centroids
 
 
+def _fit_quantizer(
+    corpus_vec: DataFrame,
+    n_cells: int,
+    seed: int,
+    fit_fraction: float | None = None,
+    max_train: int = 25_600,
+) -> "np.ndarray":
+    """Centroids for a coarse quantizer, trained driver-side on a
+    bounded sample of ``corpus_vec`` (columns ``_id``, ``v``): rows are
+    taken in ``xxhash64(_id)`` order, so the training set is
+    deterministic on any partitioning and ``limit`` plans as
+    per-partition top-N — never a full sort. ``fit_fraction``
+    additionally thins the pre-limit scan for extreme corpora."""
+    fit_input = corpus_vec
+    if fit_fraction is not None:
+        fit_input = corpus_vec.sample(fraction=fit_fraction, seed=seed)
+    train_rows = (
+        fit_input.select("v", F.xxhash64("_id").alias("_h"))
+        .orderBy("_h")
+        .limit(max_train)
+        .collect()
+    )
+    if not train_rows:
+        raise ValueError("quantizer fit: corpus has no non-null vectors")
+    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in train_rows])
+    return _lloyd_kmeans(X, min(n_cells, len(X)), seed)
+
+
+def _cell_assigner(centroids: "np.ndarray"):
+    """Arrow-batched UDF mapping each vector to its nearest centroid
+    (one (batch × n_cells) matmul per batch, map-only)."""
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (
+            centroids * centroids
+        ).sum(1)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return _assign
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -245,33 +290,12 @@ def ivf_topk(
     corpus_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
     )
-    fit_input = corpus_vec
-    if fit_fraction is not None:
-        fit_input = corpus_vec.sample(fraction=fit_fraction, seed=seed)
-    max_train = 25_600
-    train_rows = (
-        fit_input.select("v", F.xxhash64("_id").alias("_h"))
-        .orderBy("_h")  # per-partition top-N, never a full sort
-        .limit(max_train)
-        .collect()
-    )
-    if not train_rows:
-        raise ValueError("ivf_topk: corpus has no non-null vectors")
-    X = np.stack([np.asarray(r.v, dtype=np.float64) for r in train_rows])
-    centroids = _lloyd_kmeans(X, min(n_cells, len(X)), seed)
+    centroids = _fit_quantizer(corpus_vec, n_cells, seed, fit_fraction)
 
     cdim = centroids.shape[1]
 
-    @F.pandas_udf("int")
-    def _assign_cell(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="int32")
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (centroids * centroids).sum(1)
-        return pd.Series(d.argmin(1).astype(np.int32))
-
     assigned = corpus_vec.select(
-        "_id", "v", _assign_cell(F.col("v")).alias("cell")
+        "_id", "v", _cell_assigner(centroids)(F.col("v")).alias("cell")
     )
 
     @F.pandas_udf("array<int>")
