@@ -1242,6 +1242,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quartiles, all three from ONE aggregate
+    (percentile over a q-array; operators/profile.py group_quantiles)."""
+    from meta_frame_spark.operators.profile import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_quantiles(docs, "n_chars", [0.25, 0.5, 0.75], ["lang"])
+    return out.select("lang", "q", F.round("value", 2).alias("value"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": q_agg_salted,
         "count_distinct_skew": q_count_distinct_skew,
         "semantic_dedup": q_semantic_dedup,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2015,5 +2026,18 @@ def oracle_sql() -> dict[str, str]:
         "count_distinct_skew": """
             SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_quantiles": """
+            SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+                   ROUND(CAST(quantile_cont(n_chars, 0.25) AS DOUBLE), 2) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 2) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.75 AS DOUBLE) AS q,
+                   ROUND(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 2) AS value
+            FROM documents GROUP BY lang
         """,
     }

@@ -82,6 +82,43 @@ def profile_table(
     return out
 
 
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Long-form per-group quantiles: one row per (group, q) with the
+    quantile ``value`` — the distribution summary feeding mixture
+    dashboards and gate-threshold selection.
+
+    All requested quantiles come from ONE aggregate (``percentile``
+    over a literal q-array returns the whole vector from a single
+    per-group sort), then unzip to long form with ``arrays_zip`` +
+    ``explode`` — so k quantiles cost one shuffle, not k. Exact
+    percentile buffers each group's values; at 100 TB switch
+    ``exact=False`` for the mergeable ``percentile_approx`` sketch
+    (map-side combined, fixed memory) — same plan shape, rank error
+    bounded by ``accuracy``.
+    """
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be non-empty fractions in [0, 1], got {qs}")
+    keys = list(group_cols or [])
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    agg = (
+        F.percentile(value_col, qarr)
+        if exact
+        else F.percentile_approx(value_col, qarr, F.lit(accuracy))
+    )
+    wide = df.groupBy(*keys).agg(agg.alias("_qv"))
+    zipped = F.explode(F.arrays_zip(qarr.alias("q"), F.col("_qv").alias("value")))
+    return wide.select(*keys, zipped.alias("_z")).select(
+        *keys, F.col("_z.q").alias("q"), F.col("_z.value").alias("value")
+    )
+
+
 def histogram_fixed(
     df: DataFrame,
     value_col: str,

@@ -108,3 +108,34 @@ def test_string_filter_also_pushes_down(spark, sf_dir):
     )
     plan = _plan(out)
     assert "EqualTo(l_linestatus,O)" in plan  # F.expr string filter pushed to scan
+
+
+def test_exact_profile_has_no_expand(spark, sf_dir):
+    """Multi-column exact-distinct profiling must plan one
+    single-distinct aggregate per column (column-pruned scans), never
+    the Expand that multiplies every row by the number of distincts."""
+    from meta_frame_spark.operators.profile import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    prof = profile_table(
+        orders, cols=["o_orderkey", "o_custkey", "o_orderstatus"],
+        exact_distinct=True,
+    )
+    assert "Expand" not in _plan(prof)
+
+
+def test_group_quantiles_single_aggregate(spark, sf_dir):
+    """All requested quantiles come from ONE percentile aggregate —
+    k quantiles must not become k shuffles."""
+    from meta_frame_spark.operators.profile import group_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gq = group_quantiles(docs, "n_chars", [0.1, 0.5, 0.9], ["lang"])
+    plan = _plan(gq)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    rows = gq.collect()
+    langs = {r.lang for r in rows}
+    assert all(len([r for r in rows if r.lang == l]) == 3 for l in langs)
+    med = {r.lang: r.value for r in rows if r.q == 0.5}
+    lo = {r.lang: r.value for r in rows if r.q == 0.1}
+    assert all(lo[l] <= med[l] for l in langs)
