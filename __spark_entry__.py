@@ -1252,6 +1252,27 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "q", F.round("value", 2).alias("value"))
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a bag-of-words query (operators/search.py):
+    token explode filtered to query terms BEFORE any shuffle, corpus
+    constants broadcast, rank on rounded score so the top-k set is
+    engine-stable."""
+    from meta_frame_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"], k=20)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase earliest-chain funnel per user
+    (operators/funnel.py): one min-aggregate per step, user-keyed
+    joins, no windows or per-user sorts."""
+    from meta_frame_spark.operators.funnel import funnel
+
+    events = _t(spark, sf_dir, "events")
+    return funnel(events, ["view", "click", "purchase"])
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1333,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct_skew": q_count_distinct_skew,
         "semantic_dedup": q_semantic_dedup,
         "group_quantiles": q_group_quantiles,
+        "bm25_search": q_bm25_search,
+        "event_funnel": q_event_funnel,
     }
 
 
@@ -2039,5 +2062,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(0.75 AS DOUBLE) AS q,
                    ROUND(CAST(quantile_cont(n_chars, 0.75) AS DOUBLE), 2) AS value
             FROM documents GROUP BY lang
+        """,
+        "bm25_search": """
+            WITH lens AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\\S+')) AS dl,
+                       regexp_extract_all(lower(text), '\\S+') AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+                WHERE term IN ('spark', 'window', 'merge')
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   ROUND(SUM(
+                       ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 4) AS score
+            FROM tf JOIN dfreq USING (term), stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t_1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t_2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t_1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t_3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_2
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id, t_1, t_2, t_3,
+                   CASE WHEN t_3 IS NOT NULL THEN 3
+                        WHEN t_2 IS NOT NULL THEN 2
+                        ELSE 1 END AS max_step
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
     }

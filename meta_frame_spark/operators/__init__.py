@@ -46,6 +46,8 @@ from meta_frame_spark.operators.scoring import (
     unigram_logprob,
     unigram_vocab,
 )
+from meta_frame_spark.operators.funnel import funnel, funnel_counts
+from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
     hash_split,
@@ -69,6 +71,10 @@ __all__ = [
     "quantile_band_filter",
     "quota_per_group",
     "semantic_dedup",
+    "bm25_topk",
+    "build_inverted_index",
+    "funnel",
+    "funnel_counts",
     "chunk_documents",
     "winsorize",
     "histogram_fixed",

@@ -1,0 +1,106 @@
+"""Inverted index / BM25 search and funnel analysis — unit semantics;
+sf0.01 oracles cover bm25_search and event_funnel via the driver
+contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.funnel import funnel, funnel_counts
+from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
+
+
+@pytest.fixture(scope="module")
+def mini_corpus(spark):
+    rows = [
+        (1, "spark spark spark"),
+        (2, "spark flink"),
+        (3, "flink flink trino"),
+        (4, "unrelated words only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestInvertedIndex:
+    def test_postings_and_df(self, mini_corpus):
+        idx = {r.term: r for r in build_inverted_index(mini_corpus).collect()}
+        assert idx["spark"].df == 2
+        postings = {p.doc_id: p for p in idx["spark"].postings}
+        assert postings[1].tf == 3 and postings[1].positions == [0, 1, 2]
+        assert postings[2].tf == 1 and postings[2].positions == [0]
+        assert [p.doc_id for p in idx["flink"].postings] == [2, 3]
+
+    def test_without_positions(self, mini_corpus):
+        idx = build_inverted_index(mini_corpus, with_positions=False)
+        assert "positions" not in idx.schema["postings"].dataType.elementType.names
+
+
+class TestBM25:
+    def test_rarer_term_scores_higher(self, mini_corpus):
+        # trino appears in 1 doc, flink in 2: doc 3 (has both) must beat
+        # doc 2 (flink only) on the combined query
+        out = bm25_topk(mini_corpus, ["flink", "trino"], k=4).collect()
+        assert out[0].doc_id == 3
+        assert {r.doc_id for r in out} == {2, 3}  # doc 1/4: no query terms
+
+    def test_tf_saturation_not_linear(self, mini_corpus):
+        out = {r.doc_id: r.score for r in bm25_topk(mini_corpus, ["spark"], k=4).collect()}
+        # tf=3 scores higher than tf=1 but far less than 3x (k1 saturation)
+        assert out[1] > out[2]
+        assert out[1] < 2.0 * out[2]
+
+    def test_empty_query_raises(self, mini_corpus):
+        with pytest.raises(ValueError):
+            bm25_topk(mini_corpus, [])
+
+
+@pytest.fixture(scope="module")
+def mini_events(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # u2 purchases BEFORE clicking: chain stops at click
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:30:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "click"),
+        # u3 never views: not in the funnel at all
+        (3, "2024-01-01 08:00:00", "click"),
+        (3, "2024-01-01 08:10:00", "purchase"),
+        # u4 views twice; earliest view chains to the later click
+        (4, "2024-01-01 07:00:00", "view"),
+        (4, "2024-01-01 07:30:00", "view"),
+        (4, "2024-01-01 07:45:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+class TestFunnel:
+    def test_earliest_chain_semantics(self, mini_events):
+        out = {r.user_id: r for r in funnel(
+            mini_events, ["view", "click", "purchase"]
+        ).collect()}
+        assert set(out) == {1, 2, 4}  # u3 never did step 1
+        assert out[1].max_step == 3
+        # u2: purchase precedes click, so the chain breaks at 2
+        assert out[2].max_step == 2 and out[2].t_3 is None
+        assert out[4].max_step == 2
+        assert str(out[4].t_1) == "2024-01-01 07:00:00"
+
+    def test_funnel_counts(self, mini_events):
+        rows = {r.step: r for r in funnel_counts(
+            mini_events, ["view", "click", "purchase"]
+        ).collect()}
+        assert rows[1].n_users == 3 and rows[1].step_name == "view"
+        assert rows[2].n_users == 3
+        assert rows[3].n_users == 1
+
+    def test_single_step(self, mini_events):
+        out = funnel(mini_events, ["purchase"])
+        assert {r.user_id for r in out.collect()} == {1, 2, 3}
+        assert all(r.max_step == 1 for r in out.collect())
+
+    def test_empty_steps_raise(self, mini_events):
+        with pytest.raises(ValueError):
+            funnel(mini_events, [])
