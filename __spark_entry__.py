@@ -1273,6 +1273,42 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(events, ["view", "click", "purchase"])
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-grain gap sessionization (30-min gap): every event tagged
+    with its per-user session number (operators/temporal.py — one
+    shuffle, lag + running sum share the sort)."""
+    from meta_frame_spark.operators.temporal import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    return sessionize(
+        events, 1800, ["user_id"], tiebreak_col="event_id"
+    ).select("event_id", "user_id", "session_id")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events
+    (operators/funnel.py cohort_retention)."""
+    from meta_frame_spark.operators.funnel import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events, period="week")
+
+
+def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score + global percent-rank of document length
+    (operators/ranking.py normalize_scores) — the common-scale step
+    before mixing quality signals."""
+    from meta_frame_spark.operators.ranking import normalize_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    z = normalize_scores(docs, "n_chars", "zscore", ["lang"], out_col="z")
+    pr = normalize_scores(z, "n_chars", "percent_rank", ["lang"], out_col="pr")
+    return pr.select(
+        "doc_id", "lang",
+        F.round("z", 4).alias("z"), F.round("pr", 4).alias("pr"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1356,6 +1392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "bm25_search": q_bm25_search,
         "event_funnel": q_event_funnel,
+        "sessionize": q_sessionize,
+        "cohort_retention": q_cohort_retention,
+        "score_normalize": q_score_normalize,
     }
 
 
@@ -2115,5 +2154,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN t_2 IS NOT NULL THEN 2
                         ELSE 1 END AS max_step
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev_ts)
+                                     > 1800 * 1000000
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+        """,
+        "cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                FROM events
+            )
+            SELECT CAST(cohort AS DATE) AS cohort,
+                   CAST(datediff('day', CAST(cohort AS DATE),
+                                 CAST(p AS DATE)) // 7 AS INT)
+                       AS period_offset,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM active JOIN firsts USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "score_normalize": """
+            WITH s AS (
+                SELECT lang, AVG(n_chars) AS mu,
+                       STDDEV_SAMP(n_chars) AS sd
+                FROM documents GROUP BY lang
+            )
+            SELECT doc_id, d.lang,
+                   ROUND(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                              ELSE (n_chars - mu) / sd END, 4) AS z,
+                   ROUND(PERCENT_RANK() OVER (PARTITION BY d.lang
+                                              ORDER BY n_chars), 4) AS pr
+            FROM documents d JOIN s USING (lang)
         """,
     }

@@ -40,13 +40,13 @@ from meta_frame_spark.operators.linedup import dedup_units, repeated_units
 from meta_frame_spark.operators.mixing import apply_mix, mix_plan
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
-from meta_frame_spark.operators.ranking import ntile_buckets
+from meta_frame_spark.operators.ranking import normalize_scores, ntile_buckets
 from meta_frame_spark.operators.scoring import (
     score_documents,
     unigram_logprob,
     unigram_vocab,
 )
-from meta_frame_spark.operators.funnel import funnel, funnel_counts
+from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_counts
 from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
@@ -59,7 +59,7 @@ from meta_frame_spark.operators.skew import (
     salted_aggregate,
     two_phase_count_distinct,
 )
-from meta_frame_spark.operators.temporal import asof_join, rolling_agg
+from meta_frame_spark.operators.temporal import asof_join, rolling_agg, sessionize
 
 __all__ = [
     "apply_changelog",
@@ -75,6 +75,9 @@ __all__ = [
     "build_inverted_index",
     "funnel",
     "funnel_counts",
+    "cohort_retention",
+    "normalize_scores",
+    "sessionize",
     "chunk_documents",
     "winsorize",
     "histogram_fixed",

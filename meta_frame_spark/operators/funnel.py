@@ -71,6 +71,52 @@ def funnel(
     return out.withColumn("max_step", max_step)
 
 
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``period``
+    of their first event; one output row per (cohort, period offset)
+    with the distinct users active in that period —
+    ``(cohort, period_offset, n_users)``.
+
+    Scale: first-event per user is one min-aggregate on the user key;
+    activity periods dedup on (user, period) — both partial-aggregated
+    skinny shuffles, then a count keyed on the (tiny) matrix cell. The
+    period offset is a date diff, so cohort and activity use the same
+    calendar truncation on both engines (ISO weeks / calendar months).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period}")
+    trunc = lambda c: F.date_trunc(period, F.col(c))
+    firsts = df.groupBy(user_col).agg(F.min(trunc(ts_col)).alias("cohort"))
+    active = df.select(
+        F.col(user_col), trunc(ts_col).alias("p")
+    ).distinct()
+    if period == "month":
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        )
+    else:
+        days = {"day": 1, "week": 7}[period]
+        offset = (
+            F.datediff(F.to_date("p"), F.to_date("cohort")) / days
+        ).cast("int")
+    return (
+        active.join(firsts, user_col)
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            offset.alias("period_offset"),
+            user_col,
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     steps: list[str],

@@ -67,6 +67,55 @@ def ntile_buckets(
     return df.withColumn(out_col, F.ntile(n).over(w))
 
 
+def normalize_scores(
+    df: DataFrame,
+    value_col: str,
+    method: str = "zscore",
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Normalize a metric within its group — the step before mixing
+    heterogeneous quality signals (an LM perplexity and a length score
+    only compose after both are on a common scale).
+
+    Methods: ``zscore`` ((x-mean)/stddev; 0.0 for zero-variance
+    groups), ``minmax`` ((x-min)/(max-min) into [0,1]; 0.0 when
+    degenerate), ``percent_rank`` (rank-based, outlier-immune).
+
+    Scale: zscore/minmax are a tiny per-group stats aggregate broadcast
+    back — the data side never shuffles. percent_rank is a window (one
+    shuffle + per-group sort); prefer the moment-based methods at
+    extreme scale unless rank semantics are required.
+    """
+    keys = list(group_cols or [])
+    out = out_col or f"{value_col}_norm"
+    v = F.col(value_col)
+    if method == "percent_rank":
+        w = Window.partitionBy(*keys).orderBy(v.asc())
+        return df.withColumn(out, F.percent_rank().over(w))
+    if method == "zscore":
+        aggs = [F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd")]
+        expr = F.when(
+            F.col("_sd").isNull() | (F.col("_sd") == 0), F.lit(0.0)
+        ).otherwise((v - F.col("_mu")) / F.col("_sd"))
+    elif method == "minmax":
+        aggs = [F.min(v).alias("_lo"), F.max(v).alias("_hi")]
+        expr = F.when(
+            F.col("_hi") == F.col("_lo"), F.lit(0.0)
+        ).otherwise((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+    else:
+        raise ValueError(
+            f"method must be zscore|minmax|percent_rank, got {method!r}"
+        )
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    return joined.select(*df.columns, expr.alias(out))
+
+
 def rollup_aggregate(
     df: DataFrame,
     group_cols: list[str],

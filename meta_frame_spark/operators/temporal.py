@@ -64,6 +64,48 @@ def rolling_agg(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    partition_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Tag every row with its gap-based session: a new session starts
+    whenever the time since the key's previous event exceeds
+    ``gap_seconds``. Complements the session-WINDOW aggregate
+    (streaming.session_aggregate): that one returns one row per
+    session; this keeps the event grain so downstream ops can group
+    arbitrary metrics by (key, session_id).
+
+    ``session_id`` is the running count of session starts per key
+    (1-based) — deterministic given a ``tiebreak_col`` for
+    same-timestamp events. Scale: one shuffle on ``partition_cols``
+    + per-key sort shared by the lag and the running sum (one Window
+    exchange, two frame passes)."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    is_start = (
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+           > gap_seconds * 1_000_000)
+    ).cast("int")
+    running = Window.partitionBy(*partition_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # two steps: a window expression (lag) can't nest inside another
+    # window's aggregate
+    return (
+        df.withColumn("_mfs_start", is_start)
+        .withColumn(out_col, F.sum("_mfs_start").over(running))
+        .drop("_mfs_start")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -104,3 +104,106 @@ class TestFunnel:
     def test_empty_steps_raise(self, mini_events):
         with pytest.raises(ValueError):
             funnel(mini_events, [])
+
+
+class TestCohortRetention:
+    def test_weekly_matrix(self, spark):
+        from meta_frame_spark.operators.funnel import cohort_retention
+
+        rows = [
+            # u1 first active week of Jan 1 (Mon), returns week of Jan 8
+            (1, "2024-01-02 10:00:00"), (1, "2024-01-10 10:00:00"),
+            # u2 same cohort, never returns
+            (2, "2024-01-03 10:00:00"),
+            # u3 later cohort
+            (3, "2024-01-09 10:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {(str(r.cohort), r.period_offset): r.n_users
+               for r in cohort_retention(df, period="week").collect()}
+        assert out[("2024-01-01", 0)] == 2
+        assert out[("2024-01-01", 1)] == 1
+        assert out[("2024-01-08", 0)] == 1
+        assert len(out) == 3
+
+    def test_bad_period_raises(self, spark):
+        from meta_frame_spark.operators.funnel import cohort_retention
+
+        df = spark.createDataFrame([(1,)], "user_id long")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            cohort_retention(df, period="fortnight")
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        from meta_frame_spark.operators.temporal import sessionize
+
+        rows = [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 1, "2024-01-01 10:10:00"),   # same session (10 min)
+            (3, 1, "2024-01-01 11:00:00"),   # 50 min gap -> new session
+            (4, 2, "2024-01-01 10:00:00"),   # other user: own numbering
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.event_id: r.session_id for r in sessionize(
+            df, 1800, ["user_id"], tiebreak_col="event_id"
+        ).collect()}
+        assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    def test_exact_gap_is_same_session(self, spark):
+        from meta_frame_spark.operators.temporal import sessionize
+
+        rows = [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:30:00")]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = {r.event_id: r.session_id for r in sessionize(
+            df, 1800, ["user_id"], tiebreak_col="event_id"
+        ).collect()}
+        # gap == threshold does NOT split (strictly-greater rule)
+        assert out == {1: 1, 2: 1}
+
+
+class TestNormalizeScores:
+    @pytest.fixture(scope="class")
+    def scores(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+             (4, "b", 5.0), (5, "b", 5.0)],
+            "id long, grp string, x double",
+        )
+
+    def test_zscore(self, scores):
+        from meta_frame_spark.operators.ranking import normalize_scores
+
+        out = {r.id: r.x_norm for r in normalize_scores(
+            scores, "x", "zscore", ["grp"]
+        ).collect()}
+        assert abs(out[2]) < 1e-12          # group mean
+        assert abs(out[1] + 1.0) < 1e-12    # (10-20)/10
+        assert out[4] == 0.0 and out[5] == 0.0  # zero variance -> 0
+
+    def test_minmax_and_percent_rank(self, scores):
+        from meta_frame_spark.operators.ranking import normalize_scores
+
+        mm = {r.id: r.x_norm for r in normalize_scores(
+            scores, "x", "minmax", ["grp"]
+        ).collect()}
+        assert mm[1] == 0.0 and mm[3] == 1.0 and mm[2] == 0.5
+        assert mm[4] == 0.0  # degenerate range
+        pr = {r.id: r.x_norm for r in normalize_scores(
+            scores, "x", "percent_rank", ["grp"]
+        ).collect()}
+        assert pr[1] == 0.0 and pr[3] == 1.0
+        assert pr[4] == pr[5] == 0.0  # ties share rank
+
+    def test_bad_method_raises(self, scores):
+        from meta_frame_spark.operators.ranking import normalize_scores
+
+        with pytest.raises(ValueError):
+            normalize_scores(scores, "x", "softmax")
