@@ -1309,6 +1309,27 @@ def q_score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's metadata-driven idea extended to curation: a
+    dict config (filter -> per-source quality gate -> exact dedup ->
+    domain cap) compiled to ONE lazy plan by plans/curation.py, with
+    loud validation instead of the reference's silent fallthrough."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    config = {
+        "steps": [
+            {"op": "filter", "predicate": "lang = 'en'"},
+            {"op": "quality_gate", "value_col": "n_chars",
+             "lower_q": 0.10, "upper_q": 0.90, "group_cols": ["source"]},
+            {"op": "dedup_exact", "key_cols": ["text"], "id_col": "doc_id"},
+            {"op": "domain_cap", "group_cols": ["source"], "cap": 10,
+             "priority": "n_chars", "tiebreak": "doc_id"},
+        ]
+    }
+    return run_curation(docs, config).select("doc_id", "source", "n_chars")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -1395,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "cohort_retention": q_cohort_retention,
         "score_normalize": q_score_normalize,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2199,5 +2221,31 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(PERCENT_RANK() OVER (PARTITION BY d.lang
                                               ORDER BY n_chars), 4) AS pr
             FROM documents d JOIN s USING (lang)
+        """,
+        "curation_pipeline": """
+            WITH f AS (
+                SELECT * FROM documents WHERE lang = 'en'
+            ),
+            bands AS (
+                SELECT source,
+                       quantile_cont(n_chars, 0.10) AS lo,
+                       quantile_cont(n_chars, 0.90) AS hi
+                FROM f GROUP BY source
+            ),
+            g AS (
+                SELECT f.* FROM f JOIN bands USING (source)
+                WHERE n_chars >= lo AND n_chars <= hi
+            ),
+            d AS (
+                SELECT g.* FROM g
+                JOIN (SELECT text, MIN(doc_id) AS doc_id
+                      FROM g GROUP BY text) k
+                  ON g.text = k.text AND g.doc_id = k.doc_id
+            )
+            SELECT doc_id, source, n_chars FROM (
+                SELECT d.*, ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+                FROM d
+            ) WHERE rn <= 10
         """,
     }

@@ -12,6 +12,11 @@ from meta_frame_spark.plans.builder import (
     run_iteration,
     run_pipeline,
 )
+from meta_frame_spark.plans.curation import (
+    CURATION_OPS,
+    run_curation,
+    validate_curation_config,
+)
 
 __all__ = [
     "agg_expr",
@@ -24,4 +29,7 @@ __all__ = [
     "nested_aggregate",
     "run_iteration",
     "run_pipeline",
+    "CURATION_OPS",
+    "run_curation",
+    "validate_curation_config",
 ]

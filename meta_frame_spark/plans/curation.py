@@ -1,0 +1,217 @@
+"""Declarative curation pipelines — the reference's metadata-driven
+idea (a dict fully describes the computation; `README.md:2`,
+`pandas/optimus.py:2`) extended to the corpus-curation operators.
+
+A config is a list of steps, each naming a registered operator and its
+kwargs:
+
+    {"steps": [
+        {"op": "filter", "predicate": "lang = 'en'"},
+        {"op": "quality_gate", "value_col": "n_chars",
+         "lower_q": 0.05, "upper_q": 0.95, "group_cols": ["lang"]},
+        {"op": "dedup_exact", "key_cols": ["text"], "id_col": "doc_id"},
+        {"op": "domain_cap", "group_cols": ["source"], "cap": 1000,
+         "priority": "n_chars", "tiebreak": "doc_id"},
+        {"op": "mix", "source_col": "source",
+         "weights": {"src0": 0.5, "src1": 0.5}, "id_col": "doc_id"},
+    ]}
+
+`run_curation(df, config)` validates the whole config up front (loud
+``ConfigError`` on unknown ops or kwargs — the reference's silent
+no-op fallthrough, `megatron.py:11,14`, is a bug class we refuse to
+reproduce) and compiles it to ONE lazy DataFrame plan: each step is a
+pure DataFrame→DataFrame function, so Catalyst sees the whole chain
+and pushes filters/prunes columns across step boundaries. Nothing
+executes until the caller sinks the result.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meta_frame_spark.config.model import ConfigError
+
+
+def _op_filter(df: DataFrame, predicate: str) -> DataFrame:
+    return df.filter(F.expr(predicate))
+
+
+def _op_quality_gate(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.gating import quantile_band_filter
+
+    return quantile_band_filter(df, **kw)
+
+
+def _op_winsorize(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.gating import winsorize
+
+    return winsorize(df, **kw)
+
+
+def _op_dedup_exact(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.dedup import drop_exact_duplicates
+
+    return drop_exact_duplicates(df, **kw)
+
+
+def _op_dedup_against(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.dedup import dedup_against
+
+    corpus = kw.pop("corpus")
+    return dedup_against(df, corpus, **kw)
+
+
+def _op_domain_cap(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.quota import quota_per_group
+
+    return quota_per_group(df, **kw)
+
+
+def _op_stratified_sample(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(df, **kw)
+
+
+def _op_hash_split(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.sampling import hash_split
+
+    return hash_split(df, **kw)
+
+
+def _op_mix(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.mixing import apply_mix, mix_plan
+
+    source_col = kw.pop("source_col")
+    weights = kw.pop("weights")
+    id_col = kw.pop("id_col")
+    plan = mix_plan(df, source_col, weights, **kw)
+    return apply_mix(df, plan, source_col, id_col)
+
+
+def _op_decontaminate(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.decontaminate import decontaminate
+
+    bench = kw.pop("benchmark")
+    return decontaminate(df, bench, **kw)
+
+
+def _op_normalize_scores(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.ranking import normalize_scores
+
+    return normalize_scores(df, **kw)
+
+
+def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:
+    return df.select(*columns)
+
+
+def _op_derive(df: DataFrame, columns: dict[str, str]) -> DataFrame:
+    out = df
+    for name, expr in columns.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
+#: op name -> implementation. Each takes (df, **step kwargs).
+CURATION_OPS: dict[str, Callable] = {
+    "filter": _op_filter,
+    "quality_gate": _op_quality_gate,
+    "winsorize": _op_winsorize,
+    "dedup_exact": _op_dedup_exact,
+    "dedup_against": _op_dedup_against,
+    "domain_cap": _op_domain_cap,
+    "stratified_sample": _op_stratified_sample,
+    "hash_split": _op_hash_split,
+    "mix": _op_mix,
+    "decontaminate": _op_decontaminate,
+    "normalize_scores": _op_normalize_scores,
+    "select": _op_select,
+    "derive": _op_derive,
+}
+
+#: ops whose underlying callable hides kwargs behind **kw — validated
+#: against the real operator signature instead
+_SIG_TARGETS = {
+    "quality_gate": "meta_frame_spark.operators.gating:quantile_band_filter",
+    "winsorize": "meta_frame_spark.operators.gating:winsorize",
+    "dedup_exact": "meta_frame_spark.operators.dedup:drop_exact_duplicates",
+    "dedup_against": "meta_frame_spark.operators.dedup:dedup_against",
+    "domain_cap": "meta_frame_spark.operators.quota:quota_per_group",
+    "stratified_sample": "meta_frame_spark.operators.sampling:stratified_sample",
+    "hash_split": "meta_frame_spark.operators.sampling:hash_split",
+    "normalize_scores": "meta_frame_spark.operators.ranking:normalize_scores",
+}
+
+#: config-level kwargs that are remapped before reaching the operator
+_EXTRA_KEYS = {
+    "mix": {"source_col", "weights", "id_col", "size_col"},
+    "dedup_against": {"corpus"},
+    "decontaminate": {"benchmark"},
+    "filter": {"predicate"},
+    "select": {"columns"},
+    "derive": {"columns"},
+}
+
+
+def _allowed_keys(op: str) -> set[str] | None:
+    """Valid kwarg names for a step, or None when free-form."""
+    extra = _EXTRA_KEYS.get(op, set())
+    if op in _SIG_TARGETS:
+        mod_name, fn_name = _SIG_TARGETS[op].split(":")
+        import importlib
+
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        params = [
+            p for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_OR_KEYWORD, p.KEYWORD_ONLY)
+        ]
+        # first parameter is the DataFrame itself
+        return {p.name for p in params[1:]} | extra
+    if op in _EXTRA_KEYS:
+        return extra
+    return None
+
+
+def validate_curation_config(config: dict) -> list[dict]:
+    """Validated step list. Raises ``ConfigError`` on a non-list
+    ``steps``, an unknown ``op``, or kwargs the operator does not
+    accept — config typos fail before any job runs."""
+    steps = config.get("steps")
+    if not isinstance(steps, list) or not steps:
+        raise ConfigError("curation config needs a non-empty 'steps' list")
+    out = []
+    for i, step in enumerate(steps):
+        if not isinstance(step, dict) or "op" not in step:
+            raise ConfigError(f"step {i}: each step must be a dict with an 'op'")
+        op = step["op"]
+        if op not in CURATION_OPS:
+            raise ConfigError(
+                f"step {i}: unknown op {op!r}; known: {sorted(CURATION_OPS)}"
+            )
+        kwargs = {k: v for k, v in step.items() if k != "op"}
+        allowed = _allowed_keys(op)
+        if allowed is not None:
+            bad = set(kwargs) - allowed
+            if bad:
+                raise ConfigError(
+                    f"step {i} ({op}): unknown kwargs {sorted(bad)}; "
+                    f"allowed: {sorted(allowed)}"
+                )
+        out.append({"op": op, **kwargs})
+    return out
+
+
+def run_curation(df: DataFrame, config: dict) -> DataFrame:
+    """Compile a curation config into one lazy DataFrame plan."""
+    steps = validate_curation_config(config)
+    out = df
+    for step in steps:
+        op = step["op"]
+        kwargs = {k: v for k, v in step.items() if k != "op"}
+        out = CURATION_OPS[op](out, **kwargs)
+    return out

@@ -115,3 +115,77 @@ def test_mix_plan_single_aggregate_shuffle(sized_corpus):
     plan = mix_plan(sized_corpus, "source", {"a": 0.5, "b": 0.5})
     expl = plan._jdf.queryExecution().executedPlan().toString()
     assert expl.count("HashAggregate") <= 6  # partial+final for 3 aggs max
+
+
+class TestCurationConfig:
+    """Declarative curation pipelines (plans/curation.py): the
+    reference's metadata-driven contract extended to curation ops,
+    with loud validation (no silent fallthrough)."""
+
+    def test_unknown_op_raises(self, spark):
+        from meta_frame_spark.config.model import ConfigError
+        from meta_frame_spark.plans.curation import validate_curation_config
+
+        with pytest.raises(ConfigError, match="unknown op"):
+            validate_curation_config({"steps": [{"op": "frobnicate"}]})
+
+    def test_unknown_kwarg_raises(self, spark):
+        from meta_frame_spark.config.model import ConfigError
+        from meta_frame_spark.plans.curation import validate_curation_config
+
+        with pytest.raises(ConfigError, match="unknown kwargs"):
+            validate_curation_config(
+                {"steps": [{"op": "dedup_exact", "key_cols": ["text"],
+                            "id_col": "doc_id", "tpyo": 1}]}
+            )
+
+    def test_empty_steps_raises(self, spark):
+        from meta_frame_spark.config.model import ConfigError
+        from meta_frame_spark.plans.curation import validate_curation_config
+
+        with pytest.raises(ConfigError):
+            validate_curation_config({"steps": []})
+
+    def test_chain_equals_manual_composition(self, spark, documents):
+        from meta_frame_spark.operators.dedup import drop_exact_duplicates
+        from meta_frame_spark.operators.gating import quantile_band_filter
+        from meta_frame_spark.plans.curation import run_curation
+
+        config = {
+            "steps": [
+                {"op": "filter", "predicate": "lang = 'en'"},
+                {"op": "quality_gate", "value_col": "n_chars",
+                 "lower_q": 0.1, "upper_q": 0.9, "group_cols": ["source"]},
+                {"op": "dedup_exact", "key_cols": ["text"], "id_col": "doc_id"},
+            ]
+        }
+        declared = run_curation(documents, config)
+        manual = drop_exact_duplicates(
+            quantile_band_filter(
+                documents.filter("lang = 'en'"), "n_chars", 0.1, 0.9, ["source"]
+            ),
+            ["text"], "doc_id",
+        )
+        assert sorted(r.doc_id for r in declared.collect()) == sorted(
+            r.doc_id for r in manual.collect()
+        )
+
+    def test_derive_and_select(self, spark, documents):
+        from meta_frame_spark.plans.curation import run_curation
+
+        out = run_curation(documents, {"steps": [
+            {"op": "derive", "columns": {"kchars": "n_chars / 1000.0"}},
+            {"op": "select", "columns": ["doc_id", "kchars"]},
+        ]})
+        assert out.columns == ["doc_id", "kchars"]
+
+    def test_single_lazy_plan(self, spark, documents):
+        from meta_frame_spark.plans.curation import run_curation
+
+        out = run_curation(documents, {"steps": [
+            {"op": "filter", "predicate": "lang = 'en'"},
+            {"op": "select", "columns": ["doc_id", "lang"]},
+        ]})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # filter + projection reach the parquet scan in one plan
+        assert "PushedFilters: [" in plan and "IsNotNull(lang)" in plan
