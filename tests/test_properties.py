@@ -113,3 +113,101 @@ def test_nested_dialect_random_configs_execute(frame, keys, aggs):
     expected_cols = set(keys) | {f"{f if isinstance(f, str) else f['function']}_{c}"
                                  for c, f in aggs.items()}
     assert set(out.columns) == expected_cols
+
+
+# ---------------------------------------------------------------------------
+# curation-operator invariants
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@_settings
+@given(texts=texts, chunk=st.integers(1, 6), stride_frac=st.floats(0.2, 1.0))
+def test_chunking_conserves_tokens(spark, texts, chunk, stride_frac):
+    """stride == chunk (no overlap): chunk token counts sum to the
+    corpus token count, chunks never exceed the window, and every doc
+    yields at least one chunk."""
+    from meta_frame_spark.operators.chunking import chunk_documents
+
+    stride = max(1, int(chunk * stride_frac))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    n_tokens = {r.doc_id: len(r.text.split()) for r in df.collect()}
+    assert all(r.chunk_n_tokens <= chunk for r in out)
+    assert {r.doc_id for r in out} == set(n_tokens)  # no doc lost
+    # non-overlapping case: exact token conservation
+    if stride == chunk:
+        got = {}
+        for r in out:
+            got[r.doc_id] = got.get(r.doc_id, 0) + r.chunk_n_tokens
+        assert got == n_tokens
+    # overlap case: every token position is covered by some window
+    for d, n in n_tokens.items():
+        covered = max(r.chunk_idx * stride + r.chunk_n_tokens
+                      for r in out if r.doc_id == d)
+        assert covered == n or (n == 0 and covered == 0)
+
+
+@_settings
+@given(cap=st.integers(1, 8), pre=st.booleans())
+def test_quota_cap_and_subset(frame, cap, pre):
+    from meta_frame_spark.operators.quota import quota_per_group
+
+    out = quota_per_group(
+        frame.filter("v1 is not null"), ["g1"], cap,
+        priority="v2", tiebreak="v1", prefilter_counts=pre,
+    )
+    sizes = {r.g1: r.n for r in out.groupBy("g1").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= cap for n in sizes.values())
+    # output is a subset of the input rows
+    assert out.exceptAll(frame).count() == 0
+
+
+@_settings
+@given(
+    gaps=st.lists(st.integers(1, 7200), min_size=1, max_size=10),
+    threshold=st.integers(60, 3600),
+)
+def test_sessionize_ids_contiguous(spark, gaps, threshold):
+    """Session ids per user are exactly 1..k in time order, and the
+    number of sessions equals 1 + (number of over-threshold gaps)."""
+    from meta_frame_spark.operators.temporal import sessionize
+
+    ts, rows = 0, []
+    for i, g in enumerate(gaps):
+        ts += g
+        rows.append((i, 1, ts))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    out = sorted(
+        (r.event_id, r.session_id)
+        for r in sessionize(df, threshold, ["user_id"], tiebreak_col="event_id").collect()
+    )
+    ids = [s for _, s in out]
+    expected_sessions = 1 + sum(1 for g in gaps[1:] if g > threshold)
+    assert ids[0] == 1
+    assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))  # contiguous
+    assert ids[-1] == expected_sessions
+
+
+@_settings
+@given(lo=st.floats(0.0, 0.4), span=st.floats(0.1, 0.6))
+def test_winsorize_bounds_and_count(frame, lo, span):
+    from meta_frame_spark.operators.gating import winsorize
+
+    hi = min(1.0, lo + span)
+    base = frame.filter("v2 is not null")
+    out = winsorize(base, "v2", lo, hi, ["g1"])
+    assert out.count() == base.count()  # clipping never drops rows
+    joined = out.alias("w").join(
+        base.groupBy("g1").agg(F.min("v2").alias("mn"), F.max("v2").alias("mx")),
+        "g1",
+    )
+    assert joined.filter("v2 < mn OR v2 > mx").count() == 0
