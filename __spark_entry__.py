@@ -275,14 +275,17 @@ def q_bp_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split sizes (hash-bucketed by id —
-    partitioning-independent, unlike randomSplit; no oracle: xxhash64
-    is Spark-specific; determinism asserted in tests/test_skew.py)."""
+    partitioning-independent, unlike randomSplit). method="md5" is the
+    engine-portable bucket (first 4 hex chars of md5 vs hex thresholds)
+    so the DuckDB oracle reproduces the assignment byte-for-byte; the
+    faster xxhash64 default is covered in tests/test_skew.py."""
     from meta_frame_spark.operators.sampling import hash_split
 
     out = hash_split(
         _t(spark, sf_dir, "orders"),
         {"train": 0.8, "val": 0.1, "test": 0.1},
         id_col="o_orderkey",
+        method="md5",
     )
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -366,15 +369,18 @@ def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing: deterministically downsample short documents
-    to 20% while keeping the rest (per-stratum hash sampling — no
-    oracle: xxhash64 is Spark-specific; proportions + determinism
-    asserted in tests/test_skew.py)."""
+    to 20% while keeping the rest (per-stratum hash sampling;
+    method="md5" makes the keep decision engine-portable, so the DuckDB
+    oracle reproduces the exact kept set — unlike sampleBy, which is
+    seed+partitioning dependent; xxhash64 path in tests/test_skew.py)."""
     from meta_frame_spark.operators.sampling import stratified_sample
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "len_band", F.when(F.length("text") < 200, "short").otherwise("long")
     )
-    out = stratified_sample(docs, "len_band", {"short": 0.2}, id_col="doc_id")
+    out = stratified_sample(
+        docs, "len_band", {"short": 0.2}, id_col="doc_id", method="md5"
+    )
     return out.groupBy("len_band").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
@@ -2053,6 +2059,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(64, GREATEST(n - i*48, 0)) AS INTEGER)
                        AS chunk_n_tokens
             FROM nw, UNNEST(range(n_windows)) AS u(i)
+        """,
+        "hash_split": """
+            SELECT split, COUNT(*) AS n_rows
+            FROM (
+                SELECT CASE
+                    WHEN substr(md5(o_orderkey::VARCHAR || ':'), 1, 4)
+                         < 'cccd' THEN 'train'
+                    WHEN substr(md5(o_orderkey::VARCHAR || ':'), 1, 4)
+                         < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+                FROM orders
+            )
+            GROUP BY split
+        """,
+        "stratified_sample": """
+            SELECT len_band, COUNT(*) AS n_docs
+            FROM (
+                SELECT CASE WHEN length(text) < 200 THEN 'short'
+                            ELSE 'long' END AS len_band,
+                       doc_id
+                FROM documents
+            )
+            WHERE len_band <> 'short'
+               OR substr(md5(doc_id::VARCHAR || ':'), 1, 4) < '3333'
+            GROUP BY len_band
         """,
         "winsorized_lengths": """
             WITH s AS (

@@ -10,11 +10,35 @@ any day — and late-arriving data joins the right split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: granularity of split fractions (1/10000)
 _BUCKETS = 10_000
+#: md5-method granularity: first 4 hex chars of md5 = 1/65536
+_HEX_BUCKETS = 65_536
+
+
+def _md5_hex4(id_col: str, salt: str) -> Column:
+    """First 4 hex chars of ``md5(cast(id as string) || ':' || salt)``.
+
+    Engine-portable bucket value: any engine with ``md5`` (DuckDB,
+    Trino, Postgres, ...) reproduces the assignment byte-for-byte, so a
+    split/sample survives an engine migration. Lowercase hex both in
+    Spark and DuckDB; compared as strings against hex thresholds so no
+    base-16 integer parsing is needed anywhere."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+
+
+def hex_threshold(frac: float) -> str:
+    """Fraction -> 4-hex-char threshold for ``_md5_hex4`` comparison.
+    ``frac >= 1.0`` maps to ``'g'``: every hex string sorts below it
+    (hex chars are 0-9a-f), avoiding a 5-char carry like '10000' that
+    would compare *smaller* than 'ffff' lexicographically."""
+    n = int(round(frac * _HEX_BUCKETS))
+    return "g" if n >= _HEX_BUCKETS else format(n, "04x")
 
 
 def hash_split(
@@ -23,17 +47,35 @@ def hash_split(
     id_col: str,
     salt: str = "",
     split_col: str = "split",
+    method: str = "xxhash64",
 ) -> DataFrame:
-    """Append a deterministic split label: row -> bucket by
-    ``xxhash64(id, salt)``, buckets carved by ``weights`` (must sum to
+    """Append a deterministic split label: row -> bucket by a stable
+    hash of ``(id, salt)``, buckets carved by ``weights`` (must sum to
     1.0). Map-only — no shuffle, no sampling job.
 
     ``salt`` re-deals the assignment (a new experiment) without
     touching the id space.
+
+    ``method``: ``"xxhash64"`` (default — fastest, one JVM codegen'd
+    hash) or ``"md5"`` (engine-portable: the same row gets the same
+    split in any md5-capable engine; see ``_md5_hex4``). Both are
+    partitioning- and cluster-independent.
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0, got {total}")
+    if method not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_split method {method!r}")
+    if method == "md5":
+        bucket: Column = _md5_hex4(id_col, salt)
+        cum = 0.0
+        expr = None
+        for name, w in weights.items():
+            cum += w
+            cond = bucket < F.lit(hex_threshold(cum))
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        last = list(weights)[-1]
+        return df.withColumn(split_col, expr.otherwise(F.lit(last)))
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(_BUCKETS))
     expr = None
     lo = 0
@@ -54,6 +96,7 @@ def stratified_sample(
     id_col: str,
     salt: str = "",
     default_fraction: float = 1.0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic per-stratum downsampling — the corpus-rebalancing
     primitive (downweight an over-represented language/domain/source
@@ -67,12 +110,32 @@ def stratified_sample(
     listed keep ``default_fraction``. Map-only — no shuffle, no
     count jobs; Spark's ``sampleBy`` by contrast is seed+partitioning
     dependent.
+
+    ``method``: ``"xxhash64"`` (default) or ``"md5"`` (engine-portable
+    decisions, see ``hash_split``). The nested-sample property holds
+    for both: the kept set at fraction f is a subset of the kept set at
+    any f' > f.
     """
     for k, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for stratum {k!r} must be in [0,1], got {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    if method not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown stratified_sample method {method!r}")
+    if method == "md5":
+        hex4 = _md5_hex4(id_col, salt)
+        sthresh = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == value
+            lim = F.lit(hex_threshold(frac))
+            sthresh = F.when(cond, lim) if sthresh is None else sthresh.when(cond, lim)
+        sthresh = (
+            sthresh.otherwise(F.lit(hex_threshold(default_fraction)))
+            if sthresh is not None
+            else F.lit(hex_threshold(default_fraction))
+        )
+        return df.filter(hex4 < sthresh)
     bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(_BUCKETS))
     thresh = None
     for value, frac in fractions.items():

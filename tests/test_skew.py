@@ -154,6 +154,63 @@ def test_stratified_sample_deterministic_and_nested(spark, orders):
         stratified_sample(orders, "o_orderstatus", {"F": 1.5}, id_col="o_orderkey")
 
 
+def test_md5_method_portable_and_nested(spark, orders):
+    """method="md5" (the engine-portable bucket): assignment matches a
+    pure-Python md5 recomputation row-for-row, proportions hold, nested
+    subsets hold, and unknown methods raise."""
+    import hashlib
+
+    import pytest
+
+    from meta_frame_spark.operators.sampling import (
+        hash_split,
+        hex_threshold,
+        stratified_sample,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r.o_orderkey: r.split
+        for r in hash_split(orders, w, id_col="o_orderkey", method="md5")
+        .select("o_orderkey", "split")
+        .collect()
+    }
+
+    def py_assign(key: int) -> str:
+        h4 = hashlib.md5(f"{key}:".encode()).hexdigest()[:4]
+        cum = 0.0
+        for name, frac in w.items():
+            cum += frac
+            if h4 < hex_threshold(cum):
+                return name
+        return list(w)[-1]
+
+    assert got == {k: py_assign(k) for k in got}
+    n = len(got)
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert abs(n_train / n - 0.8) < 0.05
+
+    frac = {"F": 0.2}
+    narrow = stratified_sample(
+        orders, "o_orderstatus", frac, id_col="o_orderkey", method="md5"
+    )
+    wide = stratified_sample(
+        orders, "o_orderstatus", {"F": 0.6}, id_col="o_orderkey", method="md5"
+    )
+    kn = {r.o_orderkey for r in narrow.select("o_orderkey").collect()}
+    kw = {r.o_orderkey for r in wide.select("o_orderkey").collect()}
+    assert kn <= kw
+
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(0.0) == "0000"
+    with pytest.raises(ValueError):
+        hash_split(orders, w, id_col="o_orderkey", method="sha9")
+    with pytest.raises(ValueError):
+        stratified_sample(
+            orders, "o_orderstatus", frac, id_col="o_orderkey", method="sha9"
+        )
+
+
 def test_shuffle_deterministic_stable_order(spark, orders):
     from meta_frame_spark.operators.sampling import shuffle_deterministic
 
