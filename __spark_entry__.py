@@ -597,6 +597,17 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: global top-100 word bigrams with term
+    and document frequency (two-phase agg — no count-distinct Expand;
+    TakeOrdered top-k, never a global sort). Deterministic tiebreak
+    (count desc, token asc) makes the k-row set engine-portable."""
+    from meta_frame_spark.operators.vocab import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", "doc_id", k=100, n=2)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs over the doc_id<200
     subset (all pairs, no LSH) — the exact-verify building block that
@@ -1385,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "token_bpe": q_token_bpe,
+        "vocab_topk": q_vocab_topk,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1858,6 +1870,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\\S+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS token
+                FROM toks,
+                     UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+            ),
+            per_doc AS (
+                SELECT token, doc_id, COUNT(*) AS c
+                FROM grams GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(SUM(c) AS BIGINT) AS n_occurrences,
+                   COUNT(*) AS n_docs
+            FROM per_doc
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
         """,
         "ngram_jaccard": """
             WITH sh AS (

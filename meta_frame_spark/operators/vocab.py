@@ -1,0 +1,93 @@
+"""Corpus vocabulary / n-gram frequency analysis.
+
+The tokenizer-design and corpus-accounting primitive for an LLM data
+pipeline: term and document frequencies over the whole corpus, and the
+deterministic global top-k that seeds a vocabulary.
+
+Reference parity note: the reference (`skybluecycology/meta_frame`)
+has no text operators at all — this extends the rebuilt engine per the
+north-star scope (SURVEY.md §7.1 step 6a).
+
+Scale design (100 TB): n-grams are built per-row with JVM higher-order
+functions (``transform``/``slice``/``array_join`` — codegen'd, no
+Python). The frequency table is a classic two-phase aggregation:
+``groupBy(token, doc_id)`` first (map-side partial combine collapses
+within-doc repeats before the shuffle), then ``groupBy(token)`` over
+the already-reduced pairs to get term frequency AND document frequency
+without a count-distinct Expand. Top-k is ``orderBy(...).limit(k)`` —
+Spark's TakeOrdered: per-partition heaps then a k-row merge on the
+driver, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams(text: Column, n: int, lowercase: bool) -> Column:
+    """array<string> of whitespace-token n-grams of ``text``."""
+    if lowercase:
+        text = F.lower(text)
+    toks = F.regexp_extract_all(text, F.lit(r"\S+"), 0)
+    if n == 1:
+        return toks
+    # sequence(1, m) flips to a DESCENDING range when m < 1 — guard
+    # short docs to an empty gram list instead
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    build = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, build).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus n-gram frequency table: one row per distinct n-gram with
+
+    - ``token`` — the n-gram (space-joined whitespace tokens);
+    - ``n_occurrences`` — total occurrences across the corpus (TF);
+    - ``n_docs`` — number of distinct documents containing it (DF).
+
+    ``min_count`` drops the long tail (hapax legomena dominate any
+    natural corpus; filtering post-agg keeps the shuffle small because
+    partial aggregation already collapsed repeats map-side).
+    """
+    if n < 1:
+        raise ValueError(f"n-gram size must be >= 1, got {n}")
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(_grams(F.col(text_col), n, lowercase)).alias("token"),
+        )
+        .groupBy("token", "_doc")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("_c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1000,
+    n: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Deterministic global top-k n-grams by total occurrences,
+    ties broken by token text — the same k rows on any cluster,
+    partitioning, or engine."""
+    counts = token_counts(df, text_col, id_col, n=n, lowercase=lowercase)
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)

@@ -114,3 +114,50 @@ def test_repetition_stats(spark):
     assert rows[2].top_bigram_count == 1
     assert rows[3].top_bigram_count == 0 and rows[3].n_tokens == 1
     assert rows[4].n_tokens == 0 and rows[4].distinct_token_frac is None
+
+
+def test_token_counts_and_vocab_topk(spark):
+    import pytest
+
+    from meta_frame_spark.operators.vocab import token_counts, vocab_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "The cat   ran"),   # case folding + multi-space
+            (3, "solo"),            # shorter than a bigram
+            (4, ""),                # no tokens at all
+        ],
+        ["doc_id", "text"],
+    )
+
+    uni = {
+        r.token: (r.n_occurrences, r.n_docs)
+        for r in token_counts(df, "text", "doc_id", n=1).collect()
+    }
+    assert uni["the"] == (3, 2)     # twice in doc 1, once (folded) in doc 2
+    assert uni["cat"] == (2, 2)
+    assert uni["solo"] == (1, 1)
+    assert "" not in uni            # \S+ extraction yields no empty tokens
+
+    bi = {
+        r.token: (r.n_occurrences, r.n_docs)
+        for r in token_counts(df, "text", "doc_id", n=2).collect()
+    }
+    assert bi["the cat"] == (2, 2)
+    assert bi["cat sat"] == (1, 1)
+    assert not any("solo" in t for t in bi)   # 1-token doc -> no bigrams
+
+    # min_count trims the tail post-aggregation
+    trimmed = token_counts(df, "text", "doc_id", n=1, min_count=2)
+    assert {r.token for r in trimmed.collect()} == {"the", "cat"}
+
+    # deterministic top-k: count desc then token asc, stable on rerun
+    top = [r.token for r in vocab_topk(df, "text", "doc_id", k=3, n=1).collect()]
+    assert top[0] == "the" and top[1] == "cat"
+    assert top == [
+        r.token for r in vocab_topk(df, "text", "doc_id", k=3, n=1).collect()
+    ]
+
+    with pytest.raises(ValueError):
+        token_counts(df, "text", "doc_id", n=0)
