@@ -597,6 +597,18 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global example ids 0..N-1 by orderkey — two-phase
+    (range-partition, per-partition counts to driver, offset + local
+    row_number), never the single-partition ORDER BY window."""
+    from meta_frame_spark.operators.ids import assign_row_numbers
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return assign_row_numbers(orders, ["o_orderkey"], id_col="row_id").select(
+        "row_id", "o_orderkey", "o_custkey"
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build: global top-100 word bigrams with term
     and document frequency (two-phase agg — no count-distinct Expand;
@@ -1397,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_bpe": q_token_bpe,
         "vocab_topk": q_vocab_topk,
+        "row_numbers": q_row_numbers,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1870,6 +1883,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "row_numbers": """
+            SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+                   o_orderkey, o_custkey
+            FROM orders
         """,
         "vocab_topk": """
             WITH toks AS (
