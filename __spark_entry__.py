@@ -609,6 +609,26 @@ def q_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: match part names against a deterministically
+    corrupted copy (one char deleted at a key-dependent position >= 6)
+    via blocked Levenshtein join — prefix blocking keeps it an
+    equi-join + in-block distance, never a cross join."""
+    from meta_frame_spark.operators.linkage import fuzzy_join
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pos = F.lit(6) + F.pmod(F.col("p_partkey"), F.length("p_name") - F.lit(6))
+    typos = parts.select(
+        (F.col("p_partkey") + F.lit(1_000_000)).alias("t_key"),
+        F.concat(
+            F.substring(F.col("p_name"), F.lit(1), pos - F.lit(1)),
+            F.substring(F.col("p_name"), pos + F.lit(1), F.lit(10_000)),
+        ).alias("t_name"),
+    )
+    out = fuzzy_join(parts, typos, "p_name", "t_name", max_distance=1)
+    return out.select("p_partkey", "t_key", "distance")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build: global top-100 word bigrams with term
     and document frequency (two-phase agg — no count-distinct Expand;
@@ -1410,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
+        "fuzzy_join": q_fuzzy_join,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1883,6 +1904,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "fuzzy_join": """
+            WITH typos AS (
+                SELECT p_partkey + 1000000 AS t_key,
+                       substr(p_name, 1, pos - 1)
+                           || substr(p_name, pos + 1, 10000) AS t_name
+                FROM (
+                    SELECT p_partkey, p_name,
+                           6 + (p_partkey % (length(p_name) - 6)) AS pos
+                    FROM part
+                )
+            )
+            SELECT p.p_partkey, t.t_key,
+                   CAST(levenshtein(p.p_name, t.t_name) AS INTEGER)
+                       AS distance
+            FROM part p
+            JOIN typos t
+              ON lower(substr(p.p_name, 1, 4)) = lower(substr(t.t_name, 1, 4))
+            WHERE abs(length(p.p_name) - length(t.t_name)) <= 1
+              AND levenshtein(p.p_name, t.t_name) <= 1
         """,
         "row_numbers": """
             SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,
