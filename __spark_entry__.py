@@ -597,6 +597,22 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type aggregation surface: per market segment, the sorted
+    distinct set of order priorities its customers used plus customer
+    reach (deterministic array order -> engine-portable rendering; the
+    reference has no array/nested types anywhere)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count_distinct("c_custkey").alias("n_customers"),
+    )
+
+
 def q_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global example ids 0..N-1 by orderkey — two-phase
     (range-partition, per-partition counts to driver, offset + local
@@ -1431,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
+        "array_agg": q_array_agg,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1904,6 +1921,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "array_agg": """
+            SELECT c_mktsegment,
+                   array_to_string(
+                       list_sort(list(DISTINCT o_orderpriority)), '|'
+                   ) AS priorities,
+                   COUNT(DISTINCT c_custkey) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "fuzzy_join": """
             WITH typos AS (

@@ -139,3 +139,45 @@ def test_group_quantiles_single_aggregate(spark, sf_dir):
     med = {r.lang: r.value for r in rows if r.q == 0.5}
     lo = {r.lang: r.value for r in rows if r.q == 0.1}
     assert all(lo[l] <= med[l] for l in langs)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """100 TB join shape: a selective predicate on the dim side must
+    reach the fact scan as a runtime Bloom filter (semi-join reduction)
+    when the join is too big to broadcast — rows that cannot match are
+    dropped before the shuffle, not after."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # sf0.01 tables are KBs; drop the size gates so the local plan
+        # takes the same shape a 100 TB shuffle join would
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _plan(out)
+        assert "bloom_filter_agg" in plan       # built from the dim side
+        assert "might_contain" in plan          # applied on the fact side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
