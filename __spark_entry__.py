@@ -597,6 +597,23 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus thinning: keep each document with
+    probability proportional to its length (capped at 1), decided by a
+    deterministic per-row md5 coin — reproducible on any engine,
+    map-only, no sampling job."""
+    from meta_frame_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = weighted_sample(
+        docs, F.col("n_chars") / F.lit(600.0), id_col="doc_id", method="md5"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type aggregation surface: per market segment, the sorted
     distinct set of order priorities its customers used plus customer
@@ -1448,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
         "array_agg": q_array_agg,
+        "weighted_sample": q_weighted_sample,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1921,6 +1939,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "weighted_sample": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':'), 1, 8))::BIGINT
+                      / 4294967296.0
+                  < LEAST(GREATEST(n_chars / 600.0, 0.0), 1.0)
+            GROUP BY source
         """,
         "array_agg": """
             SELECT c_mktsegment,

@@ -150,6 +150,46 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def unit_hash(id_col: str, salt: str = "", method: str = "xxhash64") -> Column:
+    """Deterministic uniform-ish value in [0, 1) from ``(id, salt)`` —
+    the per-row coin for any reproducible probabilistic decision
+    (sampling, augmentation gating, AB assignment). ``method="md5"``
+    is engine-portable: first 8 md5 hex chars parsed base-16 over
+    2^32 — DuckDB spells it ``('0x' || substr(md5(..),1,8))::BIGINT /
+    4294967296.0``."""
+    if method == "md5":
+        h8 = F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        )
+        return F.conv(h8, 16, 10).cast("double") / F.lit(float(2**32))
+    if method == "xxhash64":
+        return (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(2**32)).cast("double")
+            / F.lit(float(2**32))
+        )
+    raise ValueError(f"unknown unit_hash method {method!r}")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: str | Column,
+    id_col: str,
+    salt: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-row deterministic Bernoulli keep with probability
+    ``clamp(weight, 0, 1)`` — the generalization of
+    ``stratified_sample`` to a per-row keep probability (quality-
+    proportional sampling, importance-weighted corpus thinning).
+    Map-only; the nested property holds: the kept set under weights w
+    is a subset of the kept set under any w' >= w pointwise."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.filter(
+        unit_hash(id_col, salt, method)
+        < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    )
+
+
 def shuffle_deterministic(
     df: DataFrame, id_col: str, salt: str = "", num_partitions: int | None = None
 ) -> DataFrame:

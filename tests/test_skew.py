@@ -225,3 +225,35 @@ def test_shuffle_deterministic_stable_order(spark, orders):
          shuffle_deterministic(orders, "o_orderkey", salt="epoch2")
          .select("o_orderkey").collect()]
     assert c != a and sorted(c) == sorted(a)
+
+
+def test_weighted_sample_properties(spark, orders):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.operators.sampling import unit_hash, weighted_sample
+
+    # uniform coin: mean near 0.5, range within [0,1)
+    u = orders.select(unit_hash("o_orderkey").alias("u")).agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi"), F.avg("u").alias("mu")
+    ).collect()[0]
+    assert 0.0 <= u.lo and u.hi < 1.0 and abs(u.mu - 0.5) < 0.02
+
+    # weight 1 keeps everything, weight 0 keeps nothing
+    n = orders.count()
+    assert weighted_sample(orders, F.lit(1.0), "o_orderkey").count() == n
+    assert weighted_sample(orders, F.lit(0.0), "o_orderkey").count() == 0
+    # out-of-range weights clamp instead of misbehaving
+    assert weighted_sample(orders, F.lit(7.5), "o_orderkey").count() == n
+
+    # approximate rate + nested-subset (w=0.2 kept ⊆ w=0.6 kept)
+    for method in ("xxhash64", "md5"):
+        k2 = weighted_sample(orders, F.lit(0.2), "o_orderkey", method=method)
+        k6 = weighted_sample(orders, F.lit(0.6), "o_orderkey", method=method)
+        s2 = {r.o_orderkey for r in k2.select("o_orderkey").collect()}
+        s6 = {r.o_orderkey for r in k6.select("o_orderkey").collect()}
+        assert s2 <= s6
+        assert abs(len(s2) / n - 0.2) < 0.05
+
+    with pytest.raises(ValueError):
+        unit_hash("o_orderkey", method="crc7")
