@@ -28,7 +28,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "documents":
+        # the test corpus is ONE single-row-group parquet file — an
+        # unsplittable input split, so every downstream tokenize/regex
+        # stage would run on one core. Spread the docs once, exactly as
+        # a real job would when handed an unsplittable file; on real
+        # multi-split corpora this repartition is unnecessary. Hash on
+        # the id — round-robin repartition would inject a per-partition
+        # full-row sort (retry determinism) over the wide text column.
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -677,12 +687,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.operators.vocab import vocab_topk
 
     docs = _t(spark, sf_dir, "documents")
-    # test corpus arrives as ONE parquet file = one input split; fan the
-    # docs out so tokenization uses every core (None on real inputs)
-    return vocab_topk(
-        docs, "text", "doc_id", k=100, n=2,
-        fanout=spark.sparkContext.defaultParallelism,
-    )
+    return vocab_topk(docs, "text", "doc_id", k=100, n=2)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
