@@ -607,6 +607,44 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality admission gate: declarative constraint checks over
+    orders (pk uniqueness, fk to customer, non-null, accepted values,
+    range) compiled to one shared-scan aggregate + per-check anti-join/
+    groupBy — report is checks-many rows, never row-level data."""
+    from meta_frame_spark.operators.expect import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        [
+            {"kind": "unique", "columns": ["o_orderkey"], "name": "pk"},
+            {
+                "kind": "foreign_key",
+                "columns": ["o_custkey"],
+                "ref": cust,
+                "ref_columns": ["c_custkey"],
+                "name": "fk_cust",
+            },
+            {"kind": "not_null", "column": "o_custkey", "name": "custkey_set"},
+            {
+                "kind": "accepted_values",
+                "column": "o_orderstatus",
+                "values": ["O", "F", "P"],
+                "name": "status_vals",
+            },
+            {
+                "kind": "range",
+                "column": "o_totalprice",
+                "min": 0.0,
+                "max": 10_000_000.0,
+                "name": "price_range",
+            },
+        ],
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-weighted corpus thinning: keep each document with
     probability proportional to its length (capped at 1), decided by a
@@ -1483,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "array_agg": q_array_agg,
         "weighted_sample": q_weighted_sample,
+        "expectations": q_expectations,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1956,6 +1995,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "expectations": """
+            SELECT 'pk' AS "check", 'unique' AS kind,
+                   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c - 1 END), 0)
+                        AS BIGINT) AS n_violations
+            FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY 1)
+            UNION ALL
+            SELECT 'fk_cust', 'foreign_key', CAST(COUNT(*) AS BIGINT)
+            FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'custkey_set', 'not_null',
+                   CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'status_vals', 'accepted_values',
+                   CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                     OR o_orderstatus IS NULL THEN 1 END)
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'price_range', 'range',
+                   CAST(COUNT(CASE WHEN o_totalprice < 0
+                                     OR o_totalprice > 10000000 THEN 1 END)
+                        AS BIGINT)
+            FROM orders
         """,
         "weighted_sample": """
             SELECT source,

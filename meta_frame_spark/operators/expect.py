@@ -1,0 +1,139 @@
+"""Data-quality expectations: declarative constraint checks.
+
+The admission gate of a production pipeline: before a batch joins the
+corpus, assert the contract — keys unique, columns non-null, foreign
+keys resolvable, values in range — and get back a small violations
+report instead of a boolean, so the failure is diagnosable.
+
+Checks are declarative dicts (same philosophy as the reference's
+metadata configs — the reference itself has no validation surface at
+all; `megatron.py:11,14` silently no-ops unknown filters, the
+anti-pattern this module exists to kill).
+
+Scale design (100 TB): every check compiles to one aggregation or one
+join over pruned columns and the results union into ONE small report
+frame (rows = number of checks, not data). Uniqueness is a
+groupBy(key).count > 1 (map-side partial agg); referential integrity
+is a broadcast-able left-anti join counting orphans; null/range checks
+are conditional-count aggregates sharing a single scan when they name
+the same table. Nothing collects row-level data to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _report(name: str, kind: str, n: DataFrame) -> DataFrame:
+    return n.select(
+        F.lit(name).alias("check"),
+        F.lit(kind).alias("kind"),
+        F.col("n").cast("long").alias("n_violations"),
+    )
+
+
+def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate ``checks`` against ``df``; returns one row per check:
+    ``(check, kind, n_violations)`` — 0 means the expectation holds.
+
+    Check kinds:
+
+    - ``{"kind": "unique", "columns": [...]}`` — duplicate key count
+      (number of rows beyond the first per duplicated key).
+    - ``{"kind": "not_null", "column": c}`` — null count.
+    - ``{"kind": "accepted_values", "column": c, "values": [...]}`` —
+      rows whose value is outside the list (nulls count as violations).
+    - ``{"kind": "range", "column": c, "min": x?, "max": y?}`` — rows
+      outside [min, max] (nulls are not violations; add not_null).
+    - ``{"kind": "foreign_key", "columns": [...], "ref": DataFrame,
+      "ref_columns": [...]}`` — rows whose key has no match in ``ref``
+      (null keys are not violations, matching SQL FK semantics).
+
+    Each check may carry ``"name"``; defaults to a generated one.
+    """
+    if not checks:
+        raise ValueError("checks must name at least one expectation")
+    reports: list[DataFrame] = []
+    agg_exprs: list = []  # null/values/range share ONE scan of df
+    for i, c in enumerate(checks):
+        kind = c.get("kind")
+        name = c.get("name") or f"{kind}_{i}"
+        if kind == "unique":
+            cols = c["columns"]
+            dups = (
+                df.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)), F.lit(0)
+                    ).alias("n")
+                )
+            )
+            reports.append(_report(name, kind, dups))
+        elif kind == "not_null":
+            agg_exprs.append(
+                (name, kind,
+                 F.count(F.when(F.col(c["column"]).isNull(), 1)))
+            )
+        elif kind == "accepted_values":
+            col = F.col(c["column"])
+            agg_exprs.append(
+                (name, kind,
+                 F.count(F.when(~col.isin(c["values"]) | col.isNull(), 1)))
+            )
+        elif kind == "range":
+            col = F.col(c["column"])
+            cond = F.lit(False)
+            if "min" in c:
+                cond = cond | (col < F.lit(c["min"]))
+            if "max" in c:
+                cond = cond | (col > F.lit(c["max"]))
+            agg_exprs.append((name, kind, F.count(F.when(cond, 1))))
+        elif kind == "foreign_key":
+            cols, ref, ref_cols = c["columns"], c["ref"], c["ref_columns"]
+            keyed = df.select(*cols).na.drop(subset=cols)
+            refk = ref.select(
+                *[F.col(rc).alias(lc) for lc, rc in zip(cols, ref_cols)]
+            )
+            orphans = (
+                keyed.join(refk, on=cols, how="left_anti")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            reports.append(_report(name, kind, orphans))
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+    if agg_exprs:
+        # ONE aggregate row over one scan, exploded into report rows —
+        # k separate selects from the agg would be re-expanded by
+        # Catalyst into k scans of the base relation
+        one_scan = df.agg(
+            *[e.alias(f"_n{j}") for j, (_, _, e) in enumerate(agg_exprs)]
+        )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check"),
+                    F.lit(kind).alias("kind"),
+                    F.col(f"_n{j}").cast("long").alias("n_violations"),
+                )
+                for j, (name, kind, _) in enumerate(agg_exprs)
+            ]
+        )
+        reports.append(one_scan.select(F.explode(rows).alias("r")).select("r.*"))
+    return reduce(DataFrame.unionByName, reports)
+
+
+def expect_or_fail(df: DataFrame, checks: list[dict]) -> None:
+    """Run ``check_constraints`` and raise ``ValueError`` listing every
+    failed expectation (the CI-gate form)."""
+    bad = [
+        (r["check"], r["kind"], r["n_violations"])
+        for r in check_constraints(df, checks).collect()
+        if r["n_violations"] > 0
+    ]
+    if bad:
+        lines = ", ".join(f"{c}[{k}]={n}" for c, k, n in bad)
+        raise ValueError(f"expectations failed: {lines}")
