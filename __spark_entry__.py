@@ -607,6 +607,26 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (inverse of the pivot query): per-flag sums
+    of three measures melted into (measure, value) rows via native
+    unpivot — an Expand over the already-aggregated frame, zero extra
+    shuffle."""
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        )
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "measure", "value",
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality admission gate: declarative constraint checks over
     orders (pk uniqueness, fk to customer, non-null, accepted values,
@@ -1522,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg": q_array_agg,
         "weighted_sample": q_weighted_sample,
         "expectations": q_expectations,
+        "unpivot": q_unpivot,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -1995,6 +2016,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "unpivot": """
+            WITH a AS (
+                SELECT l_returnflag,
+                       ROUND(SUM(l_quantity), 2) AS sum_qty,
+                       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                       ROUND(SUM(l_discount), 2) AS sum_disc
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM a
+            UNION ALL
+            SELECT l_returnflag, 'sum_disc', sum_disc FROM a
         """,
         "expectations": """
             SELECT 'pk' AS "check", 'unique' AS kind,
