@@ -607,6 +607,59 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape expressed in the dialect-B config engine: derive
+    revenue, filter by ship date, aggregate per order, join the orders
+    child (date-filtered) and its customer grandchild (segment-filtered,
+    broadcast) — the canonical fact-dim-dim scale pattern; top-10 with
+    deterministic tiebreak."""
+    config = {
+        "unique_id": "q3",
+        "derive": {"revenue": "l_extendedprice * (1 - l_discount)"},
+        "filters": ["l_shipdate > TIMESTAMP '1995-03-15'"],
+        "aggregation": {
+            "group_by": ["l_orderkey"],
+            "aggregations": {"revenue": "sum"},
+            "rename": {"sum_revenue": "revenue"},
+        },
+        "children": [
+            {
+                "unique_id": "orders",
+                "data_path": f"{sf_dir}/orders.parquet",
+                "filters": ["o_orderdate < TIMESTAMP '1995-03-15'"],
+                "keep_columns": ["l_orderkey", "o_custkey", "o_orderpriority"],
+                "join": {"on": "l_orderkey", "how": "inner"},
+                "children": [
+                    {
+                        "unique_id": "cust",
+                        "data_path": f"{sf_dir}/customer.parquet",
+                        "filters": ["c_mktsegment = 'BUILDING'"],
+                        "keep_columns": ["o_custkey"],
+                        "join": {"on": "o_custkey", "how": "inner"},
+                        "broadcast": True,
+                    }
+                ],
+            }
+        ],
+    }
+
+    def loader(spark_: SparkSession, child) -> DataFrame:
+        df = spark_.read.parquet(child.data_path)
+        if child.node.unique_id == "orders":
+            df = df.withColumnRenamed("o_orderkey", "l_orderkey")
+        if child.node.unique_id == "cust":
+            df = df.withColumnRenamed("c_custkey", "o_custkey")
+        return df
+
+    out = aggregate_and_join(_t(spark, sf_dir, "lineitem"), config, loader=loader)
+    return (
+        out.withColumn("revenue", F.round("revenue", 2))
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape (inverse of the pivot query): per-flag sums
     of three measures melted into (measure, value) rows via native
@@ -1503,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_keep_columns": q_a_keep_columns,
         "b_multi_agg": q_b_multi_agg,
         "b_join_tree": q_b_join_tree,
+        "b_q3_shipping": q_b_q3_shipping,
         "b_semi_join": q_b_semi_join,
         "b_anti_join": q_b_anti_join,
         "bp_nested": q_bp_nested,
@@ -2016,6 +2070,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "b_q3_shipping": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "unpivot": """
             WITH a AS (
