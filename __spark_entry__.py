@@ -1181,13 +1181,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprint per document (no oracle:
-    xxhash64 is Spark-specific; determinism checked by the driver's
-    rows-only re-run)."""
-    from meta_frame_spark.functions.text import rolling_fingerprint
+    """Min-sampled word-4-gram fingerprint per document — UDF-free
+    (JVM transform/md5/array_min) and engine-portable, so the DuckDB
+    oracle reproduces every value; the byte-grain rolling-hash variant
+    (rolling_fingerprint) is covered in tests/test_text.py."""
+    from meta_frame_spark.functions.text import shingle_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+    return docs.select("doc_id", shingle_fingerprint("text").alias("fingerprint"))
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2070,6 +2071,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS INTEGER) AS n_bpe_tokens
             FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       grams,
+                       g -> ('0x' || substr(md5(g), 1, 8))::BIGINT
+                   )) AS fingerprint
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i:i+3], ' ')
+                       ) AS grams
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '\\S+') AS t
+                    FROM documents
+                )
+            )
         """,
         "b_q3_shipping": """
             SELECT l_orderkey,

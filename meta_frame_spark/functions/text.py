@@ -155,6 +155,30 @@ def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
     return _fp(c)
 
 
+def shingle_fingerprint(text: str | Column, n: int = 4) -> Column:
+    """Document fingerprint: min over md5-hashed word ``n``-gram
+    shingles (min-sampling, i.e. MinHash with one hash function).
+    Token-grain sibling of :func:`rolling_fingerprint` with two extra
+    properties: UDF-free — the whole thing is codegen'd JVM
+    ``transform``/``md5``/``conv``/``array_min`` — and engine-portable
+    (any engine with md5 reproduces it; DuckDB spells the hash
+    ``('0x' || substr(md5(g),1,8))::BIGINT``). Docs shorter than ``n``
+    tokens → null.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_min(
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
 def normalize_text(text: str | Column) -> Column:
     """Dedup-grade text normalization, all built-in expressions:
     lowercase, collapse whitespace runs to single spaces, trim. The

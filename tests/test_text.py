@@ -161,3 +161,36 @@ def test_token_counts_and_vocab_topk(spark):
 
     with pytest.raises(ValueError):
         token_counts(df, "text", "doc_id", n=0)
+
+
+def test_shingle_fingerprint_portable(spark):
+    import hashlib
+
+    from meta_frame_spark.functions.text import shingle_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick  brown Fox jumps over"),  # case+space fold
+            (2, "one two three four"),               # exactly one 4-gram
+            (3, "too short here"),                   # < 4 tokens -> null
+            (4, ""),                                 # empty -> null
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", shingle_fingerprint("text").alias("fp")
+        ).collect()
+    }
+
+    def py_fp(text):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+        if not grams:
+            return None
+        return min(int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams)
+
+    for i, t in [(1, "The quick  brown Fox jumps over"),
+                 (2, "one two three four"), (3, "too short here"), (4, "")]:
+        assert got[i] == py_fp(t), i
