@@ -211,3 +211,78 @@ def test_winsorize_bounds_and_count(frame, lo, span):
         "g1",
     )
     assert joined.filter("v2 < mn OR v2 > mx").count() == 0
+
+
+# ---- newer operators: vocab / weighted sampling / splits / expectations ----
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@_settings
+@given(texts=doc_texts, n=st.integers(1, 3))
+def test_vocab_counts_conserve_totals(spark, texts, n):
+    """sum(n_occurrences) == total n-grams in the corpus, and document
+    frequency never exceeds occurrence count or doc count."""
+    from meta_frame_spark.operators.vocab import token_counts
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = token_counts(df, "text", "doc_id", n=n).collect()
+    expected_total = sum(
+        max(len(t.lower().split()) - n + 1, 0) for t in texts
+    )
+    assert sum(r.n_occurrences for r in rows) == expected_total
+    for r in rows:
+        assert 1 <= r.n_docs <= min(r.n_occurrences, len(texts))
+
+
+@_settings
+@given(
+    w=st.floats(0.0, 1.0),
+    w2=st.floats(0.0, 1.0),
+    salt=st.sampled_from(["", "s1", "s2"]),
+)
+def test_weighted_sample_monotone_in_weight(frame, w, w2, salt):
+    """Pointwise-larger weights keep supersets (same salt)."""
+    from meta_frame_spark.operators.sampling import weighted_sample
+
+    base = frame.withColumn("rid", F.monotonically_increasing_id())
+    lo, hi = sorted([w, w2])
+    klo = {r.rid for r in weighted_sample(base, F.lit(lo), "rid", salt).collect()}
+    khi = {r.rid for r in weighted_sample(base, F.lit(hi), "rid", salt).collect()}
+    assert klo <= khi
+
+
+@_settings
+@given(
+    wa=st.floats(0.05, 0.9),
+    salt=st.sampled_from(["", "x"]),
+    method=st.sampled_from(["xxhash64", "md5"]),
+)
+def test_hash_split_partitions_every_row_once(frame, wa, salt, method):
+    """Any weight vector: labels are complete and from the declared
+    set (both hash methods)."""
+    from meta_frame_spark.operators.sampling import hash_split
+
+    w = {"a": round(wa, 3), "b": round(1.0 - round(wa, 3), 3)}
+    out = hash_split(frame, w, id_col="v1", salt=salt, method=method)
+    labels = [r.split for r in out.collect()]
+    assert len(labels) == frame.count()
+    assert set(labels) <= {"a", "b"}
+
+
+@_settings
+@given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=10),
+    lo=st.integers(-3, 0),
+    hi=st.integers(1, 4),
+)
+def test_expectations_range_counts_match_python(spark, vals, lo, hi):
+    from meta_frame_spark.operators.expect import check_constraints
+
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    rep = check_constraints(
+        df, [{"kind": "range", "column": "x", "min": lo, "max": hi, "name": "r"}]
+    ).collect()[0]
+    assert rep.n_violations == sum(1 for v in vals if v < lo or v > hi)
