@@ -660,6 +660,31 @@ def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization: build deterministic messy URLs
+    (mixed-case scheme/host, default ports, utm_* params, unsorted
+    query, fragments) from doc_id, then canonicalize + extract the
+    per-domain grouping key — all codegen'd string/array expressions,
+    byte-exact against the DuckDB oracle."""
+    from meta_frame_spark.functions.web import canonical_url, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.lit("Site"), (k % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(k % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/path/"), k.cast("string"),
+        F.lit("?utm_source=x&b="), (k % 5).cast("string"), F.lit("&a=1"),
+        F.when(k % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        canonical_url(url).alias("canon_url"),
+        url_host(url).alias("host"),
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long reshape (inverse of the pivot query): per-flag sums
     of three measures melted into (measure, value) rows via native
@@ -1598,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "expectations": q_expectations,
         "unpivot": q_unpivot,
+        "url_canonical": q_url_canonical,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -2105,6 +2131,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "url_canonical": """
+            WITH raw AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://'
+                             ELSE 'https://' END)
+                       || 'Site' || (doc_id % 7)::VARCHAR || '.Example.COM'
+                       || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+                       || '/path/' || doc_id::VARCHAR
+                       || '?utm_source=x&b=' || (doc_id % 5)::VARCHAR
+                       || '&a=1'
+                       || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+                           AS url
+                FROM documents
+            ),
+            step AS (
+                SELECT doc_id, url,
+                       regexp_replace(url, '#.*$', '') AS u1
+                FROM raw
+            ),
+            low AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(u1,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                       || regexp_replace(u1,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS u2
+                FROM step
+            ),
+            port AS (
+                SELECT doc_id, url,
+                       regexp_replace(u2,
+                           '^(https?://[^/?:]*):(?:80|443)([/?]|$)',
+                           '\\1\\2') AS u3
+                FROM low
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                       regexp_extract(u3, '^([^?]*)', 1) AS base,
+                       regexp_extract(u3, '\\?(.*)$', 1) AS q
+                FROM port
+            ),
+            canon AS (
+                SELECT doc_id, url, base, q,
+                       array_to_string(list_sort(list_filter(
+                           string_split(q, '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                       )), '&') AS sq
+                FROM parts
+            )
+            SELECT doc_id,
+                   CASE WHEN q = '' THEN base
+                        WHEN sq = '' THEN base
+                        ELSE base || '?' || sq END AS canon_url,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:#]*)', 1)) AS host
+            FROM canon
         """,
         "unpivot": """
             WITH a AS (

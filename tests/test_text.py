@@ -194,3 +194,30 @@ def test_shingle_fingerprint_portable(spark):
     for i, t in [(1, "The quick  brown Fox jumps over"),
                  (2, "one two three four"), (3, "too short here"), (4, "")]:
         assert got[i] == py_fp(t), i
+
+
+def test_canonical_url_and_host(spark):
+    from meta_frame_spark.functions.web import canonical_url, url_host
+
+    cases = [
+        # (input, expected canonical, expected host)
+        ("HTTP://Example.com:80/a?utm_source=x&b=1#frag",
+         "http://example.com/a?b=1", "example.com"),
+        ("https://Ex.COM:443/p?z=2&a=1", "https://ex.com/p?a=1&z=2", "ex.com"),
+        ("https://ex.com:8080/p", "https://ex.com:8080/p", "ex.com"),  # real port kept
+        ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com/", "ex.com"),  # all params dropped
+        ("http://ex.com", "http://ex.com", "ex.com"),                  # bare host
+        ("not a url", "not a url", None),                              # passthrough
+        (None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(cases)], ["i", "u"]
+    )
+    got = {
+        r.i: (r.c, r.h)
+        for r in df.select(
+            "i", canonical_url("u").alias("c"), url_host("u").alias("h")
+        ).collect()
+    }
+    for i, (u, want_c, want_h) in enumerate(cases):
+        assert got[i] == (want_c, want_h), (i, u, got[i])
