@@ -660,6 +660,23 @@ def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through explicit salting (fact salted by order key,
+    customer dim replicated 8x, join on key+salt) — row-identical to
+    the plain join, which IS the oracle; per-segment totals prove it."""
+    from meta_frame_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, ["c_custkey"], salt_on="o_orderkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL canonicalization: build deterministic messy URLs
     (mixed-case scheme/host, default ports, utm_* params, unsorted
@@ -1624,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "unpivot": q_unpivot,
         "url_canonical": q_url_canonical,
+        "join_salted": q_join_salted,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -2131,6 +2149,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "join_salted": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "url_canonical": """
             WITH raw AS (

@@ -111,3 +111,50 @@ def two_phase_count_distinct(
     out = out_name or f"n_distinct_{value_col}"
     dedup = df.select(*group_cols, value_col).distinct()
     return dedup.groupBy(*group_cols).agg(F.count(value_col).alias(out))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    salt_on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: when one hot join key concentrates a huge
+    fraction of the fact side in a single reduce task (the web
+    corpus's one giant domain), spread it by salting — the fact side
+    gets a deterministic salt in [0, n_salts) hashed from ``salt_on``
+    (any well-distributed fact column, e.g. its primary key), the dim
+    side is replicated once per salt value, and the join runs on
+    ``on + [salt]``. Each hot key now occupies ``n_salts`` reducers.
+
+    Result is row-identical to ``fact.join(dim, on, how)`` — every
+    fact row meets exactly the one dim replica carrying its salt.
+    Supported ``how``: inner, left/left_outer (fact-preserving).
+    Right/full joins would duplicate unmatched dim rows per replica
+    and are rejected.
+
+    Scale notes: dim replication costs n_salts x dim bytes through the
+    shuffle — use for genuinely small-to-medium dims (or prefer AQE
+    skew-join splitting, on by default in the session factory, when
+    it applies; this operator is the explicit fallback for the cases
+    AQE cannot split, e.g. a broadcast-disabled bucketed join or a
+    first-shuffle skew). The salt column never survives the join.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}"
+        )
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    salt_col = "__mfs_join_salt"
+    fact_s = fact.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")),
+    )
+    out = fact_s.join(dim_s, on=on + [salt_col], how=how)
+    return out.drop(salt_col)

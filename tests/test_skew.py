@@ -257,3 +257,28 @@ def test_weighted_sample_properties(spark, orders):
 
     with pytest.raises(ValueError):
         unit_hash("o_orderkey", method="crc7")
+
+
+def test_salted_join_matches_plain_join(spark, orders):
+    from meta_frame_spark.operators.skew import salted_join
+
+    dim = (
+        orders.select("o_custkey").distinct()
+        .withColumn("seg", F.pmod(F.col("o_custkey"), F.lit(3)))
+        # drop a third of the keys so left-join null paths are exercised
+        .filter(F.col("o_custkey") % 3 != 1)
+    )
+    fact = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+
+    for how in ("inner", "left"):
+        got = salted_join(
+            fact, dim, ["o_custkey"], salt_on="o_orderkey", n_salts=5, how=how
+        )
+        want = fact.join(dim, ["o_custkey"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert "__mfs_join_salt" not in got.columns
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["o_custkey"], salt_on="o_orderkey", how="right")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["o_custkey"], salt_on="o_orderkey", n_salts=0)
