@@ -660,6 +660,35 @@ def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset versioning: diff two corpus snapshots (v2 = drop ids
+    %13, edit text %7, add fresh ids %11) into per-doc added/removed/
+    changed/unchanged — the join moves (id, 64-bit hash) pairs only;
+    the oracle compares content directly, equivalent because status
+    depends only on hash equality."""
+    from meta_frame_spark.operators.snapshot import diff_corpora
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    new = (
+        base.filter(k % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(k % 11 == 0).select(
+                (k + F.lit(1_000_000)).alias("doc_id"),
+                F.lit("fresh doc").alias("text"),
+            )
+        )
+    )
+    return diff_corpora(old, new, "doc_id", ["text"])
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key join through explicit salting (fact salted by order key,
     customer dim replicated 8x, join on key+salt) — row-identical to
@@ -1642,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot": q_unpivot,
         "url_canonical": q_url_canonical,
         "join_salted": q_join_salted,
+        "corpus_diff": q_corpus_diff,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
@@ -2149,6 +2179,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "corpus_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, 'fresh doc'
+                FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS NOT DISTINCT FROM n.text
+                            THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "join_salted": """
             SELECT c_mktsegment,
