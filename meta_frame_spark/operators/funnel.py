@@ -141,7 +141,10 @@ def funnel_counts(
         .selectExpr(
             f"stack({len(steps)}, "
             + ", ".join(
-                f"{i}, '{s}', `_n_{i}`" for i, s in enumerate(steps, start=1)
+                # step names are user data — escape embedded quotes so a
+                # name like "add 'pro' plan" can't break the expression
+                f"{i}, '{s.replace(chr(39), chr(39) * 2)}', `_n_{i}`"
+                for i, s in enumerate(steps, start=1)
             )
             + ") AS (step, step_name, n_users)"
         )

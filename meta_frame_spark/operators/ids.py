@@ -59,10 +59,14 @@ def assign_row_numbers(
     with_pid = ranged.sortWithinPartitions(*keys).withColumn(
         _PID, F.spark_partition_id()
     )
-    # cache: the pid-count job and the final plan must see the SAME
-    # partition assignment (range boundaries are sampled — recomputing
-    # could redraw them)
-    with_pid = with_pid.persist()
+    # localCheckpoint (not persist): the pid-count job and the final
+    # plan must see the SAME partition assignment (range boundaries are
+    # sampled — recomputing could redraw them). Checkpoint blocks are
+    # released by the ContextCleaner once the returned frame is
+    # garbage-collected on the driver; a persist() entry would sit in
+    # the CacheManager forever unless every caller remembered to
+    # unpersist.
+    with_pid = with_pid.localCheckpoint(eager=True)
     sizes = {
         r[_PID]: r["n"]
         for r in with_pid.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()

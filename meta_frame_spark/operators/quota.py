@@ -54,13 +54,22 @@ def quota_per_group(
     if not prefilter_counts:
         return kept
 
+    # null-safe equality in both semi-joins: groupBy treats NULL as a
+    # key value, so the prefilter must too — a plain equi-join would
+    # silently drop every null-keyed row, making the performance flag
+    # change results.
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias(_CNT))
-    small = df.join(
-        F.broadcast(counts.filter(F.col(_CNT) <= cap)), group_cols, "left_semi"
-    )
-    over = df.join(
-        F.broadcast(counts.filter(F.col(_CNT) > cap)), group_cols, "left_semi"
-    )
+    d = df.alias("_mfs_q_d")
+    def _semi(keys: DataFrame) -> DataFrame:
+        k = keys.select(*group_cols).alias("_mfs_q_k")
+        cond = None
+        for c in group_cols:
+            eq = F.col(f"_mfs_q_d.`{c}`").eqNullSafe(F.col(f"_mfs_q_k.`{c}`"))
+            cond = eq if cond is None else cond & eq
+        return d.join(F.broadcast(k), cond, "left_semi")
+
+    small = _semi(counts.filter(F.col(_CNT) <= cap))
+    over = _semi(counts.filter(F.col(_CNT) > cap))
     ranked_over = over.withColumn(_RN, F.row_number().over(w))
     return small.unionByName(
         ranked_over.filter(F.col(_RN) <= cap).drop(_RN)

@@ -84,13 +84,12 @@ def _op_hash_split(df: DataFrame, **kw) -> DataFrame:
 
 
 def _op_mix(df: DataFrame, **kw) -> DataFrame:
-    from meta_frame_spark.operators.mixing import apply_mix, mix_plan
+    from meta_frame_spark.operators.mixing import apply_mix
 
     source_col = kw.pop("source_col")
     weights = kw.pop("weights")
     id_col = kw.pop("id_col")
-    plan = mix_plan(df, source_col, weights, **kw)
-    return apply_mix(df, plan, source_col, id_col)
+    return apply_mix(df, source_col, weights, id_col, **kw)
 
 
 def _op_decontaminate(df: DataFrame, **kw) -> DataFrame:
@@ -149,7 +148,7 @@ _SIG_TARGETS = {
 
 #: config-level kwargs that are remapped before reaching the operator
 _EXTRA_KEYS = {
-    "mix": {"source_col", "weights", "id_col", "size_col"},
+    "mix": {"source_col", "weights", "id_col", "size_col", "salt"},
     "dedup_against": {"corpus"},
     "decontaminate": {"benchmark"},
     "filter": {"predicate"},

@@ -179,6 +179,24 @@ class TestCurationConfig:
         ]})
         assert out.columns == ["doc_id", "kchars"]
 
+    def test_mix_step_runs_and_matches_direct_call(self, spark, sized_corpus):
+        """Regression: _op_mix used to pass the plan frame where
+        apply_mix expects source_col, crashing every 'mix' step."""
+        from meta_frame_spark.operators.mixing import apply_mix
+        from meta_frame_spark.plans.curation import run_curation
+
+        weights = {"a": 0.5, "b": 0.5}
+        declared = run_curation(sized_corpus, {"steps": [
+            {"op": "mix", "source_col": "source", "weights": weights,
+             "id_col": "doc_id", "size_col": "n_chars"},
+        ]})
+        direct = apply_mix(
+            sized_corpus, "source", weights, id_col="doc_id", size_col="n_chars"
+        )
+        assert sorted(r.doc_id for r in declared.collect()) == sorted(
+            r.doc_id for r in direct.collect()
+        )
+
     def test_single_lazy_plan(self, spark, documents):
         from meta_frame_spark.plans.curation import run_curation
 

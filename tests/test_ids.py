@@ -37,6 +37,17 @@ def test_row_numbers_start_and_empty(spark, orders):
         assign_row_numbers(orders, [])
 
 
+def test_row_numbers_leave_no_cache_entry(spark, orders):
+    """Regression: the ranged intermediate used persist(), parking an
+    entry in the CacheManager that nothing ever unpersisted — a leak in
+    long-running sessions. localCheckpoint blocks are GC-managed and
+    never enter the CacheManager, so it must stay empty."""
+    spark.catalog.clearCache()
+    out = assign_row_numbers(orders, ["o_orderkey"], id_col="rid")
+    out.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_row_numbers_no_single_partition_window(spark, orders):
     """The scale property itself: the physical plan must not contain a
     global (empty partitionBy) window — the window spec must key on the

@@ -62,6 +62,27 @@ class TestQuotaPerGroup:
         with pytest.raises(ValueError):
             quota_per_group(domains, ["domain"], 0, "quality", "id")
 
+    def test_prefilter_keeps_null_group_keys(self, spark):
+        """Regression: the prefilter's semi-joins must use null-safe
+        equality — groupBy treats NULL as a key, so a plain equi-join
+        silently dropped every null-keyed row when prefilter_counts
+        was on (a performance flag changing results)."""
+        rows = [
+            (1, None, 3.0), (2, None, 2.0), (3, None, 1.0), (4, None, 4.0),
+            (5, "d", 1.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, domain string, quality double")
+        plain = quota_per_group(
+            df, ["domain"], cap=2, priority="quality", tiebreak="id"
+        )
+        pre = quota_per_group(
+            df, ["domain"], cap=2, priority="quality", tiebreak="id",
+            prefilter_counts=True,
+        )
+        want = {(4, None), (1, None), (5, "d")}
+        assert {(r.id, r.domain) for r in plain.collect()} == want
+        assert {(r.id, r.domain) for r in pre.collect()} == want
+
 
 @pytest.fixture(scope="module")
 def tiny_docs(spark):

@@ -105,6 +105,16 @@ class TestFunnel:
         with pytest.raises(ValueError):
             funnel(mini_events, [])
 
+    def test_step_name_with_quote(self, spark):
+        """Regression: step names reach a stack() SQL string; an
+        embedded single quote must be escaped, not break the parse."""
+        rows = [(1, "2024-01-01 10:00:00", "add 'pro' plan")]
+        df = spark.createDataFrame(rows, "user_id long, ts string, event_type string")
+        out = {r.step_name: r.n_users for r in funnel_counts(
+            df, ["add 'pro' plan"]
+        ).collect()}
+        assert out == {"add 'pro' plan": 1}
+
 
 class TestCohortRetention:
     def test_weekly_matrix(self, spark):
