@@ -33,11 +33,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the test corpus is ONE single-row-group parquet file — an
         # unsplittable input split, so every downstream tokenize/regex
         # stage would run on one core. Spread the docs once, exactly as
-        # a real job would when handed an unsplittable file; on real
-        # multi-split corpora this repartition is unnecessary. Hash on
-        # the id — round-robin repartition would inject a per-partition
+        # a real job would when handed an unsplittable file — but only
+        # when the scan actually under-splits (mirrors
+        # operators/skew.py ensure_min_partitions): on a real
+        # multi-split corpus the guard makes this a no-op instead of a
+        # full shuffle of the wide text column per query. Hash on the
+        # id — round-robin repartition would inject a per-partition
         # full-row sort (retry determinism) over the wide text column.
-        df = df.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.col("doc_id"))
     return df
 
 
@@ -1622,60 +1627,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract (round 2): the r1 driver correctness run
+    # stopped after the first 50 dict entries, so the 37 queries it
+    # never reached come FIRST this round; the 44 already-green ones
+    # follow; the 9 approximate queries (invariant-style oracles) sit
+    # last. Every entry has an oracle_sql() twin.
     return {
-        "a_cascade": q_a_cascade,
-        "a_filters": q_a_filters,
-        "a_keep_columns": q_a_keep_columns,
-        "b_multi_agg": q_b_multi_agg,
-        "b_join_tree": q_b_join_tree,
-        "b_q3_shipping": q_b_q3_shipping,
-        "b_semi_join": q_b_semi_join,
-        "b_anti_join": q_b_anti_join,
-        "bp_nested": q_bp_nested,
-        "bp_grandchild": q_bp_grandchild,
-        "a_chained": q_a_chained,
-        "agg_extended": q_agg_extended,
-        "a_derive": q_a_derive,
-        "agg_rollup": q_agg_rollup,
-        "agg_cube": q_agg_cube,
-        "profile": q_profile,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "latest_by_key": q_latest_by_key,
-        "apply_changelog": q_apply_changelog,
-        "redact_pii": q_redact_pii,
-        "text_repetition": q_text_repetition,
-        "date_funcs": q_date_funcs,
-        "pivot": q_pivot,
-        "window_analytics": q_window_analytics,
-        "topk_per_group": q_topk_per_group,
-        "dedup_exact": q_dedup_exact,
-        "corpus_clean": q_corpus_clean,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_topk": q_ann_topk,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "token_bpe": q_token_bpe,
-        "vocab_topk": q_vocab_topk,
-        "row_numbers": q_row_numbers,
-        "fuzzy_join": q_fuzzy_join,
-        "array_agg": q_array_agg,
-        "weighted_sample": q_weighted_sample,
-        "expectations": q_expectations,
-        "unpivot": q_unpivot,
-        "url_canonical": q_url_canonical,
-        "join_salted": q_join_salted,
-        "corpus_diff": q_corpus_diff,
-        "lang_id": q_lang_id,
+        # --- unchecked in CORRECTNESS_r01 (driver cap): check first ---
         "fingerprint": q_fingerprint,
         "mm_meta": q_mm_meta,
-        "mm_pixel_stats": q_mm_pixel_stats,
         "mm_frames": q_mm_frames,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1683,7 +1643,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "set_ops": q_set_ops,
-        "agg_approx": q_agg_approx,
         "events_json": q_events_json,
         "decontaminate": q_decontaminate,
         "quantile_gate": q_quantile_gate,
@@ -1702,7 +1661,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "agg_salted": q_agg_salted,
         "count_distinct_skew": q_count_distinct_skew,
-        "semantic_dedup": q_semantic_dedup,
         "group_quantiles": q_group_quantiles,
         "bm25_search": q_bm25_search,
         "event_funnel": q_event_funnel,
@@ -1710,6 +1668,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "score_normalize": q_score_normalize,
         "curation_pipeline": q_curation_pipeline,
+        # --- green in CORRECTNESS_r01 ---
+        "a_cascade": q_a_cascade,
+        "a_filters": q_a_filters,
+        "a_keep_columns": q_a_keep_columns,
+        "b_multi_agg": q_b_multi_agg,
+        "b_join_tree": q_b_join_tree,
+        "b_q3_shipping": q_b_q3_shipping,
+        "b_semi_join": q_b_semi_join,
+        "b_anti_join": q_b_anti_join,
+        "bp_nested": q_bp_nested,
+        "bp_grandchild": q_bp_grandchild,
+        "a_chained": q_a_chained,
+        "agg_extended": q_agg_extended,
+        "a_derive": q_a_derive,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "profile": q_profile,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "latest_by_key": q_latest_by_key,
+        "apply_changelog": q_apply_changelog,
+        "redact_pii": q_redact_pii,
+        "text_repetition": q_text_repetition,
+        "date_funcs": q_date_funcs,
+        "pivot": q_pivot,
+        "window_analytics": q_window_analytics,
+        "topk_per_group": q_topk_per_group,
+        "dedup_exact": q_dedup_exact,
+        "corpus_clean": q_corpus_clean,
+        "ann_topk": q_ann_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "token_bpe": q_token_bpe,
+        "vocab_topk": q_vocab_topk,
+        "row_numbers": q_row_numbers,
+        "fuzzy_join": q_fuzzy_join,
+        "array_agg": q_array_agg,
+        "weighted_sample": q_weighted_sample,
+        "expectations": q_expectations,
+        "unpivot": q_unpivot,
+        "url_canonical": q_url_canonical,
+        "join_salted": q_join_salted,
+        "corpus_diff": q_corpus_diff,
+        "lang_id": q_lang_id,
+        # --- approximate ops: invariant-style oracles ---
+        "pack_sequences": q_pack_sequences,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "agg_approx": q_agg_approx,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

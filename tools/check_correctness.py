@@ -3,7 +3,8 @@
 __spark_entry__.queries() against its oracle_sql() twin on DuckDB and
 compares row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+(with query names given, only those entries run)
 """
 
 from __future__ import annotations
@@ -56,6 +57,13 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)
