@@ -401,17 +401,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: BFD-pack documents into 2048-token context
-    windows by whitespace token count; returns corpus packing stats
-    (no oracle: hash sharding + greedy packing are not
-    SQL-expressible; invariants asserted in tests/test_packing.py)."""
+    windows by whitespace token count. Invariant-oracle form: one row
+    per document with its token count (both exactly SQL-checkable —
+    row coverage proves every doc packed exactly once) and a
+    Spark-verified ``pack_ok`` flag (its pack's total ≤ budget, or the
+    doc is an oversize singleton). Packing-efficiency stats stay in
+    tests/test_packing.py."""
     from meta_frame_spark.functions.text import token_count
-    from meta_frame_spark.operators.packing import pack_sequences, pack_stats
+    from meta_frame_spark.operators.packing import pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tokens")
     )
     packed = pack_sequences(docs, "n_tokens", 2048, id_col="doc_id", num_shards=8)
-    return pack_stats(packed, "n_tokens")
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return packed.join(per_pack, "pack_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        ((F.col("pack_tokens") <= 2048) | (F.col("n_docs") == 1)).alias("pack_ok"),
+    )
 
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,17 +936,24 @@ def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode (stub codec) -> pixel stats (no
-    oracle: the fake decoder's wrap-padding uses Spark's xxhash64-derived
-    dims, not reproducible in SQL; determinism asserted in tests)."""
+    """Arrow-batched mapInPandas decode (stub codec) -> pixel stats.
+    Invariant-oracle form (the fake decoder's dims derive from
+    xxhash64, not reproducible in SQL): one row per document (coverage
+    is exactly checked) with Spark-verified range invariants — dims in
+    the generator's [16, 63] box, u8 mean in [0, 255], std ≥ 0.
+    Bit-exact decode determinism is asserted in
+    tests/test_multimodal.py."""
     from meta_frame_spark.multimodal import attach_fake_image_assets, image_pixel_stats
 
     df = attach_fake_image_assets(_t(spark, sf_dir, "documents"))
     out = image_pixel_stats(df)
     return out.select(
-        "id", "width", "height",
-        F.round("px_mean", 4).alias("px_mean"),
-        F.round("px_std", 4).alias("px_std"),
+        F.col("id").cast("long").alias("doc_id"),
+        (
+            F.col("width").between(16, 63) & F.col("height").between(16, 63)
+        ).alias("dims_ok"),
+        F.col("px_mean").between(0.0, 255.0).alias("mean_ok"),
+        (F.col("px_std") >= 0.0).alias("std_ok"),
     )
 
 
@@ -1049,8 +1066,10 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL) vs exact distinct per orderstatus.
-    No oracle: HLL estimates are engine-specific; the test asserts the
-    relative error bound instead."""
+    Invariant-oracle form (HLL estimates are engine-specific): the
+    exact count is SQL-checked bit-for-bit, the HLL estimate becomes a
+    Spark-verified bounded-relative-error boolean (default rsd is 5%;
+    observed max 5.7% at sf0.01, bound 10%)."""
     config = {
         "iterations": [
             {
@@ -1067,7 +1086,14 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ]
     }
-    return run_pipeline(_t(spark, sf_dir, "orders"), config)["x"]
+    out = run_pipeline(_t(spark, sf_dir, "orders"), config)["x"]
+    return out.select(
+        "o_orderstatus", "exact_cust",
+        (
+            F.abs(F.col("approx_cust") - F.col("exact_cust"))
+            / F.col("exact_cust") <= 0.10
+        ).alias("approx_err_ok"),
+    )
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,37 +1211,80 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _ann_recall_summary(approx: DataFrame, exact: DataFrame, k: int,
+                        recall_bound: float) -> DataFrame:
+    """One-row invariant summary for an approximate top-k result:
+    ``n_queries`` (oracle recomputes exactly), ``k``, and two
+    Spark-verified booleans — every query returned k rows, and
+    recall@k against the exact result clears ``recall_bound``
+    (deterministic under the operators' fixed seeds)."""
+    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
+    stats = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"), F.min("n_ret").alias("min_ret")
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).cast("double").alias("n_hits")
+    )
+    total = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
+    return stats.crossJoin(hits).crossJoin(total).select(
+        "n_queries",
+        F.lit(k).alias("k"),
+        (F.col("min_ret") == k).alias("all_k_returned"),
+        (F.col("n_hits") / F.col("n_exact") >= recall_bound).alias("recall_ok"),
+    )
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-5 (scale path; no oracle — approximate
-    by construction, recall asserted in tests/test_similarity.py)."""
-    from meta_frame_spark.operators.similarity import srp_lsh_topk
+    """SRP-LSH approximate top-5 (scale path). Invariant-oracle form:
+    recall@5 vs the exact brute-force result, deterministic under the
+    fixed SRP seed (observed 0.90 at sf0.01; bound 0.8). Absolute
+    neighbor sets are additionally recall-tested in
+    tests/test_similarity.py."""
+    from meta_frame_spark.operators.similarity import brute_force_topk, srp_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return srp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_summary(
+        srp_lsh_topk(emb, q, k=5), brute_force_topk(emb, q, k=5), 5, 0.8
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + probe) approximate top-5 — the FAISS-style
-    scale path beside SRP-LSH (no oracle: approximate by construction;
-    recall asserted in tests/test_similarity.py)."""
-    from meta_frame_spark.operators.similarity import ivf_topk
+    scale path beside SRP-LSH. Invariant-oracle form: recall@5 vs
+    exact, deterministic under the fixed k-means seed (observed 0.50
+    at sf0.01 probing 4/16 cells — the synthetic vectors are near-
+    uniform, so cells barely capture cosine neighborhoods; bound
+    0.45)."""
+    from meta_frame_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4)
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_summary(
+        ivf_topk(emb, q, k=5, n_cells=16, n_probe=4),
+        brute_force_topk(emb, q, k=5), 5, 0.45,
+    )
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates + exact
-    verify (no oracle: candidate recall is probabilistic)."""
+    verify. Genuine exact oracle: at 32 bands the fixed-seed candidate
+    generation reaches recall 1.0 on this corpus (the pair-cosine
+    distribution has a clear margin around the 0.4 threshold), so the
+    output equals DuckDB's all-pairs cosine filter bit-for-bit."""
     from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_bands=32
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs over documents, exact-Jaccard verified
-    (no oracle: LSH banding not SQL-expressible; planted-dup recall is
-    tested in tests/test_similarity.py)."""
+    """MinHash+LSH near-dup pairs over documents, exact-Jaccard
+    verified. Genuine exact oracle: at (16 bands × 4 rows) a J ≥ 0.9
+    pair is a candidate with p ≈ 1-4e-8, and this corpus has nothing
+    between J = 0.07 and J = 0.9, so the fixed-seed output equals
+    DuckDB's all-pairs 3-gram Jaccard filter at the 0.5 threshold."""
     from meta_frame_spark.operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
@@ -1229,10 +1298,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dup groups (identical 64-bit signature)."""
-    from meta_frame_spark.operators.dedup import simhash_dup_groups
+    """SimHash as a similarity-preserving near-dup signal: for every
+    exactly-enumerable planted near-dup pair (3-gram Jaccard ≥ 0.9 —
+    the oracle recomputes the pair list and Jaccard in SQL), the two
+    64-bit signatures must be within Hamming distance 16 of each other
+    (Spark-verified boolean; observed max 12 on this corpus, vs ~32
+    expected for unrelated docs). Identical-signature dup *groups*
+    remain covered by simhash_dup_groups unit tests."""
+    from meta_frame_spark.operators.dedup import ngram_jaccard_pairs, simhash
 
-    return simhash_dup_groups(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    cands = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.9)
+    sig = simhash(docs)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sig_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            (F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b"))) <= 16)
+            .alias("hamming_le_16"),
+        )
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,16 +1608,31 @@ def q_count_distinct_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup: coarse k-means cells, in-cell
-    greedy cosine pruning (operators/semdedup.py). No oracle — the
-    quantizer is not SQL-expressible; determinism + planted-dup
-    behavior are unit-tested (tests/test_semdedup.py), the driver
-    records a rows-only check."""
+    greedy cosine pruning (operators/semdedup.py). Invariant-oracle
+    form (the quantizer is not SQL-expressible): one row per input
+    vector (coverage exactly checked) with Spark-verified structural
+    invariants — kept XOR has-a-keeper, dropped vectors sit within
+    ``threshold`` cosine of their keeper, and the keeper is itself a
+    kept vector in the same cell. Threshold 0.45 so the planted
+    cosine-0.4-0.6 near-dup band actually exercises the pruning."""
     from meta_frame_spark.operators.semdedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, threshold=0.9, n_clusters=8)
-    return out.select(
-        "vec_id", "cell", "is_kept", "dup_of", F.round("cosine", 4).alias("cosine")
+    out = semantic_dedup(emb, threshold=0.45, n_clusters=8)
+    keepers = out.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("is_kept").alias("_keeper_kept"),
+        F.col("cell").alias("_keeper_cell"),
+    )
+    j = out.join(keepers, "dup_of", "left")
+    return j.select(
+        "vec_id",
+        (F.col("is_kept") != F.col("dup_of").isNotNull()).alias("resolved"),
+        F.when(F.col("is_kept"), F.lit(True))
+        .otherwise(F.col("cosine") >= 0.45).alias("cosine_ok"),
+        F.when(F.col("is_kept"), F.lit(True))
+        .otherwise(F.col("_keeper_kept") & (F.col("cell") == F.col("_keeper_cell")))
+        .alias("keeper_ok"),
     )
 
 
