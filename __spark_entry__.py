@@ -2910,4 +2910,90 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             ) WHERE rn <= 10
         """,
+        # ---- invariant oracles for approximate / non-SQL operators ----
+        # Pattern (VERDICT r1 #2): the Spark query emits exactly-
+        # recomputable columns plus Spark-verified invariant booleans;
+        # the oracle recomputes the exact columns and asserts TRUE for
+        # the booleans, so a broken invariant hash-mismatches.
+        "pack_sequences": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+                       AS n_tokens,
+                   TRUE AS pack_ok
+            FROM documents
+        """,
+        "dedup_minhash": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            WHERE jaccard >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            )
+            SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard,
+                   TRUE AS hamming_le_16
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            WHERE jaccard >= 0.9
+        """,
+        "ann_topk_lsh": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_topk_ivf": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "mm_pixel_stats": """
+            SELECT doc_id, TRUE AS dims_ok, TRUE AS mean_ok, TRUE AS std_ok
+            FROM documents
+        """,
+        "agg_approx": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS exact_cust,
+                   TRUE AS approx_err_ok
+            FROM orders GROUP BY 1
+        """,
+        "semantic_dedup": """
+            SELECT vec_id, TRUE AS resolved, TRUE AS cosine_ok,
+                   TRUE AS keeper_ok
+            FROM embeddings
+        """,
     }
