@@ -22,12 +22,12 @@ from meta_frame_spark import aggregate_and_join, nested_aggregate, run_pipeline
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and convert to micros
-        # (matches DuckDB's nanos->micros truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts physical type has changed across driver data regenerations
+        # (nanos-as-long, then timestamp[us]); the shared loader inspects
+        # the loaded dtype and normalizes to session-TZ TimestampType.
+        from meta_frame_spark.sources.events import load_events
+
+        return load_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "documents":
         # the test corpus is ONE single-row-group parquet file — an
@@ -1220,7 +1220,9 @@ def _ann_recall_summary(approx: DataFrame, exact: DataFrame, k: int,
     (deterministic under the operators' fixed seeds)."""
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"), F.min("n_ret").alias("min_ret")
+        F.count(F.lit(1)).alias("n_queries"),
+        F.min("n_ret").alias("min_ret"),
+        F.max("n_ret").alias("max_ret"),
     )
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
         F.count(F.lit(1)).cast("double").alias("n_hits")
@@ -1229,7 +1231,9 @@ def _ann_recall_summary(approx: DataFrame, exact: DataFrame, k: int,
     return stats.crossJoin(hits).crossJoin(total).select(
         "n_queries",
         F.lit(k).alias("k"),
-        (F.col("min_ret") == k).alias("all_k_returned"),
+        # min AND max: catches both under-returning (<k rows for some
+        # query) and a leaky top-k returning more than k
+        ((F.col("min_ret") == k) & (F.col("max_ret") == k)).alias("all_k_returned"),
         (F.col("n_hits") / F.col("n_exact") >= recall_bound).alias("recall_ok"),
     )
 
@@ -1268,14 +1272,16 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates + exact
-    verify. Genuine exact oracle: at 32 bands the fixed-seed candidate
-    generation reaches recall 1.0 on this corpus (the pair-cosine
-    distribution has a clear margin around the 0.4 threshold), so the
-    output equals DuckDB's all-pairs cosine filter bit-for-bit."""
+    verify. Genuine exact oracle: at 64 bands x 4 planes the per-pair
+    candidate-miss probability at the 0.4 threshold is ~2e-5 (32 bands
+    measurably missed 3/920 pairs at sf0.1 — ADVICE r2); recall 1.0 is
+    locally re-verified against DuckDB's all-pairs cosine filter at
+    BOTH sf0.01 and sf0.1, so the output matches bit-for-bit at every
+    shipped scale."""
     from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_bands=32
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_bands=64
     )
 
 
@@ -1302,18 +1308,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-enumerable planted near-dup pair (3-gram Jaccard ≥ 0.9 —
     the oracle recomputes the pair list and Jaccard in SQL), the two
     64-bit signatures must be within Hamming distance 16 of each other
-    (Spark-verified boolean; observed max 12 on this corpus, vs ~32
-    expected for unrelated docs). Identical-signature dup *groups*
-    remain covered by simhash_dup_groups unit tests."""
-    from meta_frame_spark.operators.dedup import ngram_jaccard_pairs, simhash
+    (Spark-verified boolean; observed max 12 at sf0.01 and sf0.1, vs
+    ~32 expected for unrelated docs). Identical-signature dup *groups*
+    remain covered by simhash_dup_groups unit tests.
+
+    The J >= 0.9 pair list is enumerated via MinHash-LSH blocking (16
+    bands x 4 rows: a J >= 0.9 pair is a candidate with p ~ 1-4e-8 —
+    the same guarantee dedup_minhash's exact oracle rests on), NOT the
+    previous all-pairs crossJoin, which could not finish at sf0.1 and
+    would never scale (ADVICE r2)."""
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup, simhash
 
     docs = _t(spark, sf_dir, "documents")
-    ids = docs.select(F.col("doc_id").alias("id_a"))
-    cands = (
-        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
-        .filter(F.col("id_a") < F.col("id_b"))
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.9, num_hashes=64, num_bands=16, shingle_n=3,
+        restrict_to_candidates=False,
     )
-    pairs = ngram_jaccard_pairs(docs, cands, shingle_n=3, threshold=0.9)
     sig = simhash(docs)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sig_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sig_b"))
@@ -1734,16 +1744,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (round 2): the r1 driver correctness run
-    # stopped after the first 50 dict entries, so the 37 queries it
-    # never reached come FIRST this round; the 44 already-green ones
-    # follow; the 9 approximate queries (invariant-style oracles) sit
-    # last. Every entry has an oracle_sql() twin.
+    # Ordering contract (round 3): the driver checks only the FIRST 50
+    # dict entries per round, so the 50 are exactly (a) the 13 events
+    # queries that errored in r2 on the stale ts loader, (b) the 9
+    # queries never verified in any round (r1/r2 caps + no_oracle
+    # parking), and (c) the 28 queries green only in r1 and due a
+    # recheck after the round-2 entry edits. The 37 entries green in
+    # CORRECTNESS_r02 rotate to the tail. Every entry has an
+    # oracle_sql() twin.
     return {
-        # --- unchecked in CORRECTNESS_r01 (driver cap): check first ---
-        "fingerprint": q_fingerprint,
-        "mm_meta": q_mm_meta,
-        "mm_frames": q_mm_frames,
+        # --- (a) r2 errors: the fixed events loader, verify first ---
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -1751,47 +1761,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval": q_events_interval,
         "set_ops": q_set_ops,
         "events_json": q_events_json,
-        "decontaminate": q_decontaminate,
-        "quantile_gate": q_quantile_gate,
-        "corpus_mix": q_corpus_mix,
         "events_enriched": q_events_enriched,
-        "agg_grouping_sets": q_agg_grouping_sets,
         "scd2_versions": q_scd2_versions,
         "rolling_1h": q_rolling_1h,
-        "quality_deciles": q_quality_deciles,
-        "chunk_dedup": q_chunk_dedup,
-        "doc_lm_score": q_doc_lm_score,
-        "domain_cap": q_domain_cap,
-        "doc_chunks": q_doc_chunks,
-        "winsorized_lengths": q_winsorized_lengths,
-        "length_histogram": q_length_histogram,
-        "dedup_incremental": q_dedup_incremental,
-        "agg_salted": q_agg_salted,
-        "count_distinct_skew": q_count_distinct_skew,
-        "group_quantiles": q_group_quantiles,
-        "bm25_search": q_bm25_search,
         "event_funnel": q_event_funnel,
         "sessionize": q_sessionize,
         "cohort_retention": q_cohort_retention,
-        "score_normalize": q_score_normalize,
-        "curation_pipeline": q_curation_pipeline,
-        # --- green in CORRECTNESS_r01 ---
-        "a_cascade": q_a_cascade,
-        "a_filters": q_a_filters,
-        "a_keep_columns": q_a_keep_columns,
-        "b_multi_agg": q_b_multi_agg,
-        "b_join_tree": q_b_join_tree,
-        "b_q3_shipping": q_b_q3_shipping,
-        "b_semi_join": q_b_semi_join,
-        "b_anti_join": q_b_anti_join,
-        "bp_nested": q_bp_nested,
-        "bp_grandchild": q_bp_grandchild,
-        "a_chained": q_a_chained,
-        "agg_extended": q_agg_extended,
-        "a_derive": q_a_derive,
-        "agg_rollup": q_agg_rollup,
-        "agg_cube": q_agg_cube,
-        "profile": q_profile,
+        # --- (b) never verified in r1 or r2 ---
+        "pack_sequences": q_pack_sequences,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_pixel_stats": q_mm_pixel_stats,
+        "agg_approx": q_agg_approx,
+        "semantic_dedup": q_semantic_dedup,
+        # --- (c) green in r1 only; recheck after round-2 edits ---
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -1820,16 +1806,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted": q_join_salted,
         "corpus_diff": q_corpus_diff,
         "lang_id": q_lang_id,
-        # --- approximate ops: invariant-style oracles ---
-        "pack_sequences": q_pack_sequences,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "emb_near_dup": q_emb_near_dup,
-        "mm_pixel_stats": q_mm_pixel_stats,
-        "agg_approx": q_agg_approx,
-        "semantic_dedup": q_semantic_dedup,
+        # --- green in CORRECTNESS_r02: rotate to the tail ---
+        "fingerprint": q_fingerprint,
+        "mm_meta": q_mm_meta,
+        "mm_frames": q_mm_frames,
+        "decontaminate": q_decontaminate,
+        "quantile_gate": q_quantile_gate,
+        "corpus_mix": q_corpus_mix,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "quality_deciles": q_quality_deciles,
+        "chunk_dedup": q_chunk_dedup,
+        "doc_lm_score": q_doc_lm_score,
+        "domain_cap": q_domain_cap,
+        "doc_chunks": q_doc_chunks,
+        "winsorized_lengths": q_winsorized_lengths,
+        "length_histogram": q_length_histogram,
+        "dedup_incremental": q_dedup_incremental,
+        "agg_salted": q_agg_salted,
+        "count_distinct_skew": q_count_distinct_skew,
+        "group_quantiles": q_group_quantiles,
+        "bm25_search": q_bm25_search,
+        "score_normalize": q_score_normalize,
+        "curation_pipeline": q_curation_pipeline,
+        "a_cascade": q_a_cascade,
+        "a_filters": q_a_filters,
+        "a_keep_columns": q_a_keep_columns,
+        "b_multi_agg": q_b_multi_agg,
+        "b_join_tree": q_b_join_tree,
+        "b_q3_shipping": q_b_q3_shipping,
+        "b_semi_join": q_b_semi_join,
+        "b_anti_join": q_b_anti_join,
+        "bp_nested": q_bp_nested,
+        "bp_grandchild": q_bp_grandchild,
+        "a_chained": q_a_chained,
+        "agg_extended": q_agg_extended,
+        "a_derive": q_a_derive,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "profile": q_profile,
     }
 
 

@@ -11,7 +11,6 @@ memory sink).
 """
 
 from meta_frame_spark.streaming.ops import (
-    EVENTS_RAW_SCHEMA,
     dedup_events,
     enrich_with_dim,
     hourly_event_counts,
@@ -25,7 +24,6 @@ from meta_frame_spark.streaming.ops import (
 )
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "dedup_events",
     "enrich_with_dim",
     "hourly_event_counts",

@@ -28,29 +28,19 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 if TYPE_CHECKING:  # pragma: no cover - typing only
     import pandas as pd
 
-#: Physical schema of events.parquet with TIMESTAMP(NANOS) read as
-#: long (spark.sql.legacy.parquet.nanosAsLong) — streaming file
-#: sources require an explicit schema.
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos since epoch
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over events parquet: explicit schema (a
-    streaming requirement), nanos→micros timestamp conversion, one
-    logical column layout shared with the batch loader."""
+    streaming requirement) probed from the on-disk physical layout, then
+    normalized to the one logical column layout shared with the batch
+    loader (sources/events.py) — robust to the driver regenerating the
+    data with a different ``ts`` physical type."""
+    from meta_frame_spark.sources.events import event_stream_schema, normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(event_stream_schema(spark, path))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(path))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

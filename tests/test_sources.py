@@ -102,3 +102,44 @@ def test_iteration_and_tree_sinks(spark, small, tmp_path):
 
     tree_sink(str(tmp_path))(small, Spec())
     assert _sorted(spark.read.parquet(str(tmp_path / "leaf1"))) == _sorted(small)
+
+
+def test_events_loader_normalizes_both_physical_ts_types(spark, tmp_path):
+    """The driver has regenerated events.parquet with different physical
+    ``ts`` types across rounds (TIMESTAMP(NANOS), then timestamp[us]).
+    The shared loader must normalize every layout to the same logical
+    schema and identical values, so a future flip breaks this one test
+    instead of every events correctness row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from meta_frame_spark.sources.events import load_events
+
+    micros = [1704103200000000, 1704106800000000, 1704110400123456]
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 11, 10], pa.int64()),
+        "event_type": pa.array(["view", "click", "view"]),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"]),
+    }
+
+    def write(path, ts_array):
+        cols = {"event_id": base["event_id"], "ts": ts_array, **{
+            k: v for k, v in base.items() if k != "event_id"}}
+        pq.write_table(pa.table(cols), path)
+
+    p_nanos = str(tmp_path / "ev_nanos.parquet")
+    p_micros = str(tmp_path / "ev_micros.parquet")
+    write(p_nanos, pa.array([m * 1000 + 999 for m in micros], pa.timestamp("ns")))
+    write(p_micros, pa.array(micros, pa.timestamp("us")))
+
+    got_n = load_events(spark, p_nanos)
+    got_u = load_events(spark, p_micros)
+    assert got_n.schema == got_u.schema
+    assert isinstance(got_n.schema["ts"].dataType, T.TimestampType)
+    rows_n = sorted(tuple(r) for r in got_n.collect())
+    rows_u = sorted(tuple(r) for r in got_u.collect())
+    # nanos→micros truncation makes the +999ns layouts land on the same values
+    assert rows_n == rows_u

@@ -17,9 +17,9 @@ from meta_frame_spark.streaming import (
 
 @pytest.fixture(scope="module")
 def events_batch(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from meta_frame_spark.sources.events import load_events
+
+    return load_events(spark, f"{sf_dir}/events.parquet")
 
 
 @pytest.fixture(scope="module")
