@@ -190,3 +190,65 @@ def test_stream_static_enrich_matches_batch(spark, events_batch, events_stream, 
     # the batch twin must plan as a broadcast join (no stream shuffle)
     plan = want._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_watermark_drops_too_late_keeps_within_watermark(spark, tmp_path):
+    """Late-data semantics at the watermark boundary (the behavior a
+    100-TB event pipeline lives and dies by): with a 1-hour watermark,
+    a late row whose window is still open (window end > watermark) is
+    aggregated, while a row whose window end has passed the watermark
+    is dropped and its window never resurfaces.
+
+    Three files + maxFilesPerTrigger=1 force three micro-batches. The
+    watermark advances on batch-1's max event time (13:50 → 12:50) but
+    only takes filtering effect one batch after commit (empirically:
+    batch N filters with the watermark computed from batch N-2's data),
+    so the late probes ride in batch 3."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def us(h, m):
+        # 2024-01-01 HH:MM UTC in epoch micros
+        return (1704067200 + h * 3600 + m * 60) * 1_000_000
+
+    def write(path, rows):
+        ids, tss = [r[0] for r in rows], [r[1] for r in rows]
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }), path)
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    f1, f2, f3 = (str(d / f"b{i}.parquet") for i in (1, 2, 3))
+    # batch 1: on-time rows at 12:05 and 13:50 -> watermark 12:50
+    write(f1, [(1, us(12, 5)), (2, us(13, 50))])
+    # batch 2: filler at 13:00 (keeps wm at 12:50, lets it take effect)
+    write(f2, [(3, us(13, 0))])
+    # batch 3 (filtered at wm 12:50): late 12:20 is KEPT — its window
+    # [12:00,13:00) end 13:00 > wm; too-late 11:40 is DROPPED — its
+    # window [11:00,12:00) end 12:00 <= wm
+    write(f3, [(4, us(12, 20)), (5, us(11, 40))])
+    for i, f in enumerate((f1, f2, f3)):
+        os.utime(f, (1_700_000_000 + 100 * i,) * 2)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    got = run_to_memory(
+        hourly_event_counts(stream, watermark="1 hour"),
+        "t_late", output_mode="update",
+    )
+    rows = got.select("hour", "n_events").collect()
+    by_hour = {}
+    for r in rows:
+        by_hour.setdefault(r.hour.hour, []).append(r.n_events)
+    # too-late row dropped: its window never emitted any update
+    assert 11 not in by_hour
+    # late-but-open window updated 1 -> 2 by the batch-3 late row
+    assert sorted(by_hour[12]) == [1, 2]
+    assert sorted(by_hour[13]) == [1, 2]
