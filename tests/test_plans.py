@@ -181,3 +181,23 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_near_dup_pipelines_have_no_cartesian_product(spark, sf_dir):
+    """Every near-dup path must pair docs through banded-LSH equi-joins,
+    never an n^2 join: an all-pairs shape that passes at test scale is
+    a guaranteed non-starter on a real corpus (the previous simhash
+    query's crossJoin could not even finish at sf0.1)."""
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+    from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for df in (
+        minhash_lsh_dedup(docs, threshold=0.9, num_hashes=64, num_bands=16,
+                          shingle_n=3),
+        embedding_near_dup_pairs(emb, threshold=0.4, num_bands=64),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
