@@ -222,6 +222,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    input_cached: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs agreeing on all rows of
     any band land in the same bucket; self-join per bucket.
@@ -233,7 +234,10 @@ def minhash_lsh_candidates(
 
     The exploded bucket table feeds BOTH sides of the self-join, so it
     is persisted (memory-and-disk) — otherwise Spark computes the
-    signature stage twice, once per join branch.
+    signature stage twice, once per join branch. Pass
+    ``input_cached=True`` when ``sig_df`` is already persisted: the
+    explode itself is cheap JVM hash/slice work, so recomputing it per
+    join branch from the cache beats materializing a second cache.
     """
     bands = F.array(
         *[
@@ -246,7 +250,9 @@ def minhash_lsh_candidates(
     )
     exploded = sig_df.select(
         F.col(id_col), F.explode(bands).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket").persist()
+    ).select(id_col, "bb.band", "bb.bucket")
+    if not input_cached:
+        exploded = exploded.persist()
 
     left = exploded.alias("l")
     right = exploded.alias("r")
@@ -366,6 +372,41 @@ def hashed_jaccard_pairs(
     )
 
 
+def _minhash_sig_and_set(num_hashes: int, shingle_n: int, seed: int):
+    """One Arrow-batched UDF emitting BOTH the minhash signature and the
+    distinct hashed-shingle set from per-token hashes — the fused form
+    used when the verify stage will need sets for (almost) every doc
+    anyway, so tokenize+hash runs once instead of once per stage."""
+    import random
+
+    rng = random.Random(seed)
+    coefs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    A = np.array([a for a, _ in coefs], dtype=np.int64)
+    B = np.array([b for _, b in coefs], dtype=np.int64)
+    P = np.int64(_MERSENNE)
+    empty_sig = np.full(num_hashes, _MERSENNE, dtype=np.int64)
+
+    @F.pandas_udf("signature array<bigint>, sh array<bigint>")
+    def _both(hs: pd.Series) -> pd.DataFrame:
+        sig_out, set_out = [], []
+        for h in hs:
+            if h is None:
+                sig_out.append(None)
+                set_out.append(None)
+                continue
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                sig_out.append(empty_sig)
+                set_out.append(np.array([], dtype=np.int64))
+                continue
+            sh = _np_shingle_hashes(arr, shingle_n)
+            sig_out.append(((sh[:, None] * A + B) % P).min(axis=0))
+            set_out.append(np.unique(sh))
+        return pd.DataFrame({"signature": sig_out, "sh": set_out})
+
+    return _both
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -381,16 +422,48 @@ def minhash_lsh_dedup(
     Jaccard verify (hashed-shingle sets). Returns verified near-dup
     pairs (id_a, id_b, jaccard).
 
-    ``restrict_to_candidates``: see :func:`hashed_jaccard_pairs` —
-    True (default) prunes set-building to candidate docs, the winning
-    trade when candidates ≪ corpus; False skips the extra pruning
-    stages, faster when the corpus is small or the threshold low."""
+    ``restrict_to_candidates``: True (default) runs signature and
+    verify as separate text passes so set-building can be semi-join
+    pruned to candidate docs — the winning trade at cluster scale,
+    where candidates ≪ corpus (see :func:`hashed_jaccard_pairs`).
+    False fuses both text passes into ONE Arrow UDF emitting
+    (signature, shingle-set) and persists that single base: buckets
+    derive from the cached signature JVM-side and the verify joins
+    sets from the same cache — half the tokenize+hash work and one
+    persist instead of two, the winning trade when candidates are NOT
+    much rarer than docs (small corpora, low thresholds)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
-    return hashed_jaccard_pairs(
-        df, cands, text_col, id_col, shingle_n, threshold,
-        restrict_to_candidates=restrict_to_candidates,
+    if restrict_to_candidates:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+        cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+        return hashed_jaccard_pairs(
+            df, cands, text_col, id_col, shingle_n, threshold,
+            restrict_to_candidates=True,
+        )
+
+    both = _minhash_sig_and_set(num_hashes, shingle_n, seed)
+    base = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), both(_token_hashes(text_col)).alias("s"))
+        .select(id_col, F.col("s.signature").alias("signature"), F.col("s.sh").alias("sh"))
+        .persist()
+    )
+    cands = minhash_lsh_candidates(
+        base.select(id_col, "signature"), id_col, num_bands, rows_per_band,
+        input_cached=True,
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

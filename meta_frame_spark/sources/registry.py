@@ -52,6 +52,32 @@ def _read_orc(spark: SparkSession, path: str, schema=None, **options) -> DataFra
     return reader.orc(path)
 
 
+def _read_text(spark: SparkSession, path: str, schema=None,
+               wholetext: bool = False, **options) -> DataFrame:
+    """Raw text ingestion (one row per line, or per file with
+    ``wholetext=True``) — the entry format for unprocessed LLM corpus
+    shards. Schema is fixed by Spark (``value string``); ``schema=`` is
+    rejected loudly rather than silently ignored."""
+    if schema is not None:
+        raise ValueError("source='text' has a fixed schema (value string)")
+    return spark.read.options(**options).text(path, wholetext=wholetext)
+
+
+def _read_binary(spark: SparkSession, path: str, schema=None,
+                 path_glob: str | None = None, **options) -> DataFrame:
+    """Opaque-asset ingestion via Spark's binaryFile source (path,
+    modificationTime, length, content) — the scan side of the
+    multimodal column pipeline (multimodal/assets.py decodes/derives
+    from the ``content`` bytes). ``path_glob`` maps to pathGlobFilter
+    for extension pruning at the listing, before any byte is read."""
+    if schema is not None:
+        raise ValueError("source='binary' has a fixed schema (binaryFile)")
+    reader = spark.read.format("binaryFile").options(**options)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
+
+
 def load_data(
     spark: SparkSession,
     source: str = "auto",
@@ -63,9 +89,10 @@ def load_data(
 ) -> DataFrame:
     """Unified load dispatcher (S8, soundwave.py:4-29).
 
-    Sources: ``csv`` ``parquet`` ``json`` ``orc`` (path-based), ``table``
-    (catalog, S4 ``spark.sql(f"SELECT * FROM {name}")`` megatron.py:63-65),
-    ``sql`` (arbitrary query, soundwave.py:27), ``auto`` (by extension).
+    Sources: ``csv`` ``parquet`` ``json`` ``orc`` ``text`` ``binary``
+    (path-based), ``table`` (catalog, S4
+    ``spark.sql(f"SELECT * FROM {name}")`` megatron.py:63-65), ``sql``
+    (arbitrary query, soundwave.py:27), ``auto`` (by extension).
     The reference's ``pandas`` source (S3) maps to the same Spark read —
     engine unified per SURVEY.md §1.3.
     """
@@ -92,6 +119,8 @@ def load_data(
             source = "json"
         elif lowered.endswith(".orc"):
             source = "orc"
+        elif lowered.endswith(".txt"):
+            source = "text"
         else:
             source = "parquet"
     readers: dict[str, Callable] = {
@@ -99,6 +128,8 @@ def load_data(
         "parquet": _read_parquet,
         "json": _read_json,
         "orc": _read_orc,
+        "text": _read_text,
+        "binary": _read_binary,
     }
     reader = readers.get(source)
     if reader is None:

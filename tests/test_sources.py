@@ -143,3 +143,24 @@ def test_events_loader_normalizes_both_physical_ts_types(spark, tmp_path):
     rows_u = sorted(tuple(r) for r in got_u.collect())
     # nanos→micros truncation makes the +999ns layouts land on the same values
     assert rows_n == rows_u
+
+
+def test_text_and_binary_sources(spark, tmp_path):
+    """Raw-corpus (text) and multimodal-asset (binaryFile) ingestion."""
+    (tmp_path / "a.txt").write_text("line one\nline two\n")
+    (tmp_path / "b.bin").write_bytes(b"\x00\x01\x02payload")
+
+    lines = load_data(spark, "text", path=str(tmp_path / "a.txt"))
+    assert lines.columns == ["value"]
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two"]
+    # auto-dispatch by .txt extension; wholetext gives one row per file
+    whole = load_data(spark, "auto", path=str(tmp_path / "a.txt"), wholetext=True)
+    assert whole.count() == 1
+
+    bins = load_data(spark, "binary", path=str(tmp_path), path_glob="*.bin")
+    rows = bins.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0].length == 10 and bytes(rows[0].content).endswith(b"payload")
+
+    with pytest.raises(ValueError):
+        load_data(spark, "text", path=str(tmp_path / "a.txt"), schema="value string")
