@@ -164,3 +164,50 @@ def test_text_and_binary_sources(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_data(spark, "text", path=str(tmp_path / "a.txt"), schema="value string")
+
+
+def test_driver_tables_schema_drift_canary(spark):
+    """The driver regenerates /root/testdata between rounds and has
+    already changed a physical type once (events.ts). This canary pins
+    the logical column layout of every driver table so the next
+    regeneration fails ONE pointed test instead of a scatter of
+    correctness rows. Update the expectation (and audit every consumer
+    of the changed table) when it fires."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not mounted")
+    expected = {
+        "region": {"r_regionkey": "int", "r_name": "string"},
+        "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+        "customer": {"c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+                     "c_acctbal": "double", "c_mktsegment": "string"},
+        "supplier": {"s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+                     "s_acctbal": "double"},
+        "part": {"p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+                 "p_type": "string", "p_size": "int", "p_retailprice": "double"},
+        "orders": {"o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+                   "o_totalprice": "double", "o_orderdate": None, "o_orderpriority": "string"},
+        "lineitem": {"l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+                     "l_linenumber": "int", "l_quantity": "double", "l_extendedprice": "double",
+                     "l_discount": "double", "l_tax": "double", "l_returnflag": "string",
+                     "l_linestatus": "string", "l_shipdate": None},
+        "documents": {"doc_id": "bigint", "text": "string", "lang": "string",
+                      "source": "string", "n_chars": "bigint"},
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+    }
+    for table, cols in expected.items():
+        schema = spark.read.parquet(f"{sf}/{table}.parquet").schema
+        got = {f.name: f.dataType.simpleString() for f in schema.fields}
+        assert list(got) == list(cols), f"{table}: column set/order changed: {got}"
+        for c, want in cols.items():
+            if want is not None:  # None = type allowed to drift (ts-like)
+                assert got[c] == want, f"{table}.{c}: {got[c]} != {want}"
+    # events goes through the adaptive loader; assert the NORMALIZED form
+    from meta_frame_spark.sources.events import load_events
+
+    ev = load_events(spark, f"{sf}/events.parquet")
+    got = {f.name: f.dataType.simpleString() for f in ev.schema.fields}
+    assert got == {"event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+                   "event_type": "string", "value": "double", "props": "string"}
