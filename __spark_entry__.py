@@ -1417,6 +1417,52 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing plan (alpha = 0.5): target shares
+    derived from observed per-source char mass as size^alpha
+    normalized — the multilingual-sampling rule — then the same
+    largest-feasible-total keep fractions as corpus_mix. One aggregate
+    pass; SQL-expressible, full oracle."""
+    from meta_frame_spark.operators.mixing import temperature_mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = temperature_mix_plan(docs, "source", alpha=0.5, size_col="n_chars")
+    return plan.select(
+        "source",
+        "n_rows",
+        F.col("size").cast("long").alias("chars"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+    )
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches per source (DataSketches
+    HLL, native Spark expressions): the incremental-corpus pattern —
+    daily increments union into fixed-size binary state instead of
+    re-scanning history for COUNT(DISTINCT). Invariant oracle: exact
+    distinct count per source (SQL recomputes) + a Spark-verified
+    boolean that the sketch estimate lands within 5% (lgConfigK=12 is
+    ~1-2% typical; the merge path additionally asserts
+    union(halves) == whole in tests/test_sketch_mixing.py)."""
+    from meta_frame_spark.operators.sketch import cardinality_sketch, estimate_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    est = estimate_distinct(cardinality_sketch(docs, ["source"], "text"))
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return exact.join(est, "source").select(
+        "source",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("err_ok"),
+    )
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (batch twin): events broadcast-joined to
     the customer dim, rolled up to nation market segments. The same
@@ -1777,7 +1823,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixel_stats": q_mm_pixel_stats,
         "agg_approx": q_agg_approx,
         "semantic_dedup": q_semantic_dedup,
+        # --- new in round 3 (never verified): inside the window ---
+        "corpus_mix_temperature": q_corpus_mix_temperature,
+        "distinct_sketch": q_distinct_sketch,
         # --- (c) green in r1 only; recheck after round-2 edits ---
+        # (corpus_diff + lang_id slip past position 50 to make room for
+        # the two new round-3 entries; both were hash-green in r1 and
+        # rotate back next round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -2589,6 +2641,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_rows, CAST(chars AS BIGINT) AS chars, target_share,
                    ROUND(LEAST(1.0, target_share * t.t / chars), 6) AS keep_frac
             FROM j, t
+        """,
+        "corpus_mix_temperature": """
+            WITH a AS (
+                SELECT source, COUNT(*) AS n_rows,
+                       CAST(SUM(n_chars) AS DOUBLE) AS chars
+                FROM documents GROUP BY 1
+            ),
+            s AS (
+                SELECT *, POW(chars, 0.5) / SUM(POW(chars, 0.5)) OVER ()
+                       AS target_share
+                FROM a
+            ),
+            t AS (SELECT MIN(chars / target_share) AS t FROM s)
+            SELECT source, n_rows, CAST(chars AS BIGINT) AS chars,
+                   ROUND(target_share, 6) AS target_share,
+                   ROUND(LEAST(1.0, target_share * t.t / chars), 6) AS keep_frac
+            FROM s, t
+        """,
+        "distinct_sketch": """
+            SELECT source, COUNT(DISTINCT text) AS exact_distinct,
+                   TRUE AS err_ok
+            FROM documents GROUP BY 1
         """,
         "events_enriched": """
             SELECT c.c_nationkey AS d_c_nationkey,

@@ -37,7 +37,13 @@ from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
 from meta_frame_spark.operators.quota import quota_per_group
 from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
 from meta_frame_spark.operators.linedup import dedup_units, repeated_units
-from meta_frame_spark.operators.mixing import apply_mix, mix_plan
+from meta_frame_spark.operators.mixing import apply_mix, mix_plan, temperature_mix_plan
+from meta_frame_spark.operators.sketch import (
+    cardinality_sketch,
+    estimate_distinct,
+    incremental_distinct,
+    merge_cardinality_sketches,
+)
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
 from meta_frame_spark.operators.ranking import normalize_scores, ntile_buckets
@@ -64,6 +70,11 @@ from meta_frame_spark.operators.temporal import asof_join, rolling_agg, sessioni
 __all__ = [
     "apply_changelog",
     "apply_mix",
+    "cardinality_sketch",
+    "estimate_distinct",
+    "incremental_distinct",
+    "merge_cardinality_sketches",
+    "temperature_mix_plan",
     "decontaminate",
     "latest_by_key",
     "mix_plan",

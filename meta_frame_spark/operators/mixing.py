@@ -110,3 +110,44 @@ def apply_mix(
         in_mix, source_col, fractions, id_col=id_col, salt=salt,
         default_fraction=0.0,
     )
+
+
+def temperature_mix_plan(
+    df: DataFrame,
+    source_col: str,
+    alpha: float,
+    size_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixing plan: target shares are DERIVED from
+    the observed per-source sizes, ``w_s ∝ size_s^alpha`` (the
+    multilingual-sampling rule: alpha = 1 keeps natural proportions,
+    alpha = 0 gives uniform shares, 0 < alpha < 1 up-weights the tail
+    without hand-writing a weights dict). Output matches
+    :func:`mix_plan`: ``(source, n_rows, size, target_share,
+    keep_frac)`` with ``keep_frac`` realizing the largest feasible
+    corpus honoring the derived shares with no up-sampling.
+
+    Scale: one aggregate to one row per source plus empty-frame windows
+    over that tiny frame — the corpus is scanned exactly once and never
+    shuffled. Feed the resulting shares to :func:`apply_mix` (or gate
+    rows directly with ``stratified_sample``) for materialization.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    size = F.sum(size_col) if size_col else F.count(F.lit(1))
+    actual = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), size.cast("double").alias("size")
+    )
+    everything = Window.partitionBy()
+    share = F.pow("size", F.lit(alpha)) / F.sum(F.pow("size", F.lit(alpha))).over(everything)
+    with_share = actual.select(
+        source_col, "n_rows", "size", share.alias("target_share")
+    )
+    t = F.min(F.col("size") / F.col("target_share")).over(everything)
+    return with_share.select(
+        source_col,
+        "n_rows",
+        "size",
+        "target_share",
+        F.least(F.lit(1.0), F.col("target_share") * t / F.col("size")).alias("keep_frac"),
+    )

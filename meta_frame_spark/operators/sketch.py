@@ -1,0 +1,79 @@
+"""Mergeable cardinality sketches (Apache DataSketches HLL, built into
+Spark SQL since 3.5).
+
+Not present in the reference (its agg surface stops at
+sum/max/min/count/avg — SURVEY.md §2.4); this is the incremental-corpus
+pattern a 100 TB pipeline needs: exact ``COUNT(DISTINCT)`` over an
+ever-growing corpus re-scans everything, while an HLL sketch is a
+small fixed-size binary state that (a) aggregates in one pass with
+map-side partial merge, (b) UNIONs associatively across daily/batch
+increments without touching history rows, and (c) estimates with
+~1-2 % relative error at lgConfigK = 12 (4 KB per group).
+
+All three stages are native Spark expressions (hll_sketch_agg /
+hll_union_agg / hll_sketch_estimate) — JVM-side, codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cardinality_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_config_k: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-group HLL sketch of ``value_col``'s distinct values:
+    ``(group_cols..., sketch binary)``. One hash-shuffle aggregate with
+    map-side partial sketches — the sketch, not the values, crosses the
+    wire."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_config_k)).alias(sketch_col)
+    )
+
+
+def merge_cardinality_sketches(
+    parts: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union per-group sketches across increments (days, shards,
+    backfills): input holds one sketch row per (group, increment);
+    output one merged sketch per group. Associative and
+    re-aggregatable — a year rolls up from daily sketches without
+    re-reading any raw data."""
+    return parts.groupBy(*group_cols).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )
+
+
+def estimate_distinct(
+    sketches: DataFrame,
+    sketch_col: str = "sketch",
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Read the cardinality estimate out of each sketch row (map-only)."""
+    return sketches.withColumn(
+        estimate_col, F.hll_sketch_estimate(sketch_col)
+    ).drop(sketch_col)
+
+
+def incremental_distinct(
+    history_sketches: DataFrame,
+    new_batch: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_config_k: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One incremental maintenance step: sketch the new batch, union it
+    into the persisted per-group history sketches, return the refreshed
+    sketch table (same shape — write it back over the history). Cost is
+    one scan of the BATCH only; history participates as sketch bytes."""
+    batch = cardinality_sketch(new_batch, group_cols, value_col, lg_config_k, sketch_col)
+    both = history_sketches.select(*group_cols, sketch_col).unionByName(batch)
+    return merge_cardinality_sketches(both, group_cols, sketch_col)

@@ -1,0 +1,103 @@
+"""HLL cardinality sketches (mergeable distinct counts) and
+temperature-scaled mixing plans."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.mixing import temperature_mix_plan
+from meta_frame_spark.operators.sketch import (
+    cardinality_sketch,
+    estimate_distinct,
+    incremental_distinct,
+    merge_cardinality_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # 3 groups; group g{i} has (i+1)*40 distinct values, each duplicated
+    rows = [
+        (f"g{i}", f"v{i}_{j % ((i + 1) * 40)}")
+        for i in range(3)
+        for j in range(2 * (i + 1) * 40)
+    ]
+    return spark.createDataFrame(rows, "grp string, val string")
+
+
+def _estimates(df):
+    return {r.grp: r.approx_distinct for r in estimate_distinct(df).collect()}
+
+
+def test_sketch_estimate_within_bound(spark, labeled):
+    est = _estimates(cardinality_sketch(labeled, ["grp"], "val"))
+    exact = {
+        r.grp: r.n
+        for r in labeled.groupBy("grp").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for g, e in exact.items():
+        assert abs(est[g] - e) / e <= 0.05, (g, est[g], e)
+
+
+def test_sketch_union_equals_whole(spark, labeled):
+    """Sketching two arbitrary halves and unioning them must estimate
+    the same as sketching the whole — the property that lets daily
+    sketches roll up without re-reading history."""
+    left = labeled.filter(F.crc32("val") % 2 == 0)
+    right = labeled.filter(F.crc32("val") % 2 == 1)
+    parts = cardinality_sketch(left, ["grp"], "val").unionByName(
+        cardinality_sketch(right, ["grp"], "val")
+    )
+    merged = merge_cardinality_sketches(parts, ["grp"])
+    whole = cardinality_sketch(labeled, ["grp"], "val")
+    assert _estimates(merged) == _estimates(whole)
+
+
+def test_incremental_distinct_step(spark, labeled):
+    """history sketches + new batch == sketch of the concatenation."""
+    history_rows = labeled.filter(F.col("grp") != "g2")
+    batch = labeled.filter(F.col("grp") != "g0")
+    history = cardinality_sketch(history_rows, ["grp"], "val")
+    refreshed = incremental_distinct(history, batch, ["grp"], "val")
+    direct = cardinality_sketch(history_rows.unionByName(batch), ["grp"], "val")
+    assert _estimates(refreshed) == _estimates(direct)
+
+
+@pytest.fixture(scope="module")
+def sized(spark):
+    rows = [("a", i, 10) for i in range(90)] + \
+           [("b", i, 10) for i in range(40)] + \
+           [("c", i, 10) for i in range(10)]
+    return spark.createDataFrame(rows, "src string, id bigint, n bigint")
+
+
+def test_temperature_alpha_one_is_natural_mix(spark, sized):
+    """alpha=1: target shares equal the observed shares, so the whole
+    corpus is feasible and every keep_frac is 1."""
+    plan = temperature_mix_plan(sized, "src", alpha=1.0)
+    for r in plan.collect():
+        assert abs(r.keep_frac - 1.0) < 1e-9
+
+
+def test_temperature_alpha_zero_is_uniform(spark, sized):
+    """alpha=0: uniform target shares; the smallest source binds and
+    every source keeps min_size rows."""
+    plan = {r.src: r for r in temperature_mix_plan(sized, "src", alpha=0.0).collect()}
+    assert abs(plan["c"].keep_frac - 1.0) < 1e-9
+    assert abs(plan["a"].keep_frac - 10 / 90) < 1e-9
+    assert abs(plan["b"].keep_frac - 10 / 40) < 1e-9
+    for r in plan.values():
+        assert abs(r.target_share - 1 / 3) < 1e-9
+
+
+def test_temperature_flattens_monotonically(spark, sized):
+    """0 < alpha < 1 sits between natural and uniform: the dominant
+    source's share shrinks as alpha drops."""
+    shares = {}
+    for alpha in (1.0, 0.5, 0.0):
+        plan = {r.src: r.target_share
+                for r in temperature_mix_plan(sized, "src", alpha=alpha).collect()}
+        shares[alpha] = plan["a"]
+    assert shares[1.0] > shares[0.5] > shares[0.0]
+    with pytest.raises(ValueError):
+        temperature_mix_plan(sized, "src", alpha=1.5)
