@@ -1463,6 +1463,26 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (iterative
+    min-label propagation, O(diameter) rounds) rolled up to per-cluster
+    sizes. Full oracle: DuckDB recomputes the same pair list (all-pairs
+    Jaccard >= 0.5) and closes it with a recursive CTE — a genuine
+    differential check of the iterative Spark algorithm against
+    declarative transitive closure."""
+    from meta_frame_spark.operators.dedup import dup_clusters, minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3,
+        restrict_to_candidates=False,
+    )
+    clusters = dup_clusters(pairs)
+    return clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (batch twin): events broadcast-joined to
     the customer dim, rolled up to nation market segments. The same
@@ -1826,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3 (never verified): inside the window ---
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "distinct_sketch": q_distinct_sketch,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
         # --- (c) green in r1 only; recheck after round-2 edits ---
         # (corpus_diff + lang_id slip past position 50 to make room for
         # the two new round-3 entries; both were hash-green in r1 and
@@ -2663,6 +2684,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(DISTINCT text) AS exact_distinct,
                    TRUE AS err_ok
             FROM documents GROUP BY 1
+        """,
+        "dup_cluster_sizes": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                      >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node
+            )
+            SELECT cluster, COUNT(*) AS n_nodes
+            FROM (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
+            GROUP BY cluster
         """,
         "events_enriched": """
             SELECT c.c_nationkey AS d_c_nationkey,
