@@ -496,34 +496,34 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
+    prev = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
+    labels = prev
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry a per-node changed flag through the SAME cached frame so
+        # the convergence probe is a filter on the cache, not an extra
+        # old-vs-new join per round
+        stepped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("_changed"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter("_changed").limit(1).count()
+        prev.unpersist()
+        prev = stepped
+        labels = stepped.select("node", "label")
         if changed == 0:
             converged = True
             break
