@@ -1483,6 +1483,49 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query (vec_id
+    < 10) the top-5 most-cosine-similar corpus vectors whose label
+    differs from the query's (same-label = known positive, excluded
+    BEFORE the top-k). Exact path (broadcast query batch); full oracle
+    — DuckDB recomputes the ranking with the same desc-score/id
+    tiebreak."""
+    from meta_frame_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    qlab = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+    positives = (
+        qlab.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")),
+            F.col("_ql") == F.col("_nl"),
+        ).select("query_id", "neighbor_id")
+    )
+    return hard_negatives(emb, q, positives, k=5)
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination report: deterministic 80/20 md5 split
+    of documents, near-dup pairs (exact 3-gram Jaccard >= 0.5 over
+    LSH candidates), rolled up by the splits each pair straddles. The
+    (train, test) row is the leakage that silently inflates eval
+    scores. Full oracle: DuckDB recomputes the md5 split, the all-pairs
+    Jaccard, and the rollup."""
+    from meta_frame_spark.operators.decontaminate import cross_split_leakage
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+    from meta_frame_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = hash_split(
+        docs, {"train": 0.8, "test": 0.2}, id_col="doc_id", method="md5"
+    ).select("doc_id", "split")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3,
+        restrict_to_candidates=False,
+    )
+    return cross_split_leakage(pairs, splits)
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (batch twin): events broadcast-joined to
     the customer dim, rolled up to nation market segments. The same
@@ -1847,10 +1890,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "distinct_sketch": q_distinct_sketch,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "hard_negatives": q_hard_negatives,
+        "split_leakage": q_split_leakage,
         # --- (c) green in r1 only; recheck after round-2 edits ---
-        # (corpus_diff + lang_id slip past position 50 to make room for
-        # the two new round-3 entries; both were hash-green in r1 and
-        # rotate back next round)
+        # (the last five of this section — unpivot, url_canonical,
+        # join_salted, corpus_diff, lang_id — slip past position 50 to
+        # make room for the five new round-3 entries above; all five
+        # were hash-green in r1 and rotate back next round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -2715,6 +2761,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster, COUNT(*) AS n_nodes
             FROM (SELECT node, MIN(r) AS cluster FROM reach GROUP BY node)
             GROUP BY cluster
+        """,
+        "hard_negatives": """
+            SELECT query_id, neighbor_id, rnk AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])) DESC,
+                               c.vec_id ASC
+                       ) AS rnk
+                FROM embeddings q
+                JOIN embeddings c
+                  ON c.label <> q.label AND c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10
+            )
+            WHERE rnk <= 5
+        """,
+        "split_leakage": """
+            WITH splits AS (
+                SELECT doc_id, CASE
+                    WHEN substr(md5(doc_id::VARCHAR || ':'), 1, 4)
+                         < 'cccd' THEN 'train'
+                    ELSE 'test' END AS split
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                      >= 0.5
+            )
+            SELECT LEAST(sa.split, sb.split) AS split_a,
+                   GREATEST(sa.split, sb.split) AS split_b,
+                   COUNT(*) AS n_pairs
+            FROM pairs
+            JOIN splits sa ON pairs.id_a = sa.doc_id
+            JOIN splits sb ON pairs.id_b = sb.doc_id
+            GROUP BY 1, 2
         """,
         "events_enriched": """
             SELECT c.c_nationkey AS d_c_nationkey,

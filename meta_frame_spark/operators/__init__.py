@@ -27,12 +27,13 @@ from meta_frame_spark.operators.ranking import (
 from meta_frame_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    hard_negatives,
     ivf_topk,
     srp_lsh_topk,
 )
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.chunking import chunk_documents
-from meta_frame_spark.operators.decontaminate import decontaminate, ngram_overlap
+from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
 from meta_frame_spark.operators.quota import quota_per_group
 from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
@@ -75,7 +76,9 @@ __all__ = [
     "incremental_distinct",
     "merge_cardinality_sketches",
     "temperature_mix_plan",
+    "cross_split_leakage",
     "decontaminate",
+    "hard_negatives",
     "latest_by_key",
     "mix_plan",
     "ngram_overlap",

@@ -89,3 +89,34 @@ def decontaminate(
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+def cross_split_leakage(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test leakage report: roll verified near-dup pairs up by
+    the split assignment of each endpoint — ``(split_a, split_b,
+    n_pairs)`` with the pair canonicalized ``split_a <= split_b``. Any
+    nonzero row pairing different splits means near-duplicate content
+    crosses the split boundary (the leakage that inflates eval
+    numbers); same-split rows are benign in-split duplication.
+
+    Scale: two equi-joins of the (small) verified pair list against the
+    (id, split) projection — Catalyst broadcasts the pair side when it
+    fits — then an aggregate over at most |splits|^2 groups.
+    """
+    a = splits.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
+    b = splits.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

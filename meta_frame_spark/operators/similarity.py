@@ -398,3 +398,53 @@ def embedding_near_dup_pairs(
     return survivors.groupBy("id_a", "id_b").agg(
         F.round(F.max("cosine"), 4).alias("cosine")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query, the ``k`` most-similar corpus items that are NOT known
+    positives — returns (query_id, neighbor_id, rank), rank by cosine
+    desc with id tiebreak. ``positives`` is (query_id, neighbor_id).
+
+    The exclusion runs BEFORE the top-k window (left_anti on the pair
+    key), so positives can never crowd real negatives out of the k.
+
+    Scale: default path scores corpus × broadcast(queries) — exact, and
+    linear in the corpus, right while the query batch is small (the
+    mining loop usually processes queries in batches). For corpus-scale
+    query sets pass ``candidates`` (query_id, neighbor_id) from
+    :func:`srp_lsh_topk`-style bucketing with an oversampled k — then
+    only candidate pairs are scored and the crossJoin disappears.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    if candidates is None:
+        pairs = c.crossJoin(F.broadcast(q))
+    else:
+        pairs = (
+            candidates.select("query_id", "neighbor_id")
+            .join(q, "query_id")
+            .join(c, "neighbor_id")
+        )
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id")).join(
+        positives.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    scored = pairs.withColumn("score", cosine_similarity("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -207,3 +207,20 @@ class TestCurationConfig:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # filter + projection reach the parquet scan in one plan
         assert "PushedFilters: [" in plan and "IsNotNull(lang)" in plan
+
+
+def test_cross_split_leakage_rollup(spark):
+    from meta_frame_spark.operators.decontaminate import cross_split_leakage
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "test"), (6, "train"), (7, "test"), (8, "test")],
+        "doc_id bigint, split string",
+    )
+    got = {(r.split_a, r.split_b): r.n_pairs
+           for r in cross_split_leakage(pairs, splits).collect()}
+    # (1,2) and (5,6) straddle; (3,4) in-train; (7,8) in-test
+    assert got == {("test", "train"): 2, ("train", "train"): 1, ("test", "test"): 1}

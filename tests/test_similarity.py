@@ -175,3 +175,43 @@ def test_null_embedding_does_not_crash_similarity(spark, embeddings):
     assert out.filter(F.col("neighbor_id") >= 990001).count() == 0
     nd = embedding_near_dup_pairs(corpus, threshold=0.99)
     assert nd.filter(F.col("id_a") >= 990001).count() == 0
+
+
+def test_hard_negatives_excludes_positives_before_topk(spark):
+    from meta_frame_spark.operators.similarity import hard_negatives
+
+    # 1 query (id 0) + 4 corpus vectors on distinct directions; ids 1,2
+    # are positives and MORE similar than 3,4 — exclusion must happen
+    # before the top-k, so the negatives are 3 then 4.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.95, 0.2, 0.0, 0.0]),
+        (3, [0.5, 0.8, 0.0, 0.0]),
+        (4, [0.1, 0.9, 0.4, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    pos = spark.createDataFrame([(0, 1), (0, 2)], "query_id bigint, neighbor_id bigint")
+    got = hard_negatives(emb, q, pos, k=2, vec_col="embedding")
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect()) == [
+        (0, 3, 1), (0, 4, 2),
+    ]
+
+
+def test_hard_negatives_candidates_path_matches_exact(spark, embeddings):
+    """Restricting scoring to a candidate list containing the true
+    top-k gives identical output to the exact path."""
+    from meta_frame_spark.operators.similarity import brute_force_topk, hard_negatives
+    from pyspark.sql import functions as F
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    pos = brute_force_topk(embeddings, q, k=2)  # 2 nearest are "positives"
+    exact = hard_negatives(embeddings, q, pos.select("query_id", "neighbor_id"), k=3)
+    # oversampled candidates: top-10 exact neighbors per query
+    cands = brute_force_topk(embeddings, q, k=10).select("query_id", "neighbor_id")
+    via_cands = hard_negatives(
+        embeddings, q, pos.select("query_id", "neighbor_id"), k=3, candidates=cands
+    )
+    key = lambda df: sorted((r.query_id, r.neighbor_id, r.rank) for r in df.collect())
+    assert key(exact) == key(via_cands)
