@@ -135,17 +135,25 @@ def interval_join(
     lookback: str = "1 hour",
     watermark: str = "2 hours",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Pair each left row with every right row of the same key whose
     time falls in ``[left.time - lookback, left.time]``.
 
-    Streaming: a stream-stream inner join — both sides watermarked, and
-    the range condition bounds how long right-side state is retained
+    Streaming: a stream-stream join — both sides watermarked, and the
+    range condition bounds how long right-side state is retained
     (Spark derives the state watermark from it); without the time bound
-    a stream-stream join would buffer forever. Batch: the same
-    expression runs as an ordinary range join. Right columns come back
+    a stream-stream join would buffer forever. ``how="left_outer"``
+    additionally emits each unmatched left row (nulls on the right)
+    once the watermark passes its match window — i.e. when no future
+    right row could still pair with it; rows whose window is still open
+    when an availableNow run drains stay buffered in state rather than
+    emitting a premature null match. Batch: the same expression runs as
+    an ordinary (outer) range join. Right columns come back
     ``{right_prefix}``-prefixed; join keys are not duplicated.
     """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
     if left.isStreaming:
         left = left.withWatermark(time_col, watermark)
     if right.isStreaming:
@@ -166,7 +174,7 @@ def interval_join(
         rt >= lt - F.expr(f"INTERVAL {lookback}"),
         rt <= lt,
     ]
-    out = left.alias("l").join(r.alias("r"), cond, "inner")
+    out = left.alias("l").join(r.alias("r"), cond, how)
     # drop the right-side copies of the join keys
     return out.select("l.*", *[c for c in r.columns if c not in by])
 

@@ -252,3 +252,70 @@ def test_watermark_drops_too_late_keeps_within_watermark(spark, tmp_path):
     # late-but-open window updated 1 -> 2 by the batch-3 late row
     assert sorted(by_hour[12]) == [1, 2]
     assert sorted(by_hour[13]) == [1, 2]
+
+
+def test_interval_left_outer_stream_emits_unmatched_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: a left row with no right
+    match emits (with nulls) only after the watermark passes its match
+    window — never prematurely. Matched rows emit normally."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from meta_frame_spark.streaming import interval_join
+
+    def us(h, m):
+        return (1704067200 + h * 3600 + m * 60) * 1_000_000
+
+    def write(path, rows):
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }), path)
+
+    d = tmp_path / "oj_src"
+    d.mkdir()
+    f1, f2 = str(d / "b1.parquet"), str(d / "b2.parquet")
+    # batch 1: user 1 purchase at 12:00 with a matching view at 11:30
+    # (inside the 1h lookback); user 2 purchase at 12:00 with NO view
+    write(f1, [
+        (1, us(12, 0), 1, "purchase"), (2, us(11, 30), 1, "view"),
+        (3, us(12, 0), 2, "purchase"),
+    ])
+    # batches 2-3: advance event time far enough that the watermark
+    # passes the batch-1 match windows and takes effect (the committed
+    # watermark lags one batch — see the late-data test), flushing the
+    # unmatched left row
+    # filler batches must carry rows in BOTH branches: the global
+    # watermark is the MIN across the two withWatermark operators, and
+    # a branch that sees no rows never advances its side. Each filler
+    # pairs a purchase with a same-instant view so it self-matches and
+    # adds no extra unmatched rows.
+    extra = []
+    for i, h in enumerate((18, 19, 20, 21)):
+        f = str(d / f"b{i + 2}.parquet")
+        write(f, [(10 + 2 * i, us(h, 0), 3, "purchase"),
+                  (11 + 2 * i, us(h, 0), 3, "view")])
+        extra.append(f)
+    os.utime(f1, (1_700_000_000,) * 2)
+    for i, f in enumerate(extra):
+        os.utime(f, (1_700_000_100 + 100 * i,) * 2)
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = stream.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    got = run_to_memory(
+        interval_join(p, v, by=["user_id"], lookback="1 hour",
+                      watermark="1 hour", how="left_outer"),
+        "t_oj", output_mode="append",
+    )
+    rows = {r.event_id: r.r_ts for r in got.collect()}
+    assert 1 in rows and rows[1] is not None      # matched purchase
+    assert 3 in rows and rows[3] is None          # unmatched -> null right
