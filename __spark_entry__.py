@@ -957,6 +957,34 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup over the synthetic assets:
+    canonical-grid decode -> block-mean -> threshold bits -> identical-
+    hash groups. Oracle: exact per-doc identical-TEXT group size (the
+    asset payload is the text's bytes, so same text must collide) plus
+    a Spark-verified boolean that the hash group is at least that big —
+    the hash itself derives from the stub decoder and is not SQL-
+    reproducible."""
+    from meta_frame_spark.multimodal import (
+        attach_fake_image_assets,
+        image_ahash,
+        phash_dup_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = phash_dup_groups(image_ahash(attach_fake_image_assets(docs)))
+    text_counts = docs.groupBy("text").agg(F.count(F.lit(1)).alias("n_same_text"))
+    per_doc = docs.select("doc_id", "text").join(text_counts, "text")
+    return (
+        per_doc.join(groups.select(F.col("id").alias("doc_id"), "group_size"), "doc_id")
+        .select(
+            "doc_id",
+            "n_same_text",
+            (F.col("group_size") >= F.col("n_same_text")).alias("collision_ok"),
+        )
+    )
+
+
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side video frame sampling: payload declared as 4 raw frames,
     cut with substring+posexplode (no Python in the plan)."""
@@ -1892,11 +1920,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "hard_negatives": q_hard_negatives,
         "split_leakage": q_split_leakage,
+        "mm_phash": q_mm_phash,
         # --- (c) green in r1 only; recheck after round-2 edits ---
-        # (the last five of this section — unpivot, url_canonical,
-        # join_salted, corpus_diff, lang_id — slip past position 50 to
-        # make room for the five new round-3 entries above; all five
-        # were hash-green in r1 and rotate back next round)
+        # (the last six of this section — expectations, unpivot,
+        # url_canonical, join_salted, corpus_diff, lang_id — slip past
+        # position 50 to make room for the six new round-3 entries
+        # above; all six were hash-green in r1 and rotate back next
+        # round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -3219,6 +3249,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_pixel_stats": """
             SELECT doc_id, TRUE AS dims_ok, TRUE AS mean_ok, TRUE AS std_ok
+            FROM documents
+        """,
+        "mm_phash": """
+            SELECT doc_id,
+                   COUNT(*) OVER (PARTITION BY text) AS n_same_text,
+                   TRUE AS collision_ok
             FROM documents
         """,
         "agg_approx": """

@@ -15,7 +15,9 @@ from meta_frame_spark.multimodal.assets import (
     audio_window_rms,
     byte_stats,
     decode_pixels,
+    image_ahash,
     image_pixel_stats,
+    phash_dup_groups,
     resize_pixel_stats,
     sample_frames,
 )
@@ -26,7 +28,9 @@ __all__ = [
     "audio_window_rms",
     "byte_stats",
     "decode_pixels",
+    "image_ahash",
     "image_pixel_stats",
+    "phash_dup_groups",
     "resize_pixel_stats",
     "sample_frames",
 ]

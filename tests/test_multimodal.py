@@ -93,3 +93,29 @@ def test_audio_window_rms(spark):
     assert [r.window_idx for r in rows] == [0, 1]
     assert abs(rows[0].rms - 10.0) < 1e-9
     assert abs(rows[1].rms - 20.0) < 1e-9
+
+
+def test_image_ahash_identical_payloads_collide(spark):
+    """Identical payloads hash identically even with different declared
+    dims (the hash canonicalizes); a perturbed payload lands at a
+    small-but-nonzero Hamming distance."""
+    from meta_frame_spark.multimodal import image_ahash, phash_dup_groups
+    from meta_frame_spark.multimodal.assets import make_asset
+
+    base = ("x" * 700).encode()
+    rows = [(1, base, 20, 30), (2, base, 40, 16),  # same payload, diff dims
+            (3, (b"y" * 10) + base[10:], 20, 30),  # perturbed payload
+            (4, bytes(range(256)) * 4, 32, 32)]    # unrelated
+    df = spark.createDataFrame(rows, "doc_id bigint, data binary, w int, h int")
+    df = df.withColumn(
+        "asset",
+        make_asset(F.col("data"), "image", width=F.col("w"), height=F.col("h")),
+    )
+    h = {r.id: r.phash for r in image_ahash(df).collect()}
+    assert h[1] == h[2]
+    assert bin(h[1] ^ h[4]).count("1") > 0
+
+    groups = {r.id: (r.group, r.group_size)
+              for r in phash_dup_groups(image_ahash(df)).collect()}
+    assert groups[1] == (1, 2) and groups[2] == (1, 2)
+    assert groups[4][1] == 1
