@@ -115,3 +115,43 @@ def tree_sink(base_dir: str, fmt: str = "parquet"):
         path = spec.save_path or f"{base_dir.rstrip('/')}/{spec.unique_id}"
         save_data(df, path, fmt=spec.save_format or fmt)
     return _sink
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    **options,
+) -> None:
+    """Range-clustered write: rows are range-partitioned on
+    ``range_cols`` (contiguous, non-overlapping value ranges per
+    output task) and sorted within each partition before writing.
+
+    Why at 100 TB: parquet stores per-row-group min/max stats; when a
+    file covers one contiguous key range, a reader filtering on that
+    key (time windows over event data, id ranges for backfills) skips
+    whole files/row-groups instead of scanning them. Plain
+    ``partition_by`` gives directory pruning at coarse granularity
+    (one dir per value); range clustering handles high-cardinality or
+    continuous keys where a dir-per-value layout would explode.
+
+    ``n_files``: number of range slices (defaults to the session's
+    shuffle parallelism; size so each slice lands near your row-group
+    target). One shuffle (the range exchange, sampled split points) +
+    an in-task sort.
+    """
+    from pyspark.sql import Column
+
+    cols = [c if isinstance(c, Column) else df[c] for c in range_cols]
+    out = (
+        df.repartitionByRange(n_files, *cols) if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if options:
+        writer = writer.options(**options)
+    getattr(writer, fmt)(path)

@@ -211,3 +211,33 @@ def test_driver_tables_schema_drift_canary(spark):
     got = {f.name: f.dataType.simpleString() for f in ev.schema.fields}
     assert got == {"event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
                    "event_type": "string", "value": "double", "props": "string"}
+
+
+def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
+    """Each output file must cover a contiguous, non-overlapping key
+    range so parquet min/max stats let range readers skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from meta_frame_spark.sources.sinks import write_range_clustered
+
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "rc")
+    write_range_clustered(df, out, ["id"], n_files=8)
+
+    spans = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "id"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) >= 2
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo  # strictly disjoint, ordered ranges
+    assert spark.read.parquet(out).count() == 10_000
