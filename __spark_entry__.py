@@ -1554,6 +1554,16 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_split_leakage(pairs, splits)
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered behavior paths ("view>click>purchase") — the
+    input shape for sequence models and path analytics. Deterministic
+    under any partitioning (items sorted by ts + event_id before
+    rendering); full oracle via DuckDB's ordered string_agg."""
+    from meta_frame_spark.operators.temporal import event_paths
+
+    return event_paths(_t(spark, sf_dir, "events"))
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (batch twin): events broadcast-joined to
     the customer dim, rolled up to nation market segments. The same
@@ -1921,12 +1931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "split_leakage": q_split_leakage,
         "mm_phash": q_mm_phash,
+        "event_paths": q_event_paths,
         # --- (c) green in r1 only; recheck after round-2 edits ---
-        # (the last six of this section — expectations, unpivot,
-        # url_canonical, join_salted, corpus_diff, lang_id — slip past
-        # position 50 to make room for the six new round-3 entries
-        # above; all six were hash-green in r1 and rotate back next
-        # round)
+        # (the last seven of this section — weighted_sample,
+        # expectations, unpivot, url_canonical, join_salted,
+        # corpus_diff, lang_id — slip past position 50 to make room
+        # for the seven new round-3 entries above; all seven were
+        # hash-green in r1 and rotate back next round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -2841,6 +2852,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN splits sa ON pairs.id_a = sa.doc_id
             JOIN splits sb ON pairs.id_b = sb.doc_id
             GROUP BY 1, 2
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
         """,
         "events_enriched": """
             SELECT c.c_nationkey AS d_c_nationkey,

@@ -156,3 +156,40 @@ def asof_join(
         for c in [*out_names.values(), rt]:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
     return out
+
+
+def event_paths(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_len: int | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Per-key ordered behavior paths: collapse each key's events into
+    one ``"a>b>c"`` string ordered by (time, tiebreak) — the input
+    shape for sequence models, markov funnels, and path analytics.
+
+    Determinism: ``collect_list`` order is partition-dependent, so the
+    items carry (ts, tiebreak) and are ``sort_array``-ed before
+    rendering — identical output on any cluster/partitioning.
+
+    Scale: ONE hash shuffle on the keys with map-side partial
+    collection; per-key memory is the key's own event list — bound it
+    with ``max_len`` (keeps the first ``max_len`` events in time
+    order) when whale keys exist, or pre-aggregate per (key, day).
+    """
+    keys = key_cols or ["user_id"]
+    item = F.struct(
+        F.col(ts_col).alias("_t"),
+        F.col(tiebreak_col).alias("_k"),
+        F.col(event_col).alias("_e"),
+    )
+    ordered = F.sort_array(F.collect_list(item))
+    if max_len is not None:
+        ordered = F.slice(ordered, 1, max_len)
+    return events.groupBy(*keys).agg(
+        F.array_join(F.transform(ordered, lambda x: x["_e"]), sep).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -59,3 +59,31 @@ def test_asof_single_shuffle_plan(spark):
     right = spark.createDataFrame([(1, _ts(5), 7.0)], "uid bigint, ts timestamp, px double")
     plan = asof_join(left, right, "ts", by=["uid"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1  # one shuffle total
+
+
+def test_event_paths_deterministic_order_and_cap(spark):
+    from meta_frame_spark.operators.temporal import event_paths
+
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: out-of-insert-order + a same-ts tie broken by event_id
+        (5, at(30), 1, "c"), (1, at(0), 1, "a"), (3, at(10), 1, "b"),
+        (4, at(10), 1, "b2"),
+        (9, at(0), 2, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).repartition(8)
+    got = {r.user_id: (r.path, r.n_events)
+           for r in event_paths(df).collect()}
+    assert got[1] == ("a>b>b2>c", 4)   # ts order, tie 3<4 -> b before b2
+    assert got[2] == ("x", 1)
+
+    capped = {r.user_id: r.path
+              for r in event_paths(df, max_len=2).collect()}
+    assert capped[1] == "a>b"          # first max_len events in time order
