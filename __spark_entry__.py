@@ -1564,6 +1564,18 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_paths(_t(spark, sf_dir, "events"))
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, pos, mean_val) rows —
+    the k-means M-step / class-prototype shape, computed entirely with
+    JVM posexplode + avg (map-side partial agg, no vector state). Full
+    oracle via UNNEST WITH ORDINALITY."""
+    from meta_frame_spark.operators.similarity import group_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = group_centroids(emb, ["label"])
+    return out.select("label", "pos", F.round("mean_val", 6).alias("mean_val"))
+
+
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (batch twin): events broadcast-joined to
     the customer dim, rolled up to nation market segments. The same
@@ -1932,12 +1944,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "mm_phash": q_mm_phash,
         "event_paths": q_event_paths,
+        "label_centroids": q_label_centroids,
         # --- (c) green in r1 only; recheck after round-2 edits ---
-        # (the last seven of this section — weighted_sample,
-        # expectations, unpivot, url_canonical, join_salted,
-        # corpus_diff, lang_id — slip past position 50 to make room
-        # for the seven new round-3 entries above; all seven were
-        # hash-green in r1 and rotate back next round)
+        # (the last eight of this section — array_agg,
+        # weighted_sample, expectations, unpivot, url_canonical,
+        # join_salted, corpus_diff, lang_id — slip past position 50 to
+        # make room for the eight new round-3 entries above; all eight
+        # were hash-green in r1 and rotate back next round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -2851,6 +2864,14 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN splits sa ON pairs.id_a = sa.doc_id
             JOIN splits sb ON pairs.id_b = sb.doc_id
+            GROUP BY 1, 2
+        """,
+        "label_centroids": """
+            SELECT label, i - 1 AS pos,
+                   ROUND(AVG(emb[i]), 6) AS mean_val
+            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(generate_series(1, len(emb))) AS u(i)
             GROUP BY 1, 2
         """,
         "event_paths": """

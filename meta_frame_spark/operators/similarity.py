@@ -448,3 +448,30 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    pos_col: str = "pos",
+    mean_col: str = "mean_val",
+) -> DataFrame:
+    """Per-group embedding centroid as (group..., pos, mean_val) rows —
+    the element-wise mean (k-means M-step, class prototypes, domain
+    embedding summaries).
+
+    Pure JVM shape: posexplode each vector and average per (group,
+    position). The shuffle moves rows x dim scalar values (16 B each)
+    with map-side partial aggregation — for dim <= a few hundred this
+    beats an Arrow round-trip, and there is no per-group vector state
+    anywhere. Emitting scalar rows (not arrays) keeps results exactly
+    comparable across engines; pivot back with ``sort_array
+    (collect_list(struct(pos, mean_val)))`` when an array is needed.
+    """
+    exploded = df.select(
+        *group_cols, F.posexplode(F.col(vec_col)).alias(pos_col, "_x")
+    )
+    return exploded.groupBy(*group_cols, pos_col).agg(
+        F.avg("_x").alias(mean_col)
+    )

@@ -215,3 +215,17 @@ def test_hard_negatives_candidates_path_matches_exact(spark, embeddings):
     )
     key = lambda df: sorted((r.query_id, r.neighbor_id, r.rank) for r in df.collect())
     assert key(exact) == key(via_cands)
+
+
+def test_group_centroids_elementwise_mean(spark):
+    from meta_frame_spark.operators.similarity import group_centroids
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]), ("a", [3.0, 4.0, 5.0]),
+        ("b", [10.0, 0.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {(r.label, r.pos): r.mean_val
+           for r in group_centroids(df, ["label"]).collect()}
+    assert got[("a", 0)] == 2.0 and got[("a", 1)] == 3.0 and got[("a", 2)] == 4.0
+    assert got[("b", 0)] == 10.0 and got[("b", 2)] == -2.0
