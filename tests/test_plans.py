@@ -201,3 +201,16 @@ def test_near_dup_pipelines_have_no_cartesian_product(spark, sf_dir):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_paths_single_shuffle(spark, sf_dir):
+    """Path assembly must be one hash shuffle on the key with map-side
+    partial collection — a sort-based or double-exchange shape would
+    regress the biggest-table operator."""
+    from meta_frame_spark.operators.temporal import event_paths
+    from meta_frame_spark.sources.events import load_events
+
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
+    plan = _plan(event_paths(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
