@@ -1497,12 +1497,18 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes. Full oracle: DuckDB recomputes the same pair list (all-pairs
     Jaccard >= 0.5) and closes it with a recursive CTE — a genuine
     differential check of the iterative Spark algorithm against
-    declarative transitive closure."""
+    declarative transitive closure.
+
+    Banding is matched to the 0.5 threshold: 32 bands x 2 rows gives
+    candidate recall 1-(1-0.5^2)^32 ~ 0.9999 at J=0.5 (16x4 would be
+    only ~0.64 there and depend on the corpus' bimodal pair-Jaccard
+    distribution); the exact-Jaccard verify step drops the extra false
+    candidates, so the all-pairs oracle stays a true oracle."""
     from meta_frame_spark.operators.dedup import dup_clusters, minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(
-        docs, threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3,
+        docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
         restrict_to_candidates=False,
     )
     clusters = dup_clusters(pairs)
@@ -1538,7 +1544,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates), rolled up by the splits each pair straddles. The
     (train, test) row is the leakage that silently inflates eval
     scores. Full oracle: DuckDB recomputes the md5 split, the all-pairs
-    Jaccard, and the rollup."""
+    Jaccard, and the rollup. Banding matched to the 0.5 threshold
+    (32 bands x 2 rows, candidate recall ~0.9999 at J=0.5 — see
+    q_dup_cluster_sizes) so the all-pairs oracle holds without relying
+    on the corpus' bimodal pair-Jaccard distribution."""
     from meta_frame_spark.operators.decontaminate import cross_split_leakage
     from meta_frame_spark.operators.dedup import minhash_lsh_dedup
     from meta_frame_spark.operators.sampling import hash_split
@@ -1548,7 +1557,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"train": 0.8, "test": 0.2}, id_col="doc_id", method="md5"
     ).select("doc_id", "split")
     pairs = minhash_lsh_dedup(
-        docs, threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3,
+        docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
         restrict_to_candidates=False,
     )
     return cross_split_leakage(pairs, splits)
@@ -1574,6 +1583,119 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = group_centroids(emb, ["label"])
     return out.select("label", "pos", F.round("mean_val", 6).alias("mean_val"))
+
+
+def q_hard_neg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the SRP-LSH ``candidates=`` hook —
+    the corpus-scale path where only LSH candidate pairs are scored and
+    the crossJoin disappears. Candidates are oversampled (top-50 per
+    query) before the positive-exclusion + top-5. Invariant-oracle
+    form like q_ann_topk_lsh: exact-row coverage (every query returns
+    exactly k) plus a recall bound vs the exact crossJoin path
+    (observed 1.0 at sf0.01 and sf0.1 under the fixed SRP seed; bound
+    0.8)."""
+    from meta_frame_spark.operators.similarity import hard_negatives, srp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    qlab = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+    positives = (
+        qlab.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("_nl")),
+            F.col("_ql") == F.col("_nl"),
+        ).select("query_id", "neighbor_id")
+    )
+    cands = srp_lsh_topk(emb, q, k=50)  # oversampled: survives exclusion
+    approx = hard_negatives(emb, q, positives, k=5, candidates=cands)
+    exact = hard_negatives(emb, q, positives, k=5)
+    return _ann_recall_summary(approx, exact, 5, 0.8)
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a DIRECTORY (it monitors the
+    dir for new files); the testdata ships events as a single parquet
+    file. Expose it through a per-sf temp dir holding a symlink —
+    idempotent, nothing written under the read-only testdata root."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mfs_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end to end, checked against a batch SQL
+    oracle: file-source event stream -> watermarked tumbling 1-hour
+    aggregation -> memory sink, driven to completion with an
+    availableNow trigger. Complete output mode emits the final window
+    state, which for a drained stream equals the batch aggregation —
+    so the DuckDB oracle is the genuine batch equivalent."""
+    from meta_frame_spark.streaming import hourly_event_counts
+    from meta_frame_spark.streaming.ops import read_event_stream, run_to_memory
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    out = run_to_memory(
+        hourly_event_counts(stream), "mem_stream_hourly", output_mode="complete"
+    )
+    return out.select(
+        F.date_trunc("hour", "hour").alias("hour"), "event_type",
+        "n_events", "sum_value",
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (dropDuplicatesWithinWatermark —
+    bounded per-key state) driven to completion via availableNow into a
+    memory sink. Projected to the dedup keys after the sink so the
+    result is deterministic (which payload row survives per key is
+    first-seen-dependent); the batch oracle is SELECT DISTINCT over the
+    same keys."""
+    from meta_frame_spark.streaming.ops import (
+        dedup_events,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    deduped = dedup_events(stream, keys=["user_id", "event_type"])
+    out = run_to_memory(deduped, "mem_stream_dedup", output_mode="append")
+    return out.select("user_id", "event_type")
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x prior-hour views per
+    user, both sides watermarked so join state is bounded) driven to
+    completion via availableNow; the per-purchase rollup runs in batch
+    on the sunk rows. Inner-join matches emit as soon as both sides
+    arrive, so a drained stream equals the batch range join — the same
+    oracle as q_events_interval."""
+    from meta_frame_spark.streaming.ops import (
+        interval_join,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream1 = read_event_stream(spark, _events_stream_dir(sf_dir))
+    stream2 = read_event_stream(spark, _events_stream_dir(sf_dir))
+    purchases = stream1.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = stream2.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(purchases, views, by=["user_id"], lookback="1 hour")
+    out = run_to_memory(joined, "mem_stream_join", output_mode="append")
+    return out.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.round(F.max("r_value"), 2).alias("max_view_value"),
+    )
 
 
 def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1903,16 +2025,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (round 3): the driver checks only the FIRST 50
-    # dict entries per round, so the 50 are exactly (a) the 13 events
-    # queries that errored in r2 on the stale ts loader, (b) the 9
-    # queries never verified in any round (r1/r2 caps + no_oracle
-    # parking), and (c) the 28 queries green only in r1 and due a
-    # recheck after the round-2 entry edits. The 37 entries green in
-    # CORRECTNESS_r02 rotate to the tail. Every entry has an
-    # oracle_sql() twin.
+    # Ordering contract (round 4): the driver checks only the FIRST 50
+    # dict entries per round. Round 3 left exactly 45 entries whose
+    # latest green driver row is from r1/r2 (VERDICT r3 "What's wrong
+    # #1") — those 45 fill positions 1-45 so the rotation debt is fully
+    # paid this round. Positions 46-49 are the four queries new in
+    # round 4; position 50 is event_paths, whose output schema gained
+    # path_len this round. The 49 other r3-green entries rotate to the
+    # tail unchanged. Every entry has an oracle_sql() twin.
     return {
-        # --- (a) r2 errors: the fixed events loader, verify first ---
+        # --- (a) reference-parity dialects, last green in r1 ---
+        "a_cascade": q_a_cascade,
+        "a_filters": q_a_filters,
+        "a_keep_columns": q_a_keep_columns,
+        "a_chained": q_a_chained,
+        "a_derive": q_a_derive,
+        "b_multi_agg": q_b_multi_agg,
+        "b_join_tree": q_b_join_tree,
+        "b_q3_shipping": q_b_q3_shipping,
+        "b_semi_join": q_b_semi_join,
+        "b_anti_join": q_b_anti_join,
+        "bp_nested": q_bp_nested,
+        "bp_grandchild": q_bp_grandchild,
+        "agg_extended": q_agg_extended,
+        "agg_rollup": q_agg_rollup,
+        "agg_cube": q_agg_cube,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "agg_salted": q_agg_salted,
+        "array_agg": q_array_agg,
+        # --- (b) r1/r2-green queries due a post-edit recheck ---
+        "bm25_search": q_bm25_search,
+        "chunk_dedup": q_chunk_dedup,
+        "corpus_diff": q_corpus_diff,
+        "corpus_mix": q_corpus_mix,
+        "count_distinct_skew": q_count_distinct_skew,
+        "curation_pipeline": q_curation_pipeline,
+        "decontaminate": q_decontaminate,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_chunks": q_doc_chunks,
+        "doc_lm_score": q_doc_lm_score,
+        "domain_cap": q_domain_cap,
+        "expectations": q_expectations,
+        "fingerprint": q_fingerprint,
+        "group_quantiles": q_group_quantiles,
+        "join_salted": q_join_salted,
+        "lang_id": q_lang_id,
+        "length_histogram": q_length_histogram,
+        "mm_frames": q_mm_frames,
+        "mm_meta": q_mm_meta,
+        "profile": q_profile,
+        "quality_deciles": q_quality_deciles,
+        "quantile_gate": q_quantile_gate,
+        "score_normalize": q_score_normalize,
+        "unpivot": q_unpivot,
+        "url_canonical": q_url_canonical,
+        "weighted_sample": q_weighted_sample,
+        "winsorized_lengths": q_winsorized_lengths,
+        # --- (c) new in round 4 ---
+        "hard_neg_lsh": q_hard_neg_lsh,
+        "stream_hourly": q_stream_hourly,
+        "stream_dedup": q_stream_dedup,
+        "stream_join": q_stream_join,
+        # --- (d) r3-green but schema changed this round (path_len) ---
+        "event_paths": q_event_paths,
+        # --- green in CORRECTNESS_r03: rotate to the tail ---
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -1926,7 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "sessionize": q_sessionize,
         "cohort_retention": q_cohort_retention,
-        # --- (b) never verified in r1 or r2 ---
         "pack_sequences": q_pack_sequences,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1936,21 +2111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_pixel_stats": q_mm_pixel_stats,
         "agg_approx": q_agg_approx,
         "semantic_dedup": q_semantic_dedup,
-        # --- new in round 3 (never verified): inside the window ---
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "distinct_sketch": q_distinct_sketch,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "hard_negatives": q_hard_negatives,
         "split_leakage": q_split_leakage,
         "mm_phash": q_mm_phash,
-        "event_paths": q_event_paths,
         "label_centroids": q_label_centroids,
-        # --- (c) green in r1 only; recheck after round-2 edits ---
-        # (the last eight of this section — array_agg,
-        # weighted_sample, expectations, unpivot, url_canonical,
-        # join_salted, corpus_diff, lang_id — slip past position 50 to
-        # make room for the eight new round-3 entries above; all eight
-        # were hash-green in r1 and rotate back next round)
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "latest_by_key": q_latest_by_key,
@@ -1971,52 +2138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
-        "array_agg": q_array_agg,
-        "weighted_sample": q_weighted_sample,
-        "expectations": q_expectations,
-        "unpivot": q_unpivot,
-        "url_canonical": q_url_canonical,
-        "join_salted": q_join_salted,
-        "corpus_diff": q_corpus_diff,
-        "lang_id": q_lang_id,
-        # --- green in CORRECTNESS_r02: rotate to the tail ---
-        "fingerprint": q_fingerprint,
-        "mm_meta": q_mm_meta,
-        "mm_frames": q_mm_frames,
-        "decontaminate": q_decontaminate,
-        "quantile_gate": q_quantile_gate,
-        "corpus_mix": q_corpus_mix,
-        "agg_grouping_sets": q_agg_grouping_sets,
-        "quality_deciles": q_quality_deciles,
-        "chunk_dedup": q_chunk_dedup,
-        "doc_lm_score": q_doc_lm_score,
-        "domain_cap": q_domain_cap,
-        "doc_chunks": q_doc_chunks,
-        "winsorized_lengths": q_winsorized_lengths,
-        "length_histogram": q_length_histogram,
-        "dedup_incremental": q_dedup_incremental,
-        "agg_salted": q_agg_salted,
-        "count_distinct_skew": q_count_distinct_skew,
-        "group_quantiles": q_group_quantiles,
-        "bm25_search": q_bm25_search,
-        "score_normalize": q_score_normalize,
-        "curation_pipeline": q_curation_pipeline,
-        "a_cascade": q_a_cascade,
-        "a_filters": q_a_filters,
-        "a_keep_columns": q_a_keep_columns,
-        "b_multi_agg": q_b_multi_agg,
-        "b_join_tree": q_b_join_tree,
-        "b_q3_shipping": q_b_q3_shipping,
-        "b_semi_join": q_b_semi_join,
-        "b_anti_join": q_b_anti_join,
-        "bp_nested": q_bp_nested,
-        "bp_grandchild": q_bp_grandchild,
-        "a_chained": q_a_chained,
-        "agg_extended": q_agg_extended,
-        "a_derive": q_a_derive,
-        "agg_rollup": q_agg_rollup,
-        "agg_cube": q_agg_cube,
-        "profile": q_profile,
     }
 
 
@@ -2374,6 +2495,33 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = v.user_id
              AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             GROUP BY 1
+        """,
+        # Streaming rows: the Spark side runs the REAL streaming operator
+        # (availableNow to a memory sink); a drained stream equals the
+        # batch form, so the batch SQL is the genuine oracle.
+        "stream_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(event_id) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_join": """
+            SELECT p.event_id, COUNT(*) AS n_views,
+                   ROUND(MAX(v.value), 2) AS max_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY 1
+        """,
+        "hard_neg_lsh": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
         """,
         "set_ops": """
             SELECT 'purchase_and_view' AS segment, COUNT(*) AS n_users FROM (
@@ -2877,7 +3025,8 @@ def oracle_sql() -> dict[str, str]:
         "event_paths": """
             SELECT user_id,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
-                   COUNT(*) AS n_events
+                   COUNT(*) AS n_events,
+                   COUNT(*) AS path_len
             FROM events GROUP BY 1
         """,
         "events_enriched": """

@@ -65,14 +65,33 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
-    }))
+    }
+    # Full-precision record as a repo artifact (not size-constrained).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the final line from that window — a line longer than ~2000 chars is
+    # recorded truncated and unparseable (BENCH_r01..r03 all have
+    # parsed=null for this reason). Emit the most precise compact line
+    # that fits, degrading per-query precision 3dp -> 2dp -> 1dp.
+    line = ""
+    for prec in (3, 2, 1):
+        q = {k: round(v, prec) for k, v in per_query.items()}
+        line = json.dumps(
+            {**payload, "value": round(total, 2), "queries": q},
+            separators=(",", ":"),
+        )
+        if len(line) <= 1950:
+            break
     spark.stop()
+    print(line)
 
 
 if __name__ == "__main__":

@@ -347,6 +347,11 @@ def image_ahash(
     """
     if grid * grid > 64:
         raise ValueError("grid too large: at most 64 bits fit the hash")
+    if canvas % grid:
+        raise ValueError(
+            f"canvas ({canvas}) must be a multiple of grid ({grid}); "
+            "the block-mean reshape needs whole blocks"
+        )
 
     def compute(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np

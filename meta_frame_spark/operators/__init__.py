@@ -27,6 +27,7 @@ from meta_frame_spark.operators.ranking import (
 from meta_frame_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    group_centroids,
     hard_negatives,
     ivf_topk,
     srp_lsh_topk,
@@ -78,6 +79,7 @@ __all__ = [
     "temperature_mix_plan",
     "cross_split_leakage",
     "decontaminate",
+    "group_centroids",
     "hard_negatives",
     "latest_by_key",
     "mix_plan",

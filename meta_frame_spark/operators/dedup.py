@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from meta_frame_spark.operators.cache import track
 from meta_frame_spark.operators.skew import ensure_min_partitions
 
 
@@ -252,7 +253,7 @@ def minhash_lsh_candidates(
         F.col(id_col), F.explode(bands).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     if not input_cached:
-        exploded = exploded.persist()
+        exploded = track(exploded.persist())
 
     left = exploded.alias("l")
     right = exploded.alias("r")
@@ -346,7 +347,7 @@ def hashed_jaccard_pairs(
 
     base = df
     if restrict_to_candidates:
-        candidates = candidates.persist()
+        candidates = track(candidates.persist())
         ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -354,9 +355,9 @@ def hashed_jaccard_pairs(
         )
         base = df.join(ids, id_col, "left_semi")
 
-    sets_df = ensure_min_partitions(base).select(
+    sets_df = track(ensure_min_partitions(base).select(
         F.col(id_col), _shingle_set(_token_hashes(text_col)).alias("sh")
-    ).persist()
+    ).persist())
     a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
     return (
@@ -442,7 +443,7 @@ def minhash_lsh_dedup(
         )
 
     both = _minhash_sig_and_set(num_hashes, shingle_n, seed)
-    base = (
+    base = track(
         ensure_min_partitions(df)
         .select(F.col(id_col), both(_token_hashes(text_col)).alias("s"))
         .select(id_col, F.col("s.signature").alias("signature"), F.col("s.sh").alias("sh"))
@@ -528,6 +529,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             converged = True
             break
     edges.unpersist()
+    # the final round's labels stay persisted for the caller's action;
+    # release via cache.release_tracked_caches() in long sessions
+    track(prev)
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iter} rounds; "

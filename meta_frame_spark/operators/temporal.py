@@ -177,8 +177,13 @@ def event_paths(
 
     Scale: ONE hash shuffle on the keys with map-side partial
     collection; per-key memory is the key's own event list — bound it
-    with ``max_len`` (keeps the first ``max_len`` events in time
-    order) when whale keys exist, or pre-aggregate per (key, day).
+    with ``max_len`` (the rendered path keeps the first ``max_len``
+    events in time order) when whale keys exist, or pre-aggregate per
+    (key, day).
+
+    Output columns: ``path``, ``n_events`` (the key's TOTAL event
+    count, pre-cap), and ``path_len`` (events actually rendered into
+    ``path``); ``path_len < n_events`` flags a truncated path.
     """
     keys = key_cols or ["user_id"]
     item = F.struct(
@@ -192,4 +197,5 @@ def event_paths(
     return events.groupBy(*keys).agg(
         F.array_join(F.transform(ordered, lambda x: x["_e"]), sep).alias("path"),
         F.count(F.lit(1)).alias("n_events"),
+        F.size(ordered).cast("bigint").alias("path_len"),
     )

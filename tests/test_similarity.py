@@ -229,3 +229,36 @@ def test_group_centroids_elementwise_mean(spark):
            for r in group_centroids(df, ["label"]).collect()}
     assert got[("a", 0)] == 2.0 and got[("a", 1)] == 3.0 and got[("a", 2)] == 4.0
     assert got[("b", 0)] == 10.0 and got[("b", 2)] == -2.0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_emb_near_dup_exact_oracle_recall_at_shipped_scales(spark, sf_dir):
+    """q_emb_near_dup ships a data-dependent EXACT oracle: its 64-band
+    SRP-LSH candidate stage must reach recall 1.0 vs all-pairs cosine at
+    every scale the driver checks/benches, or the CORRECTNESS row flips
+    on the next data regen (ADVICE r2/r3). This pins it: any regen that
+    introduces missed pairs fails here first, before the driver run."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip(f"no testdata at {sf_dir}")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, num_bands=64).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    hits = sims[iu, ju] >= 0.4
+    expect = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[hits]], ids[ju[hits]])
+    }
+    assert got == expect, (
+        f"LSH candidate stage no longer exact at {sf_dir}: "
+        f"missed={sorted(expect - got)[:5]} extra={sorted(got - expect)[:5]}"
+    )

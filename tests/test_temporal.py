@@ -84,6 +84,9 @@ def test_event_paths_deterministic_order_and_cap(spark):
     assert got[1] == ("a>b>b2>c", 4)   # ts order, tie 3<4 -> b before b2
     assert got[2] == ("x", 1)
 
-    capped = {r.user_id: r.path
+    capped = {r.user_id: (r.path, r.n_events, r.path_len)
               for r in event_paths(df, max_len=2).collect()}
-    assert capped[1] == "a>b"          # first max_len events in time order
+    # first max_len events rendered; n_events stays the pre-cap total
+    # and path_len exposes the truncation
+    assert capped[1] == ("a>b", 4, 2)
+    assert capped[2] == ("x", 1, 1)
