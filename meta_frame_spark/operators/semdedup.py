@@ -18,9 +18,10 @@ Scale design (10⁹+ vectors):
   within a cluster the work is one normalize + one n×n matmul. Cluster
   sizes are corpus/n_clusters on average — size ``n_clusters`` so
   clusters stay ≤ ~10k vectors (paper uses corpus/n ≈ 1-10k); a
-  pathological mega-cluster is capped by raising ``n_clusters``, not
-  by salting (splitting a cluster must change which pairs are
-  compared, never silently skip pairs).
+  pathological mega-cluster is bounded by ``max_cell_size``, which
+  re-splits ONLY the oversized cell by id-hash (documented recall
+  trade — see :func:`semantic_dedup`), with raising ``n_clusters``
+  as the global knob.
 
 Determinism: seeded quantizer + hash-ordered training sample + greedy
 scan in ascending id order — identical output on any partitioning.
@@ -34,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from meta_frame_spark.operators.cache import track
 from meta_frame_spark.operators.similarity import _cell_assigner, _fit_quantizer
 
 _OUT_SCHEMA = T.StructType(
@@ -55,6 +57,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 42,
     fit_fraction: float | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Flag semantic duplicates: one output row per input vector with
     ``is_kept``, and for dropped vectors the kept ``dup_of`` id and the
@@ -64,9 +67,21 @@ def semantic_dedup(
     id; a vector is kept iff its cosine to every *already-kept* vector
     of the cluster is below ``threshold``. Join survivors back with
     ``df.join(out.filter("is_kept"), id_col, "left_semi")``.
+
+    ``max_cell_size`` guards the skewed-cell failure mode: one
+    mega-cell makes a single task O(cell²) in time and O(cell·dim) in
+    memory. When set, any cell whose count exceeds the cap is
+    re-split deterministically by ``hash(id) % ceil(count/cap)`` and
+    each sub-split pruned independently — pairs straddling sub-splits
+    are no longer compared, the same recall trade as raising
+    ``n_clusters``, but applied only to the pathological cell. The
+    per-cell counts this needs are one extra bounded aggregate
+    (≤ ``n_clusters`` rows collected).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_cell_size is not None and max_cell_size < 1:
+        raise ValueError(f"max_cell_size must be >= 1, got {max_cell_size}")
     corpus_vec = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
     )
@@ -74,6 +89,28 @@ def semantic_dedup(
     assigned = corpus_vec.select(
         "_id", "v", _cell_assigner(centroids)(F.col("v")).alias("cell")
     )
+
+    group_keys = ["cell"]
+    if max_cell_size is not None:
+        assigned = track(assigned.persist())
+        sizes = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        splits = {
+            c: -(-n // max_cell_size) for c, n in sizes.items() if n > max_cell_size
+        }
+        if splits:
+            fanout = F.create_map(
+                *[F.lit(x) for kv in splits.items() for x in kv]
+            )
+            assigned = assigned.withColumn(
+                "_salt",
+                F.coalesce(
+                    F.pmod(F.xxhash64("_id"), fanout[F.col("cell")]), F.lit(0)
+                ).cast("int"),
+            )
+            group_keys = ["cell", "_salt"]
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id").reset_index(drop=True)
@@ -117,4 +154,4 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cell").applyInPandas(prune, _OUT_SCHEMA)
+    return assigned.groupBy(*group_keys).applyInPandas(prune, _OUT_SCHEMA)

