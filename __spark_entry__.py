@@ -1611,6 +1611,31 @@ def q_hard_neg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(approx, exact, 5, 0.8)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): bounded-sample
+    init + 4 full-corpus refinement rounds (Arrow E-step, posexplode
+    M-step, driver sees only k x dim per round). Invariant-oracle
+    form: n_vectors is SQL-exact; the alternating-minimization
+    guarantee (inertia non-increasing) and full assignment coverage
+    are Spark-verified booleans, deterministic under the fixed seed."""
+    from meta_frame_spark.operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, iters=4)
+    tol = 1e-9
+    monotone = all(
+        b <= a * (1 + tol) + tol
+        for a, b in zip(model.inertia, model.inertia[1:])
+    )
+    return emb.agg(F.count(F.lit(1)).alias("n_vectors")).select(
+        "n_vectors",
+        F.lit(8).alias("k"),
+        F.lit(4).alias("n_iters"),
+        F.lit(monotone).alias("inertia_monotone"),
+        (F.col("n_vectors") == F.lit(sum(model.cell_sizes))).alias("all_assigned"),
+    )
+
+
 def _events_stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a DIRECTORY (it monitors the
     dir for new files); the testdata ships events as a single parquet
@@ -2138,6 +2163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
+        # --- new in round 4, after the window filled: r5 rotation ---
+        "kmeans": q_kmeans,
     }
 
 
@@ -2522,6 +2549,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_queries, 5 AS k,
                    TRUE AS all_k_returned, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
+        """,
+        "kmeans": """
+            SELECT COUNT(*) AS n_vectors, 8 AS k, 4 AS n_iters,
+                   TRUE AS inertia_monotone, TRUE AS all_assigned
+            FROM embeddings
         """,
         "set_ops": """
             SELECT 'purchase_and_view' AS segment, COUNT(*) AS n_users FROM (

@@ -33,6 +33,7 @@ from meta_frame_spark.operators.similarity import (
     srp_lsh_topk,
 )
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
+from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
@@ -81,6 +82,9 @@ __all__ = [
     "decontaminate",
     "group_centroids",
     "hard_negatives",
+    "KMeansModel",
+    "kmeans_assign",
+    "kmeans_fit",
     "latest_by_key",
     "mix_plan",
     "ngram_overlap",
