@@ -1611,6 +1611,41 @@ def q_hard_neg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(approx, exact, 5, 0.8)
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 10-token spans (operators/spans.py —
+    the Lee-et-al-style span-grain dedup report, sliding windows, pure
+    JVM codegen). key="text" is the engine-portable form; full oracle
+    re-derives the windows with DuckDB list slicing."""
+    from meta_frame_spark.operators.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, span_tokens=10, min_docs=2, key="text")
+
+
+def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState:
+    per-user running count/sum/max with explicit state schema) driven
+    to completion via availableNow into an update-mode memory sink.
+    A drained single-batch run emits each user's final state exactly
+    once, so the batch GROUP BY is the genuine oracle; doubles rounded
+    on both sides."""
+    from meta_frame_spark.streaming.ops import (
+        read_event_stream,
+        run_to_memory,
+        user_running_totals,
+    )
+
+    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    out = run_to_memory(
+        user_running_totals(stream), "mem_stream_totals", output_mode="update"
+    )
+    return out.select(
+        "user_id", "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (operators/kmeans.py): bounded-sample
     init + 4 full-corpus refinement rounds (Arrow E-step, posexplode
@@ -2165,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         # --- new in round 4, after the window filled: r5 rotation ---
         "kmeans": q_kmeans,
+        "stream_totals": q_stream_totals,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2554,6 +2591,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_vectors, 8 AS k, 4 AS n_iters,
                    TRUE AS inertia_monotone, TRUE AS all_assigned
             FROM embeddings
+        """,
+        "stream_totals": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value,
+                   ROUND(MAX(value), 2) AS max_value
+            FROM events GROUP BY 1
+        """,
+        "dup_spans": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, array_to_string(t[i:i+9], ' ') AS span_key
+                FROM toks,
+                     UNNEST(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)
+            )
+            SELECT span_key,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occurrences
+            FROM w
+            GROUP BY 1
+            HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "set_ops": """
             SELECT 'purchase_and_view' AS segment, COUNT(*) AS n_users FROM (

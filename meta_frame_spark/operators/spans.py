@@ -1,0 +1,126 @@
+"""Cross-document duplicate span detection (sliding token windows).
+
+Not in the reference (SURVEY.md §2 — no text surface); this is the
+span-grain member of the dedup family (exact row -> MinHash doc ->
+chunk/line -> THIS), after Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (arXiv 2107.06499): training corpora are
+full of long verbatim spans (boilerplate, licenses, templates) that
+doc- and chunk-grain dedup miss because they sit at arbitrary offsets
+inside otherwise-distinct documents. Their suffix-array pass finds
+arbitrary-length repeats; the scalable Spark approximation is a
+fixed-length sliding window — every duplicated span of length >=
+``span_tokens`` contains a duplicated window, so fixed windows give
+full recall at that grain and a report that is directly groupable.
+
+Scale design:
+
+* tokenization and per-position window keys are pure JVM codegen
+  (transform over a sequence + slice + concat_ws + xxhash64) — no
+  Python, no UDF;
+* the only shuffle is groupBy(window key): ``key="hash"`` (default)
+  shuffles 8-byte keys — at 100 TB the span text NEVER moves, exactly
+  like the hashed-gram decontamination probe; ``key="text"`` shuffles
+  the span string itself — the engine-portable form driver oracles
+  compare bit-for-bit (hash grouping is identical iff xxhash64 is
+  collision-free on the corpus; at 8 bytes a billion distinct spans
+  collide with p ~ 3e-2, so hash mode is a *report* key, not an
+  identity proof);
+* output is one row per duplicated window (n_docs >= min_docs), linear
+  in the duplicated region, never in pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.skew import ensure_min_partitions
+
+
+def _positions(toks, span_tokens: int):
+    """1-based window start positions; EMPTY for docs shorter than the
+    span (a bare ``sequence(1, stop)`` with stop < 1 silently produces
+    a DESCENDING sequence and garbage windows)."""
+    stop = F.size(toks) - F.lit(span_tokens - 1)
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "hash",
+) -> DataFrame:
+    """Windows of ``span_tokens`` consecutive tokens appearing in at
+    least ``min_docs`` distinct documents:
+    ``(span_key, n_docs, n_occurrences)``.
+
+    ``key="hash"`` groups on ``xxhash64`` of the window (scale path);
+    ``key="text"`` groups on the window text itself (portable/oracle
+    path). Documents shorter than ``span_tokens`` contribute nothing.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if key not in ("hash", "text"):
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    span_text = lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens))  # noqa: E731
+    span_key = (
+        (lambda i: F.xxhash64(span_text(i))) if key == "hash" else span_text
+    )
+    windows = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.transform(_positions(toks, span_tokens), span_key)
+        ).alias("span_key"),
+    )
+    return (
+        windows.groupBy("span_key")
+        .agg(
+            F.count_distinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def docs_with_duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rollup: how many of a doc's windows are shared with
+    other documents — ``(id_col, n_dup_spans)``. The flag side of the
+    report: gate or down-weight heavily-boilerplate docs. The window
+    frame feeds both the dup-key census and the semi-join probe, so it
+    is persisted once (released via cache.release_tracked_caches)."""
+    from meta_frame_spark.operators.cache import track
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    windows = track(ensure_min_partitions(df).select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.transform(
+                _positions(toks, span_tokens),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
+            )
+        ).alias("span_key"),
+    ).persist())
+    dup_keys = (
+        windows.groupBy("span_key")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_key")
+    )
+    return (
+        windows.join(dup_keys, "span_key", "left_semi")
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )

@@ -214,3 +214,21 @@ def test_event_paths_single_shuffle(spark, sf_dir):
     plan = _plan(event_paths(ev))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_hard_negatives_candidates_path_has_no_cartesian(spark, sf_dir):
+    """The candidates= scale path must score only LSH candidate pairs —
+    if the crossJoin shape leaks back in, corpus-scale query sets
+    become n^2 (the default exact path keeps crossJoin(broadcast) by
+    design for small query batches; this pins the scale arm)."""
+    from pyspark.sql import functions as F
+    from meta_frame_spark.operators.similarity import hard_negatives, srp_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cands = srp_lsh_topk(emb, q, k=20)
+    pos = cands.filter(F.col("rank") <= 2).select("query_id", "neighbor_id")
+    out = hard_negatives(emb, q, pos, k=3, candidates=cands)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
