@@ -1611,6 +1611,19 @@ def q_hard_neg_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_summary(approx, exact, 5, 0.8)
 
 
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-source document sample (reservoir-sampling
+    replacement: md5-hash order + id tiebreak, reproducible on any
+    engine/partitioning). Full oracle re-ranks with the same md5
+    expression in DuckDB."""
+    from meta_frame_spark.operators.sampling import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_k_per_group(
+        docs, ["source"], k=3, id_col="doc_id", salt="r4", method="md5"
+    ).select("source", "doc_id")
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate 10-token spans (operators/spans.py —
     the Lee-et-al-style span-grain dedup report, sliding windows, pure
@@ -2202,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "stream_totals": q_stream_totals,
         "dup_spans": q_dup_spans,
+        "sample_per_group": q_sample_per_group,
     }
 
 
@@ -2597,6 +2611,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value,
                    ROUND(MAX(value), 2) AS max_value
             FROM events GROUP BY 1
+        """,
+        "sample_per_group": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':r4') ASC,
+                                    doc_id ASC
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 3
         """,
         "dup_spans": """
             WITH toks AS (

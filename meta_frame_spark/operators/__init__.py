@@ -61,6 +61,7 @@ from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
     hash_split,
+    sample_k_per_group,
     shuffle_deterministic,
     split_dataframes,
     stratified_sample,
@@ -135,6 +136,7 @@ __all__ = [
     "rollup_aggregate",
     "shuffle_deterministic",
     "split_dataframes",
+    "sample_k_per_group",
     "stratified_sample",
     "salted_aggregate",
     "simhash",

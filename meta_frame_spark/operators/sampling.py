@@ -10,7 +10,7 @@ any day — and late-arriving data joins the right split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: granularity of split fractions (1/10000)
@@ -219,3 +219,43 @@ def split_dataframes(
         name: labeled.filter(F.col("split") == name).drop("split")
         for name in weights
     }
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by
+    deterministic hash order — the reproducible replacement for
+    per-group reservoir sampling (inspection samples, per-domain eval
+    slices, capped few-shot pools). Same rows on any cluster and
+    partitioning; a new ``salt`` re-deals the sample; the nested
+    property holds (the k-sample contains the (k-1)-sample).
+
+    Scale: ONE hash shuffle on the group keys; the rank window sorts
+    within each group only. For whale groups the sort is the group's
+    own rows — cap upstream with quota_per_group if a single group
+    exceeds executor memory. ``method="md5"`` ranks on the md5 hex
+    digest (engine-portable: any md5-capable engine reproduces the
+    exact sample; ties impossible on distinct ids up to md5
+    collisions). Ranking ties on the raw id as final tiebreak so
+    duplicate ids cannot make the sample partition-dependent.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if method == "md5":
+        key = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt)))
+    elif method == "xxhash64":
+        key = F.xxhash64(F.col(id_col), F.lit(salt))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    w = Window.partitionBy(*group_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

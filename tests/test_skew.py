@@ -282,3 +282,28 @@ def test_salted_join_matches_plain_join(spark, orders):
         salted_join(fact, dim, ["o_custkey"], salt_on="o_orderkey", how="right")
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["o_custkey"], salt_on="o_orderkey", n_salts=0)
+
+
+def test_sample_k_per_group_deterministic_and_nested(spark, sf_dir):
+    from meta_frame_spark.operators.sampling import sample_k_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k3a = {(r.source, r.doc_id) for r in
+           sample_k_per_group(docs, ["source"], 3, "doc_id", salt="s").collect()}
+    k3b = {(r.source, r.doc_id) for r in
+           sample_k_per_group(docs.repartition(17), ["source"], 3, "doc_id", salt="s").collect()}
+    assert k3a == k3b  # partition-independent
+    k2 = {(r.source, r.doc_id) for r in
+          sample_k_per_group(docs, ["source"], 2, "doc_id", salt="s").collect()}
+    assert k2 <= k3a   # nested property
+    import collections
+    per = collections.Counter(s for s, _ in k3a)
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources and all(v <= 3 for v in per.values())
+    # different salt re-deals
+    other = {(r.source, r.doc_id) for r in
+             sample_k_per_group(docs, ["source"], 3, "doc_id", salt="t").collect()}
+    assert other != k3a
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_k_per_group(docs, ["source"], 0, "doc_id")
