@@ -155,3 +155,33 @@ def write_range_clustered(
     if options:
         writer = writer.options(**options)
     getattr(writer, fmt)(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int = 100_000,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Training-export sink: size-controlled JSONL shards — the
+    interchange format most LLM training stacks ingest (one JSON object
+    per line, fixed-ish shard sizes so data loaders can assign shards
+    to workers evenly).
+
+    Spark's json sink IS jsonlines (one object per line per file); the
+    work here is shard-size discipline at scale: a REBALANCE hint lets
+    AQE even out skewed upstream partitions, and ``maxRecordsPerFile``
+    rolls files at the shard budget without any driver-side count.
+    Gzip (splittable-hostile but universally readable) suits shard
+    files that loaders stream whole; use ``compression=None`` or
+    "zstd" when downstream re-reads with Spark.
+    """
+    writer = (
+        df.hint("rebalance")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", str(records_per_shard))
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -241,3 +241,28 @@ def test_range_clustered_write_has_disjoint_file_ranges(spark, tmp_path):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
         assert a_hi < b_lo  # strictly disjoint, ordered ranges
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_write_jsonl_shards_caps_lines_per_file(spark, tmp_path):
+    from meta_frame_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.range(5000).selectExpr("id", "concat('doc ', id) AS text")
+    out = str(tmp_path / "jsonl")
+    write_jsonl_shards(df, out, records_per_shard=1000, compression=None)
+
+    import glob
+    import json as _json
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) >= 5
+    total = 0
+    for f in files:
+        with open(f) as fh:
+            lines = fh.read().splitlines()
+        assert len(lines) <= 1000          # shard budget honored
+        for ln in lines[:3]:
+            _json.loads(ln)                # valid one-object-per-line
+        total += len(lines)
+    assert total == 5000
+    back = spark.read.json(out)
+    assert back.count() == 5000
+    assert {r.id for r in back.select("id").collect()} == set(range(5000))
