@@ -99,16 +99,41 @@ def main() -> None:
     # the final line from that window — a line longer than ~2000 chars is
     # recorded truncated and unparseable (BENCH_r01..r03 all have
     # parsed=null for this reason). Emit the most precise compact line
-    # that fits, degrading per-query precision 3dp -> 2dp -> 1dp.
+    # that fits, degrading per-query precision 3dp -> 2dp -> 1dp; if the
+    # registry has outgrown even that, drop the FASTEST non-baseline
+    # queries from the line (never a baseline-tracked or slow query —
+    # those are what BASELINE.md comparisons read) and say how many.
+    # BENCH_FULL.json always carries the complete 3dp set.
+    baseline_tracked = {
+        "a_cascade", "b_join_tree", "bp_nested", "corpus_clean",
+        "ann_topk", "ann_topk_lsh", "ann_topk_ivf", "dedup_minhash",
+        "bm25_search", "dedup_simhash", "emb_near_dup",
+    }
+
+    def emit(q: dict[str, float], omitted: int) -> str:
+        body = {**payload, "value": round(total, 2), "queries": q}
+        if omitted:
+            body["omitted_fast_queries"] = omitted
+        return json.dumps(body, separators=(",", ":"))
+
     line = ""
     for prec in (3, 2, 1):
         q = {k: round(v, prec) for k, v in per_query.items()}
-        line = json.dumps(
-            {**payload, "value": round(total, 2), "queries": q},
-            separators=(",", ":"),
-        )
+        line = emit(q, 0)
         if len(line) <= 1950:
             break
+    if len(line) > 1950:
+        by_speed = sorted(
+            per_query, key=lambda k: (k in baseline_tracked, per_query[k])
+        )
+        q = {k: round(v, 1) for k, v in per_query.items()}
+        dropped = 0
+        for name in by_speed:
+            if len(line) <= 1950 or name in baseline_tracked:
+                break
+            del q[name]
+            dropped += 1
+            line = emit(q, dropped)
     spark.stop()
     print(line)
 
