@@ -1650,7 +1650,8 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, _events_stream_dir(sf_dir))
     out = run_to_memory(
-        user_running_totals(stream), "mem_stream_totals", output_mode="update"
+        user_running_totals(stream), "mem_stream_totals", output_mode="update",
+        state_partitions=8,
     )
     return out.select(
         "user_id", "n_events",
@@ -1715,7 +1716,8 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, _events_stream_dir(sf_dir))
     out = run_to_memory(
-        hourly_event_counts(stream), "mem_stream_hourly", output_mode="complete"
+        hourly_event_counts(stream), "mem_stream_hourly", output_mode="complete",
+        state_partitions=8,
     )
     return out.select(
         F.date_trunc("hour", "hour").alias("hour"), "event_type",
@@ -1738,7 +1740,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, _events_stream_dir(sf_dir))
     deduped = dedup_events(stream, keys=["user_id", "event_type"])
-    out = run_to_memory(deduped, "mem_stream_dedup", output_mode="append")
+    out = run_to_memory(deduped, "mem_stream_dedup", output_mode="append",
+                        state_partitions=8)
     return out.select("user_id", "event_type")
 
 
@@ -1764,7 +1767,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     joined = interval_join(purchases, views, by=["user_id"], lookback="1 hour")
-    out = run_to_memory(joined, "mem_stream_join", output_mode="append")
+    out = run_to_memory(joined, "mem_stream_join", output_mode="append",
+                        state_partitions=8)
     return out.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_views"),
         F.round(F.max("r_value"), 2).alias("max_view_value"),
