@@ -472,7 +472,9 @@ def minhash_lsh_dedup(
 # Dup-pair clustering (connected components) and canonical selection
 # --------------------------------------------------------------------------
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 50, driver_threshold: int = 100_000
+) -> DataFrame:
     """Connected components over near-dup pairs: (node, cluster) where
     ``cluster`` is the minimum id reachable through dup edges.
 
@@ -485,11 +487,52 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     round — the standard Spark shape for iterative graph algorithms
     without GraphFrames).
 
+    Pair sets at or below ``driver_threshold`` short-circuit to a
+    driver-side union-find instead: a tiny graph pays several
+    distributed rounds of pure job-scheduling overhead (measured 4.9s
+    of a 6.8s clustering run on 256 edges at bench scale) for work a
+    single core finishes in microseconds. The collect is BOUNDED by
+    the threshold — a real 10⁹-pair corpus takes the distributed loop;
+    identical output either way (min-reachable-id labels), pinned by
+    test. Set ``driver_threshold=0`` to force the distributed path.
+
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     convergence (a silent partial result would let duplicates through
     ``drop_near_duplicates`` undetected); raise ``max_iter`` for
     corpora with very long duplicate chains.
     """
+    rows = None
+    if driver_threshold:
+        # ONE bounded computation decides the path AND feeds the small
+        # case; the big case pays one early-terminating limit scan.
+        rows = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        if len(rows) > driver_threshold:
+            rows = None
+    if rows is not None:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the cluster label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            F.col("id_a").alias("node"), F.col("id_a").alias("cluster")
+        ).schema
+        return spark.createDataFrame(out, schema)
+
     converged = False
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -123,8 +123,15 @@ def test_dup_clusters_transitive(spark):
         [(1, 2), (2, 3), (4, 5), (8, 9), (9, 10), (10, 11)],
         "id_a bigint, id_b bigint",
     )
-    got = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 8: 8, 9: 8, 10: 8, 11: 8}
+    expected = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 8: 8, 9: 8, 10: 8, 11: 8}
+    # small graphs take the bounded union-find shortcut by default;
+    # driver_threshold=0 forces the distributed label-propagation loop.
+    # Both paths must agree exactly.
+    got_uf = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
+    got_dist = {r.node: r.cluster
+                for r in dup_clusters(pairs, driver_threshold=0).collect()}
+    assert got_uf == expected
+    assert got_dist == expected
 
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(12)], "doc_id bigint, text string"

@@ -77,7 +77,10 @@ def main() -> int:
             pairs = minhash_lsh_dedup(
                 docs(d), threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
                 restrict_to_candidates=False)
-            return dup_clusters(pairs).count()  # raises if non-convergent
+            # driver_threshold=0: the smoke must exercise the DISTRIBUTED
+            # label-propagation loop (raises if non-convergent), not the
+            # small-graph union-find shortcut
+            return dup_clusters(pairs, driver_threshold=0).count()
         t, n = timed("dup_cluster_sizes", clusters)
         r["dup_clusters_sec"], r["dup_clusters_nodes"] = t, n
 
