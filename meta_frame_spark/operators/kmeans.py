@@ -13,16 +13,16 @@ does the same):
 * **init** comes from the bounded-sample driver fit (deterministic
   id-hash-ordered sample), so the distributed rounds start near a
   solution and ``iters`` stays small;
-* **E-step** is one Arrow-batched map over the corpus — each batch is
-  a (batch × k) matmul emitting (cell, squared distance), no shuffle;
-* **M-step** is posexplode + avg per (cell, pos): the shuffle moves
-  rows × dim scalar values with map-side partial aggregation (the
-  `group_centroids` shape), and the driver collects only k × dim
-  means + k counts + 1 inertia scalar per round — never vectors;
-* per-round state on the cluster is just the persisted assignment
-  frame of the CURRENT round (unpersisted before the next), so
-  memory is one (id, vec, cell, dist2) projection regardless of
-  ``iters``.
+* each round is ONE corpus pass: an Arrow-batched E-step map (each
+  batch a (batch × k) matmul emitting cell + squared distance) feeds
+  posexplode + a single per-(cell, pos) aggregate whose pos-0 slice
+  doubles as the per-cell count/inertia accumulator — the shuffle
+  moves rows × dim scalars with map-side partial aggregation (the
+  `group_centroids` shape) and the driver collects only k × dim rows
+  per round, never vectors;
+* no persisted per-round state on the cluster at all — the round's
+  plan is scan → assign → explode → aggregate, then the next round
+  rebinds new centroids into a fresh plan.
 
 Empty cells keep their previous centroid (the standard Lloyd
 convention; no resampling so runs stay deterministic). Inertia is
@@ -91,25 +91,32 @@ def kmeans_fit(
     centroids = _fit_quantizer(corpus_vec, k, seed, fit_fraction)
     model = KMeansModel(centroids=centroids)
     for _ in range(iters):
-        assigned = corpus_vec.select(
-            "v", _assign_with_dist(centroids)(F.col("v")).alias("a")
-        ).select("v", "a.cell", "a.dist2").persist()
-        stats = assigned.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("ssd")
-        ).collect()
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+        # ONE corpus pass per round: posexplode carries (cell, pos, x)
+        # and dist2 rides along; per-(cell, pos) avg gives the new
+        # mean while the pos-0 slice of the same groups gives per-cell
+        # count and summed squared distance — no persist, no second
+        # scan, one shuffle, k x dim rows collected.
+        rows = (
+            corpus_vec.select(
+                _assign_with_dist(centroids)(F.col("v")).alias("a"), "v"
+            )
+            .select("a.cell", "a.dist2", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.avg("x").alias("m"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist2").alias("ssd"),
+            )
             .collect()
         )
-        assigned.unpersist()
-        model.inertia.append(float(sum(r["ssd"] for r in stats)))
+        model.inertia.append(float(sum(r["ssd"] for r in rows if r["pos"] == 0)))
         new_c = centroids.copy()  # empty cells keep their previous mean
-        for r in means:
+        sizes: dict[int, int] = {}
+        for r in rows:
             new_c[r["cell"], r["pos"]] = r["m"]
+            if r["pos"] == 0:
+                sizes[r["cell"]] = r["n"]
         centroids = new_c
-        sizes = {r["cell"]: r["n"] for r in stats}
         model.cell_sizes = [int(sizes.get(c, 0)) for c in range(len(centroids))]
     model.centroids = centroids
     return model
