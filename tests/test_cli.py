@@ -48,3 +48,19 @@ def test_column_object_filters(spark, lineitem):
         lineitem, [F.col("l_quantity") > 10, "l_linestatus = 'O'"]
     )
     assert out.filter("l_quantity <= 10 OR l_linestatus != 'O'").count() == 0
+
+
+def test_example_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """examples/curate_corpus.py is the 'switch from the reference'
+    story: the full quality->dedup->decontaminate->split->pack->export
+    flow must run end to end and only ever shrink the corpus."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/examples")
+    from curate_corpus import curate
+
+    counts = curate(spark, sf_dir, str(tmp_path / "out"))
+    assert counts["raw"] >= counts["quality_lang"] >= counts["exact_dedup"]
+    assert counts["exact_dedup"] >= counts["near_dedup"] >= counts["decontaminated"]
+    total_out = counts["out_train"] + counts["out_val"] + counts["out_test"]
+    assert total_out == counts["decontaminated"]
+    assert counts["out_train"] > 0

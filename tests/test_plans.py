@@ -232,3 +232,21 @@ def test_hard_negatives_candidates_path_has_no_cartesian(spark, sf_dir):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_release_tracked_caches_drops_operator_persists(spark, sf_dir):
+    from meta_frame_spark.operators.cache import _TRACKED, release_tracked_caches
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    release_tracked_caches()  # clean slate
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=16, num_bands=4, shingle_n=3,
+        restrict_to_candidates=False,
+    )
+    pairs.count()  # materializes the tracked persist
+    assert len(_TRACKED) >= 1
+    n = release_tracked_caches()
+    assert n >= 1 and len(_TRACKED) == 0
+    # double release is a harmless no-op
+    assert release_tracked_caches() == 0

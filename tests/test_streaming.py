@@ -319,3 +319,32 @@ def test_interval_left_outer_stream_emits_unmatched_after_watermark(spark, tmp_p
     rows = {r.event_id: r.r_ts for r in got.collect()}
     assert 1 in rows and rows[1] is not None      # matched purchase
     assert 3 in rows and rows[3] is None          # unmatched -> null right
+
+
+def test_run_to_memory_rerun_same_name_and_conf_restore(spark, tmp_path):
+    """Driver queries reuse memory-sink names across runs in one
+    session (bench + correctness both call them); a second availableNow
+    run under the same queryName must work and state_partitions must
+    restore the session's shuffle-partition conf."""
+    import os
+    from meta_frame_spark.streaming.ops import (
+        dedup_events,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    for _ in range(2):
+        stream = read_event_stream(spark, str(d))
+        out = run_to_memory(
+            dedup_events(stream, keys=["user_id", "event_type"]),
+            "mem_rerun_test", output_mode="append", state_partitions=4,
+        )
+        n = out.count()
+        assert n > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
