@@ -1,0 +1,48 @@
+"""Product quantization (operators/pq.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.pq import pq_encode, pq_fit, pq_topk
+from meta_frame_spark.operators.similarity import brute_force_topk
+
+
+def test_pq_recall_and_code_shape(spark, embeddings):
+    books = pq_fit(embeddings, m=16, bits=6)
+    assert books.shape == (16, 64, 4)
+    codes = pq_encode(embeddings, books)
+    row = codes.first()
+    assert len(row.codes) == 16
+    assert codes.count() == embeddings.count()
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    approx = pq_topk(codes, q, books, k=5).collect()
+    exact = brute_force_topk(embeddings, q, k=5).collect()
+    es = {(r.query_id, r.neighbor_id) for r in exact}
+    aps = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(es & aps) / len(es) >= 0.5
+    from collections import Counter
+    per = Counter(r.query_id for r in approx)
+    assert set(per) == set(range(10)) and set(per.values()) == {5}
+
+
+def test_pq_deterministic(spark, embeddings):
+    b1 = pq_fit(embeddings, m=8, bits=5)
+    b2 = pq_fit(embeddings, m=8, bits=5)
+    assert np.array_equal(b1, b2)
+    c1 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(embeddings, b1).collect())
+    c2 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(embeddings, b2).collect())
+    assert c1 == c2
+
+
+def test_pq_validation(spark, embeddings):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(embeddings, m=7)
+    with pytest.raises(ValueError, match="bits"):
+        pq_fit(embeddings, m=8, bits=0)
+    with pytest.raises(ValueError, match="training vectors"):
+        pq_fit(embeddings.limit(10), m=8, bits=8)  # 500-cap corpus < 256? no: limit(10) < 256
+    books = pq_fit(embeddings, m=8, bits=4)
+    with pytest.raises(ValueError, match="empty query batch"):
+        pq_topk(pq_encode(embeddings, books), embeddings.filter("vec_id < 0"), books)
