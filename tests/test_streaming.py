@@ -348,3 +348,34 @@ def test_run_to_memory_rerun_same_name_and_conf_restore(spark, tmp_path):
         n = out.count()
         assert n > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_streaming_incremental_ingest_dedups_against_static_corpus(spark, tmp_path):
+    """Continuous corpus ingestion: a document stream anti-joined
+    against the accumulated static corpus (stream-static left_anti is
+    stateless — each micro-batch probes the corpus snapshot) so only
+    genuinely-new texts land. The replayed half of the stream must be
+    dropped, the new half kept."""
+    import pyspark.sql.functions as F
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    corpus = spark.createDataFrame(
+        [(i, f"known document {i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, f"known document {i}") for i in range(25)]      # replays
+        + [(200 + i, f"fresh document {i}") for i in range(30)],   # new
+        "doc_id bigint, text string",
+    )
+    src = tmp_path / "incoming"
+    incoming.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(str(src))
+    novel = stream.withColumn("_k", F.md5("text")).join(
+        corpus.select(F.md5("text").alias("_k")), "_k", "left_anti"
+    ).drop("_k")
+    out = run_to_memory(novel, "mem_ingest", output_mode="append",
+                        state_partitions=4)
+    got = {r.doc_id for r in out.collect()}
+    assert got == {200 + i for i in range(30)}
