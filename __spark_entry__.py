@@ -1630,6 +1630,23 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed FAISS IVFPQ shape (operators/pq.py ivfpq_topk): coarse
+    cells route queries to n_probe=8/16 of the corpus, PQ codes score
+    via ADC lookup tables. Invariant-oracle form; recall multiplies
+    cell recall x code fidelity (observed 0.64 at sf0.01 / 0.66 at
+    sf0.1 — the near-uniform synthetic vectors bound cell recall
+    exactly as in q_ann_topk_ivf; bound 0.4)."""
+    from meta_frame_spark.operators.pq import ivfpq_topk
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_summary(
+        ivfpq_topk(emb, q, k=5, n_probe=8), brute_force_topk(emb, q, k=5), 5, 0.4
+    )
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-per-source document sample (reservoir-sampling
     replacement: md5-hash order + id tiebreak, reproducible on any
@@ -2240,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "sample_per_group": q_sample_per_group,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
     }
 
 
@@ -2637,6 +2655,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "ann_topk_pq": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_topk_ivfpq": """
             SELECT COUNT(*) AS n_queries, 5 AS k,
                    TRUE AS all_k_returned, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10

@@ -35,7 +35,7 @@ from meta_frame_spark.operators.similarity import (
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
 from meta_frame_spark.operators.spans import docs_with_duplicate_spans, duplicate_spans
-from meta_frame_spark.operators.pq import pq_encode, pq_fit, pq_topk
+from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
@@ -90,6 +90,7 @@ __all__ = [
     "kmeans_fit",
     "docs_with_duplicate_spans",
     "duplicate_spans",
+    "ivfpq_topk",
     "pq_encode",
     "pq_fit",
     "pq_topk",

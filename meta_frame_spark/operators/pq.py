@@ -204,3 +204,96 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 32,
+    bits: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF + PQ — the full FAISS IVFPQ shape on Spark: a coarse
+    quantizer routes each code to a cell, each query probes its
+    ``n_probe`` nearest cells, and only the probed cells' PQ codes are
+    ADC-scored. Recall multiplies the two approximations (cell recall
+    x code fidelity); cost divides by ~n_cells/n_probe on the scan and
+    by the code compression on the bytes.
+
+    At cluster scale: store codes partitioned by cell id (the
+    `write_range_clustered` layout) so a probe reads only matching
+    files; the scoring join is an equi-join on cell, never a scan.
+    """
+    from meta_frame_spark.operators.similarity import (
+        _cell_assigner,
+        _fit_quantizer,
+    )
+
+    corpus_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
+    )
+    coarse = _fit_quantizer(corpus_vec, n_cells, seed)
+    books = pq_fit(corpus, m, bits, id_col, vec_col, seed)
+    codes = pq_encode(corpus, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    cells = corpus_vec.select(
+        F.col("_id").alias("neighbor_id"), _cell_assigner(coarse)(F.col("v")).alias("cell")
+    )
+    coded = codes.join(cells, "neighbor_id")
+
+    # per-query probe cells + ADC lookup tables (driver-side: the query
+    # batch is small by contract, same as brute_force/pq_topk)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
+    ).collect()
+    if not q_rows:
+        raise ValueError("ivfpq_topk: empty query batch")
+    mm, kk, sub = books.shape
+    probes = []
+    luts = {}
+    for r in q_rows:
+        q = np.asarray(r.v, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        d2 = ((coarse - qn) ** 2).sum(1)
+        for c in np.argsort(d2)[:n_probe]:
+            probes.append((r.query_id, int(c)))
+        luts[r.query_id] = np.stack(
+            [books[j] @ qn[j * sub : (j + 1) * sub] for j in range(mm)]
+        )
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    pairs = coded.join(F.broadcast(probe_df), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    qids = list(luts)
+    lut_tensor = np.stack([luts[q] for q in qids])
+    qindex = {q: i for i, q in enumerate(qids)}
+    arange_m = np.arange(mm)
+
+    @F.pandas_udf("double")
+    def _pair_score(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        out = np.full(len(qs), np.nan)
+        valid = [i for i, c in enumerate(cs) if c is not None and len(c) == mm]
+        if valid:
+            C = np.stack([np.asarray(cs.iloc[i], dtype=np.int64) for i in valid])
+            qi = np.array([qindex[qs.iloc[i]] for i in valid])
+            out[valid] = lut_tensor[qi[:, None], arange_m, C].sum(1)
+        return pd.Series(out)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), round_to).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("score", _pair_score("query_id", "codes"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -46,3 +46,22 @@ def test_pq_validation(spark, embeddings):
     books = pq_fit(embeddings, m=8, bits=4)
     with pytest.raises(ValueError, match="empty query batch"):
         pq_topk(pq_encode(embeddings, books), embeddings.filter("vec_id < 0"), books)
+
+
+def test_ivfpq_recall_and_determinism(spark, embeddings):
+    from meta_frame_spark.operators.pq import ivfpq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 10)
+    approx = ivfpq_topk(embeddings, q, k=5, n_probe=8).collect()
+    exact = brute_force_topk(embeddings, q, k=5).collect()
+    es = {(r.query_id, r.neighbor_id) for r in exact}
+    aps = {(r.query_id, r.neighbor_id) for r in approx}
+    # recall multiplies cell recall x code fidelity; near-uniform
+    # synthetic vectors bound cell recall (~as ivf_topk's 0.5)
+    assert len(es & aps) / len(es) >= 0.4
+    again = {(r.query_id, r.neighbor_id) for r in
+             ivfpq_topk(embeddings, q, k=5, n_probe=8).collect()}
+    assert aps == again
+    from collections import Counter
+    per = Counter(r.query_id for r in approx)
+    assert set(per) == set(range(10)) and max(per.values()) <= 5
