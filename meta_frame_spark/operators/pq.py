@@ -75,10 +75,15 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    max_train: int = 25_600,
+    max_train: int = 8_192,
 ) -> "np.ndarray":
     """Train PQ codebooks: returns ``(m, 2^bits, d/m)`` float64.
-    Driver-side on a deterministic bounded sample (id-hash order)."""
+    Driver-side on a deterministic bounded sample (id-hash order).
+    ``max_train`` defaults to 32x the 2^8 default codebook size —
+    inside FAISS's 30-256 points-per-centroid guidance — and BOUNDS
+    fit cost regardless of corpus size (the joint-Lloyd distance
+    tensor is (m, n_train, 2^bits); unbounded n_train made it
+    gigabytes at 10x bench scale for zero quality gain)."""
     if bits < 1 or bits > 12:
         raise ValueError(f"bits must be in [1, 12], got {bits}")
     rows = (

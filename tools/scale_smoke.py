@@ -107,13 +107,22 @@ def main() -> int:
             docs(d), ["spark", "window", "merge"], k=20).count())
         r["bm25_sec"], r["bm25_rows"] = t, n
 
+        def pq_path():
+            from meta_frame_spark.operators.pq import pq_encode, pq_fit
+
+            e = emb(d)
+            books = pq_fit(e, m=32, bits=8)
+            return pq_encode(e, books).count()
+        t, n = timed("pq_encode", pq_path)
+        r["pq_sec"], r["pq_rows"] = t, n
+
         spark.catalog.clearCache()
         report[tag] = r
 
     a, b = report["sf0.1"], report["sf1"]
     print("--- growth (sf1 / sf0.1 on 10x rows) ---")
     ok = True
-    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25"):
+    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25", "pq"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     g = b["dedup_minhash_pairs"] / max(a["dedup_minhash_pairs"], 1)
