@@ -1284,16 +1284,17 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + probe) approximate top-5 — the FAISS-style
     scale path beside SRP-LSH. Invariant-oracle form: recall@5 vs
-    exact, deterministic under the fixed k-means seed (observed 0.50
-    at sf0.01 probing 4/16 cells — the synthetic vectors are near-
-    uniform, so cells barely capture cosine neighborhoods; bound
-    0.45)."""
+    exact, deterministic under the fixed k-means seed. Probes 6/16
+    cells: observed recall 0.60 at sf0.01 / 0.62 at sf0.1 (the
+    synthetic vectors are near-uniform, so cells barely capture cosine
+    neighborhoods); bound 0.45 — n_probe=4's observed 0.50 left only
+    0.05 of regen margin over the same bound (r4 hardening)."""
     from meta_frame_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return _ann_recall_summary(
-        ivf_topk(emb, q, k=5, n_cells=16, n_probe=4),
+        ivf_topk(emb, q, k=5, n_cells=16, n_probe=6),
         brute_force_topk(emb, q, k=5), 5, 0.45,
     )
 
