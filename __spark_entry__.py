@@ -2146,7 +2146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paid this round. Positions 46-49 are the four queries new in
     # round 4; position 50 is event_paths, whose output schema gained
     # path_len this round. The 49 other r3-green entries rotate to the
-    # tail unchanged. Every entry has an oracle_sql() twin.
+    # tail unchanged, followed by the seven queries added later in
+    # round 4 (kmeans .. ann_topk_ivfpq — all locally green via
+    # tools/check_correctness.py). Every entry has an oracle_sql()
+    # twin. r5 rotation plan: the tail is 56 entries, so r5's window =
+    # the 7 never-driver-checked round-4 queries first, then the 43
+    # oldest r3-green entries; the remaining 13 r3-green rotate into
+    # r6 (all were hash-green in r3 and are untouched since).
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,

@@ -286,3 +286,57 @@ def test_expectations_range_counts_match_python(spark, vals, lo, hi):
         df, [{"kind": "range", "column": "x", "min": lo, "max": hi, "name": "r"}]
     ).collect()[0]
     assert rep.n_violations == sum(1 for v in vals if v < lo or v > hi)
+
+
+@_settings
+@given(
+    k=st.integers(1, 4),
+    salt=st.sampled_from(["", "s"]),
+    method=st.sampled_from(["xxhash64", "md5"]),
+)
+def test_sample_k_per_group_size_and_nesting(frame, k, salt, method):
+    """Any (k, salt, method): every group returns min(k, group size)
+    rows, and the k-sample contains the (k-1)-sample."""
+    from meta_frame_spark.operators.sampling import sample_k_per_group
+
+    base = frame.withColumn("rid", F.monotonically_increasing_id())
+    got = sample_k_per_group(base, ["g1"], k, "rid", salt, method).collect()
+    sizes = {}
+    for r in got:
+        sizes[r.g1] = sizes.get(r.g1, 0) + 1
+    group_sizes = {r.g1: r.n for r in base.groupBy("g1").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {g: min(k, n) for g, n in group_sizes.items()}
+    if k > 1:
+        smaller = {(r.g1, r.rid) for r in
+                   sample_k_per_group(base, ["g1"], k - 1, "rid", salt, method).collect()}
+        assert smaller <= {(r.g1, r.rid) for r in got}
+
+
+@_settings
+@given(
+    span=st.integers(1, 6),
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), min_size=2, max_size=5
+    ),
+)
+def test_duplicate_spans_matches_python_census(spark, span, texts):
+    """Random tiny corpora: the text-keyed span census equals a plain
+    python sliding-window count (n_docs >= 2 spans only)."""
+    from collections import Counter, defaultdict
+
+    from meta_frame_spark.operators.spans import duplicate_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r.span_key: (r.n_docs, r.n_occurrences)
+           for r in duplicate_spans(df, span_tokens=span, min_docs=2, key="text").collect()}
+
+    occ = Counter()
+    docs = defaultdict(set)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for p in range(len(toks) - span + 1):
+            s = " ".join(toks[p : p + span])
+            occ[s] += 1
+            docs[s].add(i)
+    expect = {s: (len(docs[s]), occ[s]) for s in occ if len(docs[s]) >= 2}
+    assert got == expect
