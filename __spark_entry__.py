@@ -1631,6 +1631,37 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py — one Gram-matrix mapInPandas
+    pass, driver eigh, map-only projection). Invariant-oracle form:
+    n_vectors is SQL-exact; spectral invariants (ratios sorted desc and
+    summing <= 1, orthonormal components, projected coordinate count)
+    are Spark-verified booleans, deterministic on any partitioning."""
+    import numpy as np
+
+    from meta_frame_spark.operators.pca import pca_fit, pca_transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, n_components=8)
+    r = model.explained_variance_ratio
+    ortho = bool(
+        np.allclose(model.components @ model.components.T, np.eye(8), atol=1e-8)
+    )
+    projected = pca_transform(emb, model)
+    return projected.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min(F.size("pca")).alias("min_width"),
+        F.max(F.size("pca")).alias("max_width"),
+    ).select(
+        "n_vectors",
+        F.lit(8).alias("n_components"),
+        ((F.col("min_width") == 8) & (F.col("max_width") == 8)).alias("width_ok"),
+        F.lit(bool((np.diff(r) <= 1e-12).all())).alias("ratios_sorted"),
+        F.lit(bool(0.0 < float(r.sum()) <= 1.0 + 1e-9)).alias("ratios_bounded"),
+        F.lit(ortho).alias("components_orthonormal"),
+    )
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed FAISS IVFPQ shape (operators/pq.py ivfpq_topk): coarse
     cells route queries to n_probe=8/16 of the corpus, PQ codes score
@@ -2265,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "pca": q_pca,
     }
 
 
@@ -2670,6 +2702,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_queries, 5 AS k,
                    TRUE AS all_k_returned, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
+        """,
+        "pca": """
+            SELECT COUNT(*) AS n_vectors, 8 AS n_components,
+                   TRUE AS width_ok, TRUE AS ratios_sorted,
+                   TRUE AS ratios_bounded, TRUE AS components_orthonormal
+            FROM embeddings
         """,
         "sample_per_group": """
             SELECT source, doc_id FROM (

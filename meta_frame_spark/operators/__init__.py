@@ -35,6 +35,7 @@ from meta_frame_spark.operators.similarity import (
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
 from meta_frame_spark.operators.spans import docs_with_duplicate_spans, duplicate_spans
+from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
@@ -91,6 +92,9 @@ __all__ = [
     "docs_with_duplicate_spans",
     "duplicate_spans",
     "ivfpq_topk",
+    "PCAModel",
+    "pca_fit",
+    "pca_transform",
     "pq_encode",
     "pq_fit",
     "pq_topk",
