@@ -1631,6 +1631,30 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-asset windowed RMS (multimodal/assets.py audio_window_rms
+    — mapInPandas over u8 PCM stub payloads). Per-doc rollup: the
+    window count is SQL-exact (ceil(payload bytes / 1024), payload =
+    utf-8 text bytes on both engines), RMS range [0, 255] is the
+    Spark-verified invariant (u8 samples bound it)."""
+    from meta_frame_spark.multimodal.assets import audio_window_rms, make_asset
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id",
+        make_asset(
+            F.encode(F.col("text"), "utf-8"), "audio",
+            sample_rate=F.lit(16000),
+        ).alias("asset"),
+    )
+    rms = audio_window_rms(assets, window=1024)
+    return rms.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.min("rms") >= 0.0).alias("rms_lo_ok"),
+        (F.max("rms") <= 255.0).alias("rms_hi_ok"),
+    )
+
+
 def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py — one Gram-matrix mapInPandas
     pass, driver eigh, map-only projection). Invariant-oracle form:
@@ -2297,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "pca": q_pca,
+        "mm_audio": q_mm_audio,
     }
 
 
@@ -2708,6 +2733,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS width_ok, TRUE AS ratios_sorted,
                    TRUE AS ratios_bounded, TRUE AS components_orthonormal
             FROM embeddings
+        """,
+        "mm_audio": """
+            SELECT doc_id,
+                   CAST(CEIL(octet_length(encode(text)) / 1024.0) AS BIGINT)
+                       AS n_windows,
+                   TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
         """,
         "sample_per_group": """
             SELECT source, doc_id FROM (
