@@ -1,1 +1,38 @@
+"""Sources & sinks: load dispatcher, schema-adaptive events loader,
+scale-aware writers (S1-S8 — SURVEY.md §2.1)."""
 
+from meta_frame_spark.sources.events import (
+    event_stream_schema,
+    load_events,
+    normalize_event_ts,
+)
+from meta_frame_spark.sources.registry import (
+    UnknownSourceError,
+    load_data,
+    load_sf_table,
+)
+from meta_frame_spark.sources.sinks import (
+    iteration_sink,
+    save_bucketed_table,
+    save_data,
+    tree_sink,
+    write_compacted,
+    write_jsonl_shards,
+    write_range_clustered,
+)
+
+__all__ = [
+    "UnknownSourceError",
+    "event_stream_schema",
+    "iteration_sink",
+    "load_data",
+    "load_events",
+    "load_sf_table",
+    "normalize_event_ts",
+    "save_bucketed_table",
+    "save_data",
+    "tree_sink",
+    "write_compacted",
+    "write_jsonl_shards",
+    "write_range_clustered",
+]
