@@ -32,6 +32,7 @@ def tokens(text: str | Column) -> Column:
 
 
 def token_count(text: str | Column) -> Column:
+    """Whitespace token count (int) — codegen, no UDF."""
     return F.size(tokens(text))
 
 
@@ -50,10 +51,12 @@ def bpe_tokens(text: str | Column) -> Column:
 
 
 def bpe_token_count(text: str | Column) -> Column:
+    """BPE-ish pre-token count (int) — the training-cost proxy."""
     return F.size(bpe_tokens(text))
 
 
 def char_count(text: str | Column) -> Column:
+    """Character count (int) — ``length`` on the column."""
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)
 

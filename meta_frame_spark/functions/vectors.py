@@ -24,15 +24,18 @@ def dot(a: str | Column, b: str | Column) -> Column:
 
 
 def l2_norm(a: str | Column) -> Column:
+    """Euclidean norm of an array column — ``aggregate`` HOF, JVM-side."""
     sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
 
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity of two array columns — built-in HOFs, no UDF."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def l2_distance(a: str | Column, b: str | Column) -> Column:
+    """Euclidean distance of two array columns — ``zip_with`` HOF."""
     diffsq = F.zip_with(
         _c(a), _c(b),
         lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),

@@ -45,6 +45,9 @@ from meta_frame_spark.operators.similarity import _fit_quantizer
 
 @dataclass
 class KMeansModel:
+    """Fitted k-means: final centroids, per-round inertia history, and
+    the final round's per-cell sizes."""
+
     centroids: "np.ndarray"          # (k, dim) final means
     inertia: list[float] = field(default_factory=list)  # per completed round
     cell_sizes: list[int] = field(default_factory=list)  # final round

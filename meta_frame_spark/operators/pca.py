@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 
 
 class PCAModel:
+    """Fitted PCA: mean, orthonormal components (rows), per-component
+    explained variance, total variance, and the fitted row count."""
+
     def __init__(
         self,
         mean: "np.ndarray",
