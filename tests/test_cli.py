@@ -64,3 +64,26 @@ def test_example_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     total_out = counts["out_train"] + counts["out_val"] + counts["out_test"]
     assert total_out == counts["decontaminated"]
     assert counts["out_train"] > 0
+
+
+def test_driver_window_composition_round4():
+    """The driver verifies only the FIRST 50 queries() entries; round
+    4's window must be exactly the 45 r1/r2-stale entries + the four
+    new round-4 queries + schema-changed event_paths, in that order of
+    priority. Pins the rotation plan against accidental reorders."""
+    import json
+
+    import __spark_entry__ as e
+
+    window = list(e.queries())[:50]
+    with open("/root/repo/CORRECTNESS_r03.json") as fh:
+        r3 = set(json.load(fh))
+    stale = set(window[:45])
+    assert len(stale) == 45
+    assert stale.isdisjoint(r3), sorted(stale & r3)
+    assert window[45:] == [
+        "hard_neg_lsh", "stream_hourly", "stream_dedup", "stream_join",
+        "event_paths",
+    ]
+    # every registered query still has an oracle twin
+    assert set(e.queries()) == set(e.oracle_sql())
