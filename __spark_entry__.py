@@ -1633,6 +1633,27 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (operators/scoring.py —
+    Brants et al. 2007): p(b|a) = cnt(a,b)/cnt(a) from the top-200
+    bigram table, else 0.4 x unigram floor — every factor a count
+    ratio, so DuckDB recomputes the whole model exactly (full
+    oracle). Broadcast model tables, single corpus shuffle."""
+    from meta_frame_spark.operators.scoring import (
+        bigram_logprob,
+        bigram_vocab,
+        unigram_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    unigrams, total = unigram_vocab(docs, top_v=100)
+    bigrams = bigram_vocab(docs, top_v=200)
+    out = bigram_logprob(docs, bigrams, unigrams, total)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_neg_logprob", 6).alias("avg_neg_logprob")
+    )
+
+
 def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-asset windowed RMS (multimodal/assets.py audio_window_rms
     — mapInPandas over u8 PCM stub payloads). Per-doc rollup: the
@@ -2324,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "pca": q_pca,
         "mm_audio": q_mm_audio,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -2743,6 +2765,45 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "bigram_lm": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                FROM documents
+            ),
+            uni AS (SELECT unnest(t) AS token FROM tok),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM uni GROUP BY token),
+            total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            uvocab AS (SELECT token, cnt FROM counts
+                       ORDER BY cnt DESC, token ASC LIMIT 100),
+            bg AS (
+                SELECT doc_id, t[i] AS token, t[i+1] AS next_token
+                FROM tok,
+                     UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+            ),
+            bcounts AS (SELECT token, next_token, COUNT(*) AS cnt
+                        FROM bg GROUP BY 1, 2),
+            bvocab AS (SELECT token, next_token, cnt FROM bcounts
+                       ORDER BY cnt DESC, token ASC, next_token ASC
+                       LIMIT 200),
+            scored AS (
+                SELECT b.doc_id,
+                       CASE WHEN bv.cnt IS NOT NULL AND ua.cnt IS NOT NULL
+                            THEN bv.cnt / CAST(ua.cnt AS DOUBLE)
+                            ELSE 0.4 * (COALESCE(ub.cnt, 1) / total.total)
+                       END AS p
+                FROM bg b
+                LEFT JOIN bvocab bv USING (token, next_token)
+                LEFT JOIN uvocab ua USING (token)
+                LEFT JOIN uvocab ub ON b.next_token = ub.token, total
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bigrams,
+                   s.avg_neg_logprob
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n,
+                              ROUND(AVG(-ln(p)), 6) AS avg_neg_logprob
+                       FROM scored GROUP BY doc_id) s USING (doc_id)
         """,
         "sample_per_group": """
             SELECT source, doc_id FROM (

@@ -54,6 +54,8 @@ from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
 from meta_frame_spark.operators.ranking import normalize_scores, ntile_buckets
 from meta_frame_spark.operators.scoring import (
+    bigram_logprob,
+    bigram_vocab,
     score_documents,
     unigram_logprob,
     unigram_vocab,
@@ -122,6 +124,8 @@ __all__ = [
     "repeated_units",
     "rolling_agg",
     "scd2_from_changelog",
+    "bigram_logprob",
+    "bigram_vocab",
     "score_documents",
     "snapshot_asof",
     "unigram_logprob",

@@ -93,3 +93,97 @@ def score_documents(
     """Fit on ``df`` and score ``df`` (the self-calibrating shape)."""
     vocab, total = unigram_vocab(df, text_col, top_v)
     return unigram_logprob(df, vocab, total, text_col, id_col)
+
+
+def bigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 50_000,
+) -> DataFrame:
+    """Fit the bigram table: ``(token, next_token, cnt)`` for the
+    ``top_v`` most frequent adjacent-token pairs (ties broken by the
+    pair strings — deterministic). Bigrams come from a JVM-side
+    ``zip_with`` of the token array against its own tail: no UDF, one
+    explode, one hash-shuffle groupBy with map-side partials. ``top_v``
+    bounds the broadcast table the scorer ships — at 100 TB the full
+    bigram table is corpus-sized, but LM-quality scoring only needs the
+    head of the distribution (everything else takes the backoff)."""
+    toks = _tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+    )
+    return (
+        ensure_min_partitions(df)
+        .select(F.explode(pairs).alias("bg"))
+        .select("bg.token", "bg.next_token")
+        .groupBy("token", "next_token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc(), F.col("next_token").asc())
+        .limit(top_v)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Score: ``(id_col, n_bigrams, avg_neg_logprob)`` per document
+    under a stupid-backoff bigram model (Brants et al. 2007):
+    ``score(b|a) = cnt(a,b)/cnt(a)`` when the pair is in the fitted
+    table, else ``backoff * p_unigram(b)`` with the same count-1 OOV
+    floor as :func:`unigram_logprob` — every factor is a ratio of
+    counts, so the whole model stays exactly SQL-expressible for the
+    oracle. Documents with fewer than two tokens emit n_bigrams=0 and
+    a null score (nothing to condition on).
+
+    Scale: both model tables broadcast (``top_v``-bounded); the corpus
+    side is explode → two map-only probes → one per-doc aggregate —
+    the same single-shuffle shape as the unigram scorer."""
+    toks = _tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+    )
+    exploded = ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, "bg.token", "bg.next_token")
+
+    uni_a = unigrams.select(F.col("token"), F.col("cnt").alias("_cnt_a"))
+    uni_b = unigrams.select(
+        F.col("token").alias("next_token"), F.col("cnt").alias("_cnt_b")
+    )
+    bg = bigrams.select("token", "next_token", F.col("cnt").alias("_cnt_ab"))
+
+    probed = (
+        exploded.join(F.broadcast(bg), ["token", "next_token"], "left")
+        .join(F.broadcast(uni_a), "token", "left")
+        .join(F.broadcast(uni_b), "next_token", "left")
+    )
+    p_bigram = F.col("_cnt_ab") / F.col("_cnt_a")
+    p_backoff = F.lit(backoff) * (
+        F.coalesce(F.col("_cnt_b"), F.lit(1)) / F.lit(float(total_tokens))
+    )
+    nll = -F.log(
+        F.when(
+            F.col("_cnt_ab").isNotNull() & F.col("_cnt_a").isNotNull(), p_bigram
+        ).otherwise(p_backoff)
+    )
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.avg(nll).alias("avg_neg_logprob"),
+    )
+    # docs with < 2 tokens have no bigram rows: restore them with nulls
+    all_docs = df.select(F.col(id_col)).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )

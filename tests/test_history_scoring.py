@@ -217,3 +217,35 @@ def test_write_compacted_caps_file_rows(spark, tmp_path):
     for f in files:
         assert spark.read.parquet(f).count() <= 100
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_bigram_stupid_backoff_hand_computed(spark):
+    """Tiny corpus where every factor is hand-checkable: in-table
+    bigram uses cnt(a,b)/cnt(a); missing pair backs off to
+    0.4 * unigram floor; a one-token doc scores null with 0 bigrams."""
+    import math
+
+    from meta_frame_spark.operators.scoring import (
+        bigram_logprob,
+        bigram_vocab,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "z q"), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    uni, total = unigram_vocab(docs, top_v=3)   # vocab = {a:3, b:3, + 1 tie}
+    bg = bigram_vocab(docs, top_v=2)            # {('a','b'):3, ('b','a'):1}
+    out = {r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+           for r in bigram_logprob(docs, bg, uni, total).collect()}
+    assert total == 9                            # a,b,a,b,a,b,z,q,solo
+    # doc 1: single bigram (a,b): p = 3/3 = 1 -> nll 0
+    assert out[1] == (1, 0.0)
+    # doc 3: no bigrams
+    assert out[3][0] == 0 and out[3][1] is None
+    # doc 0: (a,b) p=1 twice, (b,a) p=1/3 once -> avg = ln(3)/3
+    assert math.isclose(out[0][1], math.log(3) / 3, rel_tol=1e-9)
+    # doc 2: (z,q) not in top-2 table -> backoff 0.4 * cnt(q)/9; q is
+    # OOV of the top-3 unigram vocab -> floor cnt 1
+    assert math.isclose(out[2][1], -math.log(0.4 * (1 / 9)), rel_tol=1e-9)
