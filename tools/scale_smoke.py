@@ -116,13 +116,20 @@ def main() -> int:
         t, n = timed("pq_encode", pq_path)
         r["pq_sec"], r["pq_rows"] = t, n
 
+        def spans():
+            from meta_frame_spark.operators.spans import duplicate_spans
+
+            return duplicate_spans(docs(d), span_tokens=20, key="hash").count()
+        t, n = timed("dup_spans", spans)
+        r["spans_sec"], r["spans_rows"] = t, n
+
         spark.catalog.clearCache()
         report[tag] = r
 
     a, b = report["sf0.1"], report["sf1"]
     print("--- growth (sf1 / sf0.1 on 10x rows) ---")
     ok = True
-    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25", "pq"):
+    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25", "pq", "spans"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     g = b["dedup_minhash_pairs"] / max(a["dedup_minhash_pairs"], 1)
