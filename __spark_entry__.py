@@ -1633,6 +1633,35 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE tokenization (operators/bpe.py — corpus-size-
+    independent training on the word-frequency head, Arrow encode with
+    a distinct-word memo). Per-doc invariant oracle: n_words is
+    SQL-exact; the learned token count must sit in [n_words,
+    non-space chars + n_words] (each word is 1..len+1 subwords),
+    Spark-verified per row under the fixed deterministic merges."""
+    from meta_frame_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100, top_words=5000)
+    out = bpe_encode(docs, merges)
+    nonspace = F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", ""))
+    bounds = docs.select(
+        "doc_id", (nonspace + F.lit(0)).alias("_chars")
+    )
+    return (
+        out.join(bounds, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (
+                (F.col("n_bpe_tokens") >= F.col("n_words"))
+                & (F.col("n_bpe_tokens") <= F.col("_chars") + F.col("n_words"))
+            ).alias("token_bounds_ok"),
+        )
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff bigram LM scoring (operators/scoring.py —
     Brants et al. 2007): p(b|a) = cnt(a,b)/cnt(a) from the top-200
@@ -2346,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca": q_pca,
         "mm_audio": q_mm_audio,
         "bigram_lm": q_bigram_lm,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -2765,6 +2795,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "bpe_tokenize": """
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x != '')) AS INTEGER) AS n_words,
+                   TRUE AS token_bounds_ok
+            FROM documents
         """,
         "bigram_lm": """
             WITH tok AS (

@@ -32,6 +32,7 @@ from meta_frame_spark.operators.similarity import (
     ivf_topk,
     srp_lsh_topk,
 )
+from meta_frame_spark.operators.bpe import bpe_encode, bpe_train
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
 from meta_frame_spark.operators.spans import docs_with_duplicate_spans, duplicate_spans
@@ -125,6 +126,8 @@ __all__ = [
     "rolling_agg",
     "scd2_from_changelog",
     "bigram_logprob",
+    "bpe_encode",
+    "bpe_train",
     "bigram_vocab",
     "score_documents",
     "snapshot_asof",

@@ -1,0 +1,158 @@
+"""Trainable byte-pair-encoding tokenizer: train on the corpus, encode
+the corpus.
+
+Not in the reference (no text surface); `functions.text.bpe_tokens` is
+a fixed regex PRE-tokenizer — this module adds the real thing: learned
+merges (Sennrich et al., "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016), the tokenizer a training pipeline
+actually ships.
+
+Scale design — the sentencepiece/HF recipe, which makes BPE training
+corpus-size-INDEPENDENT:
+
+* the corpus collapses to a word-frequency table first (one explode +
+  groupBy; map-side partials make the shuffle vocab-sized). BPE
+  statistics only ever depend on (word, count) — not on corpus order
+  or size — so training on the ``top_words`` head loses only tail
+  words that contribute ~nothing to pair counts;
+* merge learning runs driver-side over that bounded table (the classic
+  iterative most-frequent-pair loop; deterministic ties by pair
+  lexicographic order);
+* encoding is one Arrow-batched map: per batch, each DISTINCT word is
+  BPE'd once through a memo (zipfian text makes the memo hit rate
+  ~95%+), then counts/token arrays assemble per row. No shuffle.
+
+The end-of-word marker ``</w>`` keeps word boundaries inside the
+symbol space, as in the paper.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EOW = "</w>"
+
+
+def _word_counts(df: DataFrame, text_col: str, top_words: int) -> list[tuple[str, int]]:
+    from meta_frame_spark.operators.skew import ensure_min_partitions
+
+    rows = (
+        ensure_min_partitions(df)
+        .select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(top_words)
+        .collect()
+    )
+    return [(r["w"], r["cnt"]) for r in rows]
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    top_words: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merge rules from the corpus. Returns the
+    ordered merge list (earlier = higher priority). Deterministic:
+    word table ordered by (count desc, word), ties between equally
+    frequent pairs broken lexicographically. Stops early if no pair
+    occurs twice."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    vocab = {
+        tuple(w) + (_EOW,): c for w, c in _word_counts(df, text_col, top_words)
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        top_cnt = max(pairs.values())
+        if top_cnt < 2:
+            break
+        cand = min(p for p, c in pairs.items() if c == top_cnt)
+        merges.append(cand)
+        a, b = cand
+        ab = a + b
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = False,
+) -> DataFrame:
+    """Tokenize every document under the learned merges: ``(id_col,
+    n_words, n_bpe_tokens[, bpe_tokens])``. One Arrow map with a
+    per-batch distinct-word memo; no shuffle."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    schema = f"{id_col} long, n_words int, n_bpe_tokens int" + (
+        ", bpe_tokens array<string>" if emit_tokens else ""
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").lower().split() if w]
+                toks: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = _encode_word(w, ranks)
+                        memo[w] = enc
+                    toks.extend(enc)
+                row = (rid, len(words), len(toks))
+                if emit_tokens:
+                    row += (toks,)
+                out_rows.append(row)
+            cols = [id_col, "n_words", "n_bpe_tokens"] + (
+                ["bpe_tokens"] if emit_tokens else []
+            )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    pruned = df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    return pruned.mapInPandas(encode, schema=schema)
