@@ -1633,6 +1633,50 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_stream_dir(sf_dir: str) -> str:
+    """Directory view of documents.parquet for the file stream source
+    (same symlink trick as _events_stream_dir)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mfs_docs_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest corpus curation as a REAL stream: documents
+    arrive through the file source, the quality/language gates run as
+    stateless codegen filters per micro-batch, and a complete-mode
+    aggregation keeps the per-source accounting. A drained stream
+    equals the batch form, so the corpus_clean oracle minus its dedup
+    CTE is the genuine oracle."""
+    from meta_frame_spark.functions.text import language_id, quality_score, token_count
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    docs_batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .parquet(_docs_stream_dir(sf_dir))
+    )
+    gated = stream.filter(quality_score("text") >= 0.5).filter(
+        language_id("text") == "en"
+    )
+    counts = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    return run_to_memory(
+        counts, "mem_stream_curate", output_mode="complete", state_partitions=8
+    )
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-BPE tokenization (operators/bpe.py — corpus-size-
     independent training on the word-frequency head, Arrow encode with
@@ -2376,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "bigram_lm": q_bigram_lm,
         "bpe_tokenize": q_bpe_tokenize,
+        "stream_curate": q_stream_curate,
     }
 
 
@@ -2795,6 +2840,36 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "stream_curate": """
+            WITH scored AS (
+                SELECT doc_id, text, source,
+                       ((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 10 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN (CASE WHEN length(text) > 0
+                                         THEN length(regexp_replace(text, '[^.!?,;:''"()\\[\\]{}-]', '', 'g')) / length(text)
+                                         ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN (CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                                         THEN length(text) / len(regexp_extract_all(text, '\\S+'))
+                                         ELSE 0.0 END) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                       ) / 4.0 AS q,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que'))) AS s_fr,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('el','la','los','las','de','y','es','un','una','que'))) AS s_es
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+            FROM scored
+            WHERE q >= 0.5
+              AND greatest(s_en, s_fr, s_de, s_es) > 0
+              AND s_en = greatest(s_en, s_fr, s_de, s_es)
+            GROUP BY source
         """,
         "bpe_tokenize": """
             SELECT doc_id,
