@@ -13,12 +13,14 @@ from meta_frame_spark.sources.registry import (
 )
 from meta_frame_spark.sources.sinks import (
     iteration_sink,
+    morton_code,
     save_bucketed_table,
     save_data,
     tree_sink,
     write_compacted,
     write_jsonl_shards,
     write_range_clustered,
+    write_zordered,
 )
 
 __all__ = [
@@ -28,6 +30,7 @@ __all__ = [
     "load_data",
     "load_events",
     "load_sf_table",
+    "morton_code",
     "normalize_event_ts",
     "save_bucketed_table",
     "save_data",
@@ -35,4 +38,5 @@ __all__ = [
     "write_compacted",
     "write_jsonl_shards",
     "write_range_clustered",
+    "write_zordered",
 ]

@@ -185,3 +185,55 @@ def write_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def morton_code(c1, c2, bits: int = 16):
+    """Z-order (Morton) interleaving of two non-negative int columns,
+    ``bits`` bits each — pure codegen bit arithmetic, no UDF. Columns
+    are clamped into [0, 2^bits) by masking; scale/offset continuous
+    values into that range first."""
+    from pyspark.sql import Column, functions as F
+
+    mask = F.lit((1 << bits) - 1).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    a = (c1 if isinstance(c1, Column) else F.col(c1)).cast("bigint").bitwiseAND(mask)
+    b = (c2 if isinstance(c2, Column) else F.col(c2)).cast("bigint").bitwiseAND(mask)
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i).cast("bigint")
+        bbit = F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1).cast("bigint")
+        code = code.bitwiseOR(abit).bitwiseOR(bbit)
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    **options,
+) -> None:
+    """Z-order-clustered write: range-partition + sort on the Morton
+    interleaving of TWO columns, so parquet min/max stats prune files
+    for predicates on EITHER column (the Delta/Iceberg OPTIMIZE ZORDER
+    layout, built from range partitioning + a codegen Morton key).
+    1-D range clustering (`write_range_clustered`) serves one column
+    perfectly but leaves the second unclustered; Z-ordering trades a
+    little locality on each for pruning on both.
+    """
+    if len(zorder_cols) != 2:
+        raise ValueError("write_zordered interleaves exactly 2 columns")
+    key = morton_code(zorder_cols[0], zorder_cols[1], bits).alias("_z")
+    out = df.withColumn("_z", key)
+    out = (
+        out.repartitionByRange(n_files, "_z") if n_files
+        else out.repartitionByRange("_z")
+    )
+    out = out.sortWithinPartitions("_z").drop("_z")
+    writer = out.write.mode(mode)
+    if options:
+        writer = writer.options(**options)
+    getattr(writer, fmt)(path)

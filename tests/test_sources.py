@@ -266,3 +266,55 @@ def test_write_jsonl_shards_caps_lines_per_file(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 5000
     assert {r.id for r in back.select("id").collect()} == set(range(5000))
+
+
+def test_morton_code_matches_python_interleave(spark):
+    from meta_frame_spark.sources.sinks import morton_code
+
+    rows = [(i, j) for i in range(8) for j in range(8)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = {(r.a, r.b): r.z
+           for r in df.select("a", "b", morton_code("a", "b", bits=4).alias("z")).collect()}
+
+    def interleave(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): interleave(a, b) for a, b in rows}
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Each output file's (x, y) bounding box must cover a small
+    fraction of the domain — the property that lets parquet min/max
+    stats prune files for predicates on EITHER column."""
+    import itertools
+
+    from meta_frame_spark.sources.sinks import write_zordered
+
+    n = 64
+    rows = [(x, y, x * n + y) for x, y in itertools.product(range(n), range(n))]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, payload bigint")
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["x", "y"], n_files=16, bits=6)
+
+    import glob
+    boxes = []
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            {"x": "min", "y": "min"}
+        ).collect()[0]
+        part = spark.read.parquet(f)
+        r = part.selectExpr(
+            "min(x) AS x0", "max(x) AS x1", "min(y) AS y0", "max(y) AS y1",
+            "count(*) AS n",
+        ).collect()[0]
+        boxes.append(r)
+    assert sum(r.n for r in boxes) == n * n
+    # every file's box area stays well under the full domain: with 16
+    # Z-range slices each file covers ~1/16th of the curve, whose
+    # bounding box is at most ~1/4 of each axis (Z-curve locality)
+    for r in boxes:
+        assert (r.x1 - r.x0 + 1) * (r.y1 - r.y0 + 1) <= n * n / 4, boxes
