@@ -1633,19 +1633,24 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _docs_stream_dir(sf_dir: str) -> str:
-    """Directory view of documents.parquet for the file stream source
-    (same symlink trick as _events_stream_dir)."""
+def _stream_dir(sf_dir: str, table: str) -> str:
+    """Directory view of one testdata parquet file for Spark's file
+    stream source (which requires a DIRECTORY): a per-(sf, table) temp
+    dir holding a symlink. Idempotent; a stale symlink left from a
+    removed/renamed target is re-pointed (lexists, not exists — a
+    dangling link makes exists() False while symlink() still raises)."""
     import hashlib
     import os
     import tempfile
 
-    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"mfs_docs_stream_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"mfs_{table}_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "documents.parquet")
-    if not os.path.exists(link):
+    link = os.path.join(d, f"{table}.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(src, link)
     return d
 
@@ -1663,7 +1668,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_batch = _t(spark, sf_dir, "documents")
     stream = (
         spark.readStream.schema(docs_batch.schema)
-        .parquet(_docs_stream_dir(sf_dir))
+        .parquet(_stream_dir(sf_dir, "documents"))
     )
     gated = stream.filter(quality_score("text") >= 0.5).filter(
         language_id("text") == "en"
@@ -1836,7 +1841,7 @@ def q_stream_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_running_totals,
     )
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     out = run_to_memory(
         user_running_totals(stream), "mem_stream_totals", output_mode="update",
         state_partitions=8,
@@ -1873,23 +1878,6 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """Spark's file stream source requires a DIRECTORY (it monitors the
-    dir for new files); the testdata ships events as a single parquet
-    file. Expose it through a per-sf temp dir holding a symlink —
-    idempotent, nothing written under the read-only testdata root."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"mfs_events_stream_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    return d
 
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1902,7 +1890,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.streaming import hourly_event_counts
     from meta_frame_spark.streaming.ops import read_event_stream, run_to_memory
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     out = run_to_memory(
         hourly_event_counts(stream), "mem_stream_hourly", output_mode="complete",
         state_partitions=8,
@@ -1926,7 +1914,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    stream = read_event_stream(spark, _events_stream_dir(sf_dir))
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     deduped = dedup_events(stream, keys=["user_id", "event_type"])
     out = run_to_memory(deduped, "mem_stream_dedup", output_mode="append",
                         state_partitions=8)
@@ -1946,8 +1934,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    stream1 = read_event_stream(spark, _events_stream_dir(sf_dir))
-    stream2 = read_event_stream(spark, _events_stream_dir(sf_dir))
+    stream1 = read_event_stream(spark, _stream_dir(sf_dir, "events"))
+    stream2 = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     purchases = stream1.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

@@ -28,12 +28,19 @@ symbol space, as in the paper.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _EOW = "</w>"
+
+#: ASCII whitespace, matching the JVM/RE2 ``\s`` class used by the
+#: training-side F.split and the DuckDB oracle. Python's str.split()
+#: splits on UNICODE whitespace (e.g.  ), which would make
+#: encode-side word boundaries disagree with the trained table.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _word_counts(df: DataFrame, text_col: str, top_words: int) -> list[tuple[str, int]]:
@@ -137,7 +144,7 @@ def bpe_encode(
         for pdf in batches:
             out_rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                words = [w for w in (text or "").lower().split() if w]
+                words = [w for w in _WS.split((text or "").lower()) if w]
                 toks: list[str] = []
                 for w in words:
                     enc = memo.get(w)

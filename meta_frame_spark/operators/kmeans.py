@@ -54,23 +54,28 @@ class KMeansModel:
 
 
 def _assign_with_dist(centroids: "np.ndarray"):
-    """Arrow UDF: vector -> (cell, dist2) against the closure centroids."""
+    """Arrow UDF: vector -> (cell, dist2) against the closure
+    centroids; null/ragged vectors null-propagate instead of crashing
+    the batch stack (same guard as every sibling vector UDF)."""
+    dim = centroids.shape[1]
 
     @F.pandas_udf("cell int, dist2 double")
     def _assign(vs: pd.Series) -> pd.DataFrame:
-        if len(vs) == 0:
-            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
-                                 "dist2": pd.Series([], dtype="float64")})
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (
-            centroids * centroids
-        ).sum(1)
-        a = d.argmin(1)
-        return pd.DataFrame({
-            "cell": a.astype(np.int32),
+        cells = pd.Series([None] * len(vs), dtype="Int32")
+        dist2 = pd.Series([None] * len(vs), dtype="Float64")
+        valid = [i for i, v in enumerate(vs) if v is not None and len(v) == dim]
+        if valid:
+            M = np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in valid])
+            d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (
+                centroids * centroids
+            ).sum(1)
+            a = d.argmin(1)
             # clamp the FP cancellation tail: true dist2 is >= 0
-            "dist2": np.maximum(d[np.arange(len(a)), a], 0.0),
-        })
+            dd = np.maximum(d[np.arange(len(a)), a], 0.0)
+            for j, i in enumerate(valid):
+                cells.iloc[i] = int(a[j])
+                dist2.iloc[i] = float(dd[j])
+        return pd.DataFrame({"cell": cells, "dist2": dist2})
 
     return _assign
 
@@ -103,6 +108,7 @@ def kmeans_fit(
             corpus_vec.select(
                 _assign_with_dist(centroids)(F.col("v")).alias("a"), "v"
             )
+            .filter(F.col("a.cell").isNotNull())  # drop ragged vectors
             .select("a.cell", "a.dist2", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
@@ -138,4 +144,4 @@ def kmeans_assign(
         _assign_with_dist(np.asarray(centroids, dtype=np.float64))(
             F.col(vec_col)
         ).alias("a"),
-    ).select(id_col, "a.cell", "a.dist2")
+    ).select(id_col, "a.cell", "a.dist2").filter(F.col("cell").isNotNull())

@@ -69,10 +69,17 @@ def pca_fit(
         gram = None
         s = None
         n = 0
+        dim = None
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vecs = [v for v in pdf["v"] if v is not None]
+            if dim is None and vecs:
+                dim = len(vecs[0])
+            vecs = [v for v in vecs if len(v) == dim]  # drop ragged rows
+            if not vecs:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             if gram is None:
                 gram = np.zeros((X.shape[1], X.shape[1]))
                 s = np.zeros(X.shape[1])
@@ -89,6 +96,14 @@ def pca_fit(
     ).collect()
     if not parts:
         raise ValueError("pca_fit: corpus has no non-null vectors")
+    # a partition whose first valid vector was ragged reports a
+    # different width: keep the dominant width (by row mass) so one
+    # malformed shard cannot crash or skew the fit
+    by_dim: dict[int, int] = {}
+    for p in parts:
+        by_dim[len(p["s"])] = by_dim.get(len(p["s"]), 0) + p["n"]
+    dom = max(by_dim, key=lambda d_: by_dim[d_])
+    parts = [p for p in parts if len(p["s"]) == dom]
     n = sum(p["n"] for p in parts)
     s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
     gram = np.sum([np.asarray(p["gram"]) for p in parts], axis=0)

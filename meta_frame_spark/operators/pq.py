@@ -164,19 +164,21 @@ def pq_topk(
     one cell's codes, not the corpus."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, kk, sub = books.shape
-    q_rows = queries.select(
+    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).collect()
-    if not q_rows:
-        raise ValueError("pq_topk: empty query batch")
     luts = {}
     for r in q_rows:
+        if r.v is None or len(r.v) != m * sub:
+            continue  # null/ragged query vectors score nothing
         q = np.asarray(r.v, dtype=np.float64)
         q /= max(float(np.linalg.norm(q)), 1e-12)
         # LUT[j, c] = <q_j, centroid_c^(j)>  (inner product per subspace)
         luts[r.query_id] = np.stack(
             [books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)]
         )
+    if not luts:
+        raise ValueError("pq_topk: empty query batch")
     qids = list(luts)
     lut_tensor = np.stack([luts[q] for q in qids])  # (Q, m, 2^bits)
     arange_m = np.arange(m)
@@ -240,8 +242,22 @@ def ivfpq_topk(
         _fit_quantizer,
     )
 
+    # The whole IVFPQ pipeline is cosine-consistent: PQ codes are built
+    # from L2-NORMALIZED vectors (pq_encode), so the coarse quantizer
+    # must be fit on and assign the SAME normalized geometry, and query
+    # probes use the normalized query. Routing corpus rows by raw
+    # vectors while probing with unit-norm queries would let a shared
+    # norm scale dominate the cell distances and collapse cell recall
+    # on unnormalized embedding spaces.
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
     corpus_vec = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col), lambda x: x / F.greatest(nrm, F.lit(1e-12))
+        ).alias("v"),
     )
     coarse = _fit_quantizer(corpus_vec, n_cells, seed)
     books = pq_fit(corpus, m, bits, id_col, vec_col, seed)
@@ -255,15 +271,15 @@ def ivfpq_topk(
 
     # per-query probe cells + ADC lookup tables (driver-side: the query
     # batch is small by contract, same as brute_force/pq_topk)
-    q_rows = queries.select(
+    q_rows = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).collect()
-    if not q_rows:
-        raise ValueError("ivfpq_topk: empty query batch")
     mm, kk, sub = books.shape
     probes = []
     luts = {}
     for r in q_rows:
+        if r.v is None or len(r.v) != mm * sub:
+            continue  # null/ragged query vectors probe nothing
         q = np.asarray(r.v, dtype=np.float64)
         qn = q / max(float(np.linalg.norm(q)), 1e-12)
         d2 = ((coarse - qn) ** 2).sum(1)
@@ -272,6 +288,8 @@ def ivfpq_topk(
         luts[r.query_id] = np.stack(
             [books[j] @ qn[j * sub : (j + 1) * sub] for j in range(mm)]
         )
+    if not luts:
+        raise ValueError("ivfpq_topk: empty query batch")
     spark = corpus.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, cell int")
     pairs = coded.join(F.broadcast(probe_df), "cell").filter(

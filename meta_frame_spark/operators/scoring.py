@@ -48,7 +48,9 @@ def unigram_vocab(
     (ties broken by token string, so the vocab is deterministic), plus
     the total token count of the fitted corpus (all tokens, in- and
     out-of-vocabulary — the probability denominator)."""
-    counts = (
+    from meta_frame_spark.operators.cache import track
+
+    counts = track(
         ensure_min_partitions(df)
         .select(F.explode(_tokens(text_col)).alias(_TOK))
         .groupBy(_TOK)

@@ -190,14 +190,23 @@ def write_jsonl_shards(
 def morton_code(c1, c2, bits: int = 16):
     """Z-order (Morton) interleaving of two non-negative int columns,
     ``bits`` bits each — pure codegen bit arithmetic, no UDF. Columns
-    are clamped into [0, 2^bits) by masking; scale/offset continuous
-    values into that range first."""
+    are CLAMPED into [0, 2^bits): out-of-range values saturate at the
+    domain edge instead of wrapping (a masked wrap would Z-sort the
+    largest coordinates next to the smallest and silently destroy the
+    min/max pruning the layout exists for). Scale/offset continuous
+    values into the range first."""
     from pyspark.sql import Column, functions as F
 
     mask = F.lit((1 << bits) - 1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
     one = F.lit(1).cast("bigint")
-    a = (c1 if isinstance(c1, Column) else F.col(c1)).cast("bigint").bitwiseAND(mask)
-    b = (c2 if isinstance(c2, Column) else F.col(c2)).cast("bigint").bitwiseAND(mask)
+
+    def clamp(c):
+        col = (c if isinstance(c, Column) else F.col(c)).cast("bigint")
+        return F.least(F.greatest(col, zero), mask)
+
+    a = clamp(c1)
+    b = clamp(c2)
     code = F.lit(0).cast("bigint")
     for i in range(bits):
         abit = F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i).cast("bigint")

@@ -5,8 +5,10 @@ tools/make_scale_data.py) and print wall-time growth vs sf0.1.
 
 Asserts, beyond not-crashing:
 * dup_clusters converges (its internal RuntimeError fires otherwise);
-* semantic_dedup under max_cell_size never sees an oversized group
-  (checked from the output's per-(cell) counts);
+* semantic_dedup emits one row per vector under max_cell_size; the max
+  PRE-SPLIT cell size is recorded for the report (the cap itself holds
+  per re-split group, which the output does not expose — its unit
+  test covers the group bound);
 * dedup_minhash pairs scale ~linearly: text dups are planted and
   replicas are shingle-disjoint, so 10 replicas -> ~10x pairs; a
   super-linear count means cross-replica leakage in the generator;
@@ -137,6 +139,10 @@ def main() -> int:
     ok &= line_ok
     print(f"{'dedup_minhash_pairs':24s} count x{g:.1f} "
           f"{'OK' if line_ok else 'FAIL (cross-replica leak?)'}")
+    line_ok = b["semantic_dedup_rows"] == 10 * a["semantic_dedup_rows"]
+    ok &= line_ok
+    print(f"{'semantic_dedup_rows':24s} exactly x10 under the cap: "
+          f"{'OK' if line_ok else 'FAIL (rows lost/duplicated by re-split)'}")
 
     # emb_near_dup: exact-equality check at scale (chunked numpy oracle)
     import numpy as np
