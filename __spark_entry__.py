@@ -1804,6 +1804,17 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged duplicated-token regions per document (operators/spans.py
+    duplicate_span_regions — window census + gaps-and-islands, all
+    JVM). Full oracle: DuckDB recomputes the census with list slicing
+    and the islands with lag + running sum."""
+    from meta_frame_spark.operators.spans import duplicate_span_regions
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_regions(docs, span_tokens=10, min_docs=2)
+
+
 def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-per-source document sample (reservoir-sampling
     replacement: md5-hash order + id tiebreak, reproducible on any
@@ -2409,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "bpe_tokenize": q_bpe_tokenize,
         "stream_curate": q_stream_curate,
+        "dup_span_regions": q_dup_span_regions,
     }
 
 
@@ -2828,6 +2840,40 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "dup_span_regions": """
+            WITH tok AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, i AS pos, array_to_string(t[i:i+9], ' ') AS sk
+                FROM tok,
+                     UNNEST(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)
+            ),
+            dup AS (
+                SELECT sk FROM w GROUP BY sk
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            f AS (
+                SELECT doc_id, pos FROM w WHERE sk IN (SELECT sk FROM dup)
+            ),
+            lagged AS (
+                SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM f
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > 10
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM lagged
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INTEGER) AS start_tok,
+                   CAST(MAX(pos) + 9 AS INTEGER) AS end_tok
+            FROM isl GROUP BY doc_id, island
         """,
         "stream_curate": """
             WITH scored AS (

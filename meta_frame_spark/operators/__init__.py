@@ -35,7 +35,11 @@ from meta_frame_spark.operators.similarity import (
 from meta_frame_spark.operators.bpe import bpe_encode, bpe_train
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
-from meta_frame_spark.operators.spans import docs_with_duplicate_spans, duplicate_spans
+from meta_frame_spark.operators.spans import (
+    docs_with_duplicate_spans,
+    duplicate_span_regions,
+    duplicate_spans,
+)
 from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
@@ -93,6 +97,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit",
     "docs_with_duplicate_spans",
+    "duplicate_span_regions",
     "duplicate_spans",
     "ivfpq_topk",
     "PCAModel",

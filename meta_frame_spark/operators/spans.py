@@ -124,3 +124,60 @@ def docs_with_duplicate_spans(
         .groupBy(F.col("_doc").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
+
+
+def duplicate_span_regions(
+    df: DataFrame,
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous duplicated REGIONS per document: merge overlapping /
+    adjacent duplicated windows into ``(id_col, start_tok, end_tok)``
+    token ranges (1-based, inclusive) — the actionable form of the
+    span census: cut these ranges to de-duplicate substrings the way
+    Lee et al. remove repeated spans, instead of dropping whole docs.
+
+    Shape: window census (one shuffle) -> flag each position whose
+    window is duplicated (broadcast-size dup-key set joined back) ->
+    classic gaps-and-islands per doc: positions sort within the doc
+    window, a new island starts when the previous duplicated window
+    position is more than ``span_tokens`` away (windows overlap up to
+    that distance), islands aggregate to min(start)/max(end). All JVM:
+    lag + running sum + groupBy."""
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    windows = ensure_min_partitions(df).select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.transform(
+                _positions(toks, span_tokens),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
+            )
+        ).alias("_pos0", "span_key"),
+    ).select("_doc", (F.col("_pos0") + 1).alias("pos"), "span_key")
+
+    dup_keys = (
+        windows.groupBy("span_key")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_key")
+    )
+    flagged = windows.join(dup_keys, "span_key", "left_semi")
+
+    w = Window.partitionBy("_doc").orderBy("pos")
+    islands = (
+        flagged.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new_island",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > span_tokens))
+            .cast("int"),
+        )
+        .withColumn("_island", F.sum("_new_island").over(w))
+    )
+    return islands.groupBy(F.col("_doc").alias(id_col), "_island").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(span_tokens - 1)).alias("end_tok"),
+    ).drop("_island")

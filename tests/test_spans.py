@@ -59,3 +59,29 @@ def test_docs_with_duplicate_spans_rollup(spark, span_docs):
     # only the two boilerplate docs appear, one shared window each
     assert set(out) == {0, 1}
     assert out[0] == out[1] == 1
+
+
+def test_duplicate_span_regions_merges_overlapping_windows(spark, span_docs):
+    from meta_frame_spark.operators.spans import duplicate_span_regions
+
+    got = {(r.doc_id): (r.start_tok, r.end_tok)
+           for r in duplicate_span_regions(span_docs, span_tokens=9).collect()}
+    # doc 0: boiler occupies tokens 3..11; doc 1: tokens 1..9
+    assert got == {0: (3, 11), 1: (1, 9)}
+
+    # two separate duplicated regions in one doc stay two islands
+    far = spark.createDataFrame(
+        [
+            (10, "A B C D x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 E F G H"),
+            (11, "A B C D p q r s t u v w y z aa bb E F G H"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicate_span_regions(far, span_tokens=4).collect()
+    )
+    # "A B C D" at pos 1..4 and "E F G H" at the tail of each doc
+    assert (10, 1, 4) in out and (11, 1, 4) in out
+    assert (10, 17, 20) in out and (11, 17, 20) in out
+    assert len(out) == 4
