@@ -12,7 +12,7 @@ a real cluster unchanged:
       -> exact dedup                       (hash groupBy)
       -> MinHash-LSH near-dedup            (banded candidates + verify)
       -> benchmark decontamination         (hashed-gram broadcast probe)
-      -> duplicate-span audit              (boilerplate report, kept as metadata)
+      -> duplicate-span audit + region cut (boilerplate removed, doc kept)
       -> deterministic train/val/test split(md5 hash coins)
       -> sequence packing                  (sharded best-fit-decreasing)
       -> JSONL shard export + PII redaction at the boundary
@@ -48,7 +48,11 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     )
     from meta_frame_spark.operators.packing import pack_sequences
     from meta_frame_spark.operators.sampling import split_dataframes
-    from meta_frame_spark.operators.spans import docs_with_duplicate_spans
+    from meta_frame_spark.operators.spans import (
+        docs_with_duplicate_spans,
+        duplicate_span_regions,
+        remove_duplicate_regions,
+    )
     from meta_frame_spark.sources.sinks import write_jsonl_shards
 
     counts: dict[str, int] = {}
@@ -78,8 +82,11 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     clean = decontaminate(deduped, benchmark, n=13)
     counts["decontaminated"] = clean.count()
 
-    # 4. boilerplate audit kept as metadata (gate on it if heavy)
+    # 4. boilerplate: audit kept as metadata AND duplicated regions cut
+    # out of the text (remove the span, keep the document)
     span_flags = docs_with_duplicate_spans(clean, span_tokens=20)
+    regions = duplicate_span_regions(clean, span_tokens=20)
+    clean = remove_duplicate_regions(clean, regions)
     clean = clean.join(span_flags, "doc_id", "left").fillna(
         {"n_dup_spans": 0}
     )

@@ -39,6 +39,7 @@ from meta_frame_spark.operators.spans import (
     docs_with_duplicate_spans,
     duplicate_span_regions,
     duplicate_spans,
+    remove_duplicate_regions,
 )
 from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
@@ -99,6 +100,7 @@ __all__ = [
     "docs_with_duplicate_spans",
     "duplicate_span_regions",
     "duplicate_spans",
+    "remove_duplicate_regions",
     "ivfpq_topk",
     "PCAModel",
     "pca_fit",

@@ -181,3 +181,43 @@ def duplicate_span_regions(
         F.min("pos").alias("start_tok"),
         (F.max("pos") + F.lit(span_tokens - 1)).alias("end_tok"),
     ).drop("_island")
+
+
+def remove_duplicate_regions(
+    df: DataFrame,
+    regions: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply the cut: rebuild ``text_col`` with every duplicated token
+    range from :func:`duplicate_span_regions` removed (whitespace-
+    normalized output). Documents with no regions pass through.
+
+    All JVM: regions aggregate to one array<struct> per doc (tiny —
+    regions, not tokens), join back, and a ``filter`` HOF keeps each
+    token whose 1-based position falls inside no region. One shuffle
+    (the region join); token arrays never leave their rows."""
+    out_col = out_col or text_col
+    per_doc = regions.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_regions")
+    )
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda x: ~F.exists(
+            F.col("_regions"),
+            lambda r: (x["i"] >= r["start_tok"]) & (x["i"] <= r["end_tok"]),
+        ),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("_regions").isNull(), F.col(text_col)).otherwise(
+            F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))
+        ),
+    ).drop("_regions")

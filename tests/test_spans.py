@@ -85,3 +85,19 @@ def test_duplicate_span_regions_merges_overlapping_windows(spark, span_docs):
     assert (10, 1, 4) in out and (11, 1, 4) in out
     assert (10, 17, 20) in out and (11, 17, 20) in out
     assert len(out) == 4
+
+
+def test_remove_duplicate_regions_cuts_only_the_boilerplate(spark, span_docs):
+    from meta_frame_spark.operators.spans import (
+        duplicate_span_regions,
+        remove_duplicate_regions,
+    )
+
+    regions = duplicate_span_regions(span_docs, span_tokens=9)
+    out = {r.doc_id: r.text
+           for r in remove_duplicate_regions(span_docs, regions).collect()}
+    assert out[0] == "alpha beta gamma delta"
+    assert out[1] == "epsilon zeta eta theta iota"
+    # untouched docs pass through byte-identical
+    assert out[2] == "totally unrelated words with no shared window at all here"
+    assert out[3] == "short doc"
