@@ -1804,6 +1804,20 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with confidence (functions.text.language_scores):
+    winner, stopword hits, and margin over the runner-up — the gate for
+    code-mixed / too-short text a hard lang filter misroutes. Full
+    oracle: DuckDB recomputes all four stopword scores, the tie-ordered
+    winner, and the sorted-second margin."""
+    from meta_frame_spark.functions.text import language_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", language_scores("text").alias("ls")
+    ).select("doc_id", "ls.lang", "ls.hits", "ls.margin")
+
+
 def q_dup_span_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged duplicated-token regions per document (operators/spans.py
     duplicate_span_regions — window census + gaps-and-islands, all
@@ -2421,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "stream_curate": q_stream_curate,
         "dup_span_regions": q_dup_span_regions,
+        "lang_margin": q_lang_margin,
     }
 
 
@@ -2840,6 +2855,32 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "lang_margin": """
+            WITH scored AS (
+                SELECT doc_id,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('le','la','les','de','des','et','un','une','est','que'))) AS s_fr,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+                       len(list_filter(list_transform(regexp_extract_all(text, '\\S+'), x -> lower(x)),
+                           x -> x IN ('el','la','los','las','de','y','es','un','una','que'))) AS s_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                        ELSE 'es' END AS lang,
+                   CAST(greatest(s_en, s_fr, s_de, s_es) AS INTEGER) AS hits,
+                   CAST(CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 0
+                        ELSE greatest(s_en, s_fr, s_de, s_es)
+                             - list_sort([s_en, s_fr, s_de, s_es])[3]
+                        END AS INTEGER) AS margin
+            FROM scored
         """,
         "dup_span_regions": """
             WITH tok AS (

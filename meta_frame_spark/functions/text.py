@@ -117,6 +117,34 @@ def language_id(text: str | Column) -> Column:
     return out
 
 
+def language_scores(text: str | Column) -> Column:
+    """Language ID with confidence: ``struct(lang, hits, margin)`` —
+    the winning language (same tie rules as :func:`language_id`), its
+    stopword hit count, and the margin over the runner-up. A small
+    margin flags code-mixed or too-short text a hard lang gate would
+    misroute; filter on ``margin >= k`` for a precision-tuned gate.
+    Pure SQL expressions, engine-portable like language_id."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(scores)
+    vals = [scores[lg] for lg in langs]
+    best = F.greatest(*vals)
+    # runner-up = max over each language of (its score if it is NOT the
+    # unique winner). With ties, second == best — margin 0, as it should.
+    second = F.sort_array(F.array(*vals), asc=False)[1]
+    lang = F.lit("und")
+    for lg in reversed(langs):
+        lang = F.when((best > 0) & (scores[lg] == best), lg).otherwise(lang)
+    return F.struct(
+        lang.alias("lang"),
+        best.alias("hits"),
+        F.when(best > 0, best - second).otherwise(F.lit(0)).alias("margin"),
+    )
+
+
 def rolling_fingerprint(text: str | Column, window: int = 8) -> Column:
     """Document fingerprint: min over a Rabin-Karp rolling hash of
     every ``window``-byte span of the normalized text (winnowing-style

@@ -221,3 +221,21 @@ def test_canonical_url_and_host(spark):
     }
     for i, (u, want_c, want_h) in enumerate(cases):
         assert got[i] == (want_c, want_h), (i, u, got[i])
+
+
+def test_language_scores_margin_semantics(spark):
+    from meta_frame_spark.functions.text import language_scores
+
+    rows = [
+        (0, "the cat is on the mat and it is flat"),   # clear en
+        (1, "la de la de un"),                         # fr/es exact tie
+        (2, "zzz qqq xxx"),                            # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.ls.lang, r.ls.hits, r.ls.margin)
+           for r in df.select("doc_id", language_scores("text").alias("ls")).collect()}
+    assert got[0][0] == "en" and got[0][1] >= 4 and got[0][2] >= 3
+    # fr and es tie ('la','de','un','una' shared): declared order wins,
+    # margin must be 0 — exactly what a precision gate should reject
+    assert got[1][0] == "fr" and got[1][2] == 0
+    assert got[2] == ("und", 0, 0)
