@@ -1804,6 +1804,15 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first-order event transition matrix with row-normalized
+    probabilities (operators/temporal.py event_transitions — lead
+    window + map-combined aggregate). Full oracle via DuckDB lead()."""
+    from meta_frame_spark.operators.temporal import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID with confidence (functions.text.language_scores):
     winner, stopword hits, and margin over the runner-up — the gate for
@@ -2436,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curate": q_stream_curate,
         "dup_span_regions": q_dup_span_regions,
         "lang_margin": q_lang_margin,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -2855,6 +2865,24 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS rms_lo_ok, TRUE AS rms_hi_ok
             FROM documents
             WHERE octet_length(encode(text)) > 0
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT event_type AS from_event,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_event
+                FROM events
+            ),
+            m AS (
+                SELECT from_event, to_event, COUNT(*) AS n
+                FROM seq WHERE to_event IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_event, to_event, n,
+                   ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_event)
+                                  AS DOUBLE), 6) AS p
+            FROM m
         """,
         "lang_margin": """
             WITH scored AS (

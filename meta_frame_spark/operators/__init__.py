@@ -80,7 +80,13 @@ from meta_frame_spark.operators.skew import (
     salted_aggregate,
     two_phase_count_distinct,
 )
-from meta_frame_spark.operators.temporal import asof_join, rolling_agg, sessionize
+from meta_frame_spark.operators.temporal import (
+    asof_join,
+    event_paths,
+    event_transitions,
+    rolling_agg,
+    sessionize,
+)
 
 __all__ = [
     "apply_changelog",
@@ -126,6 +132,8 @@ __all__ = [
     "histogram_fixed",
     "dedup_against",
     "asof_join",
+    "event_paths",
+    "event_transitions",
     "brute_force_topk",
     "dedup_units",
     "ntile_buckets",

@@ -199,3 +199,39 @@ def event_paths(
         F.count(F.lit(1)).alias("n_events"),
         F.size(ordered).cast("bigint").alias("path_len"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences:
+    ``(from_event, to_event, n, p)`` where ``p`` is row-normalized
+    (the empirical Markov kernel — funnels, next-action prediction,
+    anomaly baselines).
+
+    One shuffle: lead() over the per-key (ts, tiebreak) order pairs
+    each event with its successor; the (from, to) aggregate is
+    map-side combined and the normalizing per-from totals come from a
+    broadcast-size window over the matrix itself (|event types|²
+    rows), not a second pass over the data."""
+    from pyspark.sql import Window
+
+    keys = key_cols or ["user_id"]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = (
+        events.withColumn("_next", F.lead(event_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(event_col).alias("from_event"),
+            F.col("_next").alias("to_event"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_event")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wf), 6)
+    )

@@ -90,3 +90,25 @@ def test_event_paths_deterministic_order_and_cap(spark):
     # and path_len exposes the truncation
     assert capped[1] == ("a>b", 4, 2)
     assert capped[2] == ("x", 1, 1)
+
+
+def test_event_transitions_counts_and_probabilities(spark):
+    from meta_frame_spark.operators.temporal import event_transitions
+
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> b ; user 2: a -> c
+        (1, t0, 1, "a"), (2, t0.replace(second=1), 1, "b"),
+        (3, t0.replace(second=2), 1, "a"), (4, t0.replace(second=3), 1, "b"),
+        (5, t0, 2, "a"), (6, t0.replace(second=1), 2, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).repartition(5)
+    got = {(r.from_event, r.to_event): (r.n, r.p)
+           for r in event_transitions(df).collect()}
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
