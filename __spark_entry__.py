@@ -1807,10 +1807,15 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user first-order event transition matrix with row-normalized
     probabilities (operators/temporal.py event_transitions — lead
-    window + map-combined aggregate). Full oracle via DuckDB lead()."""
+    window + map-combined aggregate; probabilities exact in the
+    operator, rounded HERE per the entry contract). Full oracle via
+    DuckDB lead()."""
     from meta_frame_spark.operators.temporal import event_transitions
 
-    return event_transitions(_t(spark, sf_dir, "events"))
+    out = event_transitions(_t(spark, sf_dir, "events"))
+    return out.select(
+        "from_event", "to_event", "n", F.round("p", 6).alias("p")
+    )
 
 
 def q_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:

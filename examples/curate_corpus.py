@@ -12,7 +12,8 @@ a real cluster unchanged:
       -> exact dedup                       (hash groupBy)
       -> MinHash-LSH near-dedup            (banded candidates + verify)
       -> benchmark decontamination         (hashed-gram broadcast probe)
-      -> duplicate-span audit + region cut (boilerplate removed, doc kept)
+      -> span-region cut + re-gate         (boilerplate removed, doc kept;
+                                            emptied docs dropped)
       -> deterministic train/val/test split(md5 hash coins)
       -> sequence packing                  (sharded best-fit-decreasing)
       -> JSONL shard export + PII redaction at the boundary
@@ -49,7 +50,6 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     from meta_frame_spark.operators.packing import pack_sequences
     from meta_frame_spark.operators.sampling import split_dataframes
     from meta_frame_spark.operators.spans import (
-        docs_with_duplicate_spans,
         duplicate_span_regions,
         remove_duplicate_regions,
     )
@@ -82,14 +82,20 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     clean = decontaminate(deduped, benchmark, n=13)
     counts["decontaminated"] = clean.count()
 
-    # 4. boilerplate: audit kept as metadata AND duplicated regions cut
-    # out of the text (remove the span, keep the document)
-    span_flags = docs_with_duplicate_spans(clean, span_tokens=20)
+    # 4. boilerplate: ONE window census yields both the cut and the
+    # metadata (regions per doc + duplicated-token mass), then a
+    # re-gate drops docs the cut emptied out — a boilerplate-only doc
+    # survives dedup (it differs from its hosts) but has no text left
     regions = duplicate_span_regions(clean, span_tokens=20)
-    clean = remove_duplicate_regions(clean, regions)
-    clean = clean.join(span_flags, "doc_id", "left").fillna(
-        {"n_dup_spans": 0}
+    region_meta = regions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_regions"),
+        F.sum(F.col("end_tok") - F.col("start_tok") + 1).alias("dup_tokens"),
     )
+    clean = remove_duplicate_regions(clean, regions)
+    clean = clean.join(region_meta, "doc_id", "left").fillna(
+        {"n_dup_regions": 0, "dup_tokens": 0}
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    counts["after_span_cut"] = clean.count()
 
     # 5. deterministic splits (engine-portable md5 coins)
     splits = split_dataframes(
@@ -103,7 +109,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     train_out = (
         train.join(packed.select("doc_id", "pack_id"), "doc_id")
         .withColumn("text", redact_pii("text"))
-        .select("doc_id", "pack_id", "n_tokens", "quality", "n_dup_spans", "text")
+        .select("doc_id", "pack_id", "n_tokens", "quality", "n_dup_regions", "text")
     )
     for name, df in (("train", train_out), ("val", splits["val"]), ("test", splits["test"])):
         write_jsonl_shards(

@@ -101,20 +101,11 @@ def quality_score(text: str | Column) -> Column:
 def language_id(text: str | Column) -> Column:
     """Heuristic language ID: the language whose stopword list scores the
     most token hits; 'und' (undetermined) when nothing hits. Pure SQL
-    expressions so the same logic is expressible in the DuckDB oracle."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    scores = {
-        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
-        for lang, words in STOPWORDS.items()
-    }
-    langs = list(scores)
-    best = F.greatest(*[scores[lg] for lg in langs])
-    out = F.lit("und")
-    # reverse order => earlier langs win ties (deterministic, matches
-    # the CASE-chain oracle which checks in declared order)
-    for lg in reversed(langs):
-        out = F.when((best > 0) & (scores[lg] == best), lg).otherwise(out)
-    return out
+    expressions so the same logic is expressible in the DuckDB oracle.
+    Delegates to :func:`language_scores` (Catalyst simplifies the
+    struct-field access away) so the winner/tie rules cannot drift
+    between the id and the confidence variants."""
+    return language_scores(text)["lang"]
 
 
 def language_scores(text: str | Column) -> Column:

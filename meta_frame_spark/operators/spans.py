@@ -89,6 +89,41 @@ def duplicate_spans(
     )
 
 
+def _flagged_windows(
+    df: DataFrame,
+    span_tokens: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared census core: ``(_doc, pos, span_key)`` rows whose window
+    is duplicated across >= ``min_docs`` documents. The window frame
+    feeds both the dup-key aggregate and the semi-join probe, so it is
+    persisted once (released via cache.release_tracked_caches). Both
+    the per-doc rollup and the region extraction build on this, so the
+    census semantics (tokenizer, hashing, min_docs) cannot drift
+    between the report and the cut."""
+    from meta_frame_spark.operators.cache import track
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    windows = track(ensure_min_partitions(df).select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.transform(
+                _positions(toks, span_tokens),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
+            )
+        ).alias("_pos0", "span_key"),
+    ).select("_doc", (F.col("_pos0") + 1).alias("pos"), "span_key").persist())
+    dup_keys = (
+        windows.groupBy("span_key")
+        .agg(F.count_distinct("_doc").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span_key")
+    )
+    return windows.join(dup_keys, "span_key", "left_semi")
+
+
 def docs_with_duplicate_spans(
     df: DataFrame,
     span_tokens: int = 20,
@@ -98,29 +133,9 @@ def docs_with_duplicate_spans(
 ) -> DataFrame:
     """Per-document rollup: how many of a doc's windows are shared with
     other documents — ``(id_col, n_dup_spans)``. The flag side of the
-    report: gate or down-weight heavily-boilerplate docs. The window
-    frame feeds both the dup-key census and the semi-join probe, so it
-    is persisted once (released via cache.release_tracked_caches)."""
-    from meta_frame_spark.operators.cache import track
-
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    windows = track(ensure_min_partitions(df).select(
-        F.col(id_col).alias("_doc"),
-        F.explode(
-            F.transform(
-                _positions(toks, span_tokens),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
-            )
-        ).alias("span_key"),
-    ).persist())
-    dup_keys = (
-        windows.groupBy("span_key")
-        .agg(F.count_distinct("_doc").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("span_key")
-    )
+    report: gate or down-weight heavily-boilerplate docs."""
     return (
-        windows.join(dup_keys, "span_key", "left_semi")
+        _flagged_windows(df, span_tokens, min_docs, id_col, text_col)
         .groupBy(F.col("_doc").alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -139,8 +154,7 @@ def duplicate_span_regions(
     span census: cut these ranges to de-duplicate substrings the way
     Lee et al. remove repeated spans, instead of dropping whole docs.
 
-    Shape: window census (one shuffle) -> flag each position whose
-    window is duplicated (broadcast-size dup-key set joined back) ->
+    Shape: the shared persisted census (:func:`_flagged_windows`) ->
     classic gaps-and-islands per doc: positions sort within the doc
     window, a new island starts when the previous duplicated window
     position is more than ``span_tokens`` away (windows overlap up to
@@ -148,24 +162,7 @@ def duplicate_span_regions(
     lag + running sum + groupBy."""
     from pyspark.sql import Window
 
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
-    windows = ensure_min_partitions(df).select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(
-            F.transform(
-                _positions(toks, span_tokens),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, span_tokens))),
-            )
-        ).alias("_pos0", "span_key"),
-    ).select("_doc", (F.col("_pos0") + 1).alias("pos"), "span_key")
-
-    dup_keys = (
-        windows.groupBy("span_key")
-        .agg(F.count_distinct("_doc").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("span_key")
-    )
-    flagged = windows.join(dup_keys, "span_key", "left_semi")
+    flagged = _flagged_windows(df, span_tokens, min_docs, id_col, text_col)
 
     w = Window.partitionBy("_doc").orderBy("pos")
     islands = (
@@ -191,8 +188,13 @@ def remove_duplicate_regions(
     out_col: str | None = None,
 ) -> DataFrame:
     """Apply the cut: rebuild ``text_col`` with every duplicated token
-    range from :func:`duplicate_span_regions` removed (whitespace-
-    normalized output). Documents with no regions pass through.
+    range from :func:`duplicate_span_regions` removed. Documents with
+    no regions pass through BYTE-IDENTICAL; documents with any region
+    come back whitespace-NORMALIZED (tokens re-joined with single
+    spaces — newlines/tabs/space-runs outside the cut are collapsed
+    too, an inherent property of the token-grain rebuild). Keep
+    line/paragraph-structured consumers upstream of the cut, or do
+    character-offset surgery outside Spark if byte fidelity matters.
 
     All JVM: regions aggregate to one array<struct> per doc (tiny —
     regions, not tokens), join back, and a ``filter`` HOF keeps each

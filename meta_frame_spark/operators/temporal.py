@@ -217,9 +217,8 @@ def event_transitions(
     each event with its successor; the (from, to) aggregate is
     map-side combined and the normalizing per-from totals come from a
     broadcast-size window over the matrix itself (|event types|²
-    rows), not a second pass over the data."""
-    from pyspark.sql import Window
-
+    rows), not a second pass over the data. ``p`` is exact (not
+    rounded) so kernels compose — round at the presentation layer."""
     keys = key_cols or ["user_id"]
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
     pairs = (
@@ -232,6 +231,4 @@ def event_transitions(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wf = Window.partitionBy("from_event")
-    return pairs.withColumn(
-        "p", F.round(F.col("n") / F.sum("n").over(wf), 6)
-    )
+    return pairs.withColumn("p", F.col("n") / F.sum("n").over(wf))

@@ -61,8 +61,9 @@ def test_example_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     counts = curate(spark, sf_dir, str(tmp_path / "out"))
     assert counts["raw"] >= counts["quality_lang"] >= counts["exact_dedup"]
     assert counts["exact_dedup"] >= counts["near_dedup"] >= counts["decontaminated"]
+    assert counts["decontaminated"] >= counts["after_span_cut"]
     total_out = counts["out_train"] + counts["out_val"] + counts["out_test"]
-    assert total_out == counts["decontaminated"]
+    assert total_out == counts["after_span_cut"]
     assert counts["out_train"] > 0
 
 

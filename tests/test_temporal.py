@@ -108,7 +108,8 @@ def test_event_transitions_counts_and_probabilities(spark):
     ).repartition(5)
     got = {(r.from_event, r.to_event): (r.n, r.p)
            for r in event_transitions(df).collect()}
-    assert got[("a", "b")] == (2, round(2 / 3, 6))
-    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    # p is exact (no rounding in the operator) so kernels compose
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
     assert got[("b", "a")] == (1, 1.0)
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
