@@ -2324,13 +2324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paid this round. Positions 46-49 are the four queries new in
     # round 4; position 50 is event_paths, whose output schema gained
     # path_len this round. The 49 other r3-green entries rotate to the
-    # tail unchanged, followed by the seven queries added later in
-    # round 4 (kmeans .. ann_topk_ivfpq — all locally green via
-    # tools/check_correctness.py). Every entry has an oracle_sql()
-    # twin. r5 rotation plan: the tail is 56 entries, so r5's window =
-    # the 7 never-driver-checked round-4 queries first, then the 43
-    # oldest r3-green entries; the remaining 13 r3-green rotate into
-    # r6 (all were hash-green in r3 and are untouched since).
+    # tail unchanged, followed by the fourteen queries added later in
+    # round 4 (kmeans .. event_transitions — all locally green via
+    # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
+    # an oracle_sql() twin. r5 rotation plan: the tail is 63 entries,
+    # so r5's window = the 14 never-driver-checked round-4 queries
+    # first, then the 36 oldest r3-green entries; the remaining 13
+    # r3-green rotate into r6 (hash-green in r3, untouched since
+    # except event_paths-style documented edits).
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
