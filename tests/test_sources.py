@@ -318,3 +318,30 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     # bounding box is at most ~1/4 of each axis (Z-curve locality)
     for r in boxes:
         assert (r.x1 - r.x0 + 1) * (r.y1 - r.y0 + 1) <= n * n / 4, boxes
+
+
+def test_morton_code_saturates_out_of_range(spark):
+    """Out-of-range coordinates clamp to the domain edge — a masked
+    wrap would Z-sort max next to min and silently kill pruning."""
+    from meta_frame_spark.sources.sinks import morton_code
+
+    df = spark.createDataFrame(
+        [(20, 3), (15, 3), (-5, 3), (0, 3)], "a bigint, b bigint"
+    )
+    z = {(r.a, r.b): r.z
+         for r in df.select("a", "b", morton_code("a", "b", bits=4).alias("z")).collect()}
+    assert z[(20, 3)] == z[(15, 3)]      # saturates at 15, not wraps to 4
+    assert z[(-5, 3)] == z[(0, 3)]       # negative clamps to 0
+
+
+def test_write_jsonl_shards_gzip_roundtrip(spark, tmp_path):
+    from meta_frame_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.range(100).selectExpr("id", "concat('d', id) AS text")
+    out = str(tmp_path / "gz")
+    write_jsonl_shards(df, out, records_per_shard=40, compression="gzip")
+    import glob
+    files = glob.glob(f"{out}/part-*.gz")
+    assert files, "gzip shards should carry the .gz suffix"
+    back = spark.read.json(out)
+    assert back.count() == 100

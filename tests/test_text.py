@@ -239,3 +239,19 @@ def test_language_scores_margin_semantics(spark):
     # margin must be 0 — exactly what a precision gate should reject
     assert got[1][0] == "fr" and got[1][2] == 0
     assert got[2] == ("und", 0, 0)
+
+
+def test_language_id_equals_language_scores_winner(spark, documents):
+    """language_id delegates to language_scores — the two surfaces can
+    never disagree on the winner (pinned over the real corpus)."""
+    from meta_frame_spark.functions.text import language_id, language_scores
+
+    mismatch = (
+        documents.select(
+            language_id("text").alias("a"),
+            language_scores("text")["lang"].alias("b"),
+        )
+        .filter("a != b")
+        .count()
+    )
+    assert mismatch == 0
