@@ -5,6 +5,7 @@ from meta_frame_spark.functions.text import (
     bpe_tokens,
     char_count,
     language_id,
+    language_scores,
     punct_ratio,
     quality_score,
     rolling_fingerprint,
@@ -29,6 +30,7 @@ __all__ = [
     "l2_distance",
     "l2_norm",
     "language_id",
+    "language_scores",
     "punct_ratio",
     "quality_score",
     "rolling_fingerprint",
