@@ -2307,6 +2307,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML strip + dedup-grade normalization (functions/text.py
+    strip_html, normalize_text — chained regexp_replace/replace, all
+    JVM codegen, map-only). The corpus is plain text, so deterministic
+    markup built from doc_id (comment, script block, tags, entities)
+    is injected first, redact_pii-style; byte-exact oracle replays the
+    same pattern chain in DuckDB."""
+    from meta_frame_spark.functions.text import normalize_text, strip_html
+
+    dirty = F.concat(
+        F.lit('<html><body class="d'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><!-- id '),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>Doc &amp; &quot;No."),
+        F.col("doc_id").cast("string"),
+        F.lit('&quot;</h1><script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit("; if (x < 2) { x = 2; }</script><p>"),
+        F.col("text"),
+        F.lit("</p>&nbsp;<b>5 &lt; 7</b></body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalize_text(strip_html(dirty)).alias("clean")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -2452,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_regions": q_dup_span_regions,
         "lang_margin": q_lang_margin,
         "event_transitions": q_event_transitions,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -3986,5 +4015,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, TRUE AS resolved, TRUE AS cosine_ok,
                    TRUE AS keeper_ok
             FROM embeddings
+        """,
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(
+                       replace(replace(replace(replace(replace(replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(
+                               '<html><body class="d'
+                               || CAST(doc_id % 7 AS VARCHAR) || '"><!-- id '
+                               || CAST(doc_id AS VARCHAR)
+                               || ' --><h1>Doc &amp; &quot;No.'
+                               || CAST(doc_id AS VARCHAR)
+                               || '&quot;</h1><script type="text/javascript">var x = '
+                               || CAST(doc_id AS VARCHAR)
+                               || '; if (x < 2) { x = 2; }</script><p>'
+                               || text || '</p>&nbsp;<b>5 &lt; 7</b></body></html>',
+                               '<!--[\s\S]*?-->', ' ', 'g'),
+                               '(?i)<script[\s\S]*?</script\s*>', ' ', 'g'),
+                               '(?i)<style[\s\S]*?</style\s*>', ' ', 'g'),
+                               '</?[A-Za-z!][^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&amp;', '&')),
+                       '\s+', ' ', 'g')) AS clean
+            FROM documents
         """,
     }

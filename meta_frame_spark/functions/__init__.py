@@ -6,10 +6,13 @@ from meta_frame_spark.functions.text import (
     char_count,
     language_id,
     language_scores,
+    normalize_text,
+    normalize_text_unicode,
     punct_ratio,
     quality_score,
     rolling_fingerprint,
     stopword_ratio,
+    strip_html,
     token_count,
     tokens,
     with_text_stats,
@@ -31,10 +34,13 @@ __all__ = [
     "l2_norm",
     "language_id",
     "language_scores",
+    "normalize_text",
+    "normalize_text_unicode",
     "punct_ratio",
     "quality_score",
     "rolling_fingerprint",
     "stopword_ratio",
+    "strip_html",
     "token_count",
     "tokens",
     "with_text_stats",

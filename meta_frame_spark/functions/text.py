@@ -241,6 +241,39 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: HTML entity decodings applied by :func:`strip_html`, in order.
+#: ``&amp;`` is decoded LAST so ``&amp;lt;`` renders as the literal
+#: ``&lt;`` (the double-escape rule) instead of re-decoding.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(text: str | Column) -> Column:
+    """Remove HTML markup: comments, ``<script>``/``<style>`` blocks
+    with their contents, all remaining tags (each replaced by a space
+    so ``a</p><p>b`` doesn't fuse into ``ab``), then decode the common
+    entities (:data:`HTML_ENTITIES`). Chained ``regexp_replace`` —
+    JVM codegen, map-only, no Python. Patterns avoid lookaround and
+    backreferences so an RE2-based engine (or the DuckDB oracle)
+    reproduces the output byte-for-byte. Whitespace is NOT collapsed
+    here — chain :func:`normalize_text` for that."""
+    c = F.col(text) if isinstance(text, str) else text
+    # [\s\S] instead of DOTALL-flagged '.' keeps the pattern portable
+    c = F.regexp_replace(c, r"<!--[\s\S]*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<script[\s\S]*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?i)<style[\s\S]*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"</?[A-Za-z!][^>]*>", " ")
+    for entity, repl in HTML_ENTITIES:
+        c = F.replace(c, F.lit(entity), F.lit(repl))
+    return c
+
+
 def redact_pii(text: str | Column, kinds: list[str] | None = None) -> Column:
     """Mask emails/URLs/IPs/phone numbers with typed markers — the
     standard scrub before a corpus ships to training. Chained

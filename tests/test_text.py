@@ -255,3 +255,45 @@ def test_language_id_equals_language_scores_winner(spark, documents):
         .count()
     )
     assert mismatch == 0
+
+
+def test_strip_html_tags_scripts_entities(spark):
+    from meta_frame_spark.functions.text import normalize_text, strip_html
+
+    df = spark.createDataFrame(
+        [
+            ('<p>Hello <b>world</b></p>',),
+            ('<!-- hidden -->visible<script>if (a < b) { alert("x"); }'
+             '</script> text',),
+            ('<style type="text/css">p { color: red; }</style>styled',),
+            ('fish &amp; chips &lt;3 &quot;quoted&quot; &#39;s&nbsp;end',),
+            ('a</p><p>b',),  # tag boundary must not fuse words
+            ('plain text, no markup',),
+            (None,),
+        ],
+        ["text"],
+    )
+    out = [
+        r.clean
+        for r in df.select(
+            normalize_text(strip_html("text")).alias("clean")
+        ).collect()
+    ]
+    assert out == [
+        "hello world",
+        "visible text",
+        "styled",
+        'fish & chips <3 "quoted" \'s end',
+        "a b",
+        "plain text, no markup",
+        None,
+    ]
+
+
+def test_strip_html_double_escape_not_redecoded(spark):
+    from meta_frame_spark.functions.text import strip_html
+
+    df = spark.createDataFrame([("literal &amp;lt; stays",)], ["text"])
+    assert df.select(
+        strip_html("text").alias("c")
+    ).collect()[0].c == "literal &lt; stays"
