@@ -2307,6 +2307,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by smoothed tf-idf
+    (operators/search.py tfidf_topk_terms — explode + two skinny aggs
+    + broadcast scalar + per-doc window; state bounded by per-doc
+    vocab). Full oracle: DuckDB replays tf, df, the smoothed idf and
+    the (score desc, term asc) window rank."""
+    from meta_frame_spark.operators.search import tfidf_topk_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(docs, k=5, min_term_len=3)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML strip + dedup-grade normalization (functions/text.py
     strip_html, normalize_text — chained regexp_replace/replace, all
@@ -2481,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_margin": q_lang_margin,
         "event_transitions": q_event_transitions,
         "text_normalize": q_text_normalize,
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -4039,5 +4052,31 @@ def oracle_sql() -> dict[str, str]:
                            '&quot;', '"'), '&#39;', ''''), '&amp;', '&')),
                        '\s+', ' ', 'g')) AS clean
             FROM documents
+        """,
+        "tfidf_keywords": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents
+            ), f AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks WHERE length(term) >= 3 GROUP BY 1, 2
+            ), d AS (
+                SELECT term, COUNT(*) AS df_t FROM f GROUP BY 1
+            ), n AS (
+                SELECT COUNT(*) AS n_docs FROM documents
+            ), s AS (
+                SELECT f.doc_id, f.term,
+                       ROUND(f.tf * (ln((n.n_docs + 1.0) / (d.df_t + 1.0))
+                                     + 1.0), 4) AS score
+                FROM f JOIN d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, rank, score FROM (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
         """,
     }

@@ -113,3 +113,48 @@ def bm25_topk(
         .agg(F.round(F.sum("_s"), round_to).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by tf-idf
+    (``tf * (ln((N + 1) / (df + 1)) + 1)`` — the smoothed idf, so a
+    term in every document still scores > 0 and the log never divides
+    by zero). Returns ``(id_col, term, rank, score)``, rank 1..k by
+    (rounded score desc, term asc) — the term tiebreak makes the
+    selected *set* stable across engines and partitionings.
+
+    Scale shape: one explode → groupBy(id, term) shuffle for tf, a
+    term-keyed aggregate for df (skinny rows, map-side partials), the
+    scalar N cross-joined as a broadcast, and a per-document window
+    for the rank — state bounded by document vocabulary, never corpus
+    vocabulary. ``min_term_len`` drops stopword-length tokens cheaply
+    BEFORE the shuffle; a stopword list can be composed upstream.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(_terms(text_col)).alias("term"))
+    toks = toks.filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, round_to))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
+    )

@@ -217,3 +217,36 @@ class TestNormalizeScores:
 
         with pytest.raises(ValueError):
             normalize_scores(scores, "x", "softmax")
+
+
+def test_tfidf_topk_terms(spark):
+    from meta_frame_spark.operators.search import tfidf_topk_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana date"),
+            (3, "apple banana"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_topk_terms(df, k=2, min_term_len=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # doc 1: apple tf=2 (df=2), cherry tf=1 (df=1) -> apple ranks first
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["apple", "cherry"]
+    # doc 2: banana tf=2 beats date tf=1 despite banana's df=3
+    assert sorted(by_doc[2])[0][1] == "banana"
+    # ranks are 1..k and scores positive (smoothed idf floor of 1.0)
+    assert all(r.rank in (1, 2) and r.score > 0 for r in out)
+    # every doc got at most k rows
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    from meta_frame_spark.operators.search import tfidf_topk_terms
+
+    df = spark.createDataFrame([(1, "zed abc zed abc")], ["doc_id", "text"])
+    out = sorted(tfidf_topk_terms(df, k=2).collect(), key=lambda r: r.rank)
+    assert [r.term for r in out] == ["abc", "zed"]  # equal score -> term asc
