@@ -2307,6 +2307,20 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle manifest (operators/
+    sampling.py epoch_shuffle): shard + gapless within-shard position,
+    pure functions of (id, salt, epoch) — reproducible on any cluster
+    or engine, re-dealt per epoch. Full oracle: DuckDB replays the md5
+    shard ('0x'-hex cast), the hex order key, and the window rank."""
+    from meta_frame_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(
+        docs, "doc_id", epoch=1, n_shards=8, salt="r4", method="md5"
+    ).select("doc_id", "shard", "pos")
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-5 terms by smoothed tf-idf
     (operators/search.py tfidf_topk_terms — explode + two skinny aggs
@@ -2494,6 +2508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "text_normalize": q_text_normalize,
         "tfidf_keywords": q_tfidf_keywords,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -4078,5 +4093,22 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term ASC) AS rank
                 FROM s
             ) WHERE rank <= 5
+        """,
+        "epoch_shuffle": """
+            WITH c AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':r4:1') AS coin
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(coin, 1, 8) AS BIGINT)
+                            % 8 AS INT) AS shard,
+                       substr(coin, 9, 24) AS ord
+                FROM c
+            )
+            SELECT doc_id, shard,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY ord, doc_id) - 1 AS pos
+            FROM s
         """,
     }

@@ -70,6 +70,7 @@ from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_c
 from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
+    epoch_shuffle,
     hash_split,
     sample_k_per_group,
     shuffle_deterministic,
@@ -153,6 +154,7 @@ __all__ = [
     "drop_near_duplicates",
     "dup_clusters",
     "embedding_near_dup_pairs",
+    "epoch_shuffle",
     "exact_dedup",
     "ivf_topk",
     "hash_split",

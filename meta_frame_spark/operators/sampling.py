@@ -204,6 +204,65 @@ def shuffle_deterministic(
     return df.orderBy(key)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_shards: int = 16,
+    salt: str = "",
+    method: str = "md5",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle manifest: every row gets a
+    ``shard`` (0..n_shards-1) and a gapless within-shard ``pos``, both
+    pure functions of ``(id, salt, epoch)`` — bump ``epoch`` and the
+    whole deal re-randomizes, same epoch reproduces bit-for-bit on any
+    cluster, partitioning, or engine. This is the lineage-auditable
+    replacement for ``df.orderBy(rand(seed))``-style epoch shuffles
+    (seed-stable only for one fixed partitioning).
+
+    ``method="md5"``: shard from the first 8 hex chars, order within
+    shard by the remaining 24 — any md5-capable engine (DuckDB, Trino,
+    Postgres) replays the exact assignment. ``method="xxhash64"``: one
+    codegen'd 64-bit hash each for shard and order — faster, Spark-only.
+
+    Scale shape: shard assignment is map-only; ``pos`` is one shuffle
+    keyed on ``shard`` with a per-shard sort, so parallelism = shards —
+    size ``n_shards`` so a shard fits a task (shards ARE the output
+    files). For a single global order use
+    :func:`meta_frame_spark.operators.ids.assign_row_numbers`.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if method == "md5":
+        coin = F.md5(F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.lit(salt), F.lit(str(epoch))
+        ))
+        shard = (F.conv(F.substring(coin, 1, 8), 16, 10).cast("long")
+                 % n_shards).cast("int")
+        order_key = F.substring(coin, 9, 24)
+    elif method == "xxhash64":
+        shard = F.pmod(
+            F.xxhash64(F.lit("shard"), F.col(id_col), F.lit(salt), F.lit(epoch)),
+            F.lit(n_shards),
+        ).cast("int")
+        order_key = F.xxhash64(
+            F.lit("ord"), F.col(id_col), F.lit(salt), F.lit(epoch)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_mfs_ord").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("_mfs_ord", order_key)
+        .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+        .drop("_mfs_ord")
+    )
+
+
 def split_dataframes(
     df: DataFrame,
     weights: dict[str, float],

@@ -340,3 +340,50 @@ def test_duplicate_spans_matches_python_census(spark, span, texts):
             docs[s].add(i)
     expect = {s: (len(docs[s]), occ[s]) for s in occ if len(docs[s]) >= 2}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    epoch=st.integers(min_value=0, max_value=3),
+    n_shards=st.sampled_from([1, 4, 8]),
+    method=st.sampled_from(["md5", "xxhash64"]),
+)
+def test_epoch_shuffle_shards_and_gapless_pos(frame, epoch, n_shards, method):
+    from meta_frame_spark.operators.sampling import epoch_shuffle
+
+    out = epoch_shuffle(
+        frame, "v1", epoch=epoch, n_shards=n_shards, method=method
+    ).select("v1", "shard", "pos").collect()
+    assert len(out) == frame.count()
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_epoch_shuffle_redeal_and_determinism(spark):
+    from meta_frame_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+
+    def snap(epoch):
+        return {
+            r.doc_id: (r.shard, r.pos)
+            for r in epoch_shuffle(df, "doc_id", epoch=epoch, n_shards=4)
+            .collect()
+        }
+
+    # same epoch reproduces bit-for-bit (incl. across a repartition)
+    assert snap(1) == {
+        r.doc_id: (r.shard, r.pos)
+        for r in epoch_shuffle(
+            df.repartition(7), "doc_id", epoch=1, n_shards=4
+        ).collect()
+    }
+    # a new epoch re-deals most assignments
+    a, b = snap(1), snap(2)
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 150
