@@ -2307,6 +2307,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-volume outliers per event_type at |z| >= 3
+    (operators/anomaly.py count_anomalies — one count shuffle, tiny
+    per-group baseline broadcast back; row-grain data never re-touched).
+    Full oracle: DuckDB recomputes bucket counts, the per-type
+    mean/stddev window, and the threshold filter."""
+    from meta_frame_spark.operators.anomaly import count_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return count_anomalies(
+        ev, ts_col="ts", group_cols=["event_type"],
+        bucket="hour", z_threshold=3.0,
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-epoch shuffle manifest (operators/
     sampling.py epoch_shuffle): shard + gapless within-shard position,
@@ -2509,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "tfidf_keywords": q_tfidf_keywords,
         "epoch_shuffle": q_epoch_shuffle,
+        "count_anomalies": q_count_anomalies,
     }
 
 
@@ -4110,5 +4126,22 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                        PARTITION BY shard ORDER BY ord, doc_id) - 1 AS pos
             FROM s
+        """,
+        "count_anomalies": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, bucket_ts, n,
+                       AVG(n) OVER (PARTITION BY event_type) AS mu,
+                       STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd,
+                       COUNT(*) OVER (PARTITION BY event_type) AS nb
+                FROM b
+            )
+            SELECT event_type, bucket_ts, n,
+                   ROUND((n - mu) / sd, 4) AS z
+            FROM s
+            WHERE nb >= 3 AND sd > 0 AND ABS((n - mu) / sd) >= 3.0
         """,
     }

@@ -5,6 +5,7 @@ These are the north-star extensions beyond the reference's surface
 classes the reference lacks (§2.3/§2.4 "not present" lists).
 """
 
+from meta_frame_spark.operators.anomaly import count_anomalies
 from meta_frame_spark.operators.dedup import (
     dedup_against,
     drop_exact_duplicates,
@@ -149,6 +150,7 @@ __all__ = [
     "snapshot_asof",
     "unigram_logprob",
     "unigram_vocab",
+    "count_anomalies",
     "cube_aggregate",
     "drop_exact_duplicates",
     "drop_near_duplicates",

@@ -113,3 +113,50 @@ def test_event_transitions_counts_and_probabilities(spark):
     assert got[("a", "c")] == (1, 1 / 3)
     assert got[("b", "a")] == (1, 1.0)
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_count_anomalies_flags_planted_spike(spark):
+    import datetime
+
+    from meta_frame_spark.operators.anomaly import count_anomalies
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(24):
+        n = 500 if hour == 12 else 10  # massive spike at noon
+        for _ in range(n):
+            rows.append((eid, base + datetime.timedelta(hours=hour), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+
+    out = count_anomalies(df, group_cols=["event_type"], z_threshold=3.0)
+    flagged = out.collect()
+    assert len(flagged) == 1
+    assert flagged[0].bucket_ts.hour == 12 and flagged[0].n == 500
+    assert flagged[0].z > 3.0
+
+    # robust (MAD) flags the same spike with a larger score: the spike
+    # can't inflate its own baseline
+    robust = count_anomalies(
+        df, group_cols=["event_type"], z_threshold=3.0, robust=True
+    ).collect()
+    assert len(robust) == 1 and robust[0].bucket_ts.hour == 12
+    assert robust[0].z > flagged[0].z
+
+
+def test_count_anomalies_skips_tiny_and_flat_groups(spark):
+    import datetime
+
+    from meta_frame_spark.operators.anomaly import count_anomalies
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # "flat": identical count every hour -> stddev 0 -> never flagged
+    for hour in range(10):
+        for i in range(5):
+            rows.append((hour * 10 + i, base + datetime.timedelta(hours=hour), "flat"))
+    # "tiny": only 2 buckets -> below min_buckets
+    rows += [(900, base, "tiny"), (901, base + datetime.timedelta(hours=1), "tiny")]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    assert count_anomalies(df, z_threshold=0.5, min_buckets=3).count() == 0
