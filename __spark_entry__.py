@@ -2307,6 +2307,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between click and purchase audiences via
+    Theta sketches (operators/sketch.py theta_set_overlap — the
+    set-algebra sketch HLL can't do: union AND intersection AND
+    difference from two one-pass mergeable states). lg_k=20 keeps both
+    sides in the sketch's exact regime at every shipped SF, so the
+    DuckDB COUNT(DISTINCT)/INTERSECT/EXCEPT oracle is a full oracle."""
+    from meta_frame_spark.operators.sketch import theta_set_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return theta_set_overlap(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
 def q_count_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-volume outliers per event_type at |z| >= 3
     (operators/anomaly.py count_anomalies — one count shuffle, tiny
@@ -2525,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "epoch_shuffle": q_epoch_shuffle,
         "count_anomalies": q_count_anomalies,
+        "theta_overlap": q_theta_overlap,
     }
 
 
@@ -4143,5 +4161,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((n - mu) / sd, 4) AS z
             FROM s
             WHERE nb >= 3 AND sd > 0 AND ABS((n - mu) / sd) >= 3.0
+        """,
+        "theta_overlap": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                   (SELECT COUNT(*) FROM b) AS n_b,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_a,
+                   (SELECT COUNT(*) FROM
+                       (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_b
         """,
     }

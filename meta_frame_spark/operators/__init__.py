@@ -56,6 +56,8 @@ from meta_frame_spark.operators.sketch import (
     estimate_distinct,
     incremental_distinct,
     merge_cardinality_sketches,
+    theta_set_overlap,
+    theta_sketch,
 )
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
@@ -177,6 +179,8 @@ __all__ = [
     "simhash",
     "simhash_dup_groups",
     "srp_lsh_topk",
+    "theta_set_overlap",
+    "theta_sketch",
     "top_k_per_group",
     "two_phase_count_distinct",
 ]

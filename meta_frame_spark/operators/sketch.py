@@ -77,3 +77,55 @@ def incremental_distinct(
     batch = cardinality_sketch(new_batch, group_cols, value_col, lg_config_k, sketch_col)
     both = history_sketches.select(*group_cols, sketch_col).unionByName(batch)
     return merge_cardinality_sketches(both, group_cols, sketch_col)
+
+
+def theta_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 20,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-group Theta sketch of ``value_col``'s distinct values.
+
+    Theta is the set-algebra sibling of HLL: same one-pass mergeable
+    shape, but sketches also support INTERSECTION and DIFFERENCE —
+    "users in A and B", "docs in this crawl but not the last" — which
+    HLL cannot answer. Exact below ~2^lg_k retained entries (lg_k=20
+    -> exact to ~1M distinct per group), estimating beyond. Costs more
+    bytes than HLL at equal error, so keep HLL for pure counts.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(value_col, F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def theta_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lg_k: int = 20,
+) -> DataFrame:
+    """One-row set-overlap report between two keysets: distinct counts
+    of each side plus union / intersection / each-side-only, all read
+    from two Theta sketches. Each side is one map-side-combined
+    aggregate collapsing to a single sketch row; the combine is a
+    1x1 broadcast nested-loop join of sketch bytes (scalar attach, not
+    a data join). Returns
+    ``(n_a, n_b, n_union, n_both, n_only_a, n_only_b)`` as longs —
+    exact while each side's distinct count stays under ~2^lg_k.
+    """
+    sa = df_a.agg(F.theta_sketch_agg(value_col, F.lit(lg_k)).alias("_sa"))
+    sb = df_b.agg(F.theta_sketch_agg(value_col, F.lit(lg_k)).alias("_sb"))
+    est = F.theta_sketch_estimate
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .select(
+            est(F.col("_sa")).alias("n_a"),
+            est(F.col("_sb")).alias("n_b"),
+            est(F.theta_union(F.col("_sa"), F.col("_sb"))).alias("n_union"),
+            est(F.theta_intersection(F.col("_sa"), F.col("_sb"))).alias("n_both"),
+            est(F.theta_difference(F.col("_sa"), F.col("_sb"))).alias("n_only_a"),
+            est(F.theta_difference(F.col("_sb"), F.col("_sa"))).alias("n_only_b"),
+        )
+    )

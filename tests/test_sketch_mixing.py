@@ -101,3 +101,31 @@ def test_temperature_flattens_monotonically(spark, sized):
     assert shares[1.0] > shares[0.5] > shares[0.0]
     with pytest.raises(ValueError):
         temperature_mix_plan(sized, "src", alpha=1.5)
+
+
+def test_theta_set_overlap_exact_regime(spark):
+    from meta_frame_spark.operators.sketch import theta_set_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(600, 1400)], ["k"])
+    r = theta_set_overlap(a, b, "k").collect()[0]
+    assert (r.n_a, r.n_b) == (1000, 800)
+    assert r.n_union == 1400 and r.n_both == 400
+    assert r.n_only_a == 600 and r.n_only_b == 400
+    # identities that must hold for any exact-regime sketch pair
+    assert r.n_union == r.n_a + r.n_b - r.n_both
+    assert r.n_only_a == r.n_a - r.n_both
+
+
+def test_theta_sketch_groups_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.operators.sketch import theta_sketch
+
+    df = spark.createDataFrame(
+        [(g, i % 37) for g in ("x", "y") for i in range(200)], ["g", "v"]
+    )
+    merged = theta_sketch(df, ["g"], "v").agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sketch")).alias("n")
+    ).collect()[0]
+    assert merged.n == 37
