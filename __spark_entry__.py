@@ -2307,6 +2307,23 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering >= 0.2% of the corpus token stream via
+    per-partition Misra-Gries + exact candidate recount
+    (operators/freq.py — the long tail never shuffles; candidates are
+    a guaranteed superset, final counts exact). Full oracle: DuckDB
+    counts every token and applies the same ceil threshold."""
+    from meta_frame_spark.operators.freq import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("term")
+    )
+    return heavy_hitters(toks, "term", min_frac=0.002)
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user overlap between click and purchase audiences via
     Theta sketches (operators/sketch.py theta_set_overlap — the
@@ -2543,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "count_anomalies": q_count_anomalies,
         "theta_overlap": q_theta_overlap,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -4177,5 +4195,15 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_a,
                    (SELECT COUNT(*) FROM
                        (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_only_b
+        """,
+        "heavy_hitters": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS item
+                FROM documents
+            ), n AS (SELECT COUNT(*) AS c FROM toks)
+            SELECT item, COUNT(*) AS cnt,
+                   ROUND(COUNT(*) * 1.0 / (SELECT c FROM n), 6) AS frac
+            FROM toks GROUP BY 1
+            HAVING COUNT(*) >= CEIL(0.002 * (SELECT c FROM n))
         """,
     }

@@ -6,6 +6,7 @@ classes the reference lacks (§2.3/§2.4 "not present" lists).
 """
 
 from meta_frame_spark.operators.anomaly import count_anomalies
+from meta_frame_spark.operators.freq import heavy_hitters
 from meta_frame_spark.operators.dedup import (
     dedup_against,
     drop_exact_duplicates,
@@ -163,6 +164,7 @@ __all__ = [
     "ivf_topk",
     "hash_split",
     "hashed_jaccard_pairs",
+    "heavy_hitters",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_signatures",

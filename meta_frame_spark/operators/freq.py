@@ -1,0 +1,93 @@
+"""Heavy hitters with bounded map-side memory (Misra-Gries).
+
+``vocab.py`` finds top-k terms with a full ``groupBy(term)`` — correct,
+but the shuffle carries the entire long tail (a web-scale corpus has
+billions of singleton tokens; the tail IS the data). This module is
+the classic two-pass fix:
+
+1. **Candidate pass** — each partition runs a Misra-Gries summary with
+   ``k`` counters over its items (``mapInPandas``: per-partition state,
+   Arrow batches, nothing shuffles). MG's guarantee, per partition:
+   any item with partition count > n_p/(k+1) survives. Summed over
+   partitions (pigeonhole), any item with GLOBAL frequency
+   > N/(k+1) survives in at least one partition — so with
+   ``k + 1 > 1/min_frac`` the union of candidates is a guaranteed
+   superset of every true heavy hitter. At most ``k × partitions``
+   candidate rows move — independent of N and of vocabulary size.
+2. **Exact pass** — recount ONLY the candidates (broadcast semi-join
+   filter before the shuffle) and keep those with
+   ``count >= ceil(min_frac * N)``. Exact counts, no approximation in
+   the output — the sketch only bounded the *search space*.
+
+The same shape Spark uses internally for ``approxQuantile``-style
+two-phase answers; here it is explicit, composable, and oracle-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_prune(counts: dict, k: int) -> dict:
+    """Misra-Gries decrement step, batched: keep at most ``k`` items by
+    subtracting the (k+1)-th largest count from everything."""
+    if len(counts) <= k:
+        return counts
+    cut = sorted(counts.values(), reverse=True)[k]
+    return {i: c - cut for i, c in counts.items() if c > cut}
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    min_frac: float,
+    k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Items occurring in at least ``min_frac`` of ``items``' rows:
+    ``(item, cnt, frac)``, counts exact. ``k`` (candidate counters per
+    partition) defaults to ``ceil(2 / min_frac)``; any value with
+    ``k + 1 > 1 / min_frac`` preserves the no-false-negative guarantee
+    and is enforced.
+    """
+    if not 0 < min_frac <= 1:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    if k is None:
+        k = math.ceil(2 / min_frac)
+    if k + 1 <= 1 / min_frac:
+        raise ValueError(
+            f"k={k} breaks the Misra-Gries superset guarantee for "
+            f"min_frac={min_frac}: need k + 1 > {1 / min_frac:.1f}"
+        )
+    src = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    schema = src.schema
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            counts = _mg_prune(counts, k)
+        yield pd.DataFrame({"item": list(counts.keys())})
+
+    candidates = src.mapInPandas(mg, schema).distinct()
+    n_total = src.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        src.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(min_frac) * F.col("_n")))
+        .select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), round_to).alias("frac"),
+        )
+    )
