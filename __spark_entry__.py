@@ -2307,6 +2307,24 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| over the doc_id<200
+    all-pairs subset (operators/dedup.py containment_pairs) — catches
+    a short doc quoted whole inside a long one, where symmetric
+    Jaccard stays low. Bounded brute-force here so the DuckDB oracle
+    is full; at scale candidates come from banding the shorter side
+    or the span census (see docstring)."""
+    from meta_frame_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    cands = (
+        docs.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    return containment_pairs(docs, cands, shingle_n=3, threshold=0.5)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokens covering >= 0.2% of the corpus token stream via
     per-partition Misra-Gries + exact candidate recount
@@ -2561,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_anomalies": q_count_anomalies,
         "theta_overlap": q_theta_overlap,
         "heavy_hitters": q_heavy_hitters,
+        "containment": q_containment,
     }
 
 
@@ -4205,5 +4224,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COUNT(*) * 1.0 / (SELECT c FROM n), 6) AS frac
             FROM toks GROUP BY 1
             HAVING COUNT(*) >= CEIL(0.002 * (SELECT c FROM n))
+        """,
+        "containment": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents WHERE doc_id < 200)
+            )
+            SELECT id_a, id_b, ROUND(cont_ab, 4) AS cont_ab,
+                   ROUND(cont_ba, 4) AS cont_ba
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CASE WHEN len(a.sh) > 0 THEN
+                           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(a.sh) ELSE 0 END AS cont_ab,
+                       CASE WHEN len(b.sh) > 0 THEN
+                           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(b.sh) ELSE 0 END AS cont_ba
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            WHERE greatest(cont_ab, cont_ba) >= 0.5
         """,
     }

@@ -8,6 +8,7 @@ classes the reference lacks (§2.3/§2.4 "not present" lists).
 from meta_frame_spark.operators.anomaly import count_anomalies
 from meta_frame_spark.operators.freq import heavy_hitters
 from meta_frame_spark.operators.dedup import (
+    containment_pairs,
     dedup_against,
     drop_exact_duplicates,
     drop_near_duplicates,
@@ -153,6 +154,7 @@ __all__ = [
     "snapshot_asof",
     "unigram_logprob",
     "unigram_vocab",
+    "containment_pairs",
     "count_anomalies",
     "cube_aggregate",
     "drop_exact_duplicates",

@@ -305,6 +305,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set containment
+    ``cont_ab = |A∩B| / |A|`` (how much of A lives inside B) for
+    candidate pairs. Catches what symmetric Jaccard misses — a short
+    doc quoted whole inside a long one has Jaccard ≈ |A|/|B| (tiny)
+    but containment ≈ 1. Returns ``(id_a, id_b, cont_ab, cont_ba)``
+    for pairs where either direction reaches ``threshold``; a doc too
+    short to yield a shingle gets containment 0, not a div-by-zero.
+
+    Scale: same two id-equi-joins as :func:`ngram_jaccard_pairs` over a
+    candidate list ≪ n². Mind the candidate source: MinHash-LSH
+    recalls pairs by *Jaccard*, and a contained-short-doc pair can sit
+    at low Jaccard — for containment-first discovery, band the
+    SHORTER side's shingle sample (or use :mod:`..operators.spans`
+    span census, which finds shared regions regardless of doc-length
+    ratio) rather than plain Jaccard banding.
+    """
+    sets_df = ensure_min_partitions(df).select(
+        F.col(id_col),
+        F.array_distinct(_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+
+    def _cont(own: str):
+        return F.when(
+            F.size(own) > 0, inter / F.size(own)
+        ).otherwise(F.lit(0.0))
+
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cont_ab", _cont("sh_a"))
+        .withColumn("cont_ba", _cont("sh_b"))
+        .filter(F.greatest("cont_ab", "cont_ba") >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.round("cont_ab", 4).alias("cont_ab"),
+            F.round("cont_ba", 4).alias("cont_ba"),
+        )
+    )
+
+
 def hashed_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -297,3 +297,37 @@ def test_strip_html_double_escape_not_redecoded(spark):
     assert df.select(
         strip_html("text").alias("c")
     ).collect()[0].c == "literal &lt; stays"
+
+
+def test_containment_asymmetric_quote(spark):
+    from meta_frame_spark.operators.dedup import containment_pairs
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short_doc = "gamma delta epsilon zeta eta"  # quoted whole from long
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)], ["doc_id", "text"]
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], ["id_a", "id_b"]
+    )
+    out = {(r.id_a, r.id_b): (r.cont_ab, r.cont_ba)
+           for r in containment_pairs(df, cands, shingle_n=3,
+                                      threshold=0.5).collect()}
+    # short doc fully contained in long: cont_ba = 1.0; Jaccard would
+    # only be 3/8 and a symmetric threshold of 0.5 would miss it
+    assert set(out) == {(1, 2)}
+    ab, ba = out[(1, 2)]
+    assert ba == 1.0 and ab < 0.5
+
+
+def test_containment_short_doc_no_div_by_zero(spark):
+    from meta_frame_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], ["doc_id", "text"]
+    )
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    # both docs have < shingle_n tokens -> empty sets -> containment 0,
+    # pair filtered, and no ANSI divide-by-zero error
+    assert containment_pairs(df, cands, shingle_n=5).count() == 0
