@@ -2307,6 +2307,35 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketch over lineitem prices
+    (operators/sketch.py kll_quantiles, k=800 ≈ 0.4% rank error),
+    self-verified: the true rank of each estimate is recomputed
+    against the raw column and must sit within 2% of the requested
+    prob. Invariant oracle (the estimate itself is sketch-randomized;
+    the rank bound is the contract): DuckDB emits the expected
+    (prob, TRUE) rows."""
+    from meta_frame_spark.operators.sketch import kll_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = kll_quantiles(li, "l_extendedprice", probs, k=800)
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(est))
+        .groupBy("prob")
+        .agg(
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("est")).cast("double")
+            ).alias("true_rank")
+        )
+        .select(
+            "prob",
+            (F.abs(F.col("true_rank") - F.col("prob")) <= 0.02).alias("rank_ok"),
+        )
+    )
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment |A∩B|/|A| over the doc_id<200
     all-pairs subset (operators/dedup.py containment_pairs) — catches
@@ -2580,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_overlap": q_theta_overlap,
         "heavy_hitters": q_heavy_hitters,
         "containment": q_containment,
+        "kll_quantiles": q_kll_quantiles,
     }
 
 
@@ -4249,5 +4279,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
             WHERE greatest(cont_ab, cont_ba) >= 0.5
+        """,
+        "kll_quantiles": """
+            SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
     }

@@ -57,7 +57,10 @@ from meta_frame_spark.operators.sketch import (
     cardinality_sketch,
     estimate_distinct,
     incremental_distinct,
+    kll_quantile_sketch,
+    kll_quantiles,
     merge_cardinality_sketches,
+    merge_kll_sketches,
     theta_set_overlap,
     theta_sketch,
 )
@@ -167,6 +170,9 @@ __all__ = [
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",
+    "kll_quantile_sketch",
+    "kll_quantiles",
+    "merge_kll_sketches",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_signatures",

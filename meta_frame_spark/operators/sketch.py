@@ -129,3 +129,76 @@ def theta_set_overlap(
             est(F.theta_difference(F.col("_sb"), F.col("_sa"))).alias("n_only_b"),
         )
     )
+
+
+def kll_quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 800,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Per-group KLL doubles sketch of ``value_col`` — the mergeable
+    quantile state. Same incremental pattern as the HLL/Theta
+    cardinality sketches: one map-side-combined aggregate, a small
+    binary per group, daily sketches roll up without re-reading
+    history. ``k`` trades size for rank accuracy (~1.65% normalized
+    rank error at the default 200; k=800 halves it twice)."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias(sketch_col)
+    )
+
+
+def merge_kll_sketches(
+    parts: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Union per-group KLL sketches across increments. Spark ships only
+    a pairwise ``kll_sketch_merge_double`` (no aggregate form), so the
+    per-group merge folds a ``collect_list`` of sketch blobs with the
+    ``aggregate`` higher-order function — fine at any group count
+    because each group's list holds one small blob per INCREMENT, not
+    per row."""
+    arr = F.collect_list(sketch_col)
+    merged = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, s: F.kll_sketch_merge_double(acc, s),
+    )
+    return parts.groupBy(*group_cols).agg(merged.alias(sketch_col))
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    k: int = 800,
+) -> DataFrame:
+    """Quantile estimates at each probability in ``probs`` from one
+    pass over ``value_col``: ``(*group_cols, prob, est)``. Unlike
+    ``percentile_approx`` this exposes the underlying MERGEABLE sketch
+    family (see :func:`kll_quantile_sketch`) — the same state answers
+    quantiles, ranks (``kll_sketch_get_rank_double``) and unions
+    across batches."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    group_cols = list(group_cols or [])
+    sk = kll_quantile_sketch(df, group_cols, value_col, k) if group_cols else (
+        df.agg(F.kll_sketch_agg_double(value_col, F.lit(k)).alias("sketch"))
+    )
+    # the quantile argument must be foldable, so build one struct per
+    # prob (literal inside) and explode the array of results
+    pe = F.explode(F.array(*[
+        F.struct(
+            F.lit(float(p)).alias("prob"),
+            F.kll_sketch_get_quantile_double(
+                "sketch", F.lit(float(p))
+            ).alias("est"),
+        )
+        for p in probs
+    ])).alias("pe")
+    return sk.select(*group_cols, pe).select(
+        *group_cols, "pe.prob", "pe.est"
+    )

@@ -129,3 +129,36 @@ def test_theta_sketch_groups_mergeable(spark):
         F.theta_sketch_estimate(F.theta_union_agg("sketch")).alias("n")
     ).collect()[0]
     assert merged.n == 37
+
+
+def test_kll_quantiles_rank_accuracy_and_merge(spark):
+    from meta_frame_spark.operators.sketch import (
+        kll_quantile_sketch,
+        kll_quantiles,
+        merge_kll_sketches,
+    )
+
+    df = spark.range(50000).selectExpr(
+        "CAST(id AS DOUBLE) AS v", "id % 5 AS inc"
+    )
+    est = {r.prob: r.est
+           for r in kll_quantiles(df, "v", [0.1, 0.5, 0.9], k=800).collect()}
+    for p, e in est.items():
+        assert abs(e / 50000 - p) < 0.02  # uniform: value/N ~ rank
+
+    # sketching 5 increments then merging must answer like one pass
+    parts = kll_quantile_sketch(df, ["inc"], "v").drop("inc")
+    merged = merge_kll_sketches(parts.withColumn("one", F.lit(1)), ["one"])
+    med = merged.select(
+        F.kll_sketch_get_quantile_double("sketch", F.lit(0.5)).alias("m")
+    ).collect()[0].m
+    assert abs(med / 50000 - 0.5) < 0.02
+
+
+def test_kll_quantiles_validates_probs():
+    import pytest
+
+    from meta_frame_spark.operators.sketch import kll_quantiles
+
+    with pytest.raises(ValueError, match="probs"):
+        kll_quantiles(None, "v", [])
