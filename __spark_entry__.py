@@ -2307,6 +2307,35 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_theta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-vocabulary overlap matrix across sources
+    (operators/sketch.py theta_overlap_matrix): one sketch pass over
+    the token stream, then a sources×sources cross join of sketch rows
+    only. Exact regime at every shipped SF, so the DuckDB pairwise
+    set-intersection oracle is a full oracle."""
+    from meta_frame_spark.operators.sketch import theta_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("tok"),
+    )
+    return theta_overlap_matrix(toks, "tok", "source")
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight (operators/skew.py key_skew_report):
+    top-10 hottest user_ids with count, share, rank — the report read
+    before choosing plain vs salted join. Full oracle: DuckDB window
+    rank over the same counts."""
+    from meta_frame_spark.operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top_n=10)
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KLL quantile sketch over lineitem prices
     (operators/sketch.py kll_quantiles, k=800 ≈ 0.4% rank error),
@@ -2610,6 +2639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "containment": q_containment,
         "kll_quantiles": q_kll_quantiles,
+        "theta_matrix": q_theta_matrix,
+        "key_skew": q_key_skew,
     }
 
 
@@ -4283,5 +4314,42 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "theta_matrix": r"""
+            WITH raw AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
+            ), t AS (
+                SELECT DISTINCT source, tok FROM raw
+            ), n AS (
+                SELECT source, COUNT(*) AS c FROM t GROUP BY 1
+            ), i AS (
+                SELECT a.source AS ga, b.source AS gb, COUNT(*) AS nb
+                FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT na.source AS group_a, nb_.source AS group_b,
+                   na.c AS n_a, nb_.c AS n_b,
+                   COALESCE(i.nb, 0) AS n_both,
+                   ROUND(COALESCE(i.nb, 0) * 1.0
+                         / (na.c + nb_.c - COALESCE(i.nb, 0)), 4) AS jaccard
+            FROM n na
+            JOIN n nb_ ON na.source < nb_.source
+            LEFT JOIN i ON i.ga = na.source AND i.gb = nb_.source
+        """,
+        "key_skew": """
+            WITH c AS (
+                SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+            ), n AS (SELECT COUNT(*) AS t FROM events)
+            SELECT user_id, cnt,
+                   ROUND(cnt * 1.0 / (SELECT t FROM n), 6) AS share, rank
+            FROM (
+                SELECT user_id, cnt,
+                       ROW_NUMBER() OVER (
+                           ORDER BY cnt DESC, user_id ASC) AS rank
+                FROM c
+            )
+            WHERE rank <= 10
         """,
     }

@@ -61,6 +61,7 @@ from meta_frame_spark.operators.sketch import (
     kll_quantiles,
     merge_cardinality_sketches,
     merge_kll_sketches,
+    theta_overlap_matrix,
     theta_set_overlap,
     theta_sketch,
 )
@@ -86,6 +87,7 @@ from meta_frame_spark.operators.sampling import (
     stratified_sample,
 )
 from meta_frame_spark.operators.skew import (
+    key_skew_report,
     salted_aggregate,
     two_phase_count_distinct,
 )
@@ -170,6 +172,7 @@ __all__ = [
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",
+    "key_skew_report",
     "kll_quantile_sketch",
     "kll_quantiles",
     "merge_kll_sketches",
@@ -189,6 +192,7 @@ __all__ = [
     "simhash",
     "simhash_dup_groups",
     "srp_lsh_topk",
+    "theta_overlap_matrix",
     "theta_set_overlap",
     "theta_sketch",
     "top_k_per_group",

@@ -202,3 +202,45 @@ def kll_quantiles(
     return sk.select(*group_cols, pe).select(
         *group_cols, "pe.prob", "pe.est"
     )
+
+
+def theta_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    lg_k: int = 20,
+) -> DataFrame:
+    """Pairwise distinct-key overlap across every group in one pass:
+    ``(group_a, group_b, n_a, n_b, n_both, jaccard)`` for each
+    unordered group pair — the corpus cross-contamination matrix
+    ("how much vocabulary / how many users do sources share"). One
+    sketch aggregate over the data, then a G×G cross join of SKETCH
+    ROWS only (G groups, each row a few KB) — the data itself is
+    touched once regardless of how many pairs come out. Exact while
+    each group's distinct count stays under ~2^lg_k."""
+    sk = theta_sketch(df, [group_col], key_col, lg_k)
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb")
+    )
+    est = F.theta_sketch_estimate
+    n_a = est(F.col("_sa"))
+    n_b = est(F.col("_sb"))
+    n_both = est(F.theta_intersection(F.col("_sa"), F.col("_sb")))
+    union = n_a + n_b - n_both
+    return (
+        a.crossJoin(b)
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+            n_both.alias("n_both"),
+            F.when(union > 0, F.round(n_both / union, 4))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )

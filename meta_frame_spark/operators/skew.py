@@ -23,7 +23,7 @@ These helpers split the hot-key reduce state explicitly:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -158,3 +158,37 @@ def salted_join(
     )
     out = fact_s.join(dim_s, on=on + [salt_col], how=how)
     return out.drop(salt_col)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """The pre-flight check for every join/agg key choice: the
+    ``top_n`` hottest key values with count, share of all rows, and
+    rank — read it before picking between a plain join,
+    :func:`salted_join`, or AQE skew splitting. Deterministic order:
+    (count desc, key values asc). One map-side-combined count shuffle
+    over skinny key rows plus a top-n sort of the (already tiny)
+    per-key counts; the total-row scalar attaches as a broadcast."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    order = [F.col("cnt").desc()] + [F.col(c).asc() for c in key_cols]
+    # orderBy+limit plans TakeOrderedAndProject (per-partition top-n,
+    # no global sort) even over billions of distinct keys; the global
+    # row_number window then runs over the ALREADY-CAPPED top_n rows
+    top = counts.orderBy(*order).limit(top_n)
+    return (
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_n"), round_to).alias("share"),
+            "rank",
+        )
+    )

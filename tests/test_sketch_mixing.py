@@ -162,3 +162,21 @@ def test_kll_quantiles_validates_probs():
 
     with pytest.raises(ValueError, match="probs"):
         kll_quantiles(None, "v", [])
+
+
+def test_theta_overlap_matrix_small(spark):
+    from meta_frame_spark.operators.sketch import theta_overlap_matrix
+
+    rows = (
+        [("s1", f"k{i}") for i in range(100)]
+        + [("s2", f"k{i}") for i in range(50, 150)]
+        + [("s3", f"x{i}") for i in range(20)]  # disjoint from s1/s2
+    )
+    df = spark.createDataFrame(rows, ["src", "key"])
+    out = {(r.group_a, r.group_b): r for r in
+           theta_overlap_matrix(df, "key", "src").collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = out[("s1", "s2")]
+    assert (r12.n_a, r12.n_b, r12.n_both) == (100, 100, 50)
+    assert r12.jaccard == round(50 / 150, 4)
+    assert out[("s1", "s3")].n_both == 0 and out[("s1", "s3")].jaccard == 0.0

@@ -307,3 +307,20 @@ def test_sample_k_per_group_deterministic_and_nested(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sample_k_per_group(docs, ["source"], 0, "doc_id")
+
+
+def test_key_skew_report_ranks_and_shares(spark):
+    import pytest
+
+    from meta_frame_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = sorted(key_skew_report(df, ["k"], top_n=3).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.k, r.cnt, r.rank) for r in out] == [
+        ("hot", 60, 1), ("warm", 30, 2), ("a", 5, 3)  # tie a<b by key
+    ]
+    assert out[0].share == 0.6
+    with pytest.raises(ValueError, match="key_cols"):
+        key_skew_report(df, [], top_n=3)
