@@ -2307,6 +2307,34 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming volume-anomaly twin: watermarked tumbling hourly
+    counts computed by Structured Streaming (availableNow, memory
+    sink), then flagged against the per-type baseline with the SAME
+    scoring half as batch count_anomalies (operators/anomaly.py
+    flag_count_anomalies). A drained complete-mode stream equals the
+    batch bucketing, so the batch z-score SQL is a full oracle."""
+    from meta_frame_spark.operators.anomaly import flag_count_anomalies
+    from meta_frame_spark.streaming import hourly_event_counts
+    from meta_frame_spark.streaming.ops import read_event_stream, run_to_memory
+
+    stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
+    out = run_to_memory(
+        hourly_event_counts(stream), "mem_stream_anomaly",
+        output_mode="complete", state_partitions=8,
+    )
+    counts = out.select(
+        "event_type",
+        F.date_trunc("hour", "hour").alias("bucket_ts"),
+        F.col("n_events").alias("n"),
+    )
+    # the baseline join is a self-join of the drained counts; Spark's
+    # MemorySink view can't dedup attribute ids across a self-join, so
+    # pin the (tiny, buckets×types) frame first
+    counts = counts.localCheckpoint(eager=True)
+    return flag_count_anomalies(counts, ["event_type"], z_threshold=3.0)
+
+
 def q_theta_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-vocabulary overlap matrix across sources
     (operators/sketch.py theta_overlap_matrix): one sketch pass over
@@ -2641,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles": q_kll_quantiles,
         "theta_matrix": q_theta_matrix,
         "key_skew": q_key_skew,
+        "stream_anomaly": q_stream_anomaly,
     }
 
 
@@ -4314,6 +4343,23 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "stream_anomaly": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT event_type, bucket_ts, n,
+                       AVG(n) OVER (PARTITION BY event_type) AS mu,
+                       STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd,
+                       COUNT(*) OVER (PARTITION BY event_type) AS nb
+                FROM b
+            )
+            SELECT event_type, bucket_ts, n,
+                   ROUND((n - mu) / sd, 4) AS z
+            FROM s
+            WHERE nb >= 3 AND sd > 0 AND ABS((n - mu) / sd) >= 3.0
         """,
         "theta_matrix": r"""
             WITH raw AS (

@@ -5,7 +5,10 @@ These are the north-star extensions beyond the reference's surface
 classes the reference lacks (§2.3/§2.4 "not present" lists).
 """
 
-from meta_frame_spark.operators.anomaly import count_anomalies
+from meta_frame_spark.operators.anomaly import (
+    count_anomalies,
+    flag_count_anomalies,
+)
 from meta_frame_spark.operators.freq import heavy_hitters
 from meta_frame_spark.operators.dedup import (
     containment_pairs,
@@ -168,6 +171,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "epoch_shuffle",
     "exact_dedup",
+    "flag_count_anomalies",
     "ivf_topk",
     "hash_split",
     "hashed_jaccard_pairs",

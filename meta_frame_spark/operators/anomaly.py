@@ -52,6 +52,25 @@ def count_anomalies(
     counts = df.groupBy(*group_cols, bucket_ts).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return flag_count_anomalies(
+        counts, group_cols, z_threshold=z_threshold,
+        min_buckets=min_buckets, robust=robust, round_to=round_to,
+    )
+
+
+def flag_count_anomalies(
+    counts: DataFrame,
+    group_cols: list[str],
+    z_threshold: float = 3.0,
+    min_buckets: int = 3,
+    robust: bool = False,
+    round_to: int = 4,
+) -> DataFrame:
+    """The baseline-and-flag half of :func:`count_anomalies`, taking
+    pre-bucketed counts ``(*group_cols, bucket_ts, n)`` — so the same
+    scoring runs over batch buckets OR a drained Structured Streaming
+    windowed count (the streaming twin computes counts incrementally;
+    this flags them against the group baseline)."""
     if robust:
         med = counts.groupBy(*group_cols).agg(
             F.median("n").alias("_mu"), F.count(F.lit(1)).alias("_nb")
