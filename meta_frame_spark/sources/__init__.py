@@ -12,6 +12,8 @@ from meta_frame_spark.sources.registry import (
     load_sf_table,
 )
 from meta_frame_spark.sources.sinks import (
+    collect_file_stats,
+    files_for_range,
     iteration_sink,
     morton_code,
     save_bucketed_table,
@@ -19,13 +21,16 @@ from meta_frame_spark.sources.sinks import (
     tree_sink,
     write_compacted,
     write_jsonl_shards,
+    write_manifest,
     write_range_clustered,
     write_zordered,
 )
 
 __all__ = [
     "UnknownSourceError",
+    "collect_file_stats",
     "event_stream_schema",
+    "files_for_range",
     "iteration_sink",
     "load_data",
     "load_events",
@@ -37,6 +42,7 @@ __all__ = [
     "tree_sink",
     "write_compacted",
     "write_jsonl_shards",
+    "write_manifest",
     "write_range_clustered",
     "write_zordered",
 ]

@@ -246,3 +246,68 @@ def write_zordered(
     if options:
         writer = writer.options(**options)
     getattr(writer, fmt)(path)
+
+
+def collect_file_stats(
+    spark,
+    data_dir: str,
+    stat_cols: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Per-file zone-map statistics for a written dataset:
+    ``(file, n_rows, <col>_min, <col>_max ...)`` — one row per physical
+    file, computed with a single grouped scan on ``input_file_name()``.
+    The file count, not the data size, bounds the output."""
+    from pyspark.sql import functions as F
+
+    if not stat_cols:
+        raise ValueError("stat_cols must name at least one column")
+    df = getattr(spark.read, fmt)(data_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def write_manifest(
+    spark,
+    data_dir: str,
+    stat_cols: list[str],
+    fmt: str = "parquet",
+    manifest_name: str = "_manifest.json",
+) -> str:
+    """Write a JSON zone-map manifest next to a dataset (one object per
+    file with row count and per-column min/max) and return its path —
+    the external-table answer to Delta/Iceberg file statistics: a
+    planner (or :func:`files_for_range`) reads the KB-sized manifest
+    instead of listing and footer-probing every file. Pair with
+    :func:`write_range_clustered` / :func:`write_zordered`, which make
+    the per-file ranges disjoint and the pruning sharp."""
+    import json
+    import os
+
+    rows = collect_file_stats(spark, data_dir, stat_cols, fmt).collect()
+    manifest = [r.asDict() for r in rows]
+    out = os.path.join(data_dir, manifest_name)
+    with open(out, "w") as f:
+        json.dump(manifest, f, indent=1, default=str)
+    return out
+
+
+def files_for_range(manifest_path: str, col: str, lo, hi) -> list[str]:
+    """Read a :func:`write_manifest` manifest and return only the files
+    whose ``[col_min, col_max]`` zone overlaps ``[lo, hi]`` — the
+    driver-side pruning step a reader applies before handing Spark an
+    explicit file list."""
+    import json
+
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    return [
+        m["file"]
+        for m in manifest
+        if m[f"{col}_min"] is not None
+        and m[f"{col}_max"] is not None
+        and m[f"{col}_min"] <= hi
+        and m[f"{col}_max"] >= lo
+    ]

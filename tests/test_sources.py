@@ -345,3 +345,42 @@ def test_write_jsonl_shards_gzip_roundtrip(spark, tmp_path):
     assert files, "gzip shards should carry the .gz suffix"
     back = spark.read.json(out)
     assert back.count() == 100
+
+
+def test_manifest_zone_map_prunes_and_covers(spark, tmp_path):
+    from meta_frame_spark.sources.sinks import (
+        files_for_range,
+        write_manifest,
+        write_range_clustered,
+    )
+
+    df = spark.range(10000).selectExpr("id", "id % 97 AS v")
+    out = str(tmp_path / "clustered")
+    write_range_clustered(df, out, ["id"], n_files=8)
+    manifest = write_manifest(spark, out, ["id"])
+
+    picked = files_for_range(manifest, "id", 2000, 2999)
+    import json
+
+    all_files = {m["file"] for m in json.load(open(manifest))}
+    assert 0 < len(picked) < len(all_files)  # pruning actually prunes
+
+    # completeness: reading ONLY the picked files yields every matching row
+    got = (
+        spark.read.parquet(*picked)
+        .filter("id BETWEEN 2000 AND 2999")
+        .count()
+    )
+    assert got == 1000
+
+    # manifest rows account for every row written
+    assert sum(m["n_rows"] for m in json.load(open(manifest))) == 10000
+
+
+def test_manifest_requires_stat_cols(spark, tmp_path):
+    import pytest
+
+    from meta_frame_spark.sources.sinks import collect_file_stats
+
+    with pytest.raises(ValueError, match="stat_cols"):
+        collect_file_stats(spark, str(tmp_path), [])
