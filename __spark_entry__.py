@@ -2307,6 +2307,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA-smoothed hourly event volume (operators/
+    temporal.py ewma — the sequential recurrence as one applyInPandas
+    shuffle over bucket-grain series, alpha=0.3). Full oracle: DuckDB
+    replays the recurrence with a recursive CTE; adjust=False pandas
+    ewm is the identical float64 op order, so values match to the
+    bit before rounding."""
+    from meta_frame_spark.operators.temporal import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    out = ewma(counts, ["event_type"], "bucket_ts", "n", alpha=0.3)
+    return out.select(
+        "event_type", "bucket_ts", "n", F.round("ewma", 4).alias("ewma")
+    )
+
+
 def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming volume-anomaly twin: watermarked tumbling hourly
     counts computed by Structured Streaming (availableNow, memory
@@ -2670,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_matrix": q_theta_matrix,
         "key_skew": q_key_skew,
         "stream_anomaly": q_stream_anomaly,
+        "ewma_hourly": q_ewma_hourly,
     }
 
 
@@ -4343,6 +4364,30 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "ewma_hourly": """
+            WITH RECURSIVE o AS (
+                SELECT event_type, bucket_ts, CAST(n AS DOUBLE) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bucket_ts
+                       ) AS rn
+                FROM (
+                    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                           COUNT(*) AS n
+                    FROM events GROUP BY 1, 2
+                )
+            ), r AS (
+                SELECT event_type, bucket_ts, n, rn, n AS ewma
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.event_type, o.bucket_ts, o.n, o.rn,
+                       r.ewma * (1 - 0.3) + o.n * 0.3
+                FROM r JOIN o
+                  ON o.event_type = r.event_type AND o.rn = r.rn + 1
+            )
+            SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n,
+                   ROUND(ewma, 4) AS ewma
+            FROM r
         """,
         "stream_anomaly": """
             WITH b AS (

@@ -98,6 +98,7 @@ from meta_frame_spark.operators.temporal import (
     asof_join,
     event_paths,
     event_transitions,
+    ewma,
     rolling_agg,
     sessionize,
 )
@@ -170,6 +171,7 @@ __all__ = [
     "dup_clusters",
     "embedding_near_dup_pairs",
     "epoch_shuffle",
+    "ewma",
     "exact_dedup",
     "flag_count_anomalies",
     "ivf_topk",

@@ -232,3 +232,47 @@ def event_transitions(
     )
     wf = Window.partitionBy("from_event")
     return pairs.withColumn("p", F.col("n") / F.sum("n").over(wf))
+
+
+def ewma(
+    series: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over an ordered
+    series: ``y_t = (1 - alpha) * y_{t-1} + alpha * x_t`` with
+    ``y_0 = x_0`` — the smoothed baseline for trend/seasonality-aware
+    monitoring (feed the residual to
+    :func:`..anomaly.flag_count_anomalies` instead of the raw count
+    when traffic trends).
+
+    The recurrence is inherently sequential per key, so this is the
+    canonical ``applyInPandas`` shape: one shuffle on ``group_cols``,
+    each key's series sorted and smoothed inside its task with the
+    vectorized pandas ``ewm`` kernel (adjust=False matches the
+    recurrence exactly). State is one key's series — bounded by series
+    length (buckets), never row-grain data; pre-aggregate to buckets
+    first, as :func:`..anomaly.count_anomalies` does.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        series.schema.fields + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _smooth(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = (
+            pdf[value_col].astype("float64")
+            .ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return series.groupBy(*group_cols).applyInPandas(_smooth, schema)

@@ -160,3 +160,23 @@ def test_count_anomalies_skips_tiny_and_flat_groups(spark):
     rows += [(900, base, "tiny"), (901, base + datetime.timedelta(hours=1), "tiny")]
     df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
     assert count_anomalies(df, z_threshold=0.5, min_buckets=3).count() == 0
+
+
+def test_ewma_matches_recurrence_and_validates(spark):
+    import pytest
+
+    from meta_frame_spark.operators.temporal import ewma
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 20, 10, 40])]
+    rows += [("b", i, float(v)) for i, v in enumerate([5, 5, 5])]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {(r.k, r.t): r.s for r in
+           ewma(df, ["k"], "t", "x", alpha=0.5, out_col="s").collect()}
+    # y0=10; y1=.5*10+.5*20=15; y2=.5*15+.5*10=12.5; y3=.5*12.5+.5*40=26.25
+    assert [out[("a", i)] for i in range(4)] == [10.0, 15.0, 12.5, 26.25]
+    assert [out[("b", i)] for i in range(3)] == [5.0, 5.0, 5.0]
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, ["k"], "t", "x", alpha=0.0)
+    with pytest.raises(ValueError, match="group_cols"):
+        ewma(df, [], "t", "x", alpha=0.5)
