@@ -2554,11 +2554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is 63 entries,
-    # so r5's window = the 14 never-driver-checked round-4 queries
-    # first, then the 36 oldest r3-green entries; the remaining 13
-    # r3-green rotate into r6 (hash-green in r3, untouched since
-    # except event_paths-style documented edits).
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 76
+    # entries (63 at the r4 freeze + 13 added later in round 4, from
+    # text_normalize through ewma_hourly — all locally green via
+    # tools/check_correctness.py at sf0.001/0.01/0.1); r5's window =
+    # the 27 never-driver-checked round-4 queries first (kmeans ..
+    # ewma_hourly), then the 23 oldest r3-green entries; the remaining
+    # 26 r3-green rotate into r6.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
