@@ -2307,6 +2307,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (functions/text.py char_entropy — Arrow-batched numpy bincount;
+    the gibberish/boilerplate quality signal Gopher-style filters
+    use). Full oracle: DuckDB explodes chars and recomputes
+    -sum(p ln p); FP summation order differs only below the 4-decimal
+    round."""
+    from meta_frame_spark.functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(char_entropy("text"), 4).alias("entropy")
+    )
+
+
+def q_bucket_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified hourly series per event_type (operators/temporal.py
+    bucket_spine — sequence+explode spine, zero-filled left join) so
+    silent buckets surface as n=0 rows for the anomaly/EWMA baselines.
+    Full oracle: DuckDB generate_series over the same per-type
+    bounds."""
+    from meta_frame_spark.operators.temporal import bucket_spine
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return bucket_spine(counts, ["event_type"], step="1 hour")
+
+
 def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type EWMA-smoothed hourly event volume (operators/
     temporal.py ewma — the sequential recurrence as one applyInPandas
@@ -2693,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "stream_anomaly": q_stream_anomaly,
         "ewma_hourly": q_ewma_hourly,
+        "bucket_spine": q_bucket_spine,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -4366,6 +4399,42 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "char_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                FROM documents
+            ), p AS (
+                SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, SUM(k) AS tot FROM p GROUP BY 1
+            ), e AS (
+                SELECT p.doc_id,
+                       ROUND(-SUM((k * 1.0 / n.tot) * ln(k * 1.0 / n.tot)),
+                             4) AS entropy
+                FROM p JOIN n USING (doc_id) GROUP BY p.doc_id
+            )
+            SELECT d.doc_id, COALESCE(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "bucket_spine": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), bounds AS (
+                SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+                FROM b GROUP BY 1
+            ), spine AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                           AS bucket_ts
+                FROM bounds
+            )
+            SELECT s.event_type, s.bucket_ts, COALESCE(b.n, 0) AS n
+            FROM spine s
+            LEFT JOIN b ON b.event_type = s.event_type
+                       AND b.bucket_ts = s.bucket_ts
         """,
         "ewma_hourly": """
             WITH RECURSIVE o AS (

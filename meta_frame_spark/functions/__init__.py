@@ -4,6 +4,7 @@ from meta_frame_spark.functions.text import (
     bpe_token_count,
     bpe_tokens,
     char_count,
+    char_entropy,
     language_id,
     language_scores,
     normalize_text,
@@ -28,6 +29,7 @@ __all__ = [
     "bpe_token_count",
     "bpe_tokens",
     "char_count",
+    "char_entropy",
     "cosine_similarity",
     "dot",
     "l2_distance",

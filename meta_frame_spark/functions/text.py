@@ -241,6 +241,32 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def char_entropy(text: str | Column) -> Column:
+    """Shannon entropy (nats) of the character distribution — the
+    classic gibberish/boilerplate detector: natural prose sits ~2.9-3.3,
+    repeated-character junk and single-token spam fall near 0, uniform
+    random base64 pushes past 4. Null text stays null; empty text is
+    0.0. Arrow-batched pandas UDF (one numpy bincount per doc) — the
+    per-char explode this replaces multiplies row count by document
+    length, which is the wrong trade on a large corpus."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _ent(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            if not t:
+                return 0.0
+            _, counts = np.unique(list(t), return_counts=True)
+            p = counts / counts.sum()
+            return float(-(p * np.log(p)).sum())
+
+        return s.map(one)
+
+    return _ent(F.col(text) if isinstance(text, str) else text)
+
+
 #: HTML entity decodings applied by :func:`strip_html`, in order.
 #: ``&amp;`` is decoded LAST so ``&amp;lt;`` renders as the literal
 #: ``&lt;`` (the double-escape rule) instead of re-decoding.

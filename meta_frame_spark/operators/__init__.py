@@ -96,6 +96,7 @@ from meta_frame_spark.operators.skew import (
 )
 from meta_frame_spark.operators.temporal import (
     asof_join,
+    bucket_spine,
     event_paths,
     event_transitions,
     ewma,
@@ -150,6 +151,7 @@ __all__ = [
     "event_paths",
     "event_transitions",
     "brute_force_topk",
+    "bucket_spine",
     "dedup_units",
     "ntile_buckets",
     "repeated_units",

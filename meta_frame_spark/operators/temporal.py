@@ -276,3 +276,45 @@ def ewma(
         return pdf
 
     return series.groupBy(*group_cols).applyInPandas(_smooth, schema)
+
+
+def bucket_spine(
+    counts: DataFrame,
+    group_cols: list[str],
+    bucket_col: str = "bucket_ts",
+    step: str = "1 hour",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a per-group bucket series: emit EVERY step between each
+    group's first and last bucket, zero-filling ``value_cols`` where no
+    row existed. Bucketed aggregates silently omit empty buckets, so a
+    dead feed looks like *no rows* instead of *zero events* — and a
+    baseline (:func:`..anomaly.flag_count_anomalies`, :func:`ewma`)
+    computed over the sparse series is biased high. Run the spine
+    between bucketing and scoring to make silence visible.
+
+    Shape: the per-group [min, max] range is one tiny aggregate;
+    ``sequence()`` + ``explode`` generates the spine inside each
+    group's task (fan-out is buckets-per-group, data-independent);
+    the left join back to real counts is group+bucket keyed. Nothing
+    row-grain is touched.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    value_cols = list(value_cols or ["n"])
+    bounds = counts.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    spine = bounds.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"),
+                F.expr(f"INTERVAL {step}"),
+            )
+        ).alias(bucket_col),
+    )
+    out = spine.join(counts, [*group_cols, bucket_col], "left")
+    for c in value_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -180,3 +180,25 @@ def test_ewma_matches_recurrence_and_validates(spark):
         ewma(df, ["k"], "t", "x", alpha=0.0)
     with pytest.raises(ValueError, match="group_cols"):
         ewma(df, [], "t", "x", alpha=0.5)
+
+
+def test_bucket_spine_fills_silent_buckets(spark):
+    import datetime
+
+    from meta_frame_spark.operators.temporal import bucket_spine
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        ("a", base, 5),
+        ("a", base + datetime.timedelta(hours=3), 7),  # hours 1,2 silent
+        ("b", base, 1),
+    ]
+    counts = spark.createDataFrame(rows, ["event_type", "bucket_ts", "n"])
+    out = {(r.event_type, r.bucket_ts.hour): r.n
+           for r in bucket_spine(counts, ["event_type"]).collect()}
+    assert out == {
+        ("a", 0): 5, ("a", 1): 0, ("a", 2): 0, ("a", 3): 7,
+        ("b", 0): 1,  # b's spine spans only its own [min, max]
+    }
+    # a dead-feed hour now exists with n=0, so the anomaly scorer can
+    # flag it instead of never seeing it

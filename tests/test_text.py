@@ -331,3 +331,26 @@ def test_containment_short_doc_no_div_by_zero(spark):
     # both docs have < shingle_n tokens -> empty sets -> containment 0,
     # pair filtered, and no ANSI divide-by-zero error
     assert containment_pairs(df, cands, shingle_n=5).count() == 0
+
+
+def test_char_entropy_ordering_and_edges(spark):
+    import math
+
+    from meta_frame_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            ("aaaaaaaa",),          # zero entropy
+            ("abababab",),          # exactly ln(2)
+            ("the quick brown fox jumps over the lazy dog",),
+            ("",),                  # empty -> 0.0
+            (None,),                # null -> null
+        ],
+        ["text"],
+    )
+    vals = [r.e for r in df.select(char_entropy("text").alias("e")).collect()]
+    assert vals[0] == 0.0
+    assert abs(vals[1] - math.log(2)) < 1e-12
+    assert vals[2] > 2.5  # natural prose
+    assert vals[3] == 0.0
+    assert vals[4] is None
