@@ -2307,6 +2307,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/
+    sampling.py negative_pairs): 3 uniform partners per doc from the
+    dense id space, self bumped, zero shuffles — reproducible per
+    (id, salt, rank) on any engine. Full oracle: DuckDB replays the
+    md5 arithmetic."""
+    from meta_frame_spark.operators.sampling import negative_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pairs(docs, "doc_id", k=3, salt="r4", method="md5")
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document
     (functions/text.py char_entropy — Arrow-batched numpy bincount;
@@ -2726,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly": q_ewma_hourly,
         "bucket_spine": q_bucket_spine,
         "char_entropy": q_char_entropy,
+        "negative_pairs": q_negative_pairs,
     }
 
 
@@ -4399,6 +4412,23 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "negative_pairs": """
+            WITH n AS (SELECT COUNT(*) AS c FROM documents),
+            r AS (SELECT unnest(generate_series(1, 3)) AS pair_rank),
+            b AS (
+                SELECT d.doc_id, r.pair_rank,
+                       CAST('0x' || substr(md5(
+                           CAST(d.doc_id AS VARCHAR) || ':r4:'
+                           || CAST(r.pair_rank AS VARCHAR)), 1, 8)
+                           AS BIGINT) % (SELECT c FROM n) AS coin
+                FROM documents d CROSS JOIN r
+            )
+            SELECT doc_id, pair_rank,
+                   CASE WHEN coin = doc_id
+                        THEN (coin + 1) % (SELECT c FROM n)
+                        ELSE coin END AS neg_id
+            FROM b
         """,
         "char_entropy": r"""
             WITH ch AS (

@@ -84,6 +84,7 @@ from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
     epoch_shuffle,
     hash_split,
+    negative_pairs,
     sample_k_per_group,
     shuffle_deterministic,
     split_dataframes,
@@ -187,6 +188,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_signatures",
+    "negative_pairs",
     "ngram_jaccard_pairs",
     "pack_sequences",
     "pack_stats",

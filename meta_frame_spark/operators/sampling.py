@@ -318,3 +318,58 @@ def sample_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 1,
+    salt: str = "",
+    method: str = "md5",
+    neg_col: str = "neg_id",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each row gets ``k`` pseudo-random partner ids drawn from
+    the DENSE id space ``0..N-1`` (run
+    :func:`..ids.assign_row_numbers` first if ids have gaps),
+    self-partners bumped to the next id. Returns
+    ``(id_col, pair_rank, neg_col)`` — a pure function of
+    ``(id, salt, rank)``, so the same pairs come out on any cluster or
+    engine, and a new ``salt`` re-draws the negatives per epoch.
+
+    Shape: N is one broadcast scalar; partner ids are map-only hash
+    arithmetic fanned out ×k by an in-task explode — no shuffle at
+    all. Distinct ranks can repeat a partner (independent draws);
+    callers needing exactly-k distinct negatives dedup and over-draw.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_total = df.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = F.explode(F.array(*[F.lit(r) for r in range(1, k + 1)]))
+    base = (
+        df.select(F.col(id_col))
+        .crossJoin(F.broadcast(n_total))
+        .select(id_col, "_n", ranks.alias("pair_rank"))
+    )
+    if method == "md5":
+        coin = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(salt),
+                    F.col("pair_rank").cast("string"),
+                )),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % F.col("_n")
+    elif method == "xxhash64":
+        coin = F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(salt), F.col("pair_rank")),
+            F.col("_n"),
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    neg = F.when(coin == F.col(id_col), (coin + 1) % F.col("_n")).otherwise(coin)
+    return base.select(
+        id_col, "pair_rank", neg.cast("long").alias(neg_col)
+    )

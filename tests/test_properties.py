@@ -387,3 +387,36 @@ def test_epoch_shuffle_redeal_and_determinism(spark):
     a, b = snap(1), snap(2)
     moved = sum(1 for k in a if a[k] != b[k])
     assert moved > 150
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    k=st.integers(min_value=1, max_value=4),
+    salt=st.sampled_from(["", "s1", "s2"]),
+    method=st.sampled_from(["md5", "xxhash64"]),
+)
+def test_negative_pairs_no_self_and_deterministic(spark, k, salt, method):
+    from meta_frame_spark.operators.sampling import negative_pairs
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    out = negative_pairs(df, "doc_id", k=k, salt=salt, method=method).collect()
+    assert len(out) == 50 * k
+    for r in out:
+        assert 0 <= r.neg_id < 50
+        assert r.neg_id != r.doc_id  # self-partner always bumped
+    again = negative_pairs(
+        df.repartition(7), "doc_id", k=k, salt=salt, method=method
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_pairs_salt_redraws(spark):
+    from meta_frame_spark.operators.sampling import negative_pairs
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.pair_rank): r.neg_id
+         for r in negative_pairs(df, "doc_id", k=2, salt="e1").collect()}
+    b = {(r.doc_id, r.pair_rank): r.neg_id
+         for r in negative_pairs(df, "doc_id", k=2, salt="e2").collect()}
+    assert sum(1 for key in a if a[key] != b[key]) > 300  # most redraw
