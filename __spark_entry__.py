@@ -2307,6 +2307,49 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system character ratios per doc (functions/text.py
+    script_profile — regexp char-class counts, pure codegen, the
+    routing signal for multilingual curation). Full oracle: DuckDB
+    recomputes every class count with the same \\x{...} RE2-portable
+    classes."""
+    from meta_frame_spark.functions.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", script_profile("text").alias("s")).select(
+        "doc_id", "s.latin", "s.digit", "s.cyrillic", "s.greek",
+        "s.arabic", "s.devanagari", "s.cjk", "s.other",
+    )
+
+
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split coin is hashed from the
+    TEXT, not the doc id, so every byte-identical copy of a document
+    lands in the same split — exact dups can never straddle the
+    train/test boundary (the classic eval-leak). Composition of
+    operators/sampling.py hash_split (md5 mode) keyed on the content
+    column; near-dup-safe variants key on the dup-cluster
+    representative instead. Full oracle: DuckDB replays the md5
+    threshold and re-checks per-text split uniqueness."""
+    from meta_frame_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, {"train": 0.8, "test": 0.2}, id_col="text",
+        salt="r4", method="md5",
+    )
+    per_text = out.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("split").alias("n_splits"),
+        F.min("doc_id").alias("rep_id"),
+        F.first("split").alias("split"),
+    )
+    return per_text.select(
+        "rep_id", "n_copies", "split",
+        (F.col("n_splits") == 1).alias("no_leak"),
+    )
+
+
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (operators/
     sampling.py negative_pairs): 3 uniform partners per doc from the
@@ -2739,6 +2782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_spine": q_bucket_spine,
         "char_entropy": q_char_entropy,
         "negative_pairs": q_negative_pairs,
+        "script_profile": q_script_profile,
+        "dedup_safe_split": q_dedup_safe_split,
     }
 
 
@@ -4412,6 +4457,53 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "script_profile": r"""
+            WITH c AS (
+                SELECT doc_id, length(text) AS n,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS c_latin,
+                       len(regexp_extract_all(text, '[0-9]')) AS c_digit,
+                       len(regexp_extract_all(text,
+                           '[\x{0400}-\x{04ff}]')) AS c_cyr,
+                       len(regexp_extract_all(text,
+                           '[\x{0370}-\x{03ff}]')) AS c_grk,
+                       len(regexp_extract_all(text,
+                           '[\x{0600}-\x{06ff}]')) AS c_ara,
+                       len(regexp_extract_all(text,
+                           '[\x{0900}-\x{097f}]')) AS c_dev,
+                       len(regexp_extract_all(text,
+                           '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]'))
+                           AS c_cjk
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN c_latin * 1.0 / n ELSE 0.0 END AS latin,
+                   CASE WHEN n > 0 THEN c_digit * 1.0 / n ELSE 0.0 END AS digit,
+                   CASE WHEN n > 0 THEN c_cyr * 1.0 / n ELSE 0.0 END AS cyrillic,
+                   CASE WHEN n > 0 THEN c_grk * 1.0 / n ELSE 0.0 END AS greek,
+                   CASE WHEN n > 0 THEN c_ara * 1.0 / n ELSE 0.0 END AS arabic,
+                   CASE WHEN n > 0 THEN c_dev * 1.0 / n ELSE 0.0 END
+                       AS devanagari,
+                   CASE WHEN n > 0 THEN c_cjk * 1.0 / n ELSE 0.0 END AS cjk,
+                   CASE WHEN n > 0 THEN
+                       (n - (c_latin + c_digit + c_cyr + c_grk + c_ara
+                             + c_dev + c_cjk)) * 1.0 / n
+                   ELSE 0.0 END AS other
+            FROM c
+        """,
+        "dedup_safe_split": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN substr(md5(text || ':r4'), 1, 4) < 'cccd'
+                            THEN 'train' ELSE 'test' END AS split
+                FROM documents
+            ), g AS (
+                SELECT text, COUNT(*) AS n_copies,
+                       COUNT(DISTINCT split) AS n_splits,
+                       MIN(doc_id) AS rep_id, MIN(split) AS split
+                FROM s GROUP BY text
+            )
+            SELECT rep_id, n_copies, split, n_splits = 1 AS no_leak FROM g
         """,
         "negative_pairs": """
             WITH n AS (SELECT COUNT(*) AS c FROM documents),

@@ -370,3 +370,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.round(punct_ratio(text_col), 4))
         .withColumn("quality", F.round(quality_score(text_col), 4))
     )
+
+
+#: Unicode-script classes for :func:`script_profile`, as (name, regex
+#: char-class) — written with ``\x{...}`` escapes, which Java regex
+#: (Spark) and RE2 (DuckDB oracle) both accept.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"[A-Za-z]"),
+    ("digit", r"[0-9]"),
+    ("cyrillic", r"[\x{0400}-\x{04ff}]"),
+    ("greek", r"[\x{0370}-\x{03ff}]"),
+    ("arabic", r"[\x{0600}-\x{06ff}]"),
+    ("devanagari", r"[\x{0900}-\x{097f}]"),
+    ("cjk", r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]"),
+]
+
+
+def script_profile(text: str | Column) -> Column:
+    """Per-script character ratios as a struct
+    ``(latin, digit, cyrillic, greek, arabic, devanagari, cjk, other)``
+    — the writing-system profile multilingual curation routes on
+    (:data:`SCRIPT_CLASSES`; ``other`` is the remainder incl.
+    whitespace/punctuation). All ``regexp_count``-style codegen
+    expressions — map-only, no Python. Ratios are 0.0 for empty text;
+    null stays null."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    fields = []
+    covered = None
+    for name, cls in SCRIPT_CLASSES:
+        cnt = F.size(F.regexp_extract_all(c, F.lit(cls), 0))
+        ratio = F.when(n > 0, cnt / n).otherwise(F.lit(0.0))
+        fields.append(ratio.alias(name))
+        covered = cnt if covered is None else covered + cnt
+    other = F.when(n > 0, (n - covered) / n).otherwise(F.lit(0.0))
+    fields.append(other.alias("other"))
+    return F.struct(*fields)

@@ -420,3 +420,29 @@ def test_negative_pairs_salt_redraws(spark):
     b = {(r.doc_id, r.pair_rank): r.neg_id
          for r in negative_pairs(df, "doc_id", k=2, salt="e2").collect()}
     assert sum(1 for key in a if a[key] != b[key]) > 300  # most redraw
+
+
+def test_text_keyed_split_coassigns_exact_copies(spark):
+    """The dedup_safe_split composition: hashing the split coin from
+    the CONTENT guarantees byte-identical copies share a split (the
+    shipped corpus has no exact copies, so the invariant is pinned
+    here with planted ones)."""
+    from meta_frame_spark.operators.sampling import hash_split
+
+    rows = [(i, f"unique doc {i}") for i in range(50)]
+    rows += [(100 + j, "the same leaked document") for j in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = hash_split(
+        df, {"train": 0.8, "test": 0.2}, id_col="text",
+        salt="r4", method="md5",
+    )
+    per_text = {
+        r.text: r.n
+        for r in out.groupBy("text").agg(
+            F.count_distinct("split").alias("n")).collect()
+    }
+    assert all(n == 1 for n in per_text.values())
+    # and the copies all landed together
+    splits = {r.split for r in
+              out.filter("text = 'the same leaked document'").collect()}
+    assert len(splits) == 1

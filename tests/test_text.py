@@ -354,3 +354,17 @@ def test_char_entropy_ordering_and_edges(spark):
     assert vals[2] > 2.5  # natural prose
     assert vals[3] == 0.0
     assert vals[4] is None
+
+
+def test_script_profile_ratios_sum_to_one(spark):
+    from meta_frame_spark.functions.text import script_profile
+
+    df = spark.createDataFrame(
+        [("Hello мир 123 你好",), ("ελληνικά نص हिंदी",), ("!!!",)], ["t"]
+    )
+    for r in df.select(script_profile("t").alias("s")).collect():
+        total = sum(r.s)
+        assert abs(total - 1.0) < 1e-9
+        assert all(0.0 <= v <= 1.0 for v in r.s)
+    one = df.limit(1).select(script_profile("t").alias("s")).collect()[0].s
+    assert one.latin > 0 and one.cyrillic > 0 and one.cjk > 0 and one.digit > 0
