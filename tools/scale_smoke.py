@@ -125,15 +125,69 @@ def main() -> int:
         t, n = timed("dup_spans", spans)
         r["spans_sec"], r["spans_rows"] = t, n
 
+        def hh():
+            from meta_frame_spark.operators.freq import heavy_hitters
+
+            toks = docs(d).select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("term"))
+            return heavy_hitters(toks, "term", min_frac=0.002).count()
+        t, n = timed("heavy_hitters", hh)
+        r["heavy_hitters_sec"], r["heavy_hitters_rows"] = t, n
+
+        def tfidf():
+            from meta_frame_spark.operators.search import tfidf_topk_terms
+
+            return tfidf_topk_terms(docs(d), k=5, min_term_len=3).count()
+        t, n = timed("tfidf_keywords", tfidf)
+        r["tfidf_sec"], r["tfidf_rows"] = t, n
+
+        def tmatrix():
+            from meta_frame_spark.operators.sketch import theta_overlap_matrix
+
+            toks = docs(d).select("source", F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("tok"))
+            return theta_overlap_matrix(toks, "tok", "source").count()
+        t, n = timed("theta_matrix", tmatrix)
+        r["theta_matrix_sec"], r["theta_matrix_rows"] = t, n
+
+        def eshuffle():
+            from meta_frame_spark.operators.sampling import epoch_shuffle
+
+            return epoch_shuffle(
+                docs(d).select("doc_id"), "doc_id", epoch=1,
+                n_shards=256, method="xxhash64",
+            ).count()
+        t, n = timed("epoch_shuffle", eshuffle)
+        r["epoch_shuffle_sec"], r["epoch_shuffle_rows"] = t, n
+
         spark.catalog.clearCache()
         report[tag] = r
 
     a, b = report["sf0.1"], report["sf1"]
     print("--- growth (sf1 / sf0.1 on 10x rows) ---")
     ok = True
-    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup", "emb_near_dup", "bm25", "pq", "spans"):
+    for key in ("dedup_minhash", "dup_clusters", "semantic_dedup",
+                "emb_near_dup", "bm25", "pq", "spans", "heavy_hitters",
+                "tfidf", "theta_matrix", "epoch_shuffle"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
+    # MG no-false-negative guarantee at scale: the bounded-memory
+    # result must equal the exact full-shuffle count. (The replica
+    # generator suffixes tokens, so the sf1 hitter SET differs from
+    # sf0.1 — compare against exact, not across scales.)
+    toks1 = docs(sf1).select(F.explode(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("term"))
+    n1 = toks1.count()
+    import math as _math
+
+    exact_hh = (
+        toks1.groupBy("term").count()
+        .filter(F.col("count") >= _math.ceil(0.002 * n1)).count()
+    )
+    line_ok = b["heavy_hitters_rows"] == exact_hh
+    ok &= line_ok
+    print(f"{'heavy_hitters_rows':24s} == exact ({exact_hh}): "
+          f"{'OK' if line_ok else 'FAIL (MG candidates missed a hitter)'}")
     g = b["dedup_minhash_pairs"] / max(a["dedup_minhash_pairs"], 1)
     line_ok = 9 <= g <= 11
     ok &= line_ok
