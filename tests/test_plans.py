@@ -250,3 +250,76 @@ def test_release_tracked_caches_drops_operator_persists(spark, sf_dir):
     assert n >= 1 and len(_TRACKED) == 0
     # double release is a harmless no-op
     assert release_tracked_caches() == 0
+
+
+def test_text_normalize_is_map_only(spark, sf_dir):
+    """strip_html + normalize_text must stay one codegen'd projection:
+    any Exchange or Python eval here would tax every row of a 100 TB
+    corpus for a string cleanup."""
+    from meta_frame_spark.functions.text import normalize_text, strip_html
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(docs.select(
+        "doc_id", normalize_text(strip_html(F.col("text"))).alias("c")
+    ))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+
+
+def test_key_skew_report_uses_take_ordered(spark, sf_dir):
+    """The hot-key report must rank via TakeOrderedAndProject
+    (per-partition heaps), never a global single-partition sort over
+    all distinct keys."""
+    from meta_frame_spark.operators.skew import key_skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(key_skew_report(ev, ["user_id"], top_n=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_heavy_hitters_shuffles_candidates_not_tail(spark, sf_dir):
+    """The exact recount's aggregate must sit above the candidate
+    broadcast-join filter, so the groupBy(term) shuffle carries only
+    candidate rows — the whole point of the MG pass. A plan where the
+    big side shuffles before the join would be the full-vocabulary
+    shuffle this operator exists to avoid."""
+    from meta_frame_spark.operators.freq import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("term"))
+    plan = _plan(heavy_hitters(toks, "term", min_frac=0.002))
+    assert "BroadcastHashJoin" in plan
+    join_at = plan.index("BroadcastHashJoin")
+    # every hash aggregate on term sits ABOVE (before, in toString
+    # order) the join except the map-side partial under it: assert no
+    # Exchange hashpartitioning(term) BELOW the join subtree start
+    below = plan[join_at:]
+    assert "Exchange hashpartitioning(term" not in below
+
+
+def test_epoch_shuffle_assignment_is_map_side(spark, sf_dir):
+    """Shard assignment must not shuffle before the per-shard window:
+    exactly one hash exchange (the window's, keyed on shard)."""
+    from meta_frame_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(epoch_shuffle(
+        docs.select("doc_id"), "doc_id", epoch=1, n_shards=16
+    ))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_theta_overlap_matrix_scans_data_once(spark, sf_dir):
+    """The G x G matrix must come from sketch rows: one scan + one
+    sketch aggregate; the pair fan-out joins KB-sized sketch rows,
+    never re-reading the data per pair."""
+    from meta_frame_spark.operators.sketch import theta_overlap_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("source", F.explode(F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("tok"))
+    plan = _plan(theta_overlap_matrix(toks, "tok", "source"))
+    assert plan.count("Scan parquet") <= 2  # the two sides of one ReusedExchange-able scan
+    assert "theta_sketch_agg" in plan
