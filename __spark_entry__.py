@@ -2307,6 +2307,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_curation_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation-config text-cleanup ops driven end to end
+    (plans/curation.py: normalize -> entropy_gate), still ONE lazy
+    plan. Full oracle: DuckDB replays the whitespace/lowercase
+    normalization and the character-entropy threshold."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_curation(docs, {"steps": [
+        {"op": "normalize"},
+        {"op": "entropy_gate", "min_entropy": 1.5},
+    ]})
+    return out.select("doc_id", F.length("text").alias("n_chars_norm"))
+
+
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writing-system character ratios per doc (functions/text.py
     script_profile — regexp char-class counts, pure codegen, the
@@ -2784,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_pairs": q_negative_pairs,
         "script_profile": q_script_profile,
         "dedup_safe_split": q_dedup_safe_split,
+        "curation_cleanup": q_curation_cleanup,
     }
 
 
@@ -4457,6 +4473,27 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "curation_cleanup": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM documents
+            ), ch AS (
+                SELECT doc_id, unnest(regexp_extract_all(t, '[\s\S]')) AS c
+                FROM nrm
+            ), p AS (
+                SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, SUM(k) AS tot FROM p GROUP BY 1
+            ), e AS (
+                SELECT p.doc_id,
+                       -SUM((k * 1.0 / n.tot) * ln(k * 1.0 / n.tot)) AS ent
+                FROM p JOIN n USING (doc_id) GROUP BY p.doc_id
+            )
+            SELECT nrm.doc_id, CAST(length(nrm.t) AS INT) AS n_chars_norm
+            FROM nrm JOIN e USING (doc_id)
+            WHERE e.ent >= 1.5
         """,
         "script_profile": r"""
             WITH c AS (

@@ -105,6 +105,57 @@ def _op_normalize_scores(df: DataFrame, **kw) -> DataFrame:
     return normalize_scores(df, **kw)
 
 
+def _op_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    html: bool = False,
+) -> DataFrame:
+    from meta_frame_spark.functions.text import normalize_text, strip_html
+
+    c = F.col(text_col)
+    if html:
+        c = strip_html(c)
+    return df.withColumn(out_col or text_col, normalize_text(c))
+
+
+def _op_redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+) -> DataFrame:
+    from meta_frame_spark.functions.text import redact_pii
+
+    return df.withColumn(
+        out_col or text_col, redact_pii(F.col(text_col), kinds=kinds)
+    )
+
+
+def _op_entropy_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_entropy: float = 1.5,
+) -> DataFrame:
+    from meta_frame_spark.functions.text import char_entropy
+
+    return df.filter(char_entropy(F.col(text_col)) >= min_entropy)
+
+
+def _op_lang_gate(
+    df: DataFrame,
+    langs: list[str],
+    text_col: str = "text",
+    min_margin: int = 0,
+) -> DataFrame:
+    from meta_frame_spark.functions.text import language_scores
+
+    ls = language_scores(F.col(text_col))
+    return df.filter(
+        ls["lang"].isin(list(langs)) & (ls["margin"] >= min_margin)
+    )
+
+
 def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*columns)
 
@@ -129,6 +180,10 @@ CURATION_OPS: dict[str, Callable] = {
     "mix": _op_mix,
     "decontaminate": _op_decontaminate,
     "normalize_scores": _op_normalize_scores,
+    "normalize": _op_normalize,
+    "redact_pii": _op_redact_pii,
+    "entropy_gate": _op_entropy_gate,
+    "lang_gate": _op_lang_gate,
     "select": _op_select,
     "derive": _op_derive,
 }
@@ -154,6 +209,10 @@ _EXTRA_KEYS = {
     "filter": {"predicate"},
     "select": {"columns"},
     "derive": {"columns"},
+    "normalize": {"text_col", "out_col", "html"},
+    "redact_pii": {"text_col", "out_col", "kinds"},
+    "entropy_gate": {"text_col", "min_entropy"},
+    "lang_gate": {"text_col", "langs", "min_margin"},
 }
 
 

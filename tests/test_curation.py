@@ -224,3 +224,43 @@ def test_cross_split_leakage_rollup(spark):
            for r in cross_split_leakage(pairs, splits).collect()}
     # (1,2) and (5,6) straddle; (3,4) in-train; (7,8) in-test
     assert got == {("test", "train"): 2, ("train", "train"): 1, ("test", "test"): 1}
+
+
+def test_curation_text_cleanup_ops(spark):
+    from meta_frame_spark.plans.curation import run_curation
+
+    df = spark.createDataFrame(
+        [
+            (0, "<p>The cat is in the house and it is warm today</p>", "en"),
+            (1, "le chat est dans la maison et il est chaud ici", "fr"),
+            (2, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", "en"),  # low entropy
+            (3, "Mail me at bob@example.com for the cat details thanks", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = run_curation(df, {"steps": [
+        {"op": "normalize", "html": True},
+        {"op": "entropy_gate", "min_entropy": 1.5},
+        {"op": "lang_gate", "langs": ["en"]},
+        {"op": "redact_pii", "kinds": ["email"]},
+    ]}).collect()
+    got = {r.doc_id: r.text for r in out}
+    assert set(got) == {0, 3}          # fr row and gibberish row gated
+    assert got[0].startswith("the cat")  # html stripped + lowercased
+    assert "<EMAIL>" in got[3] and "bob@" not in got[3]
+
+
+def test_curation_new_ops_validate_kwargs(spark):
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import validate_curation_config
+
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "normalize", "htlm": True}]}  # typo
+        )
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "entropy_gate", "min": 2}]}
+        )
