@@ -2307,6 +2307,39 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume drift: OLS slope of hourly event counts over
+    the epoch-seconds axis (operators/stats.py group_trend — native
+    ANSI regr_* aggregates, constant-size moment partials). Full
+    oracle: DuckDB regr_slope/intercept/r2 on the same series."""
+    from meta_frame_spark.operators.stats import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    series = counts.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").cast("double").alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    return group_trend(series, ["event_type"], "x", "y")
+
+
+def q_corr_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem numeric signals in
+    ONE aggregate pass (operators/stats.py corr_matrix) — the
+    redundancy check before weighting signals into one score. Full
+    oracle: DuckDB corr() per pair."""
+    from meta_frame_spark.operators.stats import corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_curation_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 curation-config text-cleanup ops driven end to end
     (plans/curation.py: normalize -> entropy_gate), still ONE lazy
@@ -2800,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "dedup_safe_split": q_dedup_safe_split,
         "curation_cleanup": q_curation_cleanup,
+        "trend_hourly": q_trend_hourly,
+        "corr_signals": q_corr_signals,
     }
 
 
@@ -4473,6 +4508,39 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "trend_hourly": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS x,
+                       CAST(COUNT(*) AS DOUBLE) AS y
+                FROM events GROUP BY event_type, date_trunc('hour', ts)
+            )
+            SELECT event_type, regr_count(y, x) AS n,
+                   ROUND(regr_slope(y, x), 6) + 0.0 AS slope,
+                   ROUND(regr_intercept(y, x), 6) + 0.0 AS intercept,
+                   ROUND(regr_r2(y, x), 6) + 0.0 AS r2
+            FROM b GROUP BY 1
+        """,
+        "corr_signals": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   ROUND(corr(l_discount, l_tax), 6) FROM lineitem
         """,
         "curation_cleanup": r"""
             WITH nrm AS (

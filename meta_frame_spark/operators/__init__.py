@@ -90,6 +90,7 @@ from meta_frame_spark.operators.sampling import (
     split_dataframes,
     stratified_sample,
 )
+from meta_frame_spark.operators.stats import corr_matrix, group_trend
 from meta_frame_spark.operators.skew import (
     key_skew_report,
     salted_aggregate,
@@ -116,6 +117,7 @@ __all__ = [
     "cross_split_leakage",
     "decontaminate",
     "group_centroids",
+    "group_trend",
     "hard_negatives",
     "KMeansModel",
     "kmeans_assign",
@@ -167,6 +169,7 @@ __all__ = [
     "unigram_logprob",
     "unigram_vocab",
     "containment_pairs",
+    "corr_matrix",
     "count_anomalies",
     "cube_aggregate",
     "drop_exact_duplicates",
