@@ -88,3 +88,26 @@ def test_driver_window_composition_round4():
     ]
     # every registered query still has an oracle twin
     assert set(e.queries()) == set(e.oracle_sql())
+
+
+def test_example_monitor_events_runs(spark, sf_dir):
+    """examples/monitor_events.py: the monitoring composition (spine ->
+    EWMA -> robust anomaly -> drift -> hot keys) must run end to end
+    with consistent frames."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/examples")
+    from monitor_events import monitor
+
+    report = monitor(spark, sf_dir)
+    dense = report["dense_counts"].count()
+    assert dense > 0
+    # the spine never removes buckets, EWMA adds a column per bucket
+    assert report["smoothed"].count() == dense
+    # one drift row per event type, slope defined on a multi-bucket series
+    drift = report["drift"].collect()
+    assert len(drift) == report["dense_counts"].select("event_type").distinct().count()
+    assert all(r.slope is not None for r in drift)
+    assert report["hot_keys"].count() == 10
+    # anomalies (possibly none) all reference real types
+    types = {r.event_type for r in drift}
+    assert all(r.event_type in types for r in report["anomalies"].collect())
