@@ -2307,6 +2307,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of a new batch (doc_id 250-499) against
+    the accumulated corpus (doc_id < 250) — operators/dedup.py
+    near_dedup_against: fused sig+set pass per side, batch×corpus band
+    join, Jaccard verify on candidates only, anti-join survivors.
+    num_bands=32 keeps pair recall ~0.9999 at threshold 0.5 (and the
+    corpus' pair-Jaccard distribution is bimodal), so the DuckDB
+    bounded all-pairs oracle is a full oracle."""
+    from meta_frame_spark.operators.dedup import near_dedup_against
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    corpus = docs.filter(F.col("doc_id") < 250)
+    out = near_dedup_against(
+        batch, corpus, threshold=0.5, num_hashes=64, num_bands=32,
+        shingle_n=3,
+    )
+    return out.select("doc_id")
+
+
 def q_trend_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type volume drift: OLS slope of hourly event counts over
     the epoch-seconds axis (operators/stats.py group_trend — native
@@ -2835,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_cleanup": q_curation_cleanup,
         "trend_hourly": q_trend_hourly,
         "corr_signals": q_corr_signals,
+        "near_dedup_against": q_near_dedup_against,
     }
 
 
@@ -4508,6 +4529,28 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "near_dedup_against": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents WHERE doc_id < 500)
+            ), flagged AS (
+                SELECT DISTINCT b.doc_id
+                FROM sh b JOIN sh c
+                  ON b.doc_id >= 250 AND c.doc_id < 250
+                WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+                      / (len(b.sh) + len(c.sh)
+                         - len(list_intersect(b.sh, c.sh))) >= 0.5
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id >= 250 AND doc_id < 500
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)
         """,
         "trend_hourly": """
             WITH b AS (

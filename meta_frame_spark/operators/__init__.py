@@ -21,6 +21,7 @@ from meta_frame_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     minhash_signatures,
+    near_dedup_against,
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_groups,
@@ -191,6 +192,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_signatures",
+    "near_dedup_against",
     "negative_pairs",
     "ngram_jaccard_pairs",
     "pack_sequences",

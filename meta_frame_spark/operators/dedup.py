@@ -519,6 +519,89 @@ def minhash_lsh_dedup(
     )
 
 
+def near_dedup_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dedup: drop batch docs whose shingle-Jaccard
+    with any CORPUS doc reaches ``threshold`` — the fuzzy sibling of
+    :func:`dedup_against` (which only catches byte-identical keys).
+    The production shape for rolling crawls: each day's batch dedups
+    against the accumulated corpus without ever forming corpus×corpus
+    pairs.
+
+    Scale: both sides get the fused (signature, shingle-set) Arrow
+    pass once; candidates come from a batch-bands × corpus-bands
+    equi-join on (band, bucket) — cost scales with the BATCH's band
+    rows and matching buckets, never |corpus|²; at cluster scale the
+    corpus' band table and sets are precomputed once and reused across
+    batches. Verify joins sets only for candidate pairs; survivors
+    return via a left-anti join on flagged batch ids.
+
+    Both per-side band tables are persisted (each feeds the bucket
+    join and, for candidates, the verify join); corpus ids must share
+    ``id_col``'s type with the batch but may overlap batch ids —
+    pairs are (batch_id, corpus_id), never canonicalized.
+    """
+    rows_per_band = num_hashes // num_bands
+    both = _minhash_sig_and_set(num_hashes, shingle_n, seed)
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return track(
+            ensure_min_partitions(df)
+            .select(F.col(id_col), both(_token_hashes(text_col)).alias("s"))
+            .select(
+                F.col(id_col).alias(f"{tag}_id"),
+                F.col("s.signature").alias("signature"),
+                F.col("s.sh").alias(f"sh_{tag}"),
+            )
+            .persist()
+        )
+
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ])
+
+    def buckets(prepped: DataFrame, tag: str) -> DataFrame:
+        return prepped.select(
+            f"{tag}_id", F.explode(bands).alias("bb")
+        ).select(f"{tag}_id", "bb.band", "bb.bucket")
+
+    b_prep, c_prep = prep(batch, "batch"), prep(corpus, "corpus")
+    cands = (
+        buckets(b_prep, "batch")
+        .join(buckets(c_prep, "corpus"), ["band", "bucket"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    flagged = (
+        cands.join(b_prep.select("batch_id", "sh_batch"), "batch_id")
+        .join(c_prep.select("corpus_id", "sh_corpus"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_batch", "sh_corpus"))
+            / F.size(F.array_union("sh_batch", "sh_corpus")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # Dup-pair clustering (connected components) and canonical selection
 # --------------------------------------------------------------------------

@@ -368,3 +368,25 @@ def test_script_profile_ratios_sum_to_one(spark):
         assert all(0.0 <= v <= 1.0 for v in r.s)
     one = df.limit(1).select(script_profile("t").alias("s")).collect()[0].s
     assert one.latin > 0 and one.cyrillic > 0 and one.cjk > 0 and one.digit > 0
+
+
+def test_near_dedup_against_drops_cross_corpus_dups(spark):
+    from meta_frame_spark.operators.dedup import near_dedup_against
+
+    corpus_doc = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the deep dark forest tonight")
+    near_copy = ("the quick brown fox jumps over the lazy dog and then "
+                 "runs far away into the deep dark forest today")
+    fresh = ("completely different content about spark partitions and "
+             "shuffle boundaries in distributed query engines overall")
+    corpus = spark.createDataFrame([(1, corpus_doc)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, near_copy), (101, fresh), (102, corpus_doc)],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in near_dedup_against(
+        batch, corpus, threshold=0.5, num_hashes=64, num_bands=32,
+        shingle_n=3,
+    ).collect()}
+    # exact copy and near copy both dropped; fresh doc survives
+    assert kept == {101}
