@@ -2307,6 +2307,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonical selection over near-dup clusters
+    (operators/dedup.py keep_best_per_cluster): the LONGEST copy
+    survives each cluster instead of the min id. Same
+    threshold-0.5/32-band pair source (and the same bimodal-recall
+    caveat) as dup_cluster_sizes; full oracle recomputes clusters with
+    the recursive-reachability CTE and the (n_chars desc, doc_id asc)
+    keeper window."""
+    from meta_frame_spark.operators.dedup import (
+        keep_best_per_cluster,
+        minhash_lsh_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+        restrict_to_candidates=False,
+    )
+    kept = keep_best_per_cluster(docs, pairs, priority="n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
 def q_near_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup of a new batch (doc_id 250-499) against
     the accumulated corpus (doc_id < 250) — operators/dedup.py
@@ -2708,13 +2730,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 76
-    # entries (63 at the r4 freeze + 13 added later in round 4, from
-    # text_normalize through ewma_hourly — all locally green via
-    # tools/check_correctness.py at sf0.001/0.01/0.1); r5's window =
-    # the 27 never-driver-checked round-4 queries first (kmeans ..
-    # ewma_hourly), then the 23 oldest r3-green entries; the remaining
-    # 26 r3-green rotate into r6.
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 84
+    # entries (63 at the r4 freeze + 21 added later in round 4, from
+    # text_normalize through near_dedup_against — all locally green
+    # via tools/check_correctness.py at sf0.001/0.01/0.1); r5's
+    # window = the 35 never-driver-checked round-4 queries first
+    # (kmeans .. near_dedup_against), then the 15 oldest r3-green
+    # entries; the remaining 34 r3-green rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
@@ -2856,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_hourly": q_trend_hourly,
         "corr_signals": q_corr_signals,
         "near_dedup_against": q_near_dedup_against,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -4529,6 +4552,48 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "dedup_keep_best": r"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, reach.r FROM edges e
+                JOIN reach ON e.src = reach.node
+            ),
+            cc AS (
+                SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+            ),
+            ranked AS (
+                SELECT cc.node,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cc.cluster
+                           ORDER BY d.n_chars DESC, cc.node ASC) AS rk
+                FROM cc JOIN documents d ON d.doc_id = cc.node
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM ranked WHERE rk > 1)
         """,
         "near_dedup_against": r"""
             WITH sh AS (

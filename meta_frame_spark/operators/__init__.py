@@ -18,6 +18,7 @@ from meta_frame_spark.operators.dedup import (
     dup_clusters,
     exact_dedup,
     hashed_jaccard_pairs,
+    keep_best_per_cluster,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     minhash_signatures,
@@ -185,6 +186,7 @@ __all__ = [
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",
+    "keep_best_per_cluster",
     "key_skew_report",
     "kll_quantile_sketch",
     "kll_quantiles",

@@ -728,6 +728,39 @@ def drop_near_duplicates(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    priority: str,
+    id_col: str = "doc_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Near-dup canonical selection by QUALITY instead of min id: one
+    row per dup cluster — the one maximizing ``priority`` (ties broken
+    by ``tiebreak`` ascending, default the id) — plus every row not in
+    any pair. :func:`drop_near_duplicates` keeps the min id, which is
+    crawl-order bias; a curation pipeline usually wants the longest /
+    highest-quality copy to survive.
+
+    Scale: clustering cost is :func:`dup_clusters` (dup nodes only);
+    the keeper choice is one window over CLUSTER MEMBERS — state per
+    task is a cluster, never the corpus. Non-dup rows never shuffle.
+    """
+    clusters = dup_clusters(pairs)
+    members = clusters.withColumnRenamed("node", id_col).join(
+        df.select(id_col, priority), id_col
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(priority).desc(), F.col(tiebreak or id_col).asc()
+    )
+    losers = (
+        members.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -390,3 +390,27 @@ def test_near_dedup_against_drops_cross_corpus_dups(spark):
     ).collect()}
     # exact copy and near copy both dropped; fresh doc survives
     assert kept == {101}
+
+
+def test_keep_best_per_cluster_priority_keeper(spark):
+    from meta_frame_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [
+            (1, "short", 5),
+            (2, "the long best copy", 18),   # cluster {1,2,3}: max len
+            (3, "medium copy", 11),
+            (9, "untouched solo doc", 18),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = {r.doc_id for r in
+            keep_best_per_cluster(df, pairs, priority="n_chars").collect()}
+    assert kept == {2, 9}  # best-quality wins, not min id; solo survives
+
+    # tie on priority -> tiebreak ascending id
+    tie_pairs = spark.createDataFrame([(2, 9)], ["id_a", "id_b"])
+    kept2 = {r.doc_id for r in
+             keep_best_per_cluster(df, tie_pairs, priority="n_chars").collect()}
+    assert 2 in kept2 and 9 not in kept2
