@@ -2307,6 +2307,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-3-bucket distinct users per event type from ONE
+    sketch pass (operators/sketch.py rolling_distinct — bucket Theta
+    sketches + windowed union; history rows never re-scanned, exact
+    regime at every shipped SF). Full oracle: DuckDB re-derives the
+    rows-based trailing frame by bucket rank and counts distinct
+    exactly."""
+    from meta_frame_spark.operators.sketch import rolling_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct(
+        ev, ["event_type"], "ts", "user_id", window_buckets=3
+    )
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 term-frequency movers between the first and second half
+    of the corpus (operators/vocab.py vocab_drift — smoothed
+    log-ratio, two skinny term aggregates + outer join, TakeOrdered).
+    Full oracle: DuckDB replays counts, smoothing, and the
+    (|log_ratio| desc, term) rank."""
+    from meta_frame_spark.operators.vocab import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") < 250),
+        docs.filter(F.col("doc_id") >= 250),
+        k=20, min_count=5,
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-priority canonical selection over near-dup clusters
     (operators/dedup.py keep_best_per_cluster): the LONGEST copy
@@ -2879,6 +2910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_signals": q_corr_signals,
         "near_dedup_against": q_near_dedup_against,
         "dedup_keep_best": q_dedup_keep_best,
+        "rolling_distinct": q_rolling_distinct,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -4552,6 +4585,57 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "rolling_distinct": """
+            WITH m AS (
+                SELECT event_type, date_trunc('hour', ts) AS bt, user_id
+                FROM events
+            ), bk AS (
+                SELECT event_type, bt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type ORDER BY bt) AS rn
+                FROM (SELECT DISTINCT event_type, bt FROM m)
+            ), j AS (
+                SELECT k.event_type, k.bt, m.user_id
+                FROM bk k
+                JOIN bk p ON p.event_type = k.event_type
+                         AND p.rn BETWEEN k.rn - 2 AND k.rn
+                JOIN m ON m.event_type = p.event_type AND m.bt = p.bt
+            )
+            SELECT event_type, bt AS bucket_ts,
+                   COUNT(DISTINCT user_id) AS n_distinct
+            FROM j GROUP BY 1, 2
+        """,
+        "vocab_drift": r"""
+            WITH ta AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents WHERE doc_id < 250
+            ), tb AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents WHERE doc_id >= 250
+            ), ca AS (
+                SELECT term, COUNT(*) AS cnt_a FROM ta GROUP BY 1
+            ), cb AS (
+                SELECT term, COUNT(*) AS cnt_b FROM tb GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(ca.term, cb.term) AS term,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+            ), s AS (
+                SELECT term, cnt_a, cnt_b,
+                       ROUND(ln(
+                           ((cnt_a + 1.0)
+                            / ((SELECT COUNT(*) FROM ta) + 1.0))
+                           / ((cnt_b + 1.0)
+                              / ((SELECT COUNT(*) FROM tb) + 1.0))
+                       ), 6) + 0.0 AS log_ratio
+                FROM j WHERE greatest(cnt_a, cnt_b) >= 5
+            )
+            SELECT term, cnt_a, cnt_b, log_ratio,
+                   ROW_NUMBER() OVER (
+                       ORDER BY abs(log_ratio) DESC, term ASC) AS rank
+            FROM s ORDER BY abs(log_ratio) DESC, term ASC LIMIT 20
         """,
         "dedup_keep_best": r"""
             WITH RECURSIVE sh AS (

@@ -66,6 +66,7 @@ from meta_frame_spark.operators.sketch import (
     kll_quantiles,
     merge_cardinality_sketches,
     merge_kll_sketches,
+    rolling_distinct,
     theta_overlap_matrix,
     theta_set_overlap,
     theta_sketch,
@@ -73,6 +74,7 @@ from meta_frame_spark.operators.sketch import (
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
 from meta_frame_spark.operators.ranking import normalize_scores, ntile_buckets
+from meta_frame_spark.operators.vocab import vocab_drift, vocab_topk
 from meta_frame_spark.operators.scoring import (
     bigram_logprob,
     bigram_vocab,
@@ -200,6 +202,7 @@ __all__ = [
     "pack_sequences",
     "pack_stats",
     "profile_table",
+    "rolling_distinct",
     "rollup_aggregate",
     "shuffle_deterministic",
     "split_dataframes",
@@ -214,4 +217,6 @@ __all__ = [
     "theta_sketch",
     "top_k_per_group",
     "two_phase_count_distinct",
+    "vocab_drift",
+    "vocab_topk",
 ]

@@ -244,3 +244,42 @@ def theta_overlap_matrix(
             .alias("jaccard"),
         )
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    window_buckets: int = 3,
+    lg_k: int = 20,
+) -> DataFrame:
+    """Trailing-window distinct counts from mergeable sketches:
+    ``(*group_cols, bucket_ts, n_distinct)`` where each row counts the
+    distinct ``value_col`` over the last ``window_buckets`` EXISTING
+    buckets of its group (rows-based frame — run
+    :func:`..temporal.bucket_spine` upstream if silent buckets should
+    count as empty). The raw data is sketched ONCE per bucket; every
+    window answer is a sketch union, so widening the window or adding
+    new windows never re-scans history — the thing a naive
+    ``COUNT(DISTINCT)`` over a sliding self-join cannot avoid. Exact
+    while per-window distincts stay under ~2^lg_k."""
+    from pyspark.sql import Window
+
+    bucket_ts = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    sk = df.groupBy(*group_cols, bucket_ts).agg(
+        F.theta_sketch_agg(value_col, F.lit(lg_k)).alias("_sk")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(-(window_buckets - 1), 0)
+    )
+    return sk.select(
+        *group_cols,
+        "bucket_ts",
+        F.theta_sketch_estimate(
+            F.theta_union_agg("_sk", F.lit(lg_k)).over(w)
+        ).alias("n_distinct"),
+    )

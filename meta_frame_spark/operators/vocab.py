@@ -105,3 +105,63 @@ def vocab_topk(
         df, text_col, id_col, n=n, lowercase=lowercase, fanout=fanout
     )
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` term-frequency movers between two corpus versions:
+    ``(term, cnt_a, cnt_b, log_ratio, rank)`` ranked by |log_ratio|
+    (ties by term asc). ``log_ratio = ln(rel_a / rel_b)`` with add-one
+    smoothing on counts and totals, so terms absent from one side get
+    a large finite score instead of ±inf — the "what changed in this
+    crawl" report run between snapshot and refresh.
+
+    Shape: one token count aggregate per side (map-side combined), a
+    full outer join on term (skinny rows), totals as broadcast
+    scalars, TakeOrdered for the top-k — no global sort of the
+    vocabulary. ``min_count`` (on the larger side) drops noise terms
+    whose ratio is all smoothing.
+    """
+
+    def counts(df: DataFrame, tag: str):
+        toks = df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+                )
+            ).alias("term")
+        )
+        c = toks.groupBy("term").agg(F.count(F.lit(1)).alias(f"cnt_{tag}"))
+        n = toks.agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        return c, n
+
+    ca, na = counts(df_a, "a")
+    cb, nb = counts(df_b, "b")
+    joined = (
+        ca.join(cb, "term", "full_outer")
+        .fillna(0, ["cnt_a", "cnt_b"])
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.greatest("cnt_a", "cnt_b") >= min_count)
+    )
+    ratio = F.round(
+        F.log(
+            ((F.col("cnt_a") + 1) / (F.col("n_a") + 1))
+            / ((F.col("cnt_b") + 1) / (F.col("n_b") + 1))
+        ),
+        round_to,
+    ) + F.lit(0.0)
+    scored = joined.select(
+        "term", "cnt_a", "cnt_b", ratio.alias("log_ratio")
+    )
+    order = [F.abs(F.col("log_ratio")).desc(), F.col("term").asc()]
+    top = scored.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))

@@ -180,3 +180,20 @@ def test_theta_overlap_matrix_small(spark):
     assert (r12.n_a, r12.n_b, r12.n_both) == (100, 100, 50)
     assert r12.jaccard == round(50 / 150, 4)
     assert out[("s1", "s3")].n_both == 0 and out[("s1", "s3")].jaccard == 0.0
+
+
+def test_rolling_distinct_trailing_window(spark):
+    import datetime
+
+    from meta_frame_spark.operators.sketch import rolling_distinct
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    # hour h sees users {h}, so trailing-3 distinct = min(h+1, 3)
+    for h in range(5):
+        rows.append((base + datetime.timedelta(hours=h), "a", h))
+        rows.append((base + datetime.timedelta(hours=h), "a", h))  # dup
+    df = spark.createDataFrame(rows, ["ts", "event_type", "user_id"])
+    out = {r.bucket_ts.hour: r.n_distinct for r in rolling_distinct(
+        df, ["event_type"], "ts", "user_id", window_buckets=3).collect()}
+    assert out == {0: 1, 1: 2, 2: 3, 3: 3, 4: 3}

@@ -414,3 +414,24 @@ def test_keep_best_per_cluster_priority_keeper(spark):
     kept2 = {r.doc_id for r in
              keep_best_per_cluster(df, tie_pairs, priority="n_chars").collect()}
     assert 2 in kept2 and 9 not in kept2
+
+
+def test_vocab_drift_detects_planted_mover(spark):
+    from meta_frame_spark.operators.vocab import vocab_drift
+
+    a = spark.createDataFrame(
+        [(i, "common words here plus newterm newterm") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(i, "common words here plus oldterm oldterm") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = vocab_drift(a, b, k=4, min_count=5).collect()
+    by_term = {r.term: r for r in out}
+    assert set(by_term) >= {"newterm", "oldterm"}
+    assert by_term["newterm"].log_ratio > 0 > by_term["oldterm"].log_ratio
+    assert by_term["newterm"].cnt_a == 20 and by_term["newterm"].cnt_b == 0
+    # stable words score ~0 and rank below the movers
+    ranks = sorted(out, key=lambda r: r.rank)
+    assert {ranks[0].term, ranks[1].term} == {"newterm", "oldterm"}
