@@ -2761,13 +2761,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 84
-    # entries (63 at the r4 freeze + 21 added later in round 4, from
-    # text_normalize through near_dedup_against — all locally green
-    # via tools/check_correctness.py at sf0.001/0.01/0.1); r5's
-    # window = the 35 never-driver-checked round-4 queries first
-    # (kmeans .. near_dedup_against), then the 15 oldest r3-green
-    # entries; the remaining 34 r3-green rotate into r6/r7.
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 87
+    # entries (63 at the r4 freeze + 24 added later in round 4, from
+    # text_normalize through vocab_drift — all locally green via
+    # tools/check_correctness.py at sf0.001/0.01, spot-verified at
+    # sf0.1); r5's window = the 38 never-driver-checked round-4
+    # queries first (kmeans .. vocab_drift), then the 12 oldest
+    # r3-green entries; the remaining 37 r3-green rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
