@@ -2307,6 +2307,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance z-score outliers over the embeddings table
+    (operators/similarity.py embedding_outliers — posexplode centroid,
+    map-only zip_with distances, scalar broadcasts; zero Python).
+    Full oracle: DuckDB recomputes the per-dimension centroid, the
+    distances, and the z filter with parallel unnest."""
+    from meta_frame_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, z_threshold=2.0)
+
+
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-3-bucket distinct users per event type from ONE
     sketch pass (operators/sketch.py rolling_distinct — bucket Theta
@@ -2912,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "rolling_distinct": q_rolling_distinct,
         "vocab_drift": q_vocab_drift,
+        "emb_outliers": q_emb_outliers,
     }
 
 
@@ -4585,6 +4598,25 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "emb_outliers": """
+            WITH ex AS (
+                SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings
+            ), cent AS (
+                SELECT i, AVG(x) AS m FROM ex GROUP BY i
+            ), d AS (
+                SELECT ex.vec_id,
+                       SQRT(SUM((ex.x - cent.m) * (ex.x - cent.m))) AS dist
+                FROM ex JOIN cent USING (i) GROUP BY ex.vec_id
+            ), s AS (
+                SELECT AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd FROM d
+            )
+            SELECT d.vec_id, ROUND(d.dist, 4) AS dist,
+                   ROUND((d.dist - s.mu) / s.sd, 4) AS z
+            FROM d, s
+            WHERE s.sd > 0 AND (d.dist - s.mu) / s.sd >= 2.0
         """,
         "rolling_distinct": """
             WITH m AS (

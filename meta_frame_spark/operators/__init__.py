@@ -35,6 +35,7 @@ from meta_frame_spark.operators.ranking import (
 from meta_frame_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    embedding_outliers,
     group_centroids,
     hard_negatives,
     ivf_topk,
@@ -180,6 +181,7 @@ __all__ = [
     "drop_near_duplicates",
     "dup_clusters",
     "embedding_near_dup_pairs",
+    "embedding_outliers",
     "epoch_shuffle",
     "ewma",
     "exact_dedup",

@@ -475,3 +475,59 @@ def group_centroids(
     return exploded.groupBy(*group_cols, pos_col).agg(
         F.avg("_x").alias(mean_col)
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: float = 2.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-space quality audit: vectors whose Euclidean distance
+    to the global centroid is a z-score outlier — the cheap detector
+    for broken encoders, zero vectors, and out-of-domain strays before
+    they poison ANN graphs or SemDeDup cells. Returns
+    ``(id_col, dist, z)`` for ``z >= z_threshold``.
+
+    Shape: the centroid is one posexplode + per-dimension avg (skinny
+    (dim, partial) rows, map-side combined) broadcast back as a single
+    array; distances are map-only ``zip_with`` HOFs; the distance
+    mean/stddev is one more scalar broadcast. Three passes over the
+    vectors' bytes, zero Python, nothing row-grain ever shuffles.
+    """
+    cent = (
+        df.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "m"))
+            ).alias("s")
+        )
+        .select(F.transform("s", lambda t: t["m"]).alias("_cent"))
+    )
+    from meta_frame_spark.functions.vectors import l2_distance
+
+    dists = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            id_col, l2_distance(F.col(vec_col), F.col("_cent")).alias("dist")
+        )
+    )
+    stats = dists.agg(
+        F.avg("dist").alias("_mu"), F.stddev_samp("dist").alias("_sd")
+    )
+    z = F.when(
+        F.col("_sd") > 0, (F.col("dist") - F.col("_mu")) / F.col("_sd")
+    )
+    return (
+        dists.crossJoin(F.broadcast(stats))
+        .filter(z.isNotNull() & (z >= z_threshold))
+        .select(
+            id_col,
+            F.round("dist", round_to).alias("dist"),
+            F.round(z, round_to).alias("z"),
+        )
+    )

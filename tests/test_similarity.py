@@ -269,3 +269,21 @@ def test_emb_near_dup_exact_oracle_recall_at_shipped_scales(spark, sf_dir):
         f"LSH candidate stage no longer exact at {sf_dir}: "
         f"missed={sorted(expect - got)[:5]} extra={sorted(got - expect)[:5]}"
     )
+
+
+def test_embedding_outliers_flags_planted_stray(spark):
+    import numpy as np
+
+    from meta_frame_spark.operators.similarity import embedding_outliers
+
+    rng = np.random.default_rng(7)
+    rows = [(i, (rng.normal(0, 0.05, 8)).astype("float32").tolist())
+            for i in range(100)]
+    rows.append((999, [25.0] * 8))  # broken-encoder stray, far away
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(df, z_threshold=2.0).collect()
+    flagged = {r.vec_id for r in out}
+    assert 999 in flagged
+    assert len(flagged) < 10  # the tight cloud mostly passes
+    stray = next(r for r in out if r.vec_id == 999)
+    assert stray.z > 2.0 and stray.dist > 10
