@@ -2307,6 +2307,33 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain explode (functions/text.py split_sentences —
+    portable terminator-run regex, codegen, map-only fan-out): one row
+    per sentence with index and token count, the grain sentence-level
+    dedup/packing runs at. The synthetic corpus ships without
+    punctuation, so deterministic terminators are injected first
+    (redact_pii-style) to exercise real multi-sentence splits. Full
+    oracle: DuckDB zips unnest with generate_series and replays the
+    injection and trim/empty-drop."""
+    from meta_frame_spark.functions.text import split_sentences
+
+    docs = _t(spark, sf_dir, "documents")
+    dotted = F.replace(
+        F.replace(F.col("text"), F.lit("value "), F.lit("value. ")),
+        F.lit("fast "), F.lit("fast! "),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(split_sentences(dotted)).alias("sent_idx", "sentence"),
+    ).select(
+        "doc_id", "sent_idx",
+        F.size(F.regexp_extract_all("sentence", F.lit(r"\S+"), 0))
+        .alias("n_tokens"),
+        F.length("sentence").alias("n_chars"),
+    )
+
+
 def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-distance z-score outliers over the embeddings table
     (operators/similarity.py embedding_outliers — posexplode centroid,
@@ -2925,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct": q_rolling_distinct,
         "vocab_drift": q_vocab_drift,
         "emb_outliers": q_emb_outliers,
+        "sentences": q_sentences,
     }
 
 
@@ -4598,6 +4626,29 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "sentences": r"""
+            WITH pieces AS (
+                SELECT doc_id,
+                       list_transform(
+                           regexp_extract_all(
+                               replace(replace(text, 'value ', 'value. '),
+                                       'fast ', 'fast! '),
+                               '[^.!?]+[.!?]*'),
+                           s -> trim(s)
+                       ) AS raw
+                FROM documents
+            ), sents AS (
+                SELECT doc_id,
+                       list_filter(raw, s -> length(s) > 0) AS arr
+                FROM pieces
+            )
+            SELECT doc_id,
+                   unnest(generate_series(0, len(arr) - 1)) AS sent_idx,
+                   CAST(len(regexp_extract_all(unnest(arr), '\S+'))
+                        AS INT) AS n_tokens,
+                   CAST(length(unnest(arr)) AS INT) AS n_chars
+            FROM sents WHERE len(arr) > 0
         """,
         "emb_outliers": """
             WITH ex AS (

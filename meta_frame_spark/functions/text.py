@@ -406,3 +406,23 @@ def script_profile(text: str | Column) -> Column:
     other = F.when(n > 0, (n - covered) / n).otherwise(F.lit(0.0))
     fields.append(other.alias("other"))
     return F.struct(*fields)
+
+
+#: Sentence-ish segmentation pattern: a run of non-terminators followed
+#: by any run of terminators. No lookbehind/lookahead, so Java regex
+#: (Spark) and RE2 (DuckDB oracle) agree byte-for-byte.
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(text: str | Column) -> Column:
+    """Sentence-grain segmentation (array<string>): split on
+    ``.!?`` runs, each piece trimmed, empties dropped — the
+    pre-step for sentence-level dedup, packing, and per-sentence
+    quality scoring. Deliberately regex-simple (no abbreviation
+    model — 'e.g.' splits) so the SAME segmentation is reproducible
+    on any engine; swap in ``F.sentences`` where locale-aware
+    splitting matters more than portability. Pure codegen, map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(SENTENCE_RE), 0)
+    trimmed = F.transform(pieces, lambda s: F.trim(s))
+    return F.filter(trimmed, lambda s: F.length(s) > 0)

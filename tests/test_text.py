@@ -435,3 +435,26 @@ def test_vocab_drift_detects_planted_mover(spark):
     # stable words score ~0 and rank below the movers
     ranks = sorted(out, key=lambda r: r.rank)
     assert {ranks[0].term, ranks[1].term} == {"newterm", "oldterm"}
+
+
+def test_split_sentences_edges(spark):
+    from meta_frame_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            ("One. Two two! Three?  ",),
+            ("no terminators here",),
+            ("trailing fragment. unfinished",),
+            ("!!!",),   # only terminators -> no sentence content
+            ("",),
+            (None,),
+        ],
+        ["t"],
+    )
+    out = [r.s for r in df.select(split_sentences("t").alias("s")).collect()]
+    assert out[0] == ["One.", "Two two!", "Three?"]
+    assert out[1] == ["no terminators here"]
+    assert out[2] == ["trailing fragment.", "unfinished"]
+    assert out[3] == []
+    assert out[4] == []
+    assert out[5] is None
