@@ -405,7 +405,9 @@ def script_profile(text: str | Column) -> Column:
         covered = cnt if covered is None else covered + cnt
     other = F.when(n > 0, (n - covered) / n).otherwise(F.lit(0.0))
     fields.append(other.alias("other"))
-    return F.struct(*fields)
+    # null text -> null struct (NOT an all-zero profile, which would be
+    # indistinguishable from empty text)
+    return F.when(c.isNotNull(), F.struct(*fields))
 
 
 #: Sentence-ish segmentation pattern: a run of non-terminators followed

@@ -84,7 +84,11 @@ from meta_frame_spark.operators.scoring import (
     unigram_vocab,
 )
 from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_counts
-from meta_frame_spark.operators.search import bm25_topk, build_inverted_index
+from meta_frame_spark.operators.search import (
+    bm25_topk,
+    build_inverted_index,
+    tfidf_topk_terms,
+)
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
     epoch_shuffle,
@@ -215,6 +219,7 @@ __all__ = [
     "simhash_dup_groups",
     "srp_lsh_topk",
     "theta_overlap_matrix",
+    "tfidf_topk_terms",
     "theta_set_overlap",
     "theta_sketch",
     "top_k_per_group",

@@ -747,11 +747,13 @@ def keep_best_per_cluster(
     task is a cluster, never the corpus. Non-dup rows never shuffle.
     """
     clusters = dup_clusters(pairs)
+    tiebreak = tiebreak or id_col
+    member_cols = list(dict.fromkeys([id_col, priority, tiebreak]))
     members = clusters.withColumnRenamed("node", id_col).join(
-        df.select(id_col, priority), id_col
+        df.select(*member_cols), id_col
     )
     w = Window.partitionBy("cluster").orderBy(
-        F.col(priority).desc(), F.col(tiebreak or id_col).asc()
+        F.col(priority).desc(), F.col(tiebreak).asc()
     )
     losers = (
         members.withColumn("_rk", F.row_number().over(w))

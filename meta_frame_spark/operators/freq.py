@@ -64,8 +64,15 @@ def heavy_hitters(
             f"k={k} breaks the Misra-Gries superset guarantee for "
             f"min_frac={min_frac}: need k + 1 > {1 / min_frac:.1f}"
         )
-    src = items.select(F.col(item_col).alias("item")).filter(
-        F.col("item").isNotNull()
+    from meta_frame_spark.operators.cache import track
+
+    # three consumers (MG candidate pass, total count, exact recount)
+    # — persist, or the upstream pipeline (often a corpus-wide
+    # tokenize+explode) runs three times
+    src = track(
+        items.select(F.col(item_col).alias("item"))
+        .filter(F.col("item").isNotNull())
+        .persist()
     )
     schema = src.schema
 

@@ -352,13 +352,16 @@ def negative_pairs(
         .select(id_col, "_n", ranks.alias("pair_rank"))
     )
     if method == "md5":
+        # 15 hex chars = 60 hash bits: modulo bias <= N/2^60 and no
+        # unreachable ids until N > 2^60 (8 chars would skew the draw
+        # and strand ids >= 2^32 at billion-doc scale)
         coin = F.conv(
             F.substring(
                 F.md5(F.concat_ws(
                     ":", F.col(id_col).cast("string"), F.lit(salt),
                     F.col("pair_rank").cast("string"),
                 )),
-                1, 8,
+                1, 15,
             ),
             16, 10,
         ).cast("long") % F.col("_n")

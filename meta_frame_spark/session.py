@@ -43,6 +43,10 @@ def get_session(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Pin event-time arithmetic (unix_timestamp, date_trunc on
+        # NTZ-loaded data) to UTC so results are byte-identical on any
+        # host timezone — and match the DuckDB oracle's naive-UTC math.
+        "spark.sql.session.timeZone": "UTC",
         # Arrow for any pandas UDF / toPandas edge — batch columnar transfer.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Silence the UI in test/bench runs.

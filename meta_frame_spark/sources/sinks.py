@@ -298,16 +298,26 @@ def files_for_range(manifest_path: str, col: str, lo, hi) -> list[str]:
     """Read a :func:`write_manifest` manifest and return only the files
     whose ``[col_min, col_max]`` zone overlaps ``[lo, hi]`` — the
     driver-side pruning step a reader applies before handing Spark an
-    explicit file list."""
+    explicit file list.
+
+    Non-JSON stat types (timestamps, dates, Decimals) were serialized
+    by :func:`write_manifest` via ``str()``; when the stored zone
+    values are strings and the caller's bounds are not, the bounds are
+    ``str()``-coerced the same way before comparing — correct for the
+    ISO-ordered ``str(datetime)``/``str(date)`` forms and fixed-scale
+    Decimals, which sort lexicographically in value order."""
     import json
 
     with open(manifest_path) as f:
         manifest = json.load(f)
-    return [
-        m["file"]
-        for m in manifest
-        if m[f"{col}_min"] is not None
-        and m[f"{col}_max"] is not None
-        and m[f"{col}_min"] <= hi
-        and m[f"{col}_max"] >= lo
-    ]
+    out = []
+    for m in manifest:
+        mn, mx = m.get(f"{col}_min"), m.get(f"{col}_max")
+        if mn is None or mx is None:
+            continue
+        qlo, qhi = lo, hi
+        if isinstance(mn, str) and not isinstance(qlo, str):
+            qlo, qhi = str(qlo), str(qhi)
+        if mn <= qhi and mx >= qlo:
+            out.append(m["file"])
+    return out

@@ -384,3 +384,24 @@ def test_manifest_requires_stat_cols(spark, tmp_path):
 
     with pytest.raises(ValueError, match="stat_cols"):
         collect_file_stats(spark, str(tmp_path), [])
+
+
+def test_files_for_range_string_serialized_stats(tmp_path):
+    import datetime
+    import json
+
+    from meta_frame_spark.sources.sinks import files_for_range
+
+    manifest = [
+        {"file": "a", "n_rows": 1,
+         "ts_min": "2024-01-01 00:00:00", "ts_max": "2024-01-31 00:00:00"},
+        {"file": "b", "n_rows": 1,
+         "ts_min": "2024-03-01 00:00:00", "ts_max": "2024-03-31 00:00:00"},
+    ]
+    p = tmp_path / "_manifest.json"
+    p.write_text(json.dumps(manifest))
+    picked = files_for_range(
+        str(p), "ts",
+        datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 20),
+    )
+    assert picked == ["a"]  # datetime bounds coerced to the str() form

@@ -458,3 +458,25 @@ def test_split_sentences_edges(spark):
     assert out[3] == []
     assert out[4] == []
     assert out[5] is None
+
+
+def test_keep_best_per_cluster_custom_tiebreak(spark):
+    from meta_frame_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 3), (3, 10, 9)],  # equal priority
+        ["doc_id", "quality", "crawl_ts"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = {r.doc_id for r in keep_best_per_cluster(
+        df, pairs, priority="quality", tiebreak="crawl_ts").collect()}
+    assert kept == {2}  # lowest crawl_ts wins the tie
+
+
+def test_script_profile_null_stays_null(spark):
+    from meta_frame_spark.functions.text import script_profile
+
+    df = spark.createDataFrame([(None,), ("",)], "t string")
+    rows = df.select(script_profile("t").alias("s")).collect()
+    assert rows[0].s is None          # null text -> null struct
+    assert rows[1].s.other == 0.0     # empty text -> zero profile
