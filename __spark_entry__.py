@@ -2307,6 +2307,40 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance proven equal to a full rescan:
+    events split into two batches by event_id parity, each folded into
+    a mergeable state table (operators/incremental.py), states merged
+    — and the merge IS the full aggregation, which is exactly what the
+    DuckDB oracle computes from raw rows. sum/count merge by sum,
+    min/max by themselves; history rows are never re-read."""
+    from meta_frame_spark.operators.incremental import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    specs = {
+        "n_events": (None, "count"),
+        "sum_value": ("value", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    a = aggregate_state(
+        ev.filter(F.col("event_id") % 2 == 0), ["event_type"], specs
+    )
+    b = aggregate_state(
+        ev.filter(F.col("event_id") % 2 == 1), ["event_type"], specs
+    )
+    merged = merge_aggregate_states(a, b, ["event_type"], specs)
+    return merged.select(
+        "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-grain explode (functions/text.py split_sentences —
     portable terminator-run regex, codegen, map-only fan-out): one row
@@ -2955,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "emb_outliers": q_emb_outliers,
         "sentences": q_sentences,
+        "incremental_agg": q_incremental_agg,
     }
 
 
@@ -4628,6 +4663,13 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "incremental_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(MIN(value), 4) AS min_value,
+                   ROUND(MAX(value), 4) AS max_value
+            FROM events GROUP BY 1
         """,
         "sentences": r"""
             WITH pieces AS (

@@ -10,6 +10,10 @@ from meta_frame_spark.operators.anomaly import (
     flag_count_anomalies,
 )
 from meta_frame_spark.operators.freq import heavy_hitters
+from meta_frame_spark.operators.incremental import (
+    aggregate_state,
+    merge_aggregate_states,
+)
 from meta_frame_spark.operators.dedup import (
     containment_pairs,
     dedup_against,
@@ -116,11 +120,13 @@ from meta_frame_spark.operators.temporal import (
 )
 
 __all__ = [
+    "aggregate_state",
     "apply_changelog",
     "apply_mix",
     "cardinality_sketch",
     "estimate_distinct",
     "incremental_distinct",
+    "merge_aggregate_states",
     "merge_cardinality_sketches",
     "temperature_mix_plan",
     "cross_split_leakage",
