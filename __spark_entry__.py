@@ -2307,6 +2307,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config).select("doc_id", "source", "n_chars")
 
 
+def q_top_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-mass budgeting per source (operators/gating.py
+    top_mass_per_group): keep the longest docs until they cover 50% of
+    each source's total character mass — the budget adapts to each
+    group's concentration, unlike a fixed cap. Integer sums, so the
+    oracle comparison is exact; full oracle via DuckDB running-sum
+    windows."""
+    from meta_frame_spark.operators.gating import top_mass_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = top_mass_per_group(
+        docs, ["source"], "n_chars", mass=0.5, tiebreak="doc_id"
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance proven equal to a full rescan:
     events split into two batches by event_id parity, each folded into
@@ -2990,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": q_emb_outliers,
         "sentences": q_sentences,
         "incremental_agg": q_incremental_agg,
+        "top_mass": q_top_mass,
     }
 
 
@@ -4663,6 +4680,19 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "top_mass": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) - n_chars AS prev,
+                       SUM(n_chars) OVER (PARTITION BY source) AS tot
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars
+            FROM s WHERE tot > 0 AND prev < 0.5 * tot
         """,
         "incremental_agg": """
             SELECT event_type, COUNT(*) AS n_events,

@@ -58,7 +58,11 @@ from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
-from meta_frame_spark.operators.gating import quantile_band_filter, winsorize
+from meta_frame_spark.operators.gating import (
+    quantile_band_filter,
+    top_mass_per_group,
+    winsorize,
+)
 from meta_frame_spark.operators.quota import quota_per_group
 from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
 from meta_frame_spark.operators.linedup import dedup_units, repeated_units
@@ -229,6 +233,7 @@ __all__ = [
     "theta_set_overlap",
     "theta_sketch",
     "top_k_per_group",
+    "top_mass_per_group",
     "two_phase_count_distinct",
     "vocab_drift",
     "vocab_topk",

@@ -113,3 +113,44 @@ def winsorize(
     if out not in df.columns:
         sel.append(clipped.alias(out))
     return joined.select(*sel)
+
+
+def top_mass_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    mass: float,
+    tiebreak: str,
+) -> DataFrame:
+    """Score-mass budgeting (nucleus-style selection): per group, keep
+    the highest-``score_col`` rows until their cumulative score first
+    reaches ``mass`` of the group total — the boundary row that
+    crosses the threshold is KEPT, so every non-empty group keeps at
+    least one row. Unlike a fixed per-group count (domain_cap) or a
+    quantile gate, the budget adapts to how concentrated each group's
+    quality is: a group where two docs carry 90% of the score keeps
+    two docs.
+
+    Deterministic: rows rank by (score desc, tiebreak asc). Scores
+    must be non-negative — a negative score makes cumulative mass
+    non-monotone and the cut ill-defined; gate with
+    ``expect_or_fail([{"check": "range", ...}])`` upstream. One
+    shuffle on the group key; window state is one group's rows.
+    """
+    if not 0 < mass <= 1:
+        raise ValueError(f"mass must be in (0, 1], got {mass}")
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc(), F.col(tiebreak).asc()]
+    wg = Window.partitionBy(*group_cols)
+    w = wg.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # a row is kept iff the mass BEFORE it is still under budget — so
+    # the boundary row crossing the threshold stays
+    prev = F.sum(score_col).over(w) - F.col(score_col)
+    total = F.sum(score_col).over(wg)
+    return (
+        df.withColumn("_prev", prev)
+        .withColumn("_tot", total)
+        .filter((F.col("_tot") > 0) & (F.col("_prev") < mass * F.col("_tot")))
+        .drop("_prev", "_tot")
+    )

@@ -219,3 +219,26 @@ class TestDedupAgainst:
         )
         out = dedup_against(batch, corpus, ["text"], "id", within_batch=False)
         assert out.count() == 2
+
+
+def test_top_mass_per_group_adapts_to_concentration(spark):
+    import pytest
+
+    from meta_frame_spark.operators.gating import top_mass_per_group
+
+    rows = [
+        # concentrated group: one doc carries 90 of 100
+        ("conc", 1, 90), ("conc", 2, 5), ("conc", 3, 5),
+        # flat group: four docs of 25 each
+        ("flat", 10, 25), ("flat", 11, 25), ("flat", 12, 25), ("flat", 13, 25),
+    ]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "score"])
+    kept = {(r.g, r.doc_id) for r in top_mass_per_group(
+        df, ["g"], "score", mass=0.5, tiebreak="doc_id").collect()}
+    # concentrated: the single 90-score doc crosses 50% alone
+    assert {d for g, d in kept if g == "conc"} == {1}
+    # flat: two docs of 25 reach exactly 50% (boundary row kept)
+    assert {d for g, d in kept if g == "flat"} == {10, 11}
+
+    with pytest.raises(ValueError, match="mass"):
+        top_mass_per_group(df, ["g"], "score", mass=0.0, tiebreak="doc_id")
