@@ -2850,15 +2850,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 89
-    # entries (63 at the r4 freeze + 26 added later in round 4, from
-    # text_normalize through sentences — all locally green via
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 91
+    # entries (63 at the r4 freeze + 28 added later in round 4, from
+    # text_normalize through top_mass — all locally green via
     # tools/check_correctness.py at sf0.001/0.01, and at sf0.1 except
     # dedup_keep_best, whose recursive-CC DuckDB oracle is
     # sf0.01-bounded; its sf0.1 run is Spark-side identity-checked);
-    # r5's window = the 40 never-driver-checked round-4 queries first
-    # (kmeans .. sentences), then the 10 oldest r3-green entries; the
-    # remaining 39 r3-green rotate into r6/r7.
+    # r5's window = the 42 never-driver-checked round-4 queries first
+    # (kmeans .. top_mass), then the 8 oldest r3-green entries; the
+    # remaining 41 r3-green rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
