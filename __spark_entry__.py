@@ -4688,11 +4688,15 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source
                            ORDER BY n_chars DESC, doc_id ASC
                            ROWS UNBOUNDED PRECEDING) - n_chars AS prev,
-                       SUM(n_chars) OVER (PARTITION BY source) AS tot
+                       SUM(n_chars) OVER (PARTITION BY source) AS tot,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
                 FROM documents
             )
             SELECT doc_id, source, n_chars
-            FROM s WHERE tot > 0 AND prev < 0.5 * tot
+            FROM s WHERE (tot > 0 AND prev < 0.5 * tot)
+                      OR (tot = 0 AND rn = 1)
         """,
         "incremental_agg": """
             SELECT event_type, COUNT(*) AS n_events,
@@ -4931,15 +4935,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN n > 0 THEN c_latin * 1.0 / n ELSE 0.0 END AS latin,
-                   CASE WHEN n > 0 THEN c_digit * 1.0 / n ELSE 0.0 END AS digit,
-                   CASE WHEN n > 0 THEN c_cyr * 1.0 / n ELSE 0.0 END AS cyrillic,
-                   CASE WHEN n > 0 THEN c_grk * 1.0 / n ELSE 0.0 END AS greek,
-                   CASE WHEN n > 0 THEN c_ara * 1.0 / n ELSE 0.0 END AS arabic,
-                   CASE WHEN n > 0 THEN c_dev * 1.0 / n ELSE 0.0 END
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_latin * 1.0 / n ELSE 0.0 END AS latin,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_digit * 1.0 / n ELSE 0.0 END AS digit,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_cyr * 1.0 / n ELSE 0.0 END AS cyrillic,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_grk * 1.0 / n ELSE 0.0 END AS greek,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_ara * 1.0 / n ELSE 0.0 END AS arabic,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_dev * 1.0 / n ELSE 0.0 END
                        AS devanagari,
-                   CASE WHEN n > 0 THEN c_cjk * 1.0 / n ELSE 0.0 END AS cjk,
-                   CASE WHEN n > 0 THEN
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN c_cjk * 1.0 / n ELSE 0.0 END AS cjk,
+                   CASE WHEN n IS NULL THEN NULL WHEN n > 0 THEN
                        (n - (c_latin + c_digit + c_cyr + c_grk + c_ara
                              + c_dev + c_cjk)) * 1.0 / n
                    ELSE 0.0 END AS other

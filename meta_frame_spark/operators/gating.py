@@ -145,12 +145,20 @@ def top_mass_per_group(
     wg = Window.partitionBy(*group_cols)
     w = wg.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     # a row is kept iff the mass BEFORE it is still under budget — so
-    # the boundary row crossing the threshold stays
+    # the boundary row crossing the threshold stays. An all-zero group
+    # has no mass to budget; its rank-1 row is kept to honor the
+    # at-least-one-row contract.
     prev = F.sum(score_col).over(w) - F.col(score_col)
     total = F.sum(score_col).over(wg)
+    rn = F.row_number().over(wg.orderBy(*order))
+    p, t, r = "_mfs_tm_prev", "_mfs_tm_tot", "_mfs_tm_rn"
     return (
-        df.withColumn("_prev", prev)
-        .withColumn("_tot", total)
-        .filter((F.col("_tot") > 0) & (F.col("_prev") < mass * F.col("_tot")))
-        .drop("_prev", "_tot")
+        df.withColumn(p, prev)
+        .withColumn(t, total)
+        .withColumn(r, rn)
+        .filter(
+            ((F.col(t) > 0) & (F.col(p) < mass * F.col(t)))
+            | ((F.col(t) == 0) & (F.col(r) == 1))
+        )
+        .drop(p, t, r)
     )

@@ -31,11 +31,16 @@ _MERGEABLE = {
 def _validate(specs: dict[str, tuple[str | None, str]]) -> None:
     if not specs:
         raise ValueError("specs must name at least one aggregate")
-    for out, (_, fn) in specs.items():
+    for out, (col, fn) in specs.items():
         if fn not in _MERGEABLE:
             raise ValueError(
                 f"{out!r}: {fn!r} is not mergeable; allowed: "
                 f"{sorted(_MERGEABLE)} (decompose avg into sum+count)"
+            )
+        if fn != "count" and not col:
+            raise ValueError(
+                f"{out!r}: {fn!r} needs a value column "
+                "(only 'count' ignores it)"
             )
 
 

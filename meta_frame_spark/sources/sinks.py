@@ -301,23 +301,47 @@ def files_for_range(manifest_path: str, col: str, lo, hi) -> list[str]:
     explicit file list.
 
     Non-JSON stat types (timestamps, dates, Decimals) were serialized
-    by :func:`write_manifest` via ``str()``; when the stored zone
-    values are strings and the caller's bounds are not, the bounds are
-    ``str()``-coerced the same way before comparing — correct for the
-    ISO-ordered ``str(datetime)``/``str(date)`` forms and fixed-scale
-    Decimals, which sort lexicographically in value order."""
+    by :func:`write_manifest` via ``str()``; when a stored zone value
+    is a string and the caller's bound is not, the STORED value is
+    parsed back into the bound's family before comparing (numeric
+    bounds via ``Decimal`` — lexicographic string comparison would
+    mis-order '100' < '90'; datetime/date bounds via
+    ``fromisoformat``, which accepts the ``str()`` forms). An unknown
+    ``col`` raises ``KeyError`` — a typo must not masquerade as
+    everything-pruned."""
+    import datetime
+    import decimal
     import json
+
+    def parse_stored(stored, bound):
+        if not isinstance(stored, str) or isinstance(bound, str):
+            return stored
+        if isinstance(bound, bool):
+            return stored == "True"
+        if isinstance(bound, (int, float, decimal.Decimal)):
+            return decimal.Decimal(stored)
+        if isinstance(bound, datetime.datetime):
+            return datetime.datetime.fromisoformat(stored)
+        if isinstance(bound, datetime.date):
+            return datetime.date.fromisoformat(stored)
+        return stored
+
+    def cmp_bound(bound):
+        # Decimal compares exactly with int/float on the other side
+        return (
+            decimal.Decimal(str(bound))
+            if isinstance(bound, float)
+            else bound
+        )
 
     with open(manifest_path) as f:
         manifest = json.load(f)
     out = []
     for m in manifest:
-        mn, mx = m.get(f"{col}_min"), m.get(f"{col}_max")
+        mn, mx = m[f"{col}_min"], m[f"{col}_max"]
         if mn is None or mx is None:
             continue
-        qlo, qhi = lo, hi
-        if isinstance(mn, str) and not isinstance(qlo, str):
-            qlo, qhi = str(qlo), str(qhi)
-        if mn <= qhi and mx >= qlo:
+        if parse_stored(mn, lo) <= cmp_bound(hi) and \
+                parse_stored(mx, lo) >= cmp_bound(lo):
             out.append(m["file"])
     return out

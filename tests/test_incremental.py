@@ -49,3 +49,9 @@ def test_incremental_specs_validated(spark):
         aggregate_state(df, ["g"], {"a": ("v", "avg")})
     with pytest.raises(ValueError, match="at least one"):
         aggregate_state(df, ["g"], {})
+
+
+def test_incremental_specs_require_value_col(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["g", "v"])
+    with pytest.raises(ValueError, match="needs a value column"):
+        aggregate_state(df, ["g"], {"total": (None, "sum")})

@@ -242,3 +242,14 @@ def test_top_mass_per_group_adapts_to_concentration(spark):
 
     with pytest.raises(ValueError, match="mass"):
         top_mass_per_group(df, ["g"], "score", mass=0.0, tiebreak="doc_id")
+
+
+def test_top_mass_zero_total_group_keeps_one_row(spark):
+    from meta_frame_spark.operators.gating import top_mass_per_group
+
+    df = spark.createDataFrame(
+        [("z", 1, 0), ("z", 2, 0), ("ok", 5, 10)], ["g", "doc_id", "score"]
+    )
+    kept = {(r.g, r.doc_id) for r in top_mass_per_group(
+        df, ["g"], "score", mass=0.5, tiebreak="doc_id").collect()}
+    assert kept == {("z", 1), ("ok", 5)}  # all-zero group keeps rank-1

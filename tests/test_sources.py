@@ -405,3 +405,25 @@ def test_files_for_range_string_serialized_stats(tmp_path):
         datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 20),
     )
     assert picked == ["a"]  # datetime bounds coerced to the str() form
+
+
+def test_files_for_range_decimal_strings_compare_numerically(tmp_path):
+    import json
+    from decimal import Decimal
+
+    from meta_frame_spark.sources.sinks import files_for_range
+
+    manifest = [
+        {"file": "a", "n_rows": 1, "v_min": "50.00", "v_max": "100.00"},
+        {"file": "b", "n_rows": 1, "v_min": "200.00", "v_max": "300.00"},
+    ]
+    p = tmp_path / "_m.json"
+    p.write_text(json.dumps(manifest))
+    # lexicographic '100.00' < '90' would wrongly prune file a
+    assert files_for_range(str(p), "v", Decimal("90"), Decimal("95")) == ["a"]
+    assert files_for_range(str(p), "v", 90.0, 95.0) == ["a"]
+    # unknown column is a loud KeyError, not an empty (prune-everything) list
+    import pytest
+
+    with pytest.raises(KeyError):
+        files_for_range(str(p), "nope", 1, 2)
