@@ -9,6 +9,11 @@ from meta_frame_spark.operators.anomaly import (
     count_anomalies,
     flag_count_anomalies,
 )
+from meta_frame_spark.operators.expect import (
+    check_constraints,
+    expect_or_fail,
+    expect_schema,
+)
 from meta_frame_spark.operators.freq import heavy_hitters
 from meta_frame_spark.operators.incremental import (
     aggregate_state,
@@ -187,6 +192,7 @@ __all__ = [
     "snapshot_asof",
     "unigram_logprob",
     "unigram_vocab",
+    "check_constraints",
     "containment_pairs",
     "corr_matrix",
     "count_anomalies",
@@ -197,6 +203,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_outliers",
     "epoch_shuffle",
+    "expect_or_fail",
+    "expect_schema",
     "ewma",
     "exact_dedup",
     "flag_count_anomalies",

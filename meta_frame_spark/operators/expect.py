@@ -137,3 +137,46 @@ def expect_or_fail(df: DataFrame, checks: list[dict]) -> None:
     if bad:
         lines = ", ".join(f"{c}[{k}]={n}" for c, k, n in bad)
         raise ValueError(f"expectations failed: {lines}")
+
+
+def expect_schema(
+    df: DataFrame,
+    spec: dict[str, str],
+    allow_extra: bool = True,
+    check_nullability: bool = False,
+) -> None:
+    """Loud schema gate: every column in ``spec`` (name -> Spark
+    simpleString type, e.g. ``{"doc_id": "bigint", "text": "string"}``)
+    must exist with that exact type, else ``ValueError`` listing every
+    violation at once. ``allow_extra=False`` also rejects columns the
+    spec does not mention (closed contracts for sink boundaries);
+    ``check_nullability=True`` appends ``" not null"`` parsing: a spec
+    value like ``"bigint not null"`` requires ``nullable=False``.
+
+    Purely driver-side over ``df.schema`` — no job runs; pair with
+    :func:`check_constraints` for value-level gates.
+    """
+    problems = []
+    fields = {f.name: f for f in df.schema.fields}
+    for name, want in spec.items():
+        want_type, _, null_suffix = want.partition(" not null")
+        want_type = want_type.strip()
+        f = fields.get(name)
+        if f is None:
+            problems.append(f"missing column {name!r} ({want})")
+            continue
+        if f.dataType.simpleString() != want_type:
+            problems.append(
+                f"{name!r}: expected {want_type}, got "
+                f"{f.dataType.simpleString()}"
+            )
+        if check_nullability and want.endswith("not null") and f.nullable:
+            problems.append(f"{name!r}: expected not null, is nullable")
+    if not allow_extra:
+        extra = sorted(set(fields) - set(spec))
+        if extra:
+            problems.append(f"unexpected columns: {extra}")
+    if problems:
+        raise ValueError(
+            "schema expectation failed: " + "; ".join(problems)
+        )

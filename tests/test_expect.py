@@ -76,3 +76,38 @@ def test_shared_scan_for_aggregate_checks(spark):
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     # one Aggregate feeding three projections — the relation appears once
     assert plan.count("LogicalRDD") == 1
+
+
+def test_expect_schema_passes_and_lists_all_violations(spark):
+    import pytest
+
+    from meta_frame_spark.operators.expect import expect_schema
+
+    df = spark.createDataFrame([(1, "x", 2.0)], ["id", "name", "score"])
+    # exact match passes silently
+    expect_schema(df, {"id": "bigint", "name": "string", "score": "double"})
+    # extra columns tolerated by default, rejected on closed contracts
+    expect_schema(df, {"id": "bigint"})
+    with pytest.raises(ValueError, match="unexpected columns"):
+        expect_schema(df, {"id": "bigint"}, allow_extra=False)
+    # every violation reported at once
+    with pytest.raises(ValueError) as e:
+        expect_schema(df, {"id": "int", "missing": "string"})
+    msg = str(e.value)
+    assert "expected int, got bigint" in msg and "missing column" in msg
+
+
+def test_expect_schema_nullability(spark):
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from meta_frame_spark.operators.expect import expect_schema
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), nullable=True),
+    ])
+    df = spark.createDataFrame([(1,)], schema)
+    expect_schema(df, {"id": "bigint not null"})  # ignored by default
+    with pytest.raises(ValueError, match="not null"):
+        expect_schema(df, {"id": "bigint not null"}, check_nullability=True)
