@@ -160,6 +160,31 @@ def main() -> int:
         t, n = timed("epoch_shuffle", eshuffle)
         r["epoch_shuffle_sec"], r["epoch_shuffle_rows"] = t, n
 
+        def ndagainst():
+            from meta_frame_spark.operators.dedup import near_dedup_against
+
+            dd = docs(d)
+            half = dd.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+            batch = dd.filter(F.col("doc_id") >= half)
+            corpus = dd.filter(F.col("doc_id") < half)
+            return near_dedup_against(
+                batch, corpus, threshold=0.5, num_hashes=64,
+                num_bands=32, shingle_n=3,
+            ).count()
+        t, n = timed("near_dedup_against", ndagainst)
+        r["near_dedup_against_sec"], r["near_dedup_against_rows"] = t, n
+
+        def rdistinct():
+            from meta_frame_spark.operators.sketch import rolling_distinct
+            from meta_frame_spark.sources.events import load_events
+
+            ev = load_events(spark, f"{d}/events.parquet")
+            return rolling_distinct(
+                ev, ["event_type"], "ts", "user_id", window_buckets=3
+            ).count()
+        t, n = timed("rolling_distinct", rdistinct)
+        r["rolling_distinct_sec"], r["rolling_distinct_rows"] = t, n
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -168,7 +193,8 @@ def main() -> int:
     ok = True
     for key in ("dedup_minhash", "dup_clusters", "semantic_dedup",
                 "emb_near_dup", "bm25", "pq", "spans", "heavy_hitters",
-                "tfidf", "theta_matrix", "epoch_shuffle"):
+                "tfidf", "theta_matrix", "epoch_shuffle",
+                "near_dedup_against", "rolling_distinct"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # MG no-false-negative guarantee at scale: the bounded-memory
