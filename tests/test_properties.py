@@ -446,3 +446,51 @@ def test_text_keyed_split_coassigns_exact_copies(spark):
     splits = {r.split for r in
               out.filter("text = 'the same leaked document'").collect()}
     assert len(splits) == 1
+
+
+@_settings
+@given(
+    mass=st.floats(min_value=0.1, max_value=1.0),
+    scores=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                    max_size=12),
+)
+def test_top_mass_budget_is_tight_and_minimal(spark, mass, scores):
+    from meta_frame_spark.operators.gating import top_mass_per_group
+
+    df = spark.createDataFrame(
+        [("g", i, s) for i, s in enumerate(scores)], ["g", "doc_id", "score"]
+    )
+    kept = sorted(
+        (r.score, r.doc_id)
+        for r in top_mass_per_group(df, ["g"], "score", mass=mass,
+                                    tiebreak="doc_id").collect()
+    )
+    total = sum(scores)
+    kept_mass = sum(s for s, _ in kept)
+    assert len(kept) >= 1                      # non-empty group keeps >= 1
+    if total > 0:
+        assert kept_mass >= mass * total       # budget reached
+        # minimality: dropping the lowest-ranked kept row goes under
+        assert kept_mass - kept[0][0] < mass * total
+    else:
+        assert len(kept) == 1                  # all-zero: rank-1 only
+
+
+@_settings
+@given(texts=st.lists(
+    st.text(alphabet="abc .!?", min_size=0, max_size=30),
+    min_size=1, max_size=6,
+))
+def test_split_sentences_conserves_content(spark, texts):
+    """Joining the sentences back (sans separators/whitespace) must
+    equal the original text sans terminators/whitespace — nothing is
+    lost or invented by segmentation."""
+    import re
+
+    from meta_frame_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    out = [r.s for r in df.select(split_sentences("t").alias("s")).collect()]
+    for original, sents in zip(texts, out):
+        strip = lambda x: re.sub(r"[\s.!?]+", "", x)
+        assert strip("".join(sents)) == strip(original)
