@@ -111,3 +111,25 @@ def test_example_monitor_events_runs(spark, sf_dir):
     # anomalies (possibly none) all reference real types
     types = {r.event_type for r in drift}
     assert all(r.event_type in types for r in report["anomalies"].collect())
+
+
+def test_registry_integrity():
+    """Every queries() entry has an oracle twin, names are unique and
+    shell-safe, and every callable takes (spark, sf_dir) — the exact
+    contract the driver's correctness gate assumes."""
+    import inspect
+    import re
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert len(qs) == len(oracles)
+    assert set(qs) == set(oracles)
+    for name, fn in qs.items():
+        assert re.fullmatch(r"[a-z0-9_]+", name), name
+        assert callable(fn), name
+        assert len(inspect.signature(fn).parameters) == 2, name
+    # oracles are non-empty SELECT/WITH statements
+    for name, sql in oracles.items():
+        head = sql.strip().split(None, 1)[0].upper()
+        assert head in ("SELECT", "WITH"), name
