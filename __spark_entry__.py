@@ -675,6 +675,78 @@ def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_b_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting) through the dialect-B
+    tree: derive revenue, filter returnflag='R', per-order aggregate,
+    join the date-banded orders child, its customer grandchild, and
+    the nation great-grandchild (broadcast) — then the per-customer
+    rollup as one cascade level, top-20 by revenue with deterministic
+    tiebreak. Exercises a 3-deep join tree, the deepest the reference's
+    own examples form (sparks/optimus.py:53-76 is 2-deep)."""
+    config = {
+        "unique_id": "q10",
+        "derive": {"revenue": "l_extendedprice * (1 - l_discount)"},
+        "filters": ["l_returnflag = 'R'"],
+        "aggregation": {
+            "group_by": ["l_orderkey"],
+            "aggregations": {"revenue": "sum"},
+            "rename": {"sum_revenue": "revenue"},
+        },
+        "children": [
+            {
+                "unique_id": "orders",
+                "data_path": f"{sf_dir}/orders.parquet",
+                "filters": [
+                    "o_orderdate >= TIMESTAMP '1995-06-01'",
+                    "o_orderdate < TIMESTAMP '1995-09-01'",
+                ],
+                "keep_columns": ["l_orderkey", "o_custkey"],
+                "join": {"on": "l_orderkey", "how": "inner"},
+                "children": [
+                    {
+                        "unique_id": "cust",
+                        "data_path": f"{sf_dir}/customer.parquet",
+                        "keep_columns": [
+                            "o_custkey", "c_name", "c_nationkey",
+                        ],
+                        "join": {"on": "o_custkey", "how": "inner"},
+                        "children": [
+                            {
+                                "unique_id": "nat",
+                                "data_path": f"{sf_dir}/nation.parquet",
+                                "keep_columns": ["c_nationkey", "n_name"],
+                                "join": {
+                                    "on": "c_nationkey", "how": "inner",
+                                },
+                                "broadcast": True,
+                            }
+                        ],
+                    }
+                ],
+            }
+        ],
+    }
+
+    def loader(spark_: SparkSession, child) -> DataFrame:
+        df = spark_.read.parquet(child.data_path)
+        renames = {
+            "orders": ("o_orderkey", "l_orderkey"),
+            "cust": ("c_custkey", "o_custkey"),
+            "nat": ("n_nationkey", "c_nationkey"),
+        }
+        if child.node.unique_id in renames:
+            df = df.withColumnRenamed(*renames[child.node.unique_id])
+        return df
+
+    out = aggregate_and_join(_t(spark, sf_dir, "lineitem"), config, loader=loader)
+    return (
+        out.groupBy("o_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("revenue"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset versioning: diff two corpus snapshots (v2 = drop ids
     %13, edit text %7, add fresh ids %11) into per-doc added/removed/
@@ -2850,15 +2922,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 91
-    # entries (63 at the r4 freeze + 28 added later in round 4, from
-    # text_normalize through top_mass — all locally green via
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 92
+    # entries (63 at the r4 freeze + 29 added later in round 4, from
+    # text_normalize through b_q10_returns — all locally green via
     # tools/check_correctness.py at sf0.001/0.01, and at sf0.1 except
     # dedup_keep_best, whose recursive-CC DuckDB oracle is
     # sf0.01-bounded; its sf0.1 run is Spark-side identity-checked);
-    # r5's window = the 42 never-driver-checked round-4 queries first
-    # (kmeans .. top_mass), then the 8 oldest r3-green entries; the
-    # remaining 41 r3-green rotate into r6/r7.
+    # r5's window = the 43 never-driver-checked round-4 queries first
+    # (kmeans .. b_q10_returns), then the 7 oldest r3-green entries;
+    # the remaining 42 r3-green rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
@@ -3007,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "incremental_agg": q_incremental_agg,
         "top_mass": q_top_mass,
+        "b_q10_returns": q_b_q10_returns,
     }
 
 
@@ -4680,6 +4753,25 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "b_q10_returns": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM lineitem WHERE l_returnflag = 'R'
+                GROUP BY 1
+            )
+            SELECT o.o_custkey, c.c_name, n.n_name,
+                   ROUND(SUM(po.revenue), 2) AS revenue
+            FROM per_order po
+            JOIN orders o ON o.o_orderkey = po.l_orderkey
+                         AND o.o_orderdate >= TIMESTAMP '1995-06-01'
+                         AND o.o_orderdate < TIMESTAMP '1995-09-01'
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o.o_custkey ASC
+            LIMIT 20
         """,
         "top_mass": """
             WITH s AS (
