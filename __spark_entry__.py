@@ -85,6 +85,58 @@ def q_a_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary through dialect A: the full aggregate
+    breadth on one level — sum/avg/count/min/max with multiple
+    functions per column (A5) — grouped by returnflag+linestatus.
+    Rounding HERE per the entry contract; full oracle is the direct
+    SQL."""
+    config = {
+        "iterations": [
+            {
+                "id": "q1",
+                "level_1": {
+                    "group_by": ["l_returnflag", "l_linestatus"],
+                    "filters": [
+                        {"filter_col": "l_quantity", "filter_op": "<=",
+                         "filter_value": 50}
+                    ],
+                    "aggregations": [
+                        {"agg_col": "l_quantity", "agg_func": "sum",
+                         "new_name": "sum_qty"},
+                        {"agg_col": "l_extendedprice", "agg_func": "sum",
+                         "new_name": "sum_base_price"},
+                        {"agg_col": "l_quantity", "agg_func": "avg",
+                         "new_name": "avg_qty"},
+                        {"agg_col": "l_extendedprice", "agg_func": "avg",
+                         "new_name": "avg_price"},
+                        {"agg_col": "l_discount", "agg_func": "avg",
+                         "new_name": "avg_disc"},
+                        {"agg_col": "l_quantity", "agg_func": "count",
+                         "new_name": "count_order"},
+                        {"agg_col": "l_extendedprice", "agg_func": "min",
+                         "new_name": "min_price"},
+                        {"agg_col": "l_extendedprice", "agg_func": "max",
+                         "new_name": "max_price"},
+                    ],
+                },
+            }
+        ]
+    }
+    out = run_pipeline(_t(spark, sf_dir, "lineitem"), config)["q1"]
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("avg_disc", 6).alias("avg_disc"),
+        "count_order",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 def q_a_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured filters: null-safe == (P3), > (P2), isin (P2)."""
     config = {
@@ -2922,15 +2974,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 92
-    # entries (63 at the r4 freeze + 29 added later in round 4, from
-    # text_normalize through b_q10_returns — all locally green via
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 93
+    # entries (63 at the r4 freeze + 30 added later in round 4, from
+    # text_normalize through a_q1_pricing — all locally green via
     # tools/check_correctness.py at sf0.001/0.01, and at sf0.1 except
     # dedup_keep_best, whose recursive-CC DuckDB oracle is
     # sf0.01-bounded; its sf0.1 run is Spark-side identity-checked);
-    # r5's window = the 43 never-driver-checked round-4 queries first
-    # (kmeans .. b_q10_returns), then the 7 oldest r3-green entries;
-    # the remaining 42 r3-green rotate into r6/r7.
+    # r5's window = the 44 never-driver-checked round-4 queries first
+    # (kmeans .. a_q1_pricing), then the 6 oldest r3-green entries;
+    # the remaining 43 r3-green rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
@@ -3080,6 +3132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "top_mass": q_top_mass,
         "b_q10_returns": q_b_q10_returns,
+        "a_q1_pricing": q_a_q1_pricing,
     }
 
 
@@ -4753,6 +4806,19 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "a_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(l_quantity) AS count_order,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price
+            FROM lineitem WHERE l_quantity <= 50
+            GROUP BY 1, 2
         """,
         "b_q10_returns": """
             WITH per_order AS (
