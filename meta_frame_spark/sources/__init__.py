@@ -10,6 +10,7 @@ from meta_frame_spark.sources.registry import (
     UnknownSourceError,
     load_data,
     load_sf_table,
+    load_union,
 )
 from meta_frame_spark.sources.sinks import (
     collect_file_stats,
@@ -35,6 +36,7 @@ __all__ = [
     "load_data",
     "load_events",
     "load_sf_table",
+    "load_union",
     "morton_code",
     "normalize_event_ts",
     "save_bucketed_table",

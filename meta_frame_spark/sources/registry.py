@@ -142,3 +142,29 @@ def load_data(
 def load_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, e.g. ``load_sf_table(spark, sf, 'lineitem')``."""
     return _read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_union(
+    spark: SparkSession,
+    paths: list[str],
+    source: str = "auto",
+    allow_missing_columns: bool = True,
+    **options,
+) -> DataFrame:
+    """Load several datasets written under EVOLVING schemas into one
+    frame: each path loads via :func:`load_data`, then folds with
+    ``unionByName`` — columns are matched by NAME (positional union
+    silently mis-aligns after a column reorder), and columns absent
+    from an older shard arrive as nulls when ``allow_missing_columns``.
+    The batch-append reality of a long-lived corpus: shard N+1 gained
+    a ``lang`` column and shard 3 predates ``source`` — one call reads
+    them all. Loud ``ValueError`` on an empty path list."""
+    if not paths:
+        raise ValueError("load_union needs at least one path")
+    frames = [
+        load_data(spark, source=source, path=p, **options) for p in paths
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=allow_missing_columns)
+    return out

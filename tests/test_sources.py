@@ -427,3 +427,26 @@ def test_files_for_range_decimal_strings_compare_numerically(tmp_path):
 
     with pytest.raises(KeyError):
         files_for_range(str(p), "nope", 1, 2)
+
+
+def test_load_union_schema_evolution(spark, tmp_path):
+    import pytest
+
+    from meta_frame_spark.sources.registry import load_union
+
+    old = str(tmp_path / "old")
+    new = str(tmp_path / "new")
+    spark.createDataFrame([(1, "a")], ["id", "text"]).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["id", "text", "lang"]
+    ).write.parquet(new)
+
+    out = load_union(spark, [old, new])
+    rows = {r.id: (r.text, r.lang) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}  # old shard null-filled
+
+    with pytest.raises(Exception):
+        # without allow_missing, the schema drift is a loud error
+        load_union(spark, [old, new], allow_missing_columns=False).collect()
+    with pytest.raises(ValueError, match="at least one"):
+        load_union(spark, [])
