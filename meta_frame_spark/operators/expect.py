@@ -159,8 +159,15 @@ def expect_schema(
     problems = []
     fields = {f.name: f for f in df.schema.fields}
     for name, want in spec.items():
-        want_type, _, null_suffix = want.partition(" not null")
+        want_type, sep, null_suffix = want.partition(" not null")
         want_type = want_type.strip()
+        if sep and null_suffix.strip():
+            # "bigint not nullzzz" etc: reject, don't silently drop
+            raise ValueError(
+                f"{name!r}: malformed spec {want!r} (trailing "
+                f"{null_suffix!r} after 'not null')"
+            )
+        wants_not_null = bool(sep)
         f = fields.get(name)
         if f is None:
             problems.append(f"missing column {name!r} ({want})")
@@ -170,7 +177,7 @@ def expect_schema(
                 f"{name!r}: expected {want_type}, got "
                 f"{f.dataType.simpleString()}"
             )
-        if check_nullability and want.endswith("not null") and f.nullable:
+        if check_nullability and wants_not_null and f.nullable:
             problems.append(f"{name!r}: expected not null, is nullable")
     if not allow_extra:
         extra = sorted(set(fields) - set(spec))

