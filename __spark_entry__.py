@@ -2868,6 +2868,66 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_ann_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection shortlist + exact rescore top-5
+    (operators/rp.py rp_rescore_topk — JL-project 64 -> 32 dims with
+    one numpy matmul per Arrow batch, shortlist top-10% per query in
+    the cheap space, exact cosine re-rank over candidates only).
+    Invariant-oracle form like the other ANN tiers: recall@5 vs exact
+    brute force, deterministic under the fixed projection seed
+    (observed 0.68 at sf0.01 / 0.85 at sf0.1 on the near-uniform
+    synthetic vectors; bound 0.5)."""
+    from meta_frame_spark.operators.rp import rp_rescore_topk
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_summary(
+        rp_rescore_topk(emb, q, k=5, out_dim=32, shortlist_frac=0.1),
+        brute_force_topk(emb, q, k=5), 5, 0.5,
+    )
+
+
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch point-frequency estimates for the corpus's
+    top-20 tokens (operators/cms.py — depth 4 x width 8192 sparse
+    mergeable sketch: bounded build shuffle, broadcast probe).
+    Invariant-oracle form: DuckDB recomputes the same deterministic
+    top-20 (count desc, token asc tiebreak) with exact counts; the two
+    booleans are Spark-verified CMS guarantees — an estimate never
+    undercounts, and overcounts by at most 8 * ceil(N / width)
+    (deterministic under the fixed xxhash64 row seeds; observed
+    overcount is 0 for every top-20 token at sf0.001/0.01/0.1 — the
+    8192-bucket rows are sparse at these SFs — so the x8 margin is
+    all regen headroom)."""
+    from meta_frame_spark.operators.cms import cms_build, cms_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("term")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(20)
+    )
+    est = cms_lookup(
+        cms_build(toks, "term", depth=4, width=8192), top, "term",
+        depth=4, width=8192,
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    bound = F.ceil(F.col("_n") / F.lit(8192)) * 8
+    return est.crossJoin(total).select(
+        "term",
+        "n_exact",
+        (F.col("cms_est") >= F.col("n_exact")).alias("ge_ok"),
+        (F.col("cms_est") <= F.col("n_exact") + bound).alias("bound_ok"),
+    )
+
+
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user overlap between click and purchase audiences via
     Theta sketches (operators/sketch.py theta_set_overlap — the
@@ -3133,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_mass": q_top_mass,
         "b_q10_returns": q_b_q10_returns,
         "a_q1_pricing": q_a_q1_pricing,
+        "cms_freq": q_cms_freq,
+        "ann_topk_rp": q_ann_topk_rp,
     }
 
 
@@ -4637,6 +4699,11 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS all_k_returned, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
         """,
+        "ann_topk_rp": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
         "emb_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(
@@ -4806,6 +4873,17 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "cms_freq": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*) AS n_exact,
+                   TRUE AS ge_ok, TRUE AS bound_ok
+            FROM toks GROUP BY 1
+            ORDER BY n_exact DESC, term ASC
+            LIMIT 20
         """,
         "a_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
