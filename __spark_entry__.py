@@ -2868,6 +2868,27 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame-level dedup census (multimodal/assets.py
+    frame_dedup_stats): JVM-side frame cut (substring+posexplode),
+    frames collapsed to xxhash64 fingerprints before the distinct so
+    only 8 bytes per frame shuffle. The payload is hex(text-bytes) —
+    an always-ASCII string whose UTF-8 bytes equal its characters, so
+    DuckDB's VARCHAR substring re-cuts the exact same frames even if a
+    data regen introduces multibyte text (DuckDB has no BLOB
+    substring). Full oracle: equal unless a 64-bit xxhash collision
+    occurs (none at shipped SFs)."""
+    from meta_frame_spark.multimodal.assets import frame_dedup_stats, make_asset
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.hex(F.encode("text", "UTF-8")), "UTF-8")
+    vids = docs.select(
+        "doc_id",
+        make_asset(payload, "video", n_frames=F.lit(4)).alias("asset"),
+    )
+    return frame_dedup_stats(vids)
+
+
 def q_ann_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection shortlist + exact rescore top-5
     (operators/rp.py rp_rescore_topk — JL-project 64 -> 32 dims with
@@ -3195,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_q1_pricing": q_a_q1_pricing,
         "cms_freq": q_cms_freq,
         "ann_topk_rp": q_ann_topk_rp,
+        "mm_frame_dedup": q_mm_frame_dedup,
     }
 
 
@@ -4873,6 +4895,24 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles": """
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
+        """,
+        "mm_frame_dedup": """
+            WITH v AS (
+                SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+                       CAST(floor(length(hex(CAST(text AS BLOB))) / 4) AS INT)
+                           AS flen
+                FROM documents
+            ), frames AS (
+                SELECT doc_id,
+                       substring(h, CAST(i AS INT) * flen + 1, flen) AS fb
+                FROM v, range(0, 4) t(i)
+            )
+            SELECT COUNT(DISTINCT doc_id) AS n_videos,
+                   COUNT(*) AS n_frames,
+                   COUNT(DISTINCT fb) AS n_distinct_frames,
+                   ROUND(1.0 - COUNT(DISTINCT fb) * 1.0 / COUNT(*), 6)
+                       AS dup_ratio
+            FROM frames
         """,
         "cms_freq": r"""
             WITH toks AS (

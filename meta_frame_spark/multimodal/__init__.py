@@ -15,6 +15,7 @@ from meta_frame_spark.multimodal.assets import (
     audio_window_rms,
     byte_stats,
     decode_pixels,
+    frame_dedup_stats,
     image_ahash,
     image_pixel_stats,
     phash_dup_groups,
@@ -28,6 +29,7 @@ __all__ = [
     "audio_window_rms",
     "byte_stats",
     "decode_pixels",
+    "frame_dedup_stats",
     "image_ahash",
     "image_pixel_stats",
     "phash_dup_groups",

@@ -391,3 +391,37 @@ def phash_dup_groups(
         F.min(id_col).over(w).alias("group"),
         F.count(F.lit(1)).over(w).alias("group_size"),
     )
+
+
+def frame_dedup_stats(
+    df: DataFrame,
+    every_n: int = 1,
+    asset_col: str = "asset",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-video frame-level dedup census: one row with
+    ``(n_videos, n_frames, n_distinct_frames, dup_ratio)``.
+
+    The storage question behind it — "how many of the corpus's frames
+    are byte-identical copies we need not store or re-embed twice?" —
+    is the frame-grain version of exact document dedup. The frame cut
+    is the pure-JVM :func:`sample_frames` path; frames are then
+    collapsed to ``xxhash64`` fingerprints BEFORE the distinct, so 8
+    bytes per frame cross the shuffle, never the frame payloads
+    (identical scale posture to the unit-hash census in
+    operators/linedup.py). A 64-bit collision would undercount
+    distincts by 1 in ~2^32 distinct frames — noise at any real scale.
+    """
+    frames = sample_frames(df, every_n=every_n, asset_col=asset_col, id_col=id_col)
+    return frames.agg(
+        F.countDistinct(id_col).alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct(F.xxhash64("frame_bytes")).alias("n_distinct_frames"),
+    ).select(
+        "n_videos",
+        "n_frames",
+        "n_distinct_frames",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_frames") / F.col("n_frames"), 6
+        ).alias("dup_ratio"),
+    )

@@ -119,3 +119,20 @@ def test_image_ahash_identical_payloads_collide(spark):
               for r in phash_dup_groups(image_ahash(df)).collect()}
     assert groups[1] == (1, 2) and groups[2] == (1, 2)
     assert groups[4][1] == 1
+
+
+def test_frame_dedup_stats_exact_census(spark):
+    """Two videos sharing 2 of 4 frames: 8 total frames, 6 distinct."""
+    from meta_frame_spark.multimodal.assets import frame_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"aaabbbcccddd")), (2, bytearray(b"aaabbbxxxyyy"))],
+        ["doc_id", "data"],
+    )
+    assets = df.select(
+        "doc_id",
+        make_asset(F.col("data"), "video", n_frames=F.lit(4)).alias("asset"),
+    )
+    row = frame_dedup_stats(assets).collect()[0]
+    assert (row.n_videos, row.n_frames, row.n_distinct_frames) == (2, 8, 6)
+    assert abs(row.dup_ratio - (1 - 6 / 8)) < 1e-9
