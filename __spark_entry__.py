@@ -2868,6 +2868,82 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-transition graph
+    (operators/graph.py pagerank — per-round edge-join + dst-groupBy
+    power iteration, eager localCheckpoint lineage cuts, dangling mass
+    redistributed uniformly). Edges are weighted by transition count
+    (operators/temporal.py event_transitions) — the unweighted variant
+    degenerates to uniform 0.2 here because the synthetic transition
+    graph is complete. Full oracle: DuckDB runs the SAME 10 damped
+    rounds as an iteration-unrolled MATERIALIZED-CTE chain (generated
+    by _pagerank_oracle_sql; inlined CTEs would re-evaluate each round
+    twice — exponential, same lineage blow-up the Spark side cuts with
+    localCheckpoint) — exact doubles both sides, rounded to 6dp."""
+    from meta_frame_spark.operators.graph import pagerank
+    from meta_frame_spark.operators.temporal import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    edges = event_transitions(ev).select(
+        F.col("from_event").alias("src"), F.col("to_event").alias("dst"), "n"
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="n")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """Iteration-unrolled DuckDB twin of q_event_pagerank: r0..rN CTEs,
+    each one contribution-join + dangling-mass scalar, mirroring
+    operators/graph.py pagerank exactly (standard SQL forbids
+    aggregating over a recursive reference, so the rounds unroll)."""
+    blocks = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        blocks.append(f"""
+            r{i} AS MATERIALIZED (
+                SELECT n.node,
+                       (1 - {damping}) / (SELECT cnt FROM nn)
+                       + {damping} * (
+                           COALESCE(s.contrib, 0)
+                           + (SELECT COALESCE(SUM(r.rank), 0)
+                              FROM {prev} r LEFT JOIN deg ON r.node = deg.src
+                              WHERE deg.src IS NULL) / (SELECT cnt FROM nn)
+                       ) AS rank
+                FROM nodes n
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(r.rank * e.w / d.d) AS contrib
+                    FROM {prev} r
+                    JOIN edges e ON r.node = e.src
+                    JOIN deg d ON d.src = e.src
+                    GROUP BY 1
+                ) s ON n.node = s.node
+            )""")
+        prev = f"r{i}"
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT event_type AS from_event,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_event
+            FROM events
+        ),
+        edges AS MATERIALIZED (
+            SELECT from_event AS src, to_event AS dst,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM seq WHERE to_event IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+        deg AS MATERIALIZED (SELECT src, SUM(w) AS d FROM edges GROUP BY 1),
+        r0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        {",".join(blocks)}
+        SELECT node, ROUND(rank, 6) AS rank FROM {prev}
+    """
+
+
 def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-video frame-level dedup census (multimodal/assets.py
     frame_dedup_stats): JVM-side frame cut (substring+posexplode),
@@ -3217,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": q_cms_freq,
         "ann_topk_rp": q_ann_topk_rp,
         "mm_frame_dedup": q_mm_frame_dedup,
+        "event_pagerank": q_event_pagerank,
     }
 
 
@@ -4896,6 +4973,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(x AS DOUBLE) AS prob, TRUE AS rank_ok
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
+        "event_pagerank": _pagerank_oracle_sql(),
         "mm_frame_dedup": """
             WITH v AS (
                 SELECT doc_id, hex(CAST(text AS BLOB)) AS h,

@@ -1,0 +1,118 @@
+"""Graph centrality: distributed PageRank by power iteration.
+
+Not in the reference (SURVEY.md §2 — no graph surface); this is the
+classic link-analysis operator a corpus pipeline needs for citation /
+hyperlink / interaction graphs: weight documents (or entities, or
+event states) by the stationary visit probability of a damped random
+walk (public algorithm — Brin & Page 1998).
+
+Scale design (billion-edge graphs):
+
+* Each of the ``n_iter`` rounds is ONE edge-join + ONE groupBy on the
+  destination — the canonical two-shuffle PageRank step every
+  distributed graph engine runs. Ranks and out-degrees are joined on
+  the node key; AQE handles skewed hub nodes (or pre-salt the edge
+  list with operators/skew.py for pathological fan-in).
+* The rank frame is **eagerly localCheckpoint-ed per round** — each
+  round references the previous TWICE (contribution join + dangling
+  mass), so without a hard lineage cut the logical tree doubles per
+  round and Catalyst's tree-walking is exponential by round ~8 (a
+  plain persist() does not cut the analyzed plan, only execution; the
+  4-node unit-test graph OOMed the driver under persist+count). On a
+  real cluster prefer ``checkpoint()`` with a checkpoint dir if
+  executor loss must be recoverable mid-run.
+* Dangling mass (nodes with no out-edges) is redistributed uniformly;
+  its per-round total rides along as a one-row aggregate crossJoin —
+  never a data-proportional collect. The only driver scalars are the
+  node count and the loop counter.
+* Total work: O(n_iter * |E|) — linear per round, fixed rounds; at
+  100 TB the edge list partitions on the join key once up front and
+  every round reuses that layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``(node, rank)`` after ``n_iter`` damped power-iteration rounds
+    from a uniform start. With ``weight_col`` each edge passes rank in
+    proportion to its weight share of the source's outgoing total (the
+    weighted random surfer); without it, multi-edges contribute
+    multiply — pass a ``.distinct()`` edge list for an unweighted
+    graph. Ranks sum to 1 (dangling mass redistributed uniformly);
+    exact doubles, round at the presentation layer."""
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    # every round re-joins the edge list — persist it once up front so
+    # an expensive upstream derivation (e.g. a window over raw events)
+    # doesn't re-execute n_iter times
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded driver scalar: |V|
+    if n == 0:
+        nodes.unpersist()
+        e.unpersist()
+        return nodes.select(F.col("node"), F.lit(0.0).alias("rank"))
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                ranks.join(e, ranks.node == e.src)
+                .join(deg, "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
+                )
+            )
+            dangling = (
+                ranks.join(deg, ranks.node == deg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+            )
+            # eager localCheckpoint: materializes AND replaces the
+            # logical plan with the computed RDD — O(1) lineage per
+            # round (see module docstring)
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(dangling)
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("_dangling") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
+        return ranks
+    finally:
+        nodes.unpersist()
+        deg.unpersist()
+        e.unpersist()

@@ -1,0 +1,83 @@
+"""PageRank power iteration."""
+
+import pytest
+
+from meta_frame_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, damping=0.85, n_iter=10):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1 - damping) / n + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+
+
+def test_matches_reference_implementation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, 0.85, 10).collect()}
+    want = _py_pagerank(EDGES, 0.85, 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_ranks_sum_to_one_with_dangling(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(df, 0.85, 5).collect()
+    assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+    # the sink 'd' accumulates; the source 'a' only gets dangling+teleport
+    got = {r.node: r.rank for r in ranks}
+    assert got["c"] > got["a"] and got["d"] > got["a"]
+
+
+def test_weighted_matches_reference(spark):
+    """Weight 3 on a->b vs 1 on a->c: b receives 3x the passed rank."""
+    wedges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)]
+
+    def py_weighted(edges, damping=0.85, n_iter=10):
+        nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+        n = len(nodes)
+        out = {}
+        for a, _, w in edges:
+            out[a] = out.get(a, 0.0) + w
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            contrib = {v: 0.0 for v in nodes}
+            for a, b, w in edges:
+                contrib[b] += rank[a] * w / out[a]
+            dangling = sum(rank[v] for v in nodes if v not in out)
+            rank = {
+                v: (1 - damping) / n + damping * (contrib[v] + dangling / n)
+                for v in nodes
+            }
+        return rank
+
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    got = {r.node: r.rank for r in pagerank(df, 0.85, 10, weight_col="w").collect()}
+    want = py_weighted(wedges)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert got["b"] > got["c"]
+
+
+def test_bad_params(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
