@@ -2868,6 +2868,23 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs bought together
+    across orders (operators/basket.py co_occurrence — one basket
+    shuffle, in-basket pair HOFs, max_basket guard; no raw-table
+    self-join). Deterministic total order (count desc, pair asc) makes
+    the LIMIT stable. Full oracle: DuckDB distinct-item self-join with
+    the same basket-size window."""
+    from meta_frame_spark.operators.basket import co_occurrence
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        co_occurrence(li, "l_orderkey", "l_partkey", min_count=1, max_basket=100)
+        .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the event-transition graph
     (operators/graph.py pagerank — per-round edge-join + dst-groupBy
@@ -3294,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_rp": q_ann_topk_rp,
         "mm_frame_dedup": q_mm_frame_dedup,
         "event_pagerank": q_event_pagerank,
+        "part_pairs": q_part_pairs,
     }
 
 
@@ -4974,6 +4992,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "part_pairs": """
+            WITH base AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), kept AS (
+                SELECT l_orderkey FROM base
+                GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 100
+            )
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   COUNT(*) AS n_baskets
+            FROM base a
+            JOIN base b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+            JOIN kept s ON s.l_orderkey = a.l_orderkey
+            GROUP BY 1, 2
+            ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+            LIMIT 20
+        """,
         "mm_frame_dedup": """
             WITH v AS (
                 SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
