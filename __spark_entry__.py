@@ -2868,6 +2868,46 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe (operators/bloom.py): the
+    held-out set (doc_id % 10 == 0) builds a 128 KiB filter —
+    constant-size state vs the member count — and every document is
+    probed map-only. Invariant-oracle form: DuckDB recomputes n_docs
+    and the EXACT text-membership count; the booleans are the
+    Spark-verified Bloom guarantees — every true member flags
+    (no false negatives, structural), and the false-positive rate
+    among non-members stays under 1% (theoretical ~1e-9 at these
+    parameters; the margin is regen headroom)."""
+    from meta_frame_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    test_set = docs.filter(F.col("doc_id") % 10 == 0)
+    filt = bloom_build(test_set, "text", n_bits=1 << 20, k=5)
+    probed = bloom_probe(docs, "text", filt, n_bits=1 << 20, k=5)
+    member_texts = test_set.select("text").distinct().withColumn(
+        "_is_member", F.lit(True)
+    )
+    flagged = probed.join(F.broadcast(member_texts), "text", "left").select(
+        "maybe_member", F.coalesce("_is_member", F.lit(False)).alias("_is_member")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_is_member").cast("long")).alias("n_members"),
+        F.min(
+            F.when(F.col("_is_member"), F.col("maybe_member")).otherwise(F.lit(True))
+        ).alias("all_members_flagged"),
+        (
+            F.sum(
+                (F.col("maybe_member") & ~F.col("_is_member")).cast("long")
+            )
+            / F.greatest(
+                F.sum((~F.col("_is_member")).cast("long")), F.lit(1)
+            )
+            <= 0.01
+        ).alias("fp_ok"),
+    )
+
+
 def q_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: top-20 part pairs bought together
     across orders (operators/basket.py co_occurrence — one basket
@@ -3312,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_dedup": q_mm_frame_dedup,
         "event_pagerank": q_event_pagerank,
         "part_pairs": q_part_pairs,
+        "bloom_decontam": q_bloom_decontam,
     }
 
 
@@ -4992,6 +5033,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "bloom_decontam": """
+            WITH t AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(*) FROM documents d JOIN t ON d.text = t.text)
+                       AS n_members,
+                   TRUE AS all_members_flagged,
+                   TRUE AS fp_ok
+        """,
         "part_pairs": """
             WITH base AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
