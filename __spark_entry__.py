@@ -2868,6 +2868,70 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch re-aggregation up a hierarchy: distinct texts per
+    (source, lang), per source, and corpus-total — the two coarser
+    levels are MERGED from the finest sketches (hll_union_agg), so the
+    raw corpus is scanned exactly once however many rollup levels are
+    read (operators/sketch.py; the pattern that replaces per-level
+    COUNT(DISTINCT) re-scans on a 100 TB corpus). Invariant oracle:
+    DuckDB recomputes the exact distincts at every level; err_ok is
+    the Spark-verified 5% estimate band (lgConfigK=12 is ~1-2%
+    typical)."""
+    from meta_frame_spark.operators.sketch import (
+        cardinality_sketch,
+        estimate_distinct,
+        merge_cardinality_sketches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = cardinality_sketch(docs, ["source", "lang"], "text")
+
+    def level(est_df, exact_df, keys, name):
+        key = (
+            F.concat_ws("/", *[F.col(k) for k in keys])
+            if keys
+            else F.lit("(all)")
+        )
+        est = est_df.select(key.alias("key"), "approx_distinct")
+        exact = exact_df.select(
+            (
+                F.concat_ws("/", *[F.col(k) for k in keys])
+                if keys
+                else F.lit("(all)")
+            ).alias("key"),
+            "exact_distinct",
+        )
+        return est.join(exact, "key").select(
+            F.lit(name).alias("level"),
+            "key",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("err_ok"),
+        )
+
+    def exact_at(keys):
+        g = docs.groupBy(*keys) if keys else docs.groupBy()
+        return g.agg(F.countDistinct("text").alias("exact_distinct"))
+
+    fine = level(
+        estimate_distinct(base), exact_at(["source", "lang"]),
+        ["source", "lang"], "by_source_lang",
+    )
+    mid = level(
+        estimate_distinct(merge_cardinality_sketches(base, ["source"])),
+        exact_at(["source"]), ["source"], "by_source",
+    )
+    total = level(
+        estimate_distinct(merge_cardinality_sketches(base, [])),
+        exact_at([]), [], "total",
+    )
+    return fine.unionByName(mid).unionByName(total)
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination probe (operators/bloom.py): the
     held-out set (doc_id % 10 == 0) builds a 128 KiB filter —
@@ -3353,6 +3417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pagerank": q_event_pagerank,
         "part_pairs": q_part_pairs,
         "bloom_decontam": q_bloom_decontam,
+        "sketch_rollup": q_sketch_rollup,
     }
 
 
@@ -5033,6 +5098,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "sketch_rollup": """
+            SELECT 'by_source_lang' AS level, source || '/' || lang AS key,
+                   COUNT(DISTINCT text) AS exact_distinct, TRUE AS err_ok
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'by_source', source, COUNT(DISTINCT text), TRUE
+            FROM documents GROUP BY 2
+            UNION ALL
+            SELECT 'total', '(all)', COUNT(DISTINCT text), TRUE
+            FROM documents
+        """,
         "bloom_decontam": """
             WITH t AS (
                 SELECT DISTINCT text FROM documents WHERE doc_id % 10 = 0
