@@ -2868,6 +2868,64 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "term", min_frac=0.002)
 
 
+def q_join_cardest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output-size estimate for the skew-sensitive lineitem
+    self-join on l_partkey (operators/cardest.py — correlated key-hash
+    sampling at 1/8 of the key space: per-key pair products observed
+    exactly for surviving keys, unbiased under any skew; no join
+    materialized). Invariant-oracle form: DuckDB computes the EXACT
+    self-join size; ratio_ok is the Spark-verified bound est/exact in
+    [0.7, 1.4] (observed 0.98-1.08 across shipped SFs under the fixed
+    hash salt)."""
+    from meta_frame_spark.operators.cardest import join_cardinality_estimate
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = join_cardinality_estimate(li, li, "l_partkey", rate_denom=8)
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") * F.col("_n")).alias("exact_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_rows",
+        (
+            (F.col("est_rows") / F.col("exact_rows") >= 0.7)
+            & (F.col("est_rows") / F.col("exact_rows") <= 1.4)
+        ).alias("ratio_ok"),
+    )
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: OLS slope of
+    ln(freq) on ln(rank) for the top-1000 tokens (native regr_slope /
+    regr_intercept — one aggregate over a deterministic rank window;
+    the sanity probe that a corpus regen or a tokenizer change hasn't
+    produced a degenerate frequency profile). Full oracle: DuckDB
+    row_number + regr_slope with the identical rank order."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # TakeOrderedAndProject bounds the frame to 1000 rows FIRST; the
+    # global row_number window then ranks a bounded frame, never the
+    # full vocabulary (the single-partition-window trap ids.py avoids)
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(1000)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731 — fold -0.0
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        rnd(F.regr_slope(F.log("cnt"), F.log("rank"))).alias("slope"),
+        rnd(F.regr_intercept(F.log("cnt"), F.log("rank"))).alias("intercept"),
+    )
+
+
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch re-aggregation up a hierarchy: distinct texts per
     (source, lang), per source, and corpus-total — the two coarser
@@ -3418,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pairs": q_part_pairs,
         "bloom_decontam": q_bloom_decontam,
         "sketch_rollup": q_sketch_rollup,
+        "join_cardest": q_join_cardest,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -5098,6 +5158,31 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "join_cardest": """
+            SELECT CAST(SUM(n * n) AS BIGINT) AS exact_rows,
+                   TRUE AS ratio_ok
+            FROM (
+                SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey
+            )
+        """,
+        "zipf_slope": r"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+                FROM documents
+            ), counts AS (
+                SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1
+            ), ranked AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+                FROM counts
+                ORDER BY cnt DESC, term ASC LIMIT 1000
+            )
+            SELECT COUNT(*) AS n_terms,
+                   ROUND(regr_slope(ln(cnt), ln(rank)), 6) + 0.0 AS slope,
+                   ROUND(regr_intercept(ln(cnt), ln(rank)), 6) + 0.0
+                       AS intercept
+            FROM ranked
+        """,
         "sketch_rollup": """
             SELECT 'by_source_lang' AS level, source || '/' || lang AS key,
                    COUNT(DISTINCT text) AS exact_distinct, TRUE AS err_ok
