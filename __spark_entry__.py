@@ -727,6 +727,97 @@ def q_b_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a_q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) entirely in dialect A:
+    derive the period/discount predicates and the discount-revenue
+    expression, structured filters, one global aggregate (dialect A
+    requires a non-empty group_by, so a derived constant bucket keys
+    it). Full oracle: literal Q6 SQL."""
+    config = {
+        "iterations": [
+            {
+                "id": "q6",
+                "level_1": {
+                    "derive": {
+                        "in_period": (
+                            "l_shipdate >= TIMESTAMP '1996-01-01' AND "
+                            "l_shipdate < TIMESTAMP '1997-01-01'"
+                        ),
+                        "revenue": "l_extendedprice * l_discount",
+                        "bucket": "'q6'",
+                    },
+                    "filters": [
+                        {"filter_col": "in_period", "filter_op": "==", "filter_value": True},
+                        {"filter_col": "l_discount", "filter_op": ">=", "filter_value": 0.05},
+                        {"filter_col": "l_discount", "filter_op": "<=", "filter_value": 0.07},
+                        {"filter_col": "l_quantity", "filter_op": "<", "filter_value": 24},
+                    ],
+                    "group_by": ["bucket"],
+                    "aggregations": [
+                        {"agg_col": "revenue", "agg_func": "sum", "new_name": "revenue"},
+                        {"agg_col": "revenue", "agg_func": "count", "new_name": "n_lines"},
+                    ],
+                },
+            }
+        ]
+    }
+    out = run_pipeline(_t(spark, sf_dir, "lineitem"), config)["q6"]
+    return out.select("bucket", F.round("revenue", 2).alias("revenue"), "n_lines")
+
+
+def q_b_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) as a dialect
+    composition: the dialect-B tree semi-joins qualifying lineitems
+    into the date-banded orders (EXISTS semantics; the synthetic
+    lineitem has no l_commitdate/l_receiptdate, so the qualifying
+    predicate is returnflag='R'), then one dialect-A cascade level
+    counts by priority — the engine's drivers compose, which is how
+    multi-grain queries express without widening either dialect.
+    Full oracle: literal Q4-shape SQL."""
+    config = {
+        "unique_id": "q4",
+        "filters": [
+            "o_orderdate >= TIMESTAMP '1995-07-01' AND "
+            "o_orderdate < TIMESTAMP '1995-10-01'"
+        ],
+        "keep_columns": ["o_orderkey", "o_orderpriority"],
+        "children": [
+            {
+                "unique_id": "returned_lines",
+                "data_path": f"{sf_dir}/lineitem.parquet",
+                "filters": ["l_returnflag = 'R'"],
+                "keep_columns": ["o_orderkey"],
+                "join": {"on": "o_orderkey", "how": "semi"},
+            }
+        ],
+    }
+
+    def loader(spark_: SparkSession, child) -> DataFrame:
+        return spark_.read.parquet(child.data_path).withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+
+    semi = aggregate_and_join(_t(spark, sf_dir, "orders"), config, loader=loader)
+    count_cfg = {
+        "iterations": [
+            {
+                "id": "by_priority",
+                "level_1": {
+                    "group_by": ["o_orderpriority"],
+                    "aggregations": [
+                        {
+                            "agg_col": "o_orderkey",
+                            "agg_func": "count",
+                            "new_name": "order_count",
+                        }
+                    ],
+                },
+            }
+        ]
+    }
+    return run_pipeline(semi, count_cfg)["by_priority"]
+
+
 def q_b_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting) through the dialect-B
     tree: derive revenue, filter returnflag='R', per-order aggregate,
@@ -3478,6 +3569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_rollup": q_sketch_rollup,
         "join_cardest": q_join_cardest,
         "zipf_slope": q_zipf_slope,
+        "a_q6_revenue": q_a_q6_revenue,
+        "b_q4_priority": q_b_q4_priority,
     }
 
 
@@ -5158,6 +5251,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "a_q6_revenue": """
+            SELECT 'q6' AS bucket,
+                   ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "b_q4_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+              AND o_orderdate < TIMESTAMP '1995-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R'
+              )
+            GROUP BY 1
+        """,
         "join_cardest": """
             SELECT CAST(SUM(n * n) AS BIGINT) AS exact_rows,
                    TRUE AS ratio_ok
