@@ -3401,15 +3401,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 93
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 104
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing — all locally green via
-    # tools/check_correctness.py at sf0.001/0.01, and at sf0.1 except
+    # text_normalize through a_q1_pricing, + 11 added in the round-4
+    # continuation, cms_freq .. b_q4_priority — all locally green via
+    # tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best, whose recursive-CC DuckDB oracle is
     # sf0.01-bounded; its sf0.1 run is Spark-side identity-checked);
-    # r5's window = the 44 never-driver-checked round-4 queries first
-    # (kmeans .. a_q1_pricing), then the 6 oldest r3-green entries;
-    # the remaining 43 r3-green rotate into r6/r7.
+    # r5's window = 50 of the 55 never-driver-checked round-4 queries
+    # (kmeans .. b_q4_priority); the remaining 5 plus the 49 r3-green
+    # entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,

@@ -113,6 +113,12 @@ from meta_frame_spark.operators.sampling import (
     stratified_sample,
 )
 from meta_frame_spark.operators.stats import corr_matrix, group_trend
+from meta_frame_spark.operators.basket import basket_sizes, co_occurrence
+from meta_frame_spark.operators.bloom import bloom_build, bloom_probe
+from meta_frame_spark.operators.cardest import join_cardinality_estimate
+from meta_frame_spark.operators.cms import cms_build, cms_lookup, cms_merge
+from meta_frame_spark.operators.graph import pagerank
+from meta_frame_spark.operators.rp import rp_project, rp_rescore_topk, rp_topk
 from meta_frame_spark.operators.skew import (
     key_skew_report,
     salted_aggregate,
@@ -132,6 +138,18 @@ __all__ = [
     "aggregate_state",
     "apply_changelog",
     "apply_mix",
+    "basket_sizes",
+    "bloom_build",
+    "bloom_probe",
+    "cms_build",
+    "cms_lookup",
+    "cms_merge",
+    "co_occurrence",
+    "join_cardinality_estimate",
+    "pagerank",
+    "rp_project",
+    "rp_rescore_topk",
+    "rp_topk",
     "cardinality_sketch",
     "estimate_distinct",
     "incremental_distinct",

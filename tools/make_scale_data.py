@@ -21,7 +21,12 @@ pair counts would explode quadratically instead of scaling linearly:
   sign flips zero the mean term and collapse cross-replica cosines to
   noise;
 * events: user/event ids offset per replica, timestamps kept, so
-  per-user session/funnel structure repeats 10x across 10x users.
+  per-user session/funnel structure repeats 10x across 10x users;
+* lineitem: orderkeys offset per replica (baskets repeat intact across
+  10x orders) while partkeys are SHARED across replicas — so per-part
+  line counts grow x10, basket co-occurrence pair counts grow ~x10,
+  and the partkey self-join size grows ~x100 (sum of n^2), the
+  shapes the continuation smoke asserts.
 """
 
 from __future__ import annotations
@@ -101,7 +106,17 @@ def main() -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 
-    for t in ("documents", "embeddings", "events"):
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * OFFSET))
+        for k in range(REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+
+    for t in ("documents", "embeddings", "events", "lineitem"):
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     spark.stop()

@@ -190,6 +190,84 @@ def main() -> int:
         t, n = timed("rolling_distinct", rdistinct)
         r["rolling_distinct_sec"], r["rolling_distinct_rows"] = t, n
 
+        def pr():
+            from meta_frame_spark.operators.graph import pagerank
+            from meta_frame_spark.operators.temporal import event_transitions
+            from meta_frame_spark.sources.events import load_events
+
+            ev = load_events(spark, f"{d}/events.parquet")
+            edges = event_transitions(ev).select(
+                F.col("from_event").alias("src"),
+                F.col("to_event").alias("dst"), "n",
+            )
+            return pagerank(edges, 0.85, 10, weight_col="n").count()
+        t, n = timed("event_pagerank", pr)
+        r["event_pagerank_sec"], r["event_pagerank_rows"] = t, n
+
+        def cms_bound():
+            from meta_frame_spark.operators.cms import cms_build, cms_lookup
+
+            toks = docs(d).select(F.explode(F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0)).alias("term"))
+            top = (
+                toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+                .orderBy(F.desc("n_exact"), F.asc("term")).limit(20)
+            )
+            est = cms_lookup(
+                cms_build(toks, "term", depth=4, width=8192),
+                top, "term", depth=4, width=8192,
+            )
+            total = toks.count()
+            bound = 8 * ((total + 8191) // 8192)
+            # violations of either one-sided CMS bound; must be 0
+            return est.filter(
+                (F.col("cms_est") < F.col("n_exact"))
+                | (F.col("cms_est") > F.col("n_exact") + bound)
+            ).count()
+        t, n = timed("cms_top20_violations", cms_bound)
+        r["cms_sec"], r["cms_bad"] = t, n
+
+        def bloom_members():
+            from meta_frame_spark.operators.bloom import bloom_build, bloom_probe
+
+            dd = docs(d)
+            test = dd.filter(F.col("doc_id") % 10 == 0)
+            filt = bloom_build(test, "text", n_bits=1 << 20, k=5)
+            probed = bloom_probe(dd, "text", filt, n_bits=1 << 20, k=5)
+            # false negatives; structurally must be 0
+            return (
+                probed.join(test.select("text").distinct(), "text", "left_semi")
+                .filter(~F.col("maybe_member")).count()
+            )
+        t, n = timed("bloom_member_misses", bloom_members)
+        r["bloom_sec"], r["bloom_misses"] = t, n
+
+        def pair_mass():
+            from meta_frame_spark.operators.basket import co_occurrence
+
+            li = spark.read.parquet(f"{d}/lineitem.parquet")
+            out = co_occurrence(li, "l_orderkey", "l_partkey",
+                                min_count=1, max_basket=100)
+            # total co-occurrence mass: baskets replicate intact, so
+            # this grows exactly x10 (distinct-pair ROWS merge across
+            # replicas that share partkeys and grow sublinearly)
+            return out.agg(F.sum("n_baskets")).first()[0]
+        t, n = timed("part_pairs_mass", pair_mass)
+        r["part_pairs_sec"], r["part_pairs_mass"] = t, n
+
+        def cardest_ratio():
+            from meta_frame_spark.operators.cardest import join_cardinality_estimate
+
+            li = spark.read.parquet(f"{d}/lineitem.parquet")
+            est = join_cardinality_estimate(li, li, "l_partkey", rate_denom=8)
+            exact = (
+                li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.col("n") * F.col("n"))).first()[0]
+            )
+            return round(est.first().est_rows / exact, 3)
+        t, n = timed("join_cardest_ratio", cardest_ratio)
+        r["cardest_sec"], r["cardest_ratio"] = t, n
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -199,9 +277,20 @@ def main() -> int:
     for key in ("dedup_minhash", "dup_clusters", "semantic_dedup",
                 "emb_near_dup", "bm25", "pq", "spans", "heavy_hitters",
                 "tfidf", "theta_matrix", "epoch_shuffle",
-                "near_dedup_against", "rolling_distinct"):
+                "near_dedup_against", "rolling_distinct",
+                "event_pagerank", "cms", "bloom", "part_pairs", "cardest"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
+    # continuation-op invariants at the 10x scale
+    for name, cond in (
+        ("cms bounds hold", b["cms_bad"] == 0),
+        ("bloom no false negatives", b["bloom_misses"] == 0),
+        ("pagerank node set stable", b["event_pagerank_rows"] == a["event_pagerank_rows"]),
+        ("pair mass x10", 9.5 <= b["part_pairs_mass"] / max(a["part_pairs_mass"], 1) <= 10.5),
+        ("cardest within band", 0.7 <= b["cardest_ratio"] <= 1.4),
+    ):
+        ok &= bool(cond)
+        print(f"{name:24s} {'OK' if cond else 'FAIL'}")
     # MG no-false-negative guarantee at scale: the bounded-memory
     # result must equal the exact full-shuffle count. (The replica
     # generator suffixes tokens, so the sf1 hitter SET differs from
