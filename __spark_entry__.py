@@ -1709,6 +1709,30 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph census + triangle count over the verified near-dup pair
+    graph (operators/graph.py degree_stats / triangle_count — the
+    wedge-close two-join plan; triangles measure how clique-like the
+    duplicate neighborhoods are, which predicts how safely a cluster
+    can collapse to one keeper). Same banding-matched pair derivation
+    and all-pairs DuckDB oracle as q_dup_cluster_sizes; the oracle
+    closes triangles with the canonical i<j<k three-way join. Like
+    dedup_keep_best, the ORACLE side is quadratic in documents
+    (12.5M list_intersect pairs at sf0.1 take DuckDB ~10+ min), so
+    local sf-sweeps treat this as sf0.01-bounded; the Spark side runs
+    fine at every SF and its sf1 pair graph is smoke-checked."""
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+    from meta_frame_spark.operators.graph import degree_stats, triangle_count
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+        restrict_to_candidates=False,
+    ).persist()  # census + triangles both consume it; bench clears cache
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return degree_stats(e).crossJoin(triangle_count(e))
+
+
 def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over verified near-dup pairs (iterative
     min-label propagation, O(diameter) rounds) rolled up to per-cluster
@@ -3401,16 +3425,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 104
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 105
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 11 added in the round-4
-    # continuation, cms_freq .. b_q4_priority — all locally green via
-    # tools/check_correctness.py at sf0.001/0.01/0.1, except
-    # dedup_keep_best, whose recursive-CC DuckDB oracle is
-    # sf0.01-bounded; its sf0.1 run is Spark-side identity-checked);
-    # r5's window = 50 of the 55 never-driver-checked round-4 queries
-    # (kmeans .. b_q4_priority); the remaining 5 plus the 49 r3-green
-    # entries rotate into r6/r7.
+    # text_normalize through a_q1_pricing, + 12 added in the round-4
+    # continuation, cms_freq .. dup_graph_stats — all locally green
+    # via tools/check_correctness.py at sf0.001/0.01/0.1, except
+    # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
+    # oracles are sf0.01-bounded (quadratic list_intersect); their
+    # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
+    # r5's window = 50 of the 56 never-driver-checked round-4 queries
+    # (kmeans .. dup_graph_stats); the remaining 6 plus the 49
+    # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
         "a_cascade": q_a_cascade,
@@ -3572,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "a_q6_revenue": q_a_q6_revenue,
         "b_q4_priority": q_b_q4_priority,
+        "dup_graph_stats": q_dup_graph_stats,
     }
 
 
@@ -4584,6 +4610,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(DISTINCT text) AS exact_distinct,
                    TRUE AS err_ok
             FROM documents GROUP BY 1
+        """,
+        "dup_graph_stats": """
+            WITH sh AS MATERIALIZED (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(toks) - 2, 1) + 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )) AS sh
+                FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                      >= 0.5
+            ),
+            deg AS MATERIALIZED (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT id_a AS node FROM pairs
+                    UNION ALL SELECT id_b FROM pairs
+                ) GROUP BY 1
+            )
+            SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+                   (SELECT CAST(SUM(deg) / 2 AS BIGINT) FROM deg) AS n_edges,
+                   (SELECT MAX(deg) FROM deg) AS max_degree,
+                   (SELECT ROUND(AVG(deg), 6) FROM deg) AS avg_degree,
+                   (SELECT COUNT(*) FROM pairs p1
+                    JOIN pairs p2 ON p2.id_a = p1.id_b
+                    JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b)
+                       AS n_triangles
         """,
         "dup_cluster_sizes": """
             WITH RECURSIVE sh AS (

@@ -116,3 +116,63 @@ def pagerank(
         nodes.unpersist()
         deg.unpersist()
         e.unpersist()
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Undirected-graph census in one row: ``(n_nodes, n_edges,
+    max_degree, avg_degree)``. Edges are canonicalized (min, max) and
+    deduplicated first, so a directed or repeated edge list is safe
+    input. Two map-combined aggregates — no joins."""
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.max("deg").alias("max_degree"),
+        F.round(F.avg("deg"), 6).alias("avg_degree"),
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One row ``(n_triangles)``: closed triples in the undirected
+    graph. Canonical ordering (each triangle counted once as
+    ``i < j < k``) via the standard two-join wedge-close plan: wedges
+    ``(i<j) x (j<k)`` form on the shared middle node, then a semi-join
+    against the edge list keeps closed ones. Two shuffle joins total;
+    at scale, order nodes by DEGREE instead of id before the wedge
+    join (the Cohen / Suri-Vassilvitskii trick) so hub nodes don't
+    fan out quadratically — id order is used here because the dup/
+    transition graphs this feeds have bounded degree after LSH
+    banding."""
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    # e appears three times in ONE lazy plan — identical
+    # scan+distinct subtrees get shuffle reuse under AQE, so no
+    # persist here (a persist released before the caller's action
+    # would be dead weight; callers with an expensive edge derivation
+    # should persist upstream)
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    w1 = e.select(F.col("a").alias("i"), F.col("b").alias("j"))
+    w2 = e.select(F.col("a").alias("j"), F.col("b").alias("k"))
+    wedges = w1.join(w2, "j")
+    closed = wedges.join(
+        e.select(F.col("a").alias("i"), F.col("b").alias("k")),
+        ["i", "k"],
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

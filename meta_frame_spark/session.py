@@ -53,6 +53,17 @@ def get_session(
         "spark.ui.showConsoleProgress": "false",
         "spark.ui.enabled": "false",
     }
+    if master and master.startswith("local"):
+        # local[N] runs every task inside the DRIVER JVM, whose default
+        # heap is 1g — 32 concurrent hash-aggregate tasks OOMed there
+        # on the 10x scale smoke while the box sat at 9/125 GiB. Size
+        # the one local JVM like the worker it actually is. Only
+        # effective at JVM launch (getOrCreate on a live session keeps
+        # the old heap); never set on a cluster, where spark-submit
+        # owns driver sizing.
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "48g"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

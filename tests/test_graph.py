@@ -1,8 +1,8 @@
-"""PageRank power iteration."""
+"""PageRank power iteration, graph census, triangle counting."""
 
 import pytest
 
-from meta_frame_spark.operators.graph import pagerank
+from meta_frame_spark.operators.graph import degree_stats, pagerank, triangle_count
 
 
 def _py_pagerank(edges, damping=0.85, n_iter=10):
@@ -73,6 +73,33 @@ def test_weighted_matches_reference(spark):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
     assert got["b"] > got["c"]
+
+
+def test_degree_stats_canonicalizes(spark):
+    """Directed duplicates and self-loops collapse: a<->b, b->c, c->c
+    is 2 undirected edges over 3 nodes."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "c")],
+        "src string, dst string",
+    )
+    row = degree_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.max_degree) == (3, 2, 2)
+    assert abs(row.avg_degree - 4 / 3) < 1e-6
+
+
+def test_triangle_count_exact(spark):
+    """K4 has 4 triangles; adding a pendant edge adds none."""
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_triangle_count_direction_insensitive(spark):
+    """A triangle listed with mixed edge directions still counts once."""
+    df = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    assert triangle_count(df).collect()[0].n_triangles == 1
 
 
 def test_bad_params(spark):
