@@ -75,6 +75,16 @@ def pagerank(
         nodes.unpersist()
         e.unpersist()
         return nodes.select(F.col("node"), F.lit(0.0).alias("rank"))
+    # Size the per-round rank frame to the GRAPH, not the session
+    # default: a 5-node transition graph spread over 32 shuffle
+    # partitions pays 10 rounds x 32 near-empty tasks of pure
+    # scheduling (the dominant cost at bench scale); a billion-node
+    # graph keeps the session's parallelism. ~100k nodes per
+    # partition, capped at the default parallelism.
+    target = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism,
+        n // 100_000 + 1,
+    ))
     deg = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
@@ -109,6 +119,7 @@ def pagerank(
                         )
                     ).alias("rank"),
                 )
+                .coalesce(target)
                 .localCheckpoint()
             )
         return ranks

@@ -57,12 +57,14 @@ def get_session(
         # local[N] runs every task inside the DRIVER JVM, whose default
         # heap is 1g — 32 concurrent hash-aggregate tasks OOMed there
         # on the 10x scale smoke while the box sat at 9/125 GiB. Size
-        # the one local JVM like the worker it actually is. Only
-        # effective at JVM launch (getOrCreate on a live session keeps
-        # the old heap); never set on a cluster, where spark-submit
-        # owns driver sizing.
+        # the one local JVM like the worker it actually is. 16g
+        # measured best on this suite (48g regressed the heavy ANN/
+        # cluster queries ~2x — G1 behaves worse on a huge mostly-empty
+        # heap; 2g was GC-bound). Only effective at JVM launch
+        # (getOrCreate on a live session keeps the old heap); never
+        # set on a cluster, where spark-submit owns driver sizing.
         conf["spark.driver.memory"] = os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", "48g"
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
         )
     if extra_conf:
         conf.update(extra_conf)

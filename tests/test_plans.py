@@ -323,3 +323,54 @@ def test_theta_overlap_matrix_scans_data_once(spark, sf_dir):
     plan = _plan(theta_overlap_matrix(toks, "tok", "source"))
     assert plan.count("Scan parquet") <= 2  # the two sides of one ReusedExchange-able scan
     assert "theta_sketch_agg" in plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """The wedge-close plan must pair edges through equi-joins on the
+    shared node — an n^2 edge join would be quadratic in edges."""
+    from meta_frame_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(200)
+    e = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    plan = _plan(triangle_count(e))
+    assert "CartesianProduct" not in plan
+    # the scalar 1-row agg attach is the only tolerated nested loop
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_co_occurrence_single_basket_shuffle(spark, sf_dir):
+    """Pair expansion must happen inside the basket rows (HOFs after
+    ONE groupBy on the basket key), never via a raw-table self-join —
+    the self-join shape scans and shuffles the fact table twice."""
+    from meta_frame_spark.operators.basket import co_occurrence
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(co_occurrence(li, "l_orderkey", "l_partkey"))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """The lookup join must broadcast the bounded sketch side; the key
+    side must not shuffle for the probe."""
+    from meta_frame_spark.operators.cms import cms_build, cms_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.col("text").alias("term")).limit(100)
+    sk = cms_build(toks, "term", depth=4, width=1024)
+    plan = _plan(cms_lookup(sk, toks.distinct(), "term", depth=4, width=1024))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rp_project_is_map_only(spark, sf_dir):
+    """The JL projection adds no exchange: one Arrow stage over the
+    scan."""
+    from meta_frame_spark.operators.rp import rp_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(rp_project(emb, out_dim=16))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
