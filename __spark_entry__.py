@@ -3185,23 +3185,39 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
-def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
-    """Iteration-unrolled DuckDB twin of q_event_pagerank: r0..rN CTEs,
-    each one contribution-join + dangling-mass scalar, mirroring
-    operators/graph.py pagerank exactly (standard SQL forbids
-    aggregating over a recursive reference, so the rounds unroll)."""
+def _pagerank_oracle_sql(
+    n_iter: int = 10,
+    damping: float = 0.85,
+    seeds: list[str] | None = None,
+) -> str:
+    """Iteration-unrolled DuckDB twin of q_event_pagerank /
+    q_event_ppr: r0..rN CTEs, each one contribution-join +
+    dangling-mass scalar, mirroring operators/graph.py pagerank
+    exactly — including the teleport column t (uniform 1/n, or the
+    seed-set distribution for personalized PageRank). Standard SQL
+    forbids aggregating over a recursive reference, so the rounds
+    unroll; every CTE is MATERIALIZED (inlining re-evaluates each
+    round's predecessor twice — exponential)."""
+    if seeds:
+        in_list = ", ".join(f"'{s}'" for s in seeds)
+        t_expr = (
+            f"CASE WHEN node IN ({in_list}) "
+            f"THEN {1.0 / len(seeds)!r} ELSE 0.0 END"
+        )
+    else:
+        t_expr = "1.0 / (SELECT cnt FROM nn)"
     blocks = []
     prev = "r0"
     for i in range(1, n_iter + 1):
         blocks.append(f"""
             r{i} AS MATERIALIZED (
-                SELECT n.node,
-                       (1 - {damping}) / (SELECT cnt FROM nn)
+                SELECT n.node, n.t,
+                       (1 - {damping}) * n.t
                        + {damping} * (
                            COALESCE(s.contrib, 0)
                            + (SELECT COALESCE(SUM(r.rank), 0)
                               FROM {prev} r LEFT JOIN deg ON r.node = deg.src
-                              WHERE deg.src IS NULL) / (SELECT cnt FROM nn)
+                              WHERE deg.src IS NULL) * n.t
                        ) AS rank
                 FROM nodes n
                 LEFT JOIN (
@@ -3227,15 +3243,37 @@ def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85) -> str:
             FROM seq WHERE to_event IS NOT NULL
             GROUP BY 1, 2
         ),
-        nodes AS MATERIALIZED (
+        nodes0 AS MATERIALIZED (
             SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+        nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes0),
+        nodes AS MATERIALIZED (
+            SELECT node, {t_expr} AS t FROM nodes0),
         deg AS MATERIALIZED (SELECT src, SUM(w) AS d FROM edges GROUP BY 1),
-        r0 AS MATERIALIZED (
-            SELECT node, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, t, t AS rank FROM nodes),
         {",".join(blocks)}
         SELECT node, ROUND(rank, 6) AS rank FROM {prev}
     """
+
+
+def q_event_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at 'purchase' (operators/graph.py
+    pagerank with teleport_to — teleport, start, and dangling mass all
+    land on the seed set): which event states are most reachable from
+    purchases under the weighted random walk. Same unrolled
+    MATERIALIZED-CTE oracle as q_event_pagerank, with the teleport
+    CASE column."""
+    from meta_frame_spark.operators.graph import pagerank
+    from meta_frame_spark.operators.temporal import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    edges = event_transitions(ev).select(
+        F.col("from_event").alias("src"), F.col("to_event").alias("dst"), "n"
+    )
+    pr = pagerank(
+        edges, damping=0.85, n_iter=10, weight_col="n",
+        teleport_to=["purchase"],
+    )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
 def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3427,14 +3465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
     # an oracle_sql() twin. r5 rotation plan: the tail is now 105
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 12 added in the round-4
-    # continuation, cms_freq .. dup_graph_stats — all locally green
+    # text_normalize through a_q1_pricing, + 14 added in the round-4
+    # continuation, cms_freq .. event_ppr — all locally green
     # via tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
     # oracles are sf0.01-bounded (quadratic list_intersect); their
     # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 56 never-driver-checked round-4 queries
-    # (kmeans .. dup_graph_stats); the remaining 6 plus the 49
+    # r5's window = 50 of the 58 never-driver-checked round-4 queries
+    # (kmeans .. event_ppr); the remaining 8 plus the 49
     # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
@@ -3598,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_q6_revenue": q_a_q6_revenue,
         "b_q4_priority": q_b_q4_priority,
         "dup_graph_stats": q_dup_graph_stats,
+        "event_ppr": q_event_ppr,
     }
 
 
@@ -5310,6 +5349,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
         "a_q6_revenue": """
             SELECT 'q6' AS bucket,
                    ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

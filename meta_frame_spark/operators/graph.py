@@ -43,18 +43,29 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    teleport_to: list | None = None,
 ) -> DataFrame:
-    """``(node, rank)`` after ``n_iter`` damped power-iteration rounds
-    from a uniform start. With ``weight_col`` each edge passes rank in
-    proportion to its weight share of the source's outgoing total (the
-    weighted random surfer); without it, multi-edges contribute
-    multiply — pass a ``.distinct()`` edge list for an unweighted
-    graph. Ranks sum to 1 (dangling mass redistributed uniformly);
-    exact doubles, round at the presentation layer."""
+    """``(node, rank)`` after ``n_iter`` damped power-iteration rounds.
+    With ``weight_col`` each edge passes rank in proportion to its
+    weight share of the source's outgoing total (the weighted random
+    surfer); without it, multi-edges contribute multiply — pass a
+    ``.distinct()`` edge list for an unweighted graph.
+
+    ``teleport_to`` switches to PERSONALIZED PageRank: the teleport
+    and dangling mass land uniformly on the seed set (and the walk
+    starts there) instead of on all nodes — "importance relative to
+    THESE nodes", the similar-items / related-docs primitive. Seeds
+    are a driver-side list because a personalization set is small by
+    definition; a data-scale seed frame would join instead of isin.
+
+    Ranks sum to 1 (dangling mass redistributed to the teleport
+    distribution); exact doubles, round at the presentation layer."""
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1], got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if teleport_to is not None and not teleport_to:
+        raise ValueError("teleport_to must be None or a non-empty list")
     w = (
         F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     )
@@ -87,7 +98,13 @@ def pagerank(
     ))
     deg = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    if teleport_to is None:
+        t = F.lit(1.0 / n)
+    else:
+        t = F.when(
+            F.col("node").isin(list(teleport_to)), F.lit(1.0 / len(teleport_to))
+        ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", t.alias("rank")).localCheckpoint()
     try:
         for _ in range(n_iter):
             contrib = (
@@ -111,11 +128,11 @@ def pagerank(
                 .select(
                     "node",
                     (
-                        F.lit((1.0 - damping) / n)
+                        F.lit(1.0 - damping) * t
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("_dangling") / F.lit(float(n))
+                            + F.col("_dangling") * t
                         )
                     ).alias("rank"),
                 )

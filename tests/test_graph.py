@@ -75,6 +75,42 @@ def test_weighted_matches_reference(spark):
     assert got["b"] > got["c"]
 
 
+def test_personalized_matches_reference(spark):
+    """Teleport to {a}: start, teleport, and dangling mass all land on
+    the seed; the pure-Python twin uses the identical recurrence."""
+    def py_ppr(edges, seeds, damping=0.85, n_iter=10):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        out = {}
+        for a, _ in edges:
+            out[a] = out.get(a, 0) + 1
+        t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+        rank = dict(t)
+        for _ in range(n_iter):
+            contrib = {v: 0.0 for v in nodes}
+            for a, b in edges:
+                contrib[b] += rank[a] / out[a]
+            dangling = sum(rank[v] for v in nodes if v not in out)
+            rank = {
+                v: (1 - damping) * t[v]
+                + damping * (contrib[v] + dangling * t[v])
+                for v in nodes
+            }
+        return rank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, 0.85, 10, teleport_to=["a"]).collect()
+    }
+    want = py_ppr(EDGES, {"a"})
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # the non-seed source 'd' is a sink: reachable mass but no teleport
+    assert got["a"] > 0 and abs(sum(got.values()) - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        pagerank(df, teleport_to=[])
+
+
 def test_degree_stats_canonicalizes(spark):
     """Directed duplicates and self-loops collapse: a<->b, b->c, c->c
     is 2 undirected edges over 3 nodes."""
