@@ -3463,16 +3463,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 105
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 106
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 14 added in the round-4
+    # text_normalize through a_q1_pricing, + 13 added in the round-4
     # continuation, cms_freq .. event_ppr — all locally green
     # via tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
     # oracles are sf0.01-bounded (quadratic list_intersect); their
     # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 58 never-driver-checked round-4 queries
-    # (kmeans .. event_ppr); the remaining 8 plus the 49
+    # r5's window = 50 of the 57 never-driver-checked round-4 queries
+    # (kmeans .. event_ppr); the remaining 7 plus the 49
     # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
