@@ -1218,6 +1218,22 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event-type counts (operators/freq.py
+    decayed_counts — half-life 7 days, anchored at max(ts) so the
+    score is a pure function of the data; mergeable per-key state, no
+    window cutoff). Full oracle: DuckDB recomputes the identical
+    epoch-microsecond weights; both engines' libm pow agree well
+    inside the 4dp rounding."""
+    from meta_frame_spark.operators.freq import decayed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = decayed_counts(ev, "event_type", half_life_s=604800.0)
+    return out.select(
+        "event_type", F.round("decayed_count", 4).alias("decayed_count")
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling aggregation (batch form; streaming twin lives
     in meta_frame_spark.streaming)."""
@@ -3463,16 +3479,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 106
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 107
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 13 added in the round-4
-    # continuation, cms_freq .. event_ppr — all locally green
+    # text_normalize through a_q1_pricing, + 14 added in the round-4
+    # continuation, cms_freq .. trending_events — all locally green
     # via tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
     # oracles are sf0.01-bounded (quadratic list_intersect); their
     # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 57 never-driver-checked round-4 queries
-    # (kmeans .. event_ppr); the remaining 7 plus the 49
+    # r5's window = 50 of the 58 never-driver-checked round-4 queries
+    # (kmeans .. trending_events); the remaining 8 plus the 49
     # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
@@ -3637,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_q4_priority": q_b_q4_priority,
         "dup_graph_stats": q_dup_graph_stats,
         "event_ppr": q_event_ppr,
+        "trending_events": q_trending_events,
     }
 
 
@@ -5350,6 +5367,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_pagerank": _pagerank_oracle_sql(),
         "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
+        "trending_events": """
+            WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events)
+            SELECT event_type,
+                   ROUND(SUM(pow(0.5,
+                       (a.anchor - epoch_us(ts)) / 604800000000.0)), 4)
+                       AS decayed_count
+            FROM events, a
+            GROUP BY 1
+        """,
         "a_q6_revenue": """
             SELECT 'q6' AS bucket,
                    ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,

@@ -98,3 +98,41 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("_n"), round_to).alias("frac"),
         )
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    half_life_s: float = 604800.0,
+) -> DataFrame:
+    """Exponentially time-decayed counts per key — the "trending"
+    score: an occurrence ``age`` seconds before the newest event
+    contributes ``0.5 ** (age / half_life_s)`` instead of 1, so
+    recent activity dominates without a hard window cutoff (public
+    technique — exponentially decayed aggregates, cf. Cormode et al.
+    on time-decayed streams).
+
+    The anchor is ``max(ts)`` of the input — a pure function of the
+    data (deterministic, restart-safe, oracle-mirrorable; no wall
+    clock). Decayed counts are mergeable: batches sharing an anchor
+    sum cell-wise, and re-anchoring an old total to a newer anchor is
+    one multiply by ``0.5 ** (delta / half_life)`` — so an incremental
+    pipeline carries a tiny per-key state forward instead of
+    re-scanning history. One map-combined aggregate + a broadcast
+    1-row anchor attach; no Python."""
+    anchor = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_anchor_us"))
+    return (
+        df.select(F.col(key_col), F.unix_micros(F.col(ts_col)).alias("_us"))
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.pow(
+                    F.lit(0.5),
+                    (F.col("_anchor_us") - F.col("_us"))
+                    / F.lit(half_life_s * 1e6),
+                )
+            ).alias("decayed_count")
+        )
+    )

@@ -58,3 +58,34 @@ def test_mg_prune_bounds_and_survivors():
     cut = sorted(counts.values(), reverse=True)[4]
     assert pruned == {i: c - cut for i, c in counts.items() if c > cut}
     assert _mg_prune({"a": 5}, 4) == {"a": 5}  # under k: untouched
+
+
+def test_decayed_counts_merge_and_reanchor(spark):
+    """Two batches sharing the newest anchor sum cell-wise; an older
+    batch re-anchors with one multiply by 0.5**(delta/half_life)."""
+    import math
+
+    from meta_frame_spark.operators.freq import decayed_counts
+
+    rows = [("a", "2024-01-0%d 00:00:00" % d) for d in range(1, 8)] + [
+        ("b", "2024-01-07 00:00:00")
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    hl = 86400.0  # 1 day
+    got = {
+        r.k: r.decayed_count
+        for r in decayed_counts(df, "k", half_life_s=hl).collect()
+    }
+    want_a = sum(0.5 ** d for d in range(7))  # ages 0..6 days
+    assert abs(got["a"] - want_a) < 1e-9 and abs(got["b"] - 1.0) < 1e-12
+
+    # merge contract: early half re-anchored to the late half's anchor
+    early = df.filter(F.col("ts") < "2024-01-05")
+    late = df.filter(F.col("ts") >= "2024-01-05")
+    e = {r.k: r.decayed_count for r in decayed_counts(early, "k", half_life_s=hl).collect()}
+    l = {r.k: r.decayed_count for r in decayed_counts(late, "k", half_life_s=hl).collect()}
+    delta_days = 3.0  # early anchor 01-04 -> late anchor 01-07
+    merged_a = l.get("a", 0.0) + e["a"] * math.pow(0.5, delta_days)
+    assert abs(merged_a - got["a"]) < 1e-9
