@@ -1218,6 +1218,29 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event types that co-occur within the same user session:
+    operators compose — sessionize (gap-based session tags, 30-min)
+    feeds basket co_occurrence with (user, session) as the basket key.
+    Deterministic total order; full oracle re-derives sessions with
+    the lag/running-sum SQL and self-joins distinct in-session types."""
+    from meta_frame_spark.operators.basket import co_occurrence
+    from meta_frame_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    tagged = sessionize(
+        ev, gap_seconds=1800, partition_cols=["user_id"],
+        tiebreak_col="event_id",
+    ).withColumn(
+        "basket", F.concat_ws("/", F.col("user_id"), F.col("session_id"))
+    )
+    return (
+        co_occurrence(tagged, "basket", "event_type", min_count=1,
+                      max_basket=100)
+        .orderBy(F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b"))
+    )
+
+
 def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed event-type counts (operators/freq.py
     decayed_counts — half-life 7 days, anchored at max(ts) so the
@@ -3479,16 +3502,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 107
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 108
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 14 added in the round-4
-    # continuation, cms_freq .. trending_events — all locally green
+    # text_normalize through a_q1_pricing, + 15 added in the round-4
+    # continuation, cms_freq .. session_pairs — all locally green
     # via tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
     # oracles are sf0.01-bounded (quadratic list_intersect); their
     # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 58 never-driver-checked round-4 queries
-    # (kmeans .. trending_events); the remaining 8 plus the 49
+    # r5's window = 50 of the 59 never-driver-checked round-4 queries
+    # (kmeans .. session_pairs); the remaining 9 plus the 49
     # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
@@ -3654,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_graph_stats": q_dup_graph_stats,
         "event_ppr": q_event_ppr,
         "trending_events": q_trending_events,
+        "session_pairs": q_session_pairs,
     }
 
 
@@ -5367,6 +5391,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_pagerank": _pagerank_oracle_sql(),
         "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
+        "session_pairs": """
+            WITH tagged AS (
+                SELECT event_type, user_id,
+                       CAST(SUM(CASE WHEN prev_ts IS NULL
+                                      OR epoch_us(ts) - epoch_us(prev_ts)
+                                         > 1800 * 1000000
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS BIGINT) AS session_id
+                FROM (
+                    SELECT event_id, event_type, user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            ), base AS (
+                SELECT DISTINCT user_id || '/' || session_id AS basket,
+                       event_type
+                FROM tagged
+            ), kept AS (
+                SELECT basket FROM base
+                GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 100
+            )
+            SELECT a.event_type AS item_a, b.event_type AS item_b,
+                   COUNT(*) AS n_baskets
+            FROM base a
+            JOIN base b ON a.basket = b.basket
+                       AND a.event_type < b.event_type
+            JOIN kept k ON k.basket = a.basket
+            GROUP BY 1, 2
+            ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+        """,
         "trending_events": """
             WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events)
             SELECT event_type,
