@@ -14,7 +14,7 @@ from meta_frame_spark.operators.expect import (
     expect_or_fail,
     expect_schema,
 )
-from meta_frame_spark.operators.freq import heavy_hitters
+from meta_frame_spark.operators.freq import decayed_counts, heavy_hitters
 from meta_frame_spark.operators.incremental import (
     aggregate_state,
     merge_aggregate_states,
@@ -117,7 +117,7 @@ from meta_frame_spark.operators.basket import basket_sizes, co_occurrence
 from meta_frame_spark.operators.bloom import bloom_build, bloom_probe
 from meta_frame_spark.operators.cardest import join_cardinality_estimate
 from meta_frame_spark.operators.cms import cms_build, cms_lookup, cms_merge
-from meta_frame_spark.operators.graph import pagerank
+from meta_frame_spark.operators.graph import degree_stats, pagerank, triangle_count
 from meta_frame_spark.operators.rp import rp_project, rp_rescore_topk, rp_topk
 from meta_frame_spark.operators.skew import (
     key_skew_report,
@@ -145,8 +145,11 @@ __all__ = [
     "cms_lookup",
     "cms_merge",
     "co_occurrence",
+    "decayed_counts",
+    "degree_stats",
     "join_cardinality_estimate",
     "pagerank",
+    "triangle_count",
     "rp_project",
     "rp_rescore_topk",
     "rp_topk",
