@@ -1218,6 +1218,31 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert through the view->click->purchase funnel
+    (operators/funnel.py funnel t_1..t_3 chain): one row of latency
+    stats over fully-converted users — count, mean, EXACT interpolated
+    median (native percentile, same linear-interpolation definition as
+    DuckDB quantile_cont), min/max seconds. Full oracle re-derives the
+    strictly-increasing step chain with three min-join CTEs."""
+    from meta_frame_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    f = funnel(ev, ["view", "click", "purchase"])
+    lat = f.filter(F.col("t_3").isNotNull()).select(
+        (
+            (F.unix_micros("t_3") - F.unix_micros("t_1")) / F.lit(1e6)
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("sec"), 2).alias("avg_s"),
+        F.round(F.percentile("sec", F.lit(0.5)), 2).alias("median_s"),
+        F.round(F.min("sec"), 2).alias("min_s"),
+        F.round(F.max("sec"), 2).alias("max_s"),
+    )
+
+
 def q_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event types that co-occur within the same user session:
     operators compose — sessionize (gap-based session tags, 30-min)
@@ -3502,16 +3527,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tail unchanged, followed by the fourteen queries added later in
     # round 4 (kmeans .. event_transitions — all locally green via
     # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 108
+    # an oracle_sql() twin. r5 rotation plan: the tail is now 109
     # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 15 added in the round-4
-    # continuation, cms_freq .. session_pairs — all locally green
+    # text_normalize through a_q1_pricing, + 16 added in the round-4
+    # continuation, cms_freq .. funnel_latency — all locally green
     # via tools/check_correctness.py at sf0.001/0.01/0.1, except
     # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
     # oracles are sf0.01-bounded (quadratic list_intersect); their
     # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 59 never-driver-checked round-4 queries
-    # (kmeans .. session_pairs); the remaining 9 plus the 49
+    # r5's window = 50 of the 60 never-driver-checked round-4 queries
+    # (kmeans .. funnel_latency); the remaining 10 plus the 49
     # r3-green entries rotate into r6/r7.
     return {
         # --- (a) reference-parity dialects, last green in r1 ---
@@ -3678,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ppr": q_event_ppr,
         "trending_events": q_trending_events,
         "session_pairs": q_session_pairs,
+        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -5391,6 +5417,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_pagerank": _pagerank_oracle_sql(),
         "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
+        "funnel_latency": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 ON s1.user_id = e.user_id
+                                     AND e.ts > s1.t1
+                WHERE e.event_type = 'click' GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 ON s2.user_id = e.user_id
+                                     AND e.ts > s2.t2
+                WHERE e.event_type = 'purchase' GROUP BY 1
+            ), lat AS (
+                SELECT (epoch_us(s3.t3) - epoch_us(s1.t1)) / 1e6 AS sec
+                FROM s3 JOIN s1 ON s1.user_id = s3.user_id
+            )
+            SELECT COUNT(*) AS n_converted,
+                   ROUND(AVG(sec), 2) AS avg_s,
+                   ROUND(quantile_cont(sec, 0.5), 2) AS median_s,
+                   ROUND(MIN(sec), 2) AS min_s,
+                   ROUND(MAX(sec), 2) AS max_s
+            FROM lat
+        """,
         "session_pairs": """
             WITH tagged AS (
                 SELECT event_type, user_id,
