@@ -1271,12 +1271,15 @@ def q_trending_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     decayed_counts — half-life 7 days, anchored at max(ts) so the
     score is a pure function of the data; mergeable per-key state, no
     window cutoff). Full oracle: DuckDB recomputes the identical
-    epoch-microsecond weights; both engines' libm pow agree well
-    inside the 4dp rounding."""
+    epoch-microsecond weights. Per-row weights are quantized to 1e-6
+    and summed as exact integers on BOTH engines, so the score is
+    independent of partition/summation order — a plain double sum
+    could flip the 4dp rounding at a boundary between engines/runs
+    (ADVICE r4)."""
     from meta_frame_spark.operators.freq import decayed_counts
 
     ev = _t(spark, sf_dir, "events")
-    out = decayed_counts(ev, "event_type", half_life_s=604800.0)
+    out = decayed_counts(ev, "event_type", half_life_s=604800.0, quantize=1e-6)
     return out.select(
         "event_type", F.round("decayed_count", 4).alias("decayed_count")
     )
@@ -1582,29 +1585,39 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates + exact
-    verify. Genuine exact oracle: at 64 bands x 4 planes the per-pair
-    candidate-miss probability at the 0.4 threshold is ~2e-5 (32 bands
-    measurably missed 3/920 pairs at sf0.1 — ADVICE r2); recall 1.0 is
-    locally re-verified against DuckDB's all-pairs cosine filter at
-    BOTH sf0.01 and sf0.1, so the output matches bit-for-bit at every
-    shipped scale."""
+    verify. Genuine exact oracle — recall argument: at 32 bands x 2
+    planes the per-band collision prob for a pair AT the cos = 0.4
+    threshold is (1 - arccos(0.4)/pi)^2 ~ 0.398, so the per-pair
+    candidate-miss probability is (1-0.398)^32 ~ 9e-8 (vs ~2e-5 for
+    the previous 64x4, at HALF the bucketize shuffle — the r4 recall
+    upgrade's cost, VERDICT r4; and vs 4e-3 for 32x4, which measurably
+    missed 3/920 pairs at sf0.1 — ADVICE r2). Fewer planes widen each
+    band's buckets (4 per band), which is the right trade at a loose
+    threshold on a bounded corpus; a 0.9+ threshold at cluster scale
+    wants more planes per band to keep applyInPandas groups small.
+    Recall 1.0 is locally re-verified against DuckDB's all-pairs
+    cosine filter at BOTH sf0.01 and sf0.1."""
     from meta_frame_spark.operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, num_bands=64
+        _t(spark, sf_dir, "embeddings"), threshold=0.4,
+        planes_per_band=2, num_bands=32,
     )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents, exact-Jaccard
-    verified. Genuine exact oracle: at (16 bands × 4 rows) a J ≥ 0.9
-    pair is a candidate with p ≈ 1-4e-8, and this corpus has nothing
-    between J = 0.07 and J = 0.9, so the fixed-seed output equals
-    DuckDB's all-pairs 3-gram Jaccard filter at the 0.5 threshold."""
+    verified. Genuine exact oracle: at (32 bands × 2 rows) a pair AT
+    the J = 0.5 threshold is a candidate with p = 1-(1-0.25)^32 ≈
+    1-1e-4, rising fast above it — so the banding matches the
+    threshold for ANY pair-Jaccard distribution (no reliance on the
+    corpus' gap structure), and the fixed-seed output equals DuckDB's
+    all-pairs 3-gram Jaccard filter at 0.5. Same banding as
+    dup_cluster_sizes (identical pipeline, r3-green)."""
     from meta_frame_spark.operators.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
-        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, num_bands=16,
+        _t(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, num_bands=32,
         shingle_n=3,
         # candidate docs are ~10% of this corpus — the semi-join
         # restriction's extra blocking stages cost more than they
@@ -1929,7 +1942,10 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    books = pq_fit(emb, m=32, bits=8)
+    # cache_key: codebooks are fit once per (corpus, m, bits, seed) per
+    # session and shared with q_ann_topk_ivfpq (same config) — at
+    # cluster scale codebooks are fit once and reused for months
+    books = pq_fit(emb, m=32, bits=8, cache_key=f"{sf_dir}:embeddings")
     codes = pq_encode(emb, books)
     return _ann_recall_summary(
         pq_topk(codes, q, books, k=5), brute_force_topk(emb, q, k=5), 5, 0.7
@@ -2103,7 +2119,10 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return _ann_recall_summary(
-        ivfpq_topk(emb, q, k=5, n_probe=8), brute_force_topk(emb, q, k=5), 5, 0.4
+        ivfpq_topk(
+            emb, q, k=5, n_probe=8, cache_key=f"{sf_dir}:embeddings"
+        ),
+        brute_force_topk(emb, q, k=5), 5, 0.4,
     )
 
 
@@ -3386,13 +3405,16 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 tokens (operators/cms.py — depth 4 x width 8192 sparse
     mergeable sketch: bounded build shuffle, broadcast probe).
     Invariant-oracle form: DuckDB recomputes the same deterministic
-    top-20 (count desc, token asc tiebreak) with exact counts; the two
-    booleans are Spark-verified CMS guarantees — an estimate never
-    undercounts, and overcounts by at most 8 * ceil(N / width)
-    (deterministic under the fixed xxhash64 row seeds; observed
-    overcount is 0 for every top-20 token at sf0.001/0.01/0.1 — the
-    8192-bucket rows are sparse at these SFs — so the x8 margin is
-    all regen headroom)."""
+    top-20 (count desc, token asc tiebreak) with exact counts.
+    ``ge_ok`` is the HARD one-sided CMS guarantee (an estimate never
+    undercounts). ``bound_ok`` is an EMPIRICAL band, not a guarantee:
+    the textbook bound e*N/width holds only with probability
+    1 - exp(-depth) per query (ADVICE r4), so the band is widened to
+    64 * ceil(N/width) — via Markov, P(row overcount >= 64*N/width)
+    <= 1/64 per row, min over depth=4 independent rows gives
+    <= 64**-4 ~ 6e-8 per query, ~1e-6 across 20 queries per regen.
+    Observed overcount is 0 for every top-20 token at
+    sf0.001/0.01/0.1; the margin is all regen headroom."""
     from meta_frame_spark.operators.cms import cms_build, cms_lookup
 
     docs = _t(spark, sf_dir, "documents")
@@ -3412,7 +3434,7 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=4, width=8192,
     )
     total = toks.agg(F.count(F.lit(1)).alias("_n"))
-    bound = F.ceil(F.col("_n") / F.lit(8192)) * 8
+    bound = F.ceil(F.col("_n") / F.lit(8192)) * 64
     return est.crossJoin(total).select(
         "term",
         "n_exact",
@@ -3517,29 +3539,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract (round 4): the driver checks only the FIRST 50
-    # dict entries per round. Round 3 left exactly 45 entries whose
-    # latest green driver row is from r1/r2 (VERDICT r3 "What's wrong
-    # #1") — those 45 fill positions 1-45 so the rotation debt is fully
-    # paid this round. Positions 46-49 are the four queries new in
-    # round 4; position 50 is event_paths, whose output schema gained
-    # path_len this round. The 49 other r3-green entries rotate to the
-    # tail unchanged, followed by the fourteen queries added later in
-    # round 4 (kmeans .. event_transitions — all locally green via
-    # tools/check_correctness.py at sf0.001/0.01/0.1). Every entry has
-    # an oracle_sql() twin. r5 rotation plan: the tail is now 109
-    # entries (63 at the r4 freeze + 30 added later in round 4, from
-    # text_normalize through a_q1_pricing, + 16 added in the round-4
-    # continuation, cms_freq .. funnel_latency — all locally green
-    # via tools/check_correctness.py at sf0.001/0.01/0.1, except
-    # dedup_keep_best and dup_graph_stats, whose all-pairs DuckDB
-    # oracles are sf0.01-bounded (quadratic list_intersect); their
-    # Spark sides are sf0.1/sf1-checked by tests and the scale smoke);
-    # r5's window = 50 of the 60 never-driver-checked round-4 queries
-    # (kmeans .. funnel_latency); the remaining 10 plus the 49
-    # r3-green entries rotate into r6/r7.
+    # Ordering contract: the driver checks only the FIRST 50 dict
+    # entries per round. Round-5 window (VERDICT r4 "Next round" #1 and
+    # #8): exactly 50 of the 60 round-4 queries that have never had a
+    # driver correctness row (kmeans .. funnel_latency in the r4
+    # ordering). Positions 1-2 are dedup_keep_best and dup_graph_stats
+    # — the two whose all-pairs DuckDB oracles are sf0.01-bounded
+    # (quadratic list_intersect) and therefore never ran under the
+    # driver at all — so they get hard evidence first. The 10 deferred
+    # to r6 (text_normalize, char_entropy, script_profile, sentences,
+    # ewma_hourly, trend_hourly, bucket_spine, zipf_slope, key_skew,
+    # top_mass) are the lowest-risk of the 60: pure-codegen expression
+    # queries with deterministic SQL oracles, locally green at
+    # sf0.001/0.01/0.1 via tools/check_correctness.py. r6 rotation
+    # plan: those 10, then the 50 r4-green entries (a_cascade ..
+    # event_paths) for their post-edit recheck; the 49 r3-green
+    # entries follow in r7. Every entry has an oracle_sql() twin
+    # unless noted streaming/rows-only.
     return {
-        # --- (a) reference-parity dialects, last green in r1 ---
+        # --- (1) never-driver-checked, sf0.01-bounded oracles first ---
+        "dedup_keep_best": q_dedup_keep_best,
+        "dup_graph_stats": q_dup_graph_stats,
+        # --- (2) rest of the round-4 never-checked set ---
+        "kmeans": q_kmeans,
+        "stream_totals": q_stream_totals,
+        "dup_spans": q_dup_spans,
+        "sample_per_group": q_sample_per_group,
+        "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "pca": q_pca,
+        "mm_audio": q_mm_audio,
+        "bigram_lm": q_bigram_lm,
+        "bpe_tokenize": q_bpe_tokenize,
+        "stream_curate": q_stream_curate,
+        "dup_span_regions": q_dup_span_regions,
+        "lang_margin": q_lang_margin,
+        "event_transitions": q_event_transitions,
+        "tfidf_keywords": q_tfidf_keywords,
+        "epoch_shuffle": q_epoch_shuffle,
+        "count_anomalies": q_count_anomalies,
+        "theta_overlap": q_theta_overlap,
+        "heavy_hitters": q_heavy_hitters,
+        "containment": q_containment,
+        "kll_quantiles": q_kll_quantiles,
+        "theta_matrix": q_theta_matrix,
+        "stream_anomaly": q_stream_anomaly,
+        "negative_pairs": q_negative_pairs,
+        "dedup_safe_split": q_dedup_safe_split,
+        "curation_cleanup": q_curation_cleanup,
+        "corr_signals": q_corr_signals,
+        "near_dedup_against": q_near_dedup_against,
+        "rolling_distinct": q_rolling_distinct,
+        "vocab_drift": q_vocab_drift,
+        "emb_outliers": q_emb_outliers,
+        "incremental_agg": q_incremental_agg,
+        "b_q10_returns": q_b_q10_returns,
+        "a_q1_pricing": q_a_q1_pricing,
+        "cms_freq": q_cms_freq,
+        "ann_topk_rp": q_ann_topk_rp,
+        "mm_frame_dedup": q_mm_frame_dedup,
+        "event_pagerank": q_event_pagerank,
+        "part_pairs": q_part_pairs,
+        "bloom_decontam": q_bloom_decontam,
+        "sketch_rollup": q_sketch_rollup,
+        "join_cardest": q_join_cardest,
+        "a_q6_revenue": q_a_q6_revenue,
+        "b_q4_priority": q_b_q4_priority,
+        "event_ppr": q_event_ppr,
+        "trending_events": q_trending_events,
+        "session_pairs": q_session_pairs,
+        "funnel_latency": q_funnel_latency,
+        # ---- window boundary (50) ----
+        # --- (3) the 10 deferred to r6 (lowest-risk of the 60) ---
+        "text_normalize": q_text_normalize,
+        "char_entropy": q_char_entropy,
+        "script_profile": q_script_profile,
+        "sentences": q_sentences,
+        "ewma_hourly": q_ewma_hourly,
+        "trend_hourly": q_trend_hourly,
+        "bucket_spine": q_bucket_spine,
+        "zipf_slope": q_zipf_slope,
+        "key_skew": q_key_skew,
+        "top_mass": q_top_mass,
+        # --- (4) r4-green entries, due post-edit recheck in r6 ---
         "a_cascade": q_a_cascade,
         "a_filters": q_a_filters,
         "a_keep_columns": q_a_keep_columns,
@@ -3558,7 +3640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": q_agg_grouping_sets,
         "agg_salted": q_agg_salted,
         "array_agg": q_array_agg,
-        # --- (b) r1/r2-green queries due a post-edit recheck ---
         "bm25_search": q_bm25_search,
         "chunk_dedup": q_chunk_dedup,
         "corpus_diff": q_corpus_diff,
@@ -3586,14 +3667,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "weighted_sample": q_weighted_sample,
         "winsorized_lengths": q_winsorized_lengths,
-        # --- (c) new in round 4 ---
         "hard_neg_lsh": q_hard_neg_lsh,
         "stream_hourly": q_stream_hourly,
         "stream_dedup": q_stream_dedup,
         "stream_join": q_stream_join,
-        # --- (d) r3-green but schema changed this round (path_len) ---
         "event_paths": q_event_paths,
-        # --- green in CORRECTNESS_r03: rotate to the tail ---
+        # --- (5) green in CORRECTNESS_r03: recheck queued for r7 ---
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -3643,67 +3722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
-        # --- new in round 4, after the window filled: r5 rotation ---
-        "kmeans": q_kmeans,
-        "stream_totals": q_stream_totals,
-        "dup_spans": q_dup_spans,
-        "sample_per_group": q_sample_per_group,
-        "ann_topk_pq": q_ann_topk_pq,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "pca": q_pca,
-        "mm_audio": q_mm_audio,
-        "bigram_lm": q_bigram_lm,
-        "bpe_tokenize": q_bpe_tokenize,
-        "stream_curate": q_stream_curate,
-        "dup_span_regions": q_dup_span_regions,
-        "lang_margin": q_lang_margin,
-        "event_transitions": q_event_transitions,
-        "text_normalize": q_text_normalize,
-        "tfidf_keywords": q_tfidf_keywords,
-        "epoch_shuffle": q_epoch_shuffle,
-        "count_anomalies": q_count_anomalies,
-        "theta_overlap": q_theta_overlap,
-        "heavy_hitters": q_heavy_hitters,
-        "containment": q_containment,
-        "kll_quantiles": q_kll_quantiles,
-        "theta_matrix": q_theta_matrix,
-        "key_skew": q_key_skew,
-        "stream_anomaly": q_stream_anomaly,
-        "ewma_hourly": q_ewma_hourly,
-        "bucket_spine": q_bucket_spine,
-        "char_entropy": q_char_entropy,
-        "negative_pairs": q_negative_pairs,
-        "script_profile": q_script_profile,
-        "dedup_safe_split": q_dedup_safe_split,
-        "curation_cleanup": q_curation_cleanup,
-        "trend_hourly": q_trend_hourly,
-        "corr_signals": q_corr_signals,
-        "near_dedup_against": q_near_dedup_against,
-        "dedup_keep_best": q_dedup_keep_best,
-        "rolling_distinct": q_rolling_distinct,
-        "vocab_drift": q_vocab_drift,
-        "emb_outliers": q_emb_outliers,
-        "sentences": q_sentences,
-        "incremental_agg": q_incremental_agg,
-        "top_mass": q_top_mass,
-        "b_q10_returns": q_b_q10_returns,
-        "a_q1_pricing": q_a_q1_pricing,
-        "cms_freq": q_cms_freq,
-        "ann_topk_rp": q_ann_topk_rp,
-        "mm_frame_dedup": q_mm_frame_dedup,
-        "event_pagerank": q_event_pagerank,
-        "part_pairs": q_part_pairs,
-        "bloom_decontam": q_bloom_decontam,
-        "sketch_rollup": q_sketch_rollup,
-        "join_cardest": q_join_cardest,
-        "zipf_slope": q_zipf_slope,
-        "a_q6_revenue": q_a_q6_revenue,
-        "b_q4_priority": q_b_q4_priority,
-        "dup_graph_stats": q_dup_graph_stats,
-        "event_ppr": q_event_ppr,
-        "trending_events": q_trending_events,
-        "session_pairs": q_session_pairs,
-        "funnel_latency": q_funnel_latency,
     }
 
 
@@ -5475,11 +5493,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_baskets DESC, item_a ASC, item_b ASC
         """,
         "trending_events": """
+            -- per-row weight quantized to 1e-6, exact integer sum:
+            -- summation-order-independent, matches Spark bit-for-bit
             WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events)
             SELECT event_type,
-                   ROUND(SUM(pow(0.5,
-                       (a.anchor - epoch_us(ts)) / 604800000000.0)), 4)
-                       AS decayed_count
+                   -- 1e-6 (DOUBLE literal, same IEEE multiply as the
+                   -- Spark side); 0.000001 would be DECIMAL(7,6)
+                   ROUND(CAST(SUM(CAST(ROUND(pow(0.5,
+                       (a.anchor - epoch_us(ts)) / 604800000000.0)
+                       * 1000000.0) AS BIGINT)) AS BIGINT)
+                       * 1e-6, 4) AS decayed_count
             FROM events, a
             GROUP BY 1
         """,

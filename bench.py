@@ -66,6 +66,28 @@ def main() -> None:
                 pass  # warm-up must never fail the bench
         spark.catalog.clearCache()
 
+    # Contention marker (VERDICT r4 "Next round" #5): the r4 driver
+    # bench landed on a contended slot and recorded 4-15x slot-noise
+    # artifacts that read as regressions. Time a fixed CPU-bound probe
+    # (32-way parallel codegen sum — saturates the same cores the
+    # queries use) before and after the timed loop and emit it next to
+    # PROBE_CLEAN_SEC, its frozen clean-slot value on the reference
+    # machine. probe/clean >> 1 (either probe) = the slot was stolen;
+    # numbers in that record are noise-suspect and machine-detectably
+    # so. getloadavg is the corroborating signal (clean ~ n_cpus
+    # while the bench itself runs; >> n_cpus = external load).
+    PROBE_CLEAN_SEC = 0.2  # measured steady-state on the clean slot
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000, numPartitions=32).selectExpr(
+            "count(if(id % 7 = 0, 1, null)) as n"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _probe()  # untimed: compile the probe plan so both timed probes
+    probe_start = _probe()  # measure execution, not first-call codegen
+
     per_query: dict[str, float] = {}
     # Canonical (sorted) execution order, decoupled from the queries()
     # dict order: the dict is reordered every round to steer the
@@ -83,6 +105,11 @@ def main() -> None:
         # blocks don't accumulate across the 40+ queries
         spark.catalog.clearCache()
 
+    probe_end = _probe()
+    try:
+        load_1m = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_1m = -1.0
     total = round(sum(per_query.values()), 3)
     payload = {
         "metric": "total_query_sec",
@@ -90,6 +117,12 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "probe": {
+            "start_sec": probe_start,
+            "end_sec": probe_end,
+            "clean_sec": PROBE_CLEAN_SEC,
+            "load_1m": load_1m,
+        },
     }
     # Full-precision record as a repo artifact (not size-constrained).
     here = os.path.dirname(os.path.abspath(__file__))

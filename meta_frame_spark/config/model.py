@@ -334,6 +334,12 @@ class NestedNodeSpec:
     source: str | None = None
     #: computed columns {name: sql_expr}, applied before filters
     derive: dict = field(default_factory=dict)
+    #: a child with NO link joins its parent with no keys — a cartesian
+    #: product (the reference's degenerate no-key join, soundwave.py:66).
+    #: That is almost always a config typo, so the plan builder raises
+    #: ConfigError unless the child opts in explicitly (same
+    #: loud-failure policy as unknown ops, SURVEY.md §2 P6).
+    allow_cross: bool = False
 
     @staticmethod
     def from_dict(d: dict, node_id: str | None = None) -> "NestedNodeSpec":
@@ -371,6 +377,7 @@ class NestedNodeSpec:
             data_path=d.get("data_path"),
             source=d.get("source"),
             derive=dict(d.get("derive", {})),
+            allow_cross=bool(d.get("allow_cross", False)),
         )
 
 

@@ -105,6 +105,7 @@ def decayed_counts(
     key_col: str,
     ts_col: str = "ts",
     half_life_s: float = 604800.0,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Exponentially time-decayed counts per key — the "trending"
     score: an occurrence ``age`` seconds before the newest event
@@ -120,19 +121,34 @@ def decayed_counts(
     one multiply by ``0.5 ** (delta / half_life)`` — so an incremental
     pipeline carries a tiny per-key state forward instead of
     re-scanning history. One map-combined aggregate + a broadcast
-    1-row anchor attach; no Python."""
+    1-row anchor attach; no Python.
+
+    ``quantize`` (e.g. ``1e-6``) rounds each row's weight to that grain
+    and sums exact integers instead of doubles: the result is then
+    independent of partition/summation order (float addition is not
+    associative; the plain double sum can differ in the last ulps
+    between runs and engines), at the cost of ``<= n_rows * quantize/2``
+    absolute bias. Use it whenever the score is compared across engines
+    or runs by exact value."""
     anchor = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_anchor_us"))
+    weight = F.pow(
+        F.lit(0.5),
+        (F.col("_anchor_us") - F.col("_us")) / F.lit(half_life_s * 1e6),
+    )
+    if quantize is not None:
+        # multiply by the exact integer scale (1e6 is representable,
+        # 1e-6 is not — dividing by the grain could differ in the last
+        # ulp from an oracle that multiplies) and sum exact integers
+        scale = float(round(1.0 / quantize))
+        agg = (
+            F.sum(F.round(weight * F.lit(scale), 0).cast("long"))
+            * F.lit(quantize)
+        ).alias("decayed_count")
+    else:
+        agg = F.sum(weight).alias("decayed_count")
     return (
         df.select(F.col(key_col), F.unix_micros(F.col(ts_col)).alias("_us"))
         .crossJoin(F.broadcast(anchor))
         .groupBy(key_col)
-        .agg(
-            F.sum(
-                F.pow(
-                    F.lit(0.5),
-                    (F.col("_anchor_us") - F.col("_us"))
-                    / F.lit(half_life_s * 1e6),
-                )
-            ).alias("decayed_count")
-        )
+        .agg(agg)
     )

@@ -15,6 +15,14 @@ per group; at 100 TB switch ``exact=False`` for ``approx_percentile``
 (a fixed-size sketch, single pass, mergeable map-side) — the band
 edges move by at most ``accuracy``-bounded rank error while the plan
 shape stays identical.
+
+NB the stats-then-apply shape scans ``df`` twice (once for the band
+aggregate, once for the filter). When ``df`` is a raw source scan
+that's the right trade (nothing worth caching); when it's an
+expensive derived pipeline, ``persist()`` it before calling — the
+operator deliberately doesn't persist caller-owned frames (audited
+with embedding_outliers, VERDICT r4 #6: only internally DERIVED
+branches are persisted operator-side).
 """
 
 from __future__ import annotations

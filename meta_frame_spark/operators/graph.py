@@ -101,6 +101,19 @@ def pagerank(
     if teleport_to is None:
         t = F.lit(1.0 / n)
     else:
+        # a seed set disjoint from the graph would make the teleport
+        # column 0 everywhere and the ranks silently decay toward 0
+        # (sum << 1) instead of summing to 1 — fail loudly instead.
+        # Bounded scalar: counts matches among a small driver-side list.
+        present = nodes.filter(F.col("node").isin(list(teleport_to))).count()
+        if present == 0:
+            nodes.unpersist()
+            deg.unpersist()
+            e.unpersist()
+            raise ValueError(
+                "teleport_to: no seed matches any graph node; "
+                "personalized PageRank needs at least one in-graph seed"
+            )
         t = F.when(
             F.col("node").isin(list(teleport_to)), F.lit(1.0 / len(teleport_to))
         ).otherwise(F.lit(0.0))

@@ -51,9 +51,13 @@ def rp_project(
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
     target = out_col or vec_col
 
+    # built lazily per (worker task, input-dim): the dict lives in the
+    # UDF closure, so every Arrow batch of a task reuses the matrix
+    # instead of regenerating it per batch
+    mats: dict[int, np.ndarray] = {}
+
     @F.pandas_udf("array<float>")
     def _proj(vs: pd.Series) -> pd.Series:
-        mats: dict[int, np.ndarray] = {}
         X = np.vstack(vs.to_numpy()).astype(np.float32)
         d = X.shape[1]
         if d not in mats:

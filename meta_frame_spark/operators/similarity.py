@@ -493,8 +493,12 @@ def embedding_outliers(
     Shape: the centroid is one posexplode + per-dimension avg (skinny
     (dim, partial) rows, map-side combined) broadcast back as a single
     array; distances are map-only ``zip_with`` HOFs; the distance
-    mean/stddev is one more scalar broadcast. Three passes over the
-    vectors' bytes, zero Python, nothing row-grain ever shuffles.
+    mean/stddev is one more scalar broadcast. Two passes over the
+    vectors' bytes (centroid, then distances), zero Python, nothing
+    row-grain ever shuffles. The skinny ``(id, dist)`` frame feeds BOTH
+    the μ/σ aggregate and the final projection, so it is persisted
+    (tracked via operators/cache) — without it the posexplode-centroid
+    and the zip_with distance map execute twice (VERDICT r4).
     """
     cent = (
         df.select(F.posexplode(vec_col).alias("i", "x"))
@@ -509,12 +513,15 @@ def embedding_outliers(
     )
     from meta_frame_spark.functions.vectors import l2_distance
 
-    dists = (
+    from meta_frame_spark.operators.cache import track
+
+    dists = track(
         df.select(id_col, vec_col)
         .crossJoin(F.broadcast(cent))
         .select(
             id_col, l2_distance(F.col(vec_col), F.col("_cent")).alias("dist")
         )
+        .persist()
     )
     stats = dists.agg(
         F.avg("dist").alias("_mu"), F.stddev_samp("dist").alias("_sd")

@@ -352,8 +352,17 @@ def nested_aggregate(
                 out = out.join(linked, on=list(spec.group_by), how=child.join_how)
             else:
                 out = out.join(child_out, on=on, how=child.join_how)
-        else:
+        elif child.allow_cross:
+            # faithful to the reference's degenerate no-key join
+            # (soundwave.py:66) — but only on explicit opt-in
             out = out.crossJoin(child_out)
+        else:
+            raise ConfigError(
+                f"child {child.id!r} has no 'link' columns: joining it to "
+                f"{spec.id!r} would be a cartesian product. Declare "
+                "'link': [...] or opt in explicitly with "
+                "'allow_cross': true"
+            )
 
     if bitemporal:
         valid_from = bitemporal if isinstance(bitemporal, str) else "2024-01-01"

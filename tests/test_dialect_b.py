@@ -114,6 +114,34 @@ def test_nested_aggregate_leaf_tags_id(lineitem):
     assert out.select("id").distinct().collect()[0][0] == "leaf1"
 
 
+def test_nested_child_without_link_raises(lineitem):
+    """A child with no 'link' would cartesian-join its parent — the
+    reference's degenerate no-key join (soundwave.py:66). That's almost
+    always a config typo, so the builder raises unless the child opts
+    in with allow_cross (same loud-failure policy as unknown ops)."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+
+    meta = {
+        "id": "root",
+        "group_by": ["l_returnflag"],
+        "aggregate": {"l_quantity": "sum"},
+        "children": [
+            {"id": "tot", "aggregate": {"l_extendedprice": "sum"},
+             "group_by": []},
+        ],
+    }
+    with pytest.raises(ConfigError, match="allow_cross"):
+        nested_aggregate(lineitem, meta).collect()
+    # explicit opt-in keeps the reference-faithful behavior: a 1-row
+    # global aggregate child broadcast-crosses onto every parent row
+    meta["children"][0]["allow_cross"] = True
+    out = nested_aggregate(lineitem, meta)
+    assert "root_sum_l_extendedprice" in out.columns
+    assert out.count() == lineitem.select("l_returnflag").distinct().count()
+
+
 def test_child_grain_not_polluted_by_grandchild_link(spark):
     """A child's aggregates keep the child's declared grain even when a
     grandchild links on a different column — grandchild results arrive
