@@ -81,9 +81,13 @@ def mmr_select(
         n = len(pdf)
         take = min(k, n)
         if take == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}
-            )
+            # preserve the incoming id dtypes (string/int/...) — Arrow
+            # casts the empty slices to the declared output schema
+            return pd.DataFrame({
+                "query_id": pdf["query_id"].iloc[:0],
+                "neighbor_id": pdf["neighbor_id"].iloc[:0],
+                "rank": pd.Series([], dtype="int32"),
+            })
         # deterministic candidate order regardless of partitioning
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_nvec"]])
@@ -112,9 +116,16 @@ def mmr_select(
             "rank": np.arange(1, take + 1, dtype=np.int32),
         })
 
-    return pairs.groupBy("query_id").applyInPandas(
-        _greedy, schema="query_id bigint, neighbor_id bigint, rank int"
-    )
+    # output id types follow the input ids (string doc ids work too) —
+    # a hardcoded bigint schema would reject non-integral id columns
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("query_id", pairs.schema["query_id"].dataType),
+        StructField("neighbor_id", pairs.schema["neighbor_id"].dataType),
+        StructField("rank", IntegerType()),
+    ])
+    return pairs.groupBy("query_id").applyInPandas(_greedy, schema=out_schema)
 
 
 def kcenter_coverage(

@@ -101,11 +101,13 @@ def pagerank(
     if teleport_to is None:
         t = F.lit(1.0 / n)
     else:
-        # a seed set disjoint from the graph would make the teleport
-        # column 0 everywhere and the ranks silently decay toward 0
-        # (sum << 1) instead of summing to 1 — fail loudly instead.
+        # Normalize over the DISTINCT IN-GRAPH seeds: duplicates in the
+        # list or seeds absent from the graph would otherwise make the
+        # teleport column sum to present/len < 1 and the ranks silently
+        # decay below 1, breaking the docstring's sum-to-1 invariant.
         # Bounded scalar: counts matches among a small driver-side list.
-        present = nodes.filter(F.col("node").isin(list(teleport_to))).count()
+        seeds = sorted(set(teleport_to))
+        present = nodes.filter(F.col("node").isin(seeds)).count()
         if present == 0:
             nodes.unpersist()
             deg.unpersist()
@@ -114,8 +116,11 @@ def pagerank(
                 "teleport_to: no seed matches any graph node; "
                 "personalized PageRank needs at least one in-graph seed"
             )
+        # weight mass only on seeds that exist in the graph — absent
+        # seeds get nothing (their 1/present share would leak out of
+        # the walk) rather than silently shrinking everyone's share
         t = F.when(
-            F.col("node").isin(list(teleport_to)), F.lit(1.0 / len(teleport_to))
+            F.col("node").isin(seeds), F.lit(1.0 / present)
         ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", t.alias("rank")).localCheckpoint()
     try:

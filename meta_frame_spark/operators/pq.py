@@ -110,8 +110,11 @@ def pq_fit(
     ``cache_key`` memoizes the fit per session (see ``_FIT_CACHE``)."""
     if bits < 1 or bits > 12:
         raise ValueError(f"bits must be in [1, 12], got {bits}")
+    # id_col/vec_col are part of the key: the same cache_key against
+    # the same source with a DIFFERENT vector column must miss, not
+    # silently return codebooks fit on the wrong column
     memo = (
-        ("pq", cache_key, m, bits, seed, max_train)
+        ("pq", cache_key, m, bits, seed, max_train, id_col, vec_col)
         if cache_key is not None else None
     )
     if memo is not None and memo in _FIT_CACHE:
@@ -294,7 +297,8 @@ def ivfpq_topk(
         ).alias("v"),
     )
     coarse_memo = (
-        ("coarse", cache_key, n_cells, seed) if cache_key is not None else None
+        ("coarse", cache_key, n_cells, seed, id_col, vec_col)
+        if cache_key is not None else None
     )
     if coarse_memo is not None and coarse_memo in _FIT_CACHE:
         coarse = _FIT_CACHE[coarse_memo]

@@ -30,11 +30,22 @@ def k_anonymity_filter(
     df: DataFrame, quasi_cols: list[str], k: int = 5
 ) -> DataFrame:
     """Rows whose quasi-identifier group has ``>= k`` members (the
-    releasable subset), original schema preserved."""
+    releasable subset), original schema preserved. NULL quasi values
+    group together (groupBy semantics) and the join is NULL-SAFE, so
+    a NULL-keyed group of >= k rows is releasable — the filter and
+    ``k_anonymity_report`` agree row-for-row on what a release keeps."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     keep = _group_sizes(df, quasi_cols).filter(F.col("_qid_n") >= k)
-    return df.join(keep.select(*quasi_cols), quasi_cols, "inner")
+    # eqNullSafe per quasi column: plain equi-join keys never match
+    # NULLs, which would silently suppress every NULL-keyed row even
+    # when its group qualifies (and diverge from the report's math)
+    left, right = df.alias("_l"), keep.alias("_r")
+    cond = None
+    for c in quasi_cols:
+        term = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = term if cond is None else cond & term
+    return left.join(right, cond, "inner").select("_l.*")
 
 
 def k_anonymity_report(

@@ -111,6 +111,31 @@ def test_personalized_matches_reference(spark):
         pagerank(df, teleport_to=[])
 
 
+def test_personalized_partial_and_duplicate_seeds_sum_to_one(spark):
+    """ADVICE r5 (graph.py:118): a seed list with duplicates and
+    out-of-graph entries must normalize over the DISTINCT IN-GRAPH
+    seeds — ranks still sum to 1 instead of silently decaying by
+    present/len."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, 0.85, 10, teleport_to=["a", "a", "zzz_not_a_node"]
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # identical to the clean single-seed run: the junk entries are inert
+    clean = {
+        r.node: r.rank
+        for r in pagerank(df, 0.85, 10, teleport_to=["a"]).collect()
+    }
+    for v in clean:
+        assert abs(got[v] - clean[v]) < 1e-12, (v, got[v], clean[v])
+    # a fully-disjoint seed set still fails loudly
+    with pytest.raises(ValueError):
+        pagerank(df, teleport_to=["zzz_not_a_node"])
+
+
 def test_degree_stats_canonicalizes(spark):
     """Directed duplicates and self-loops collapse: a<->b, b->c, c->c
     is 2 undirected edges over 3 nodes."""

@@ -65,3 +65,24 @@ def test_ivfpq_recall_and_determinism(spark, embeddings):
     from collections import Counter
     per = Counter(r.query_id for r in approx)
     assert set(per) == set(range(10)) and max(per.values()) <= 5
+
+
+def test_fit_cache_keyed_by_vec_col(spark, embeddings):
+    """ADVICE r5 (pq.py:114): the same cache_key with a DIFFERENT
+    vector column must MISS the fit memo — a hit would silently return
+    codebooks fit on the wrong column."""
+    from meta_frame_spark.operators.pq import _FIT_CACHE, clear_fit_cache
+
+    clear_fit_cache()
+    other = embeddings.withColumn(
+        "embedding2", F.transform("embedding", lambda x: x * 2.0 + 1.0)
+    )
+    b1 = pq_fit(embeddings, m=8, bits=4, cache_key="t")
+    n_after_first = len(_FIT_CACHE)
+    b2 = pq_fit(other, m=8, bits=4, vec_col="embedding2", cache_key="t")
+    assert len(_FIT_CACHE) == n_after_first + 1  # second fit was a miss
+    assert not np.array_equal(b1, b2)
+    # identical signature IS a hit (object identity proves no refit)
+    b3 = pq_fit(embeddings, m=8, bits=4, cache_key="t")
+    assert b3 is b1
+    clear_fit_cache()
