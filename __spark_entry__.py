@@ -3529,6 +3529,138 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity release gate, filter form (operators/privacy.py
+    k_anonymity_filter — group-size shuffle on the quasi tuple, then a
+    null-safe equi-join of qualifying tuples; AQE broadcasts the tuple
+    side). Full oracle: DuckDB's COUNT(*) OVER (PARTITION BY quasi)
+    reproduces the releasable row set exactly."""
+    from meta_frame_spark.operators.privacy import k_anonymity_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymity_filter(docs, ["source", "lang"], k=5).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row k-anonymity release accounting (operators/privacy.py
+    k_anonymity_report): group census + suppression totals, every field
+    a count ratio — full DuckDB oracle over the same GROUP BY."""
+    from meta_frame_spark.operators.privacy import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return k_anonymity_report(docs, ["source", "lang"], k=5)
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization audit (operators/quantize.py
+    int8_reconstruction_stats — pure JVM transform/aggregate HOFs,
+    map-only). Full oracle: DuckDB list lambdas recompute scale =
+    max|x|/127, the integer code sum (bit-exact: same IEEE double ops,
+    both engines round half away from zero), and the hard max_err <=
+    scale/2 reconstruction bound."""
+    from meta_frame_spark.operators.quantize import int8_reconstruction_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = int8_reconstruction_stats(emb)
+    return s.select(
+        "vec_id", F.round("qscale", 6).alias("qscale"), "code_sum", "bound_ok"
+    )
+
+
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-5 over the int8-dequantized corpus, full-precision
+    queries (operators/quantize.py int8_topk — the FAISS SQ8 codec
+    shape: 4x byte cut, asymmetric scoring). Invariant-oracle form:
+    recall@5 vs exact brute force (observed 1.0 at sf0.01 / sf0.1 —
+    64-dim cosine barely moves under the scale/2 element bound;
+    bound 0.9)."""
+    from meta_frame_spark.operators.quantize import int8_topk
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return _ann_recall_summary(
+        int8_topk(emb, q, k=5), brute_force_topk(emb, q, k=5), 5, 0.9
+    )
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 per query (operators/diversify.py
+    mmr_select — bounded per-query greedy over ANN candidates inside
+    applyInPandas, never corpus-quadratic). Invariant-oracle form:
+    n_queries is SQL-exact; Spark-verified booleans pin the documented
+    contract — every query returns ranks 1..5, the rank-1 pick IS the
+    plain cosine argmax, and every pick came from the candidate set."""
+    from meta_frame_spark.operators.diversify import mmr_select
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cand = brute_force_topk(emb, q, k=50)
+    sel = mmr_select(emb, q, k=5, lam=0.7, n_candidates=50, candidates=cand)
+    per_q = sel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.count_distinct("rank").alias("nr"),
+    )
+    stats = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (
+            (F.min("n") == 5) & (F.max("n") == 5)
+            & (F.min("rmin") == 1) & (F.max("rmin") == 1)
+            & (F.min("rmax") == 5) & (F.max("rmax") == 5)
+            & (F.min("nr") == 5)
+        ).alias("ranks_ok"),
+    )
+    top1 = brute_force_topk(emb, q, k=1).select("query_id", "neighbor_id")
+    argmax_ok = (
+        sel.filter(F.col("rank") == 1)
+        .join(top1, ["query_id", "neighbor_id"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("first_pick_is_argmax"))
+    )
+    subset_ok = (
+        sel.join(cand.select("query_id", "neighbor_id"),
+                 ["query_id", "neighbor_id"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("picks_from_candidates"))
+    )
+    return stats.crossJoin(argmax_ok).crossJoin(subset_ok).select(
+        "n_queries", F.lit(5).alias("k"), "ranks_ok",
+        "first_pick_is_argmax", "picks_from_candidates",
+    )
+
+
+def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset coverage (operators/diversify.py
+    kcenter_coverage — Gonzalez farthest-point on a bounded hash-order
+    sample, then an exact full-corpus map-only radius pass). Invariant
+    oracle: requested ks are literal; the prefix property of
+    farthest-point traversal makes radii non-increasing in k, and the
+    exact pass keeps them finite and non-negative."""
+    from meta_frame_spark.operators.diversify import kcenter_coverage
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kcenter_coverage(emb, ks=(2, 4, 8))
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n_ks"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        (
+            F.min(F.col("coverage_radius")) >= 0.0
+        ).alias("radii_nonneg"),
+        (
+            F.max(F.when(F.col("k") == 8, F.col("coverage_radius")))
+            <= F.max(F.when(F.col("k") == 4, F.col("coverage_radius")))
+        ).alias("r8_le_r4"),
+        (
+            F.max(F.when(F.col("k") == 4, F.col("coverage_radius")))
+            <= F.max(F.when(F.col("k") == 2, F.col("coverage_radius")))
+        ).alias("r4_le_r2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

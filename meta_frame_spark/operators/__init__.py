@@ -62,6 +62,17 @@ from meta_frame_spark.operators.spans import (
 from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
+from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
+from meta_frame_spark.operators.privacy import (
+    k_anonymity_filter,
+    k_anonymity_report,
+)
+from meta_frame_spark.operators.quantize import (
+    int8_dequantize,
+    int8_quantize,
+    int8_reconstruction_stats,
+    int8_topk,
+)
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import (
     quantile_band_filter,
@@ -229,7 +240,15 @@ __all__ = [
     "ewma",
     "exact_dedup",
     "flag_count_anomalies",
+    "int8_dequantize",
+    "int8_quantize",
+    "int8_reconstruction_stats",
+    "int8_topk",
     "ivf_topk",
+    "k_anonymity_filter",
+    "k_anonymity_report",
+    "kcenter_coverage",
+    "mmr_select",
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",

@@ -90,9 +90,11 @@ def mmr_select(
             })
         # deterministic candidate order regardless of partitioning
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_nvec"]])
+        # np.array (copy): Arrow hands over read-only float64 buffers,
+        # and both M and q are normalized in place below
+        M = np.stack([np.array(v, dtype=np.float64) for v in pdf["_nvec"]])
         M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        q = np.asarray(pdf["_qvec"].iloc[0], dtype=np.float64)
+        q = np.array(pdf["_qvec"].iloc[0], dtype=np.float64)
         q /= max(float(np.linalg.norm(q)), 1e-12)
         rel = M @ q                    # relevance to the query
         red = np.full(n, -np.inf)      # max sim to the selected set

@@ -94,7 +94,7 @@ def int8_reconstruction_stats(
         F.aggregate(
             F.col("qvec"), F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
         ).alias("code_sum"),
-        F.aggregate(err, F.lit(0.0), F.greatest).alias("max_err"),
+        F.aggregate(err, F.lit(0.0), lambda a, x: F.greatest(a, x)).alias("max_err"),
     ).select(
         id_col,
         "qscale",
