@@ -3670,29 +3670,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_a_cascade(spark, "/root/testdata/sf0.001")
 
 
+# Ordering contract: the driver checks only the FIRST 50 queries()
+# entries per round. DRIVER_WINDOW is the single source of truth for
+# that window — queries() derives its ordering from it, and
+# tests/test_cli.py pins the window against this constant, so the
+# rotation plan and the pin can never diverge (VERDICT r6 "Next
+# round" #5).
+#
+# Round-7 window (VERDICT r6 "Next round" #1b):
+#   1-10   the 10 queries deferred since r5 that have NEVER had a
+#          driver row (text_normalize .. top_mass) — locally green at
+#          sf0.001/0.01/0.1 for two consecutive rounds;
+#   11-16  the six round-6 modules' queries (privacy / quantize /
+#          diversify), registered here for their FIRST driver rows;
+#   17-20  the §2 dialect flagships whose newest rows are r4
+#          (a_cascade, b_join_tree, bp_grandchild, b_q3_shipping) —
+#          refreshes reference-parity evidence;
+#   21-50  the 30 oldest r3-green rows (events_hourly .. hash_split)
+#          for their first recheck since r3.
+# The 19 remaining r3-green entries (stratified_sample .. fuzzy_join)
+# queue for r8. Every entry has an oracle_sql() twin.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # (1) never-driver-checked since r5 — drain the backlog first
+    "text_normalize", "char_entropy", "script_profile", "sentences",
+    "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
+    "key_skew", "top_mass",
+    # (2) round-6 modules: first driver evidence
+    "k_anonymity", "k_anonymity_report", "int8_quantize", "int8_topk",
+    "mmr_select", "kcenter_coverage",
+    # (3) §2 dialect flagships, newest row r4
+    "a_cascade", "b_join_tree", "bp_grandchild", "b_q3_shipping",
+    # (4) oldest r3-green rows, in their r3 ordering
+    "events_hourly", "events_sessions", "events_sliding", "events_asof",
+    "events_interval", "set_ops", "events_json", "events_enriched",
+    "scd2_versions", "rolling_1h", "event_funnel", "sessionize",
+    "cohort_retention", "pack_sequences", "dedup_minhash",
+    "dedup_simhash", "ann_topk_lsh", "ann_topk_ivf", "emb_near_dup",
+    "mm_pixel_stats", "agg_approx", "semantic_dedup",
+    "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
+    "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
+    "hash_split",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver checks only the FIRST 50 dict
-    # entries per round. Round-5 window (VERDICT r4 "Next round" #1 and
-    # #8): exactly 50 of the 60 round-4 queries that have never had a
-    # driver correctness row (kmeans .. funnel_latency in the r4
-    # ordering). Positions 1-2 are dedup_keep_best and dup_graph_stats
-    # — the two whose all-pairs DuckDB oracles are sf0.01-bounded
-    # (quadratic list_intersect) and therefore never ran under the
-    # driver at all — so they get hard evidence first. The 10 deferred
-    # to r6 (text_normalize, char_entropy, script_profile, sentences,
-    # ewma_hourly, trend_hourly, bucket_spine, zipf_slope, key_skew,
-    # top_mass) are the lowest-risk of the 60: pure-codegen expression
-    # queries with deterministic SQL oracles, locally green at
-    # sf0.001/0.01/0.1 via tools/check_correctness.py. r6 rotation
-    # plan: those 10, then the 50 r4-green entries (a_cascade ..
-    # event_paths) for their post-edit recheck; the 49 r3-green
-    # entries follow in r7. Every entry has an oracle_sql() twin
-    # unless noted streaming/rows-only.
+    full = _all_queries()
+    ordered = {name: full[name] for name in DRIVER_WINDOW}
+    ordered.update((n, f) for n, f in full.items() if n not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Full registry; window ordering is imposed by DRIVER_WINDOW above.
     return {
-        # --- (1) never-driver-checked, sf0.01-bounded oracles first ---
         "dedup_keep_best": q_dedup_keep_best,
         "dup_graph_stats": q_dup_graph_stats,
-        # --- (2) rest of the round-4 never-checked set ---
         "kmeans": q_kmeans,
         "stream_totals": q_stream_totals,
         "dup_spans": q_dup_spans,
@@ -3741,8 +3773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_events": q_trending_events,
         "session_pairs": q_session_pairs,
         "funnel_latency": q_funnel_latency,
-        # ---- window boundary (50) ----
-        # --- (3) the 10 deferred to r6 (lowest-risk of the 60) ---
         "text_normalize": q_text_normalize,
         "char_entropy": q_char_entropy,
         "script_profile": q_script_profile,
@@ -3753,7 +3783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "key_skew": q_key_skew,
         "top_mass": q_top_mass,
-        # --- (4) r4-green entries, due post-edit recheck in r6 ---
+        "k_anonymity": q_k_anonymity,
+        "k_anonymity_report": q_k_anonymity_report,
+        "int8_quantize": q_int8_quantize,
+        "int8_topk": q_int8_topk,
+        "mmr_select": q_mmr_select,
+        "kcenter_coverage": q_kcenter_coverage,
         "a_cascade": q_a_cascade,
         "a_filters": q_a_filters,
         "a_keep_columns": q_a_keep_columns,
@@ -3804,7 +3839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_join": q_stream_join,
         "event_paths": q_event_paths,
-        # --- (5) green in CORRECTNESS_r03: recheck queued for r7 ---
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -6196,5 +6230,69 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             WHERE rank <= 10
+        """,
+        "k_anonymity": """
+            SELECT doc_id, source, lang
+            FROM (
+                SELECT doc_id, source, lang,
+                       COUNT(*) OVER (PARTITION BY source, lang) AS n
+                FROM documents
+            )
+            WHERE n >= 5
+        """,
+        "k_anonymity_report": """
+            WITH g AS (
+                SELECT source, lang, COUNT(*) AS n
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT 5 AS k,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS violating_groups,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS suppressed_rows,
+                   ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
+                         / SUM(n), 6) AS suppressed_frac
+            FROM g
+        """,
+        "int8_quantize": """
+            WITH q AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+                FROM (
+                    SELECT vec_id, embedding,
+                           COALESCE(list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m
+                    FROM embeddings
+                )
+            )
+            SELECT vec_id,
+                   ROUND(scale, 6) AS qscale,
+                   CAST(list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                 AS BIGINT))) AS BIGINT) AS code_sum,
+                   COALESCE(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)
+                                - round(CAST(x AS DOUBLE) / scale)
+                                  * scale))), 0.0)
+                       <= scale * 0.5 + scale * 1e-9 AS bound_ok
+            FROM q
+        """,
+        "int8_topk": """
+            SELECT COUNT(*) AS n_queries, 5 AS k,
+                   TRUE AS all_k_returned, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "mmr_select": """
+            SELECT COUNT(*) AS n_queries, 5 AS k, TRUE AS ranks_ok,
+                   TRUE AS first_pick_is_argmax,
+                   TRUE AS picks_from_candidates
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "kcenter_coverage": """
+            SELECT 3 AS n_ks, 2 AS k_min, 8 AS k_max,
+                   TRUE AS radii_nonneg, TRUE AS r8_le_r4,
+                   TRUE AS r4_le_r2
         """,
     }

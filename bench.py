@@ -85,8 +85,30 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
-    _probe()  # untimed: compile the probe plan so both timed probes
+    _probe()  # untimed: compile the probe plan so all timed probes
     probe_start = _probe()  # measure execution, not first-call codegen
+
+    # Interleaved probes (VERDICT r6 "Next round" #2): the r4 and r6
+    # records both carried mid-run contended windows — contiguous
+    # blocks of 3-5x entries on untouched code — that a start/end-only
+    # probe cannot see. A probe every PROBE_EVERY queries (~0.2s clean
+    # each, ~4s total) brackets every query with a contention
+    # measurement; queries whose bracketing probes exceed 2x clean are
+    # noise-suspect and get ONE rerun at the end (min of the two
+    # times), so a stolen slot mid-run can no longer fake a regression.
+    PROBE_EVERY = 8
+    probes: list[list] = []  # [query_index, probe_sec] checkpoints
+
+    def run_one(fn) -> float:
+        t0 = time.perf_counter()
+        # noop sink: evaluates EVERY column of the full plan (count()
+        # would let Catalyst prune map-only projection work entirely)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
+        # operators persist() self-join inputs; drop them so cached
+        # blocks don't accumulate across the 40+ queries
+        spark.catalog.clearCache()
+        return sec
 
     per_query: dict[str, float] = {}
     # Canonical (sorted) execution order, decoupled from the queries()
@@ -95,17 +117,35 @@ def main() -> None:
     # which query absorbs first-compile/JIT warm-up onto a different
     # victim, making per-query times incomparable across rounds. A
     # fixed name order keeps the warm-up attribution stable.
-    for name, fn in sorted(entrymod.queries().items()):
-        t0 = time.perf_counter()
-        # noop sink: evaluates EVERY column of the full plan (count()
-        # would let Catalyst prune map-only projection work entirely)
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        # operators persist() self-join inputs; drop them so cached
-        # blocks don't accumulate across the 40+ queries
-        spark.catalog.clearCache()
+    all_queries = sorted(entrymod.queries().items())
+    probes.append([0, probe_start])
+    for i, (name, fn) in enumerate(all_queries):
+        per_query[name] = run_one(fn)
+        if (i + 1) % PROBE_EVERY == 0 and i + 1 < len(all_queries):
+            probes.append([i + 1, _probe()])
 
     probe_end = _probe()
+    probes.append([len(all_queries), probe_end])
+
+    # A query is noise-suspect if EITHER bracketing probe ran >2x the
+    # clean value. Rerun suspects (slowest first, capped so a fully
+    # contended run can't double its own wall time) once the end-state
+    # probe says the slot is clean again, and keep the min.
+    dirty = {
+        idx
+        for (a_idx, a_sec), (b_idx, b_sec) in zip(probes, probes[1:])
+        if a_sec > 2 * PROBE_CLEAN_SEC or b_sec > 2 * PROBE_CLEAN_SEC
+        for idx in range(a_idx, b_idx)
+    }
+    suspects = [all_queries[i][0] for i in sorted(dirty)]
+    reran: dict[str, list[float]] = {}
+    if suspects and probe_end <= 2 * PROBE_CLEAN_SEC:
+        by_name = dict(all_queries)
+        for name in sorted(suspects, key=lambda n: -per_query[n])[:20]:
+            first = per_query[name]
+            second = run_one(by_name[name])
+            per_query[name] = min(first, second)
+            reran[name] = [first, second]
     try:
         load_1m = round(os.getloadavg()[0], 1)
     except OSError:
@@ -122,6 +162,8 @@ def main() -> None:
             "end_sec": probe_end,
             "clean_sec": PROBE_CLEAN_SEC,
             "load_1m": load_1m,
+            "interleaved": probes,
+            "suspect_rerun_min": reran,
         },
     }
     # Full-precision record as a repo artifact (not size-constrained).
@@ -143,8 +185,26 @@ def main() -> None:
         "bm25_search", "dedup_simhash", "emb_near_dup",
     }
 
+    # stdout line carries a probe SUMMARY (full checkpoint list +
+    # rerun pairs live in BENCH_FULL.json): max interleaved probe, how
+    # many entries sat in a contended window, and how many were rerun
+    # to a clean min — enough for the record reader to judge noise
+    # without the ~21-element checkpoint list blowing the 2000-char cap
+    probe_line = {
+        "start_sec": probe_start,
+        "end_sec": probe_end,
+        "clean_sec": PROBE_CLEAN_SEC,
+        "load_1m": load_1m,
+        "max_interleaved": max(p[1] for p in probes),
+        "n_suspect": len(suspects),
+        "n_reran": len(reran),
+    }
+
     def emit(q: dict[str, float], omitted: int) -> str:
-        body = {**payload, "value": round(total, 2), "queries": q}
+        body = {
+            **payload, "value": round(total, 2), "queries": q,
+            "probe": probe_line,
+        }
         if omitted:
             body["omitted_fast_queries"] = omitted
         return json.dumps(body, separators=(",", ":"))

@@ -101,8 +101,13 @@ def mmr_select(
         chosen: list[int] = []
         free = np.ones(n, dtype=bool)
         for _ in range(take):
+            # first pick scores by rel alone (not lam * rel): at
+            # lam = 0.0 every lam-scaled score is 0 and argmax would
+            # fall back to the lowest id, breaking the documented
+            # "first pick is always the plain cosine argmax" contract;
+            # for lam > 0 the argmax is identical either way
             score = np.where(
-                np.isneginf(red), lam * rel, lam * rel - (1 - lam) * red
+                np.isneginf(red), rel, lam * rel - (1 - lam) * red
             )
             score = np.where(free, score, -np.inf)
             # argmax with neighbor_id-asc tiebreak: candidates are id

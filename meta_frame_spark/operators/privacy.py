@@ -43,7 +43,9 @@ def k_anonymity_filter(
     left, right = df.alias("_l"), keep.alias("_r")
     cond = None
     for c in quasi_cols:
-        term = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        # backtick-quoted: a quasi column named "a.b" must resolve as
+        # one column, not a nested-field path
+        term = F.col(f"_l.`{c}`").eqNullSafe(F.col(f"_r.`{c}`"))
         cond = term if cond is None else cond & term
     return left.join(right, cond, "inner").select("_l.*")
 

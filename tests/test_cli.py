@@ -67,25 +67,25 @@ def test_example_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert counts["out_train"] > 0
 
 
-def test_driver_window_composition_round4():
-    """The driver verifies only the FIRST 50 queries() entries; round
-    4's window must be exactly the 45 r1/r2-stale entries + the four
-    new round-4 queries + schema-changed event_paths, in that order of
-    priority. Pins the rotation plan against accidental reorders."""
-    import json
-
+def test_driver_window_composition():
+    """The driver verifies only the FIRST 50 queries() entries.
+    DRIVER_WINDOW is the single source of truth for the rotation plan
+    (VERDICT r6 #5): the window the driver sees must BE that constant,
+    so a registry reorder can never silently change the evidence plan.
+    Structural invariants (not a second hand-maintained copy): 50
+    unique names, the six round-6 module queries inside the window,
+    and every windowed name registered with an oracle twin."""
     import __spark_entry__ as e
 
     window = list(e.queries())[:50]
-    with open("/root/repo/CORRECTNESS_r03.json") as fh:
-        r3 = set(json.load(fh))
-    stale = set(window[:45])
-    assert len(stale) == 45
-    assert stale.isdisjoint(r3), sorted(stale & r3)
-    assert window[45:] == [
-        "hard_neg_lsh", "stream_hourly", "stream_dedup", "stream_join",
-        "event_paths",
-    ]
+    assert window == list(e.DRIVER_WINDOW)
+    assert len(set(window)) == 50
+    # the round-6 modules' first driver evidence lives in this window
+    for name in (
+        "k_anonymity", "k_anonymity_report", "int8_quantize",
+        "int8_topk", "mmr_select", "kcenter_coverage",
+    ):
+        assert name in window, name
     # every registered query still has an oracle twin
     assert set(e.queries()) == set(e.oracle_sql())
 
@@ -129,7 +129,13 @@ def test_registry_integrity():
         assert re.fullmatch(r"[a-z0-9_]+", name), name
         assert callable(fn), name
         assert len(inspect.signature(fn).parameters) == 2, name
-    # oracles are non-empty SELECT/WITH statements
+    # oracles are non-empty SELECT/WITH statements (leading `--`
+    # comment lines are legal SQL and skipped before the head check)
     for name, sql in oracles.items():
-        head = sql.strip().split(None, 1)[0].upper()
+        lines = [
+            ln for ln in sql.strip().splitlines()
+            if ln.strip() and not ln.strip().startswith("--")
+        ]
+        assert lines, name
+        head = lines[0].strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), name
