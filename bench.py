@@ -57,7 +57,12 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
         all_queries = entrymod.queries()
-        for wname in ("bm25_search", "dedup_minhash"):
+        # ann_topk_ivfpq: the structurally slowest query (multi-stage
+        # probe join + two UDF families) runs alphabetically BEFORE
+        # ann_topk_pq, so it cannot inherit a warm fit cache — warm its
+        # unique plan shapes (encode UDF, ADC pair scoring, probe
+        # broadcast join) here instead (VERDICT r6 "Next round" #3)
+        for wname in ("bm25_search", "dedup_minhash", "ann_topk_ivfpq"):
             try:
                 all_queries[wname](spark, warm_sf).write.format("noop").mode(
                     "overwrite"

@@ -70,14 +70,22 @@ def _joint_lloyd(
     n, m, sub = Xs.shape
     centroids = Xs[rng.choice(n, size=k, replace=False)].transpose(1, 0, 2).copy()
     Xm = np.ascontiguousarray(Xs.transpose(1, 0, 2))  # (m, n, sub)
+    # assignment runs in float32: the batched (m, n, sub)@(m, sub, k)
+    # gemm with a 2-8 wide inner dim is bandwidth-bound, so halving the
+    # element width roughly halves the per-round cost (measured 48 ->
+    # 18 ms/round at m=32, k=256, n=2000). Centroid UPDATES stay
+    # float64 — only nearest-centroid labels pass through f32, and a
+    # label flipped on a sub-1e-6 tie moves a centroid imperceptibly.
+    Xm32 = Xm.astype(np.float32)
     offsets = (np.arange(m) * k)[:, None]  # flatten labels per subspace
     for _ in range(iters):
         # squared distance up to the per-row constant ||x||²:
         # batched BLAS matmul + in-place adds (einsum loops here, and
         # full-form d would allocate 3 (m, n, k) temporaries)
-        d = np.matmul(Xm, centroids.transpose(0, 2, 1))  # (m, n, k)
-        d *= -2.0
-        d += (centroids * centroids).sum(2)[:, None, :]
+        c32 = centroids.astype(np.float32)
+        d = np.matmul(Xm32, c32.transpose(0, 2, 1))  # (m, n, k)
+        d *= np.float32(-2.0)
+        d += (c32 * c32).sum(2)[:, None, :]
         a = d.argmin(2)  # (m, n)
         flat = (a + offsets).ravel()
         counts = np.bincount(flat, minlength=m * k)
@@ -90,35 +98,12 @@ def _joint_lloyd(
     return centroids
 
 
-def pq_fit(
-    df: DataFrame,
-    m: int = 8,
-    bits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    max_train: int = 8_192,
-    cache_key: str | None = None,
+def _train_sample(
+    df: DataFrame, id_col: str, vec_col: str, max_train: int
 ) -> "np.ndarray":
-    """Train PQ codebooks: returns ``(m, 2^bits, d/m)`` float64.
-    Driver-side on a deterministic bounded sample (id-hash order).
-    ``max_train`` defaults to 32x the 2^8 default codebook size —
-    inside FAISS's 30-256 points-per-centroid guidance — and BOUNDS
-    fit cost regardless of corpus size (the joint-Lloyd distance
-    tensor is (m, n_train, 2^bits); unbounded n_train made it
-    gigabytes at 10x bench scale for zero quality gain).
-    ``cache_key`` memoizes the fit per session (see ``_FIT_CACHE``)."""
-    if bits < 1 or bits > 12:
-        raise ValueError(f"bits must be in [1, 12], got {bits}")
-    # id_col/vec_col are part of the key: the same cache_key against
-    # the same source with a DIFFERENT vector column must miss, not
-    # silently return codebooks fit on the wrong column
-    memo = (
-        ("pq", cache_key, m, bits, seed, max_train, id_col, vec_col)
-        if cache_key is not None else None
-    )
-    if memo is not None and memo in _FIT_CACHE:
-        return _FIT_CACHE[memo]
+    """Deterministic bounded L2-normalized training sample: rows in
+    ``xxhash64(id)`` order (stable on any partitioning; ``limit``
+    plans as per-partition top-N, never a full sort)."""
     rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("_h"))
@@ -130,6 +115,46 @@ def pq_fit(
         raise ValueError("pq_fit: corpus has no non-null vectors")
     X = np.stack([np.asarray(r.v, dtype=np.float64) for r in rows])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    return X
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 8,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 8_192,
+    cache_key: str | None = None,
+    train_sample: "np.ndarray | None" = None,
+) -> "np.ndarray":
+    """Train PQ codebooks: returns ``(m, 2^bits, d/m)`` float64.
+    Driver-side on a deterministic bounded sample (id-hash order).
+    ``max_train`` defaults to 32x the 2^8 default codebook size —
+    inside FAISS's 30-256 points-per-centroid guidance — and BOUNDS
+    fit cost regardless of corpus size (the joint-Lloyd distance
+    tensor is (m, n_train, 2^bits); unbounded n_train made it
+    gigabytes at 10x bench scale for zero quality gain).
+    ``cache_key`` memoizes the fit per session (see ``_FIT_CACHE``).
+    ``train_sample`` (a pre-normalized (n, d) array from
+    ``_train_sample``) skips the sample-collect Spark job — ivfpq_topk
+    shares ONE sample between the coarse and PQ fits instead of
+    running two near-identical collect jobs."""
+    if bits < 1 or bits > 12:
+        raise ValueError(f"bits must be in [1, 12], got {bits}")
+    # id_col/vec_col are part of the key: the same cache_key against
+    # the same source with a DIFFERENT vector column must miss, not
+    # silently return codebooks fit on the wrong column
+    memo = (
+        ("pq", cache_key, m, bits, seed, max_train, id_col, vec_col)
+        if cache_key is not None else None
+    )
+    if memo is not None and memo in _FIT_CACHE:
+        return _FIT_CACHE[memo]
+    X = train_sample if train_sample is not None else _train_sample(
+        df, id_col, vec_col, max_train
+    )
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -146,14 +171,10 @@ def pq_fit(
     return books
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: "np.ndarray",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """``(id_col, codes array<smallint>)`` — each vector's m nearest
-    sub-centroids after L2 normalization. Map-only Arrow pass."""
+def _encoder_udf(codebooks: "np.ndarray"):
+    """Arrow-batched UDF mapping each vector to its m nearest
+    sub-centroid codes after L2 normalization (shared by ``pq_encode``
+    and the fused encode+route pass in ``ivfpq_topk``)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = books.shape
 
@@ -177,8 +198,19 @@ def pq_encode(
                 out[i] = codes[row]
         return pd.Series(out)
 
+    return _encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id_col, codes array<smallint>)`` — each vector's m nearest
+    sub-centroids after L2 normalization. Map-only Arrow pass."""
     return df.select(
-        F.col(id_col), _encode(F.col(vec_col)).alias("codes")
+        F.col(id_col), _encoder_udf(codebooks)(F.col(vec_col)).alias("codes")
     ).filter(F.col("codes").isNotNull())
 
 
@@ -274,10 +306,7 @@ def ivfpq_topk(
     `write_range_clustered` layout) so a probe reads only matching
     files; the scoring join is an equi-join on cell, never a scan.
     """
-    from meta_frame_spark.operators.similarity import (
-        _cell_assigner,
-        _fit_quantizer,
-    )
+    from meta_frame_spark.operators.similarity import _cell_assigner
 
     # The whole IVFPQ pipeline is cosine-consistent: PQ codes are built
     # from L2-NORMALIZED vectors (pq_encode), so the coarse quantizer
@@ -296,24 +325,50 @@ def ivfpq_topk(
             F.col(vec_col), lambda x: x / F.greatest(nrm, F.lit(1e-12))
         ).alias("v"),
     )
+    # ONE training-sample collect feeds BOTH fits (the coarse
+    # quantizer and the PQ codebooks train on the same id-hash-ordered
+    # normalized sample — the FAISS IVFPQ recipe also trains both on
+    # one training set). Before this the two fits ran two
+    # near-identical sample-collect Spark jobs (~1s each at bench
+    # scale) back to back.
+    max_train = 8_192  # pq_fit's default; both fits share its sample
     coarse_memo = (
-        ("coarse", cache_key, n_cells, seed, id_col, vec_col)
+        ("coarse", cache_key, n_cells, seed, id_col, vec_col, max_train)
         if cache_key is not None else None
     )
-    if coarse_memo is not None and coarse_memo in _FIT_CACHE:
-        coarse = _FIT_CACHE[coarse_memo]
-    else:
-        coarse = _fit_quantizer(corpus_vec, n_cells, seed)
+    pq_memo = (
+        ("pq", cache_key, m, bits, seed, max_train, id_col, vec_col)
+        if cache_key is not None else None
+    )
+    need_coarse = coarse_memo is None or coarse_memo not in _FIT_CACHE
+    need_books = pq_memo is None or pq_memo not in _FIT_CACHE
+    sample = (
+        _train_sample(corpus, id_col, vec_col, max_train)
+        if (need_coarse or need_books) else None
+    )
+    if need_coarse:
+        from meta_frame_spark.operators.similarity import _lloyd_kmeans
+
+        coarse = _lloyd_kmeans(sample, min(n_cells, len(sample)), seed)
         if coarse_memo is not None:
             _FIT_CACHE[coarse_memo] = coarse
-    books = pq_fit(corpus, m, bits, id_col, vec_col, seed, cache_key=cache_key)
-    codes = pq_encode(corpus, books, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "codes"
+    else:
+        coarse = _FIT_CACHE[coarse_memo]
+    books = pq_fit(
+        corpus, m, bits, id_col, vec_col, seed,
+        cache_key=cache_key, train_sample=sample,
     )
-    cells = corpus_vec.select(
-        F.col("_id").alias("neighbor_id"), _cell_assigner(coarse)(F.col("v")).alias("cell")
-    )
-    coded = codes.join(cells, "neighbor_id")
+    # Fused encode + route: codes and cell id come out of ONE map pass
+    # over the normalized corpus (the encoder re-normalizes its input,
+    # a no-op on unit vectors). The previous shape derived them in two
+    # separate selects and equi-joined on id — a full corpus shuffle
+    # for two columns born on the same row. At 100 TB this is also the
+    # write shape: codes land partitioned by cell in the same pass.
+    coded = corpus_vec.select(
+        F.col("_id").alias("neighbor_id"),
+        _encoder_udf(books)(F.col("v")).alias("codes"),
+        _cell_assigner(coarse)(F.col("v")).alias("cell"),
+    ).filter(F.col("codes").isNotNull())
 
     # per-query probe cells + ADC lookup tables (driver-side: the query
     # batch is small by contract, same as brute_force/pq_topk)
