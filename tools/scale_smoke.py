@@ -268,6 +268,73 @@ def main() -> int:
         t, n = timed("join_cardest_ratio", cardest_ratio)
         r["cardest_sec"], r["cardest_ratio"] = t, n
 
+        # --- round-7 modules (VERDICT r6 #4): privacy / quantize /
+        # diversify at the 10x corpus ---
+        def kanon():
+            from meta_frame_spark.operators.privacy import (
+                k_anonymity_filter,
+                k_anonymity_report,
+            )
+
+            dd = docs(d)
+            rep = k_anonymity_report(dd, ["source", "lang"], k=5).first()
+            kept = k_anonymity_filter(dd, ["source", "lang"], k=5).count()
+            return kept, rep
+        t, (kept, rep) = timed("k_anonymity", kanon)
+        r["k_anonymity_sec"] = t
+        r["k_anonymity_kept"] = kept
+        r["k_anonymity_rows"] = rep.n_rows
+        r["k_anonymity_suppressed"] = rep.suppressed_rows
+        r["k_anonymity_frac"] = float(rep.suppressed_frac)
+
+        def int8():
+            from meta_frame_spark.operators.quantize import int8_topk
+            from meta_frame_spark.operators.similarity import brute_force_topk
+
+            e_ = emb(d)
+            q = e_.filter(F.col("vec_id") < 10)
+            approx = int8_topk(e_, q, k=5)
+            exact = brute_force_topk(e_, q, k=5)
+            hit = approx.join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            ).count()
+            return round(hit / exact.count(), 3)
+        t, n = timed("int8_topk_recall", int8)
+        r["int8_sec"], r["int8_recall"] = t, n
+
+        def mmr():
+            from meta_frame_spark.operators.diversify import mmr_select
+            from meta_frame_spark.operators.similarity import brute_force_topk
+
+            e_ = emb(d)
+            q = e_.filter(F.col("vec_id") < 10)
+            cand = brute_force_topk(e_, q, k=50)
+            sel = mmr_select(
+                e_, q, k=5, lam=0.7, n_candidates=50, candidates=cand
+            ).persist()
+            top1 = brute_force_topk(e_, q, k=1).select(
+                "query_id", "neighbor_id"
+            )
+            bad_first = (
+                sel.filter(F.col("rank") == 1)
+                .join(top1, ["query_id", "neighbor_id"], "left_anti")
+                .count()
+            )
+            total = sel.count()
+            sel.unpersist()
+            return total, bad_first
+        t, (n, bad) = timed("mmr_select", mmr)
+        r["mmr_sec"], r["mmr_rows"], r["mmr_bad_first"] = t, n, bad
+
+        def kcenter():
+            from meta_frame_spark.operators.diversify import kcenter_coverage
+
+            out = kcenter_coverage(emb(d), ks=(2, 4, 8)).orderBy("k").collect()
+            return [round(row.coverage_radius, 4) for row in out]
+        t, radii = timed("kcenter_coverage", kcenter)
+        r["kcenter_sec"], r["kcenter_radii"] = t, radii
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -278,7 +345,8 @@ def main() -> int:
                 "emb_near_dup", "bm25", "pq", "spans", "heavy_hitters",
                 "tfidf", "theta_matrix", "epoch_shuffle",
                 "near_dedup_against", "rolling_distinct",
-                "event_pagerank", "cms", "bloom", "part_pairs", "cardest"):
+                "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
+                "k_anonymity", "int8", "mmr", "kcenter"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -288,6 +356,16 @@ def main() -> int:
         ("pagerank node set stable", b["event_pagerank_rows"] == a["event_pagerank_rows"]),
         ("pair mass x10", 9.5 <= b["part_pairs_mass"] / max(a["part_pairs_mass"], 1) <= 10.5),
         ("cardest within band", 0.7 <= b["cardest_ratio"] <= 1.4),
+        # round-7 modules: filter/report agree row-for-row, int8
+        # recall holds the driver bound at 10x, MMR contract intact,
+        # k-center radii non-increasing in k (prefix property)
+        ("kanon filter==report", b["k_anonymity_kept"]
+         == b["k_anonymity_rows"] - b["k_anonymity_suppressed"]),
+        ("int8 recall >= 0.9", b["int8_recall"] >= 0.9),
+        ("mmr 5 picks/query", b["mmr_rows"] == 50),
+        ("mmr first=argmax", b["mmr_bad_first"] == 0),
+        ("kcenter radii mono", b["kcenter_radii"]
+         == sorted(b["kcenter_radii"], reverse=True)),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
