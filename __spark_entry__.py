@@ -1528,6 +1528,14 @@ def _ann_recall_summary(approx: DataFrame, exact: DataFrame, k: int,
     Spark-verified booleans — every query returned k rows, and
     recall@k against the exact result clears ``recall_bound``
     (deterministic under the operators' fixed seeds)."""
+    # Both inputs are referenced twice below (approx: per-query census
+    # + hit semi-join; exact: semi-join + total). Without persist the
+    # single output action recomputes each full ANN DAG — fits, UDF
+    # encode passes, windows — once per reference. The frames are
+    # (n_queries x k) rows, trivially cacheable; bench/driver
+    # clearCache() drops them after the query.
+    approx = approx.persist()
+    exact = exact.persist()
     per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
     stats = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
@@ -3598,8 +3606,11 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    cand = brute_force_topk(emb, q, k=50)
-    sel = mmr_select(emb, q, k=5, lam=0.7, n_candidates=50, candidates=cand)
+    # cand feeds both the MMR selection and the picks-subset check;
+    # sel is read by three invariant branches — persist both so the
+    # single output action computes each once
+    cand = brute_force_topk(emb, q, k=50).persist()
+    sel = mmr_select(emb, q, k=5, lam=0.7, n_candidates=50, candidates=cand).persist()
     per_q = sel.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("rank").alias("rmin"),

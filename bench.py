@@ -17,6 +17,16 @@ import os
 import sys
 import time
 
+# Cap BLAS pools BEFORE numpy loads (pandas imports it): the
+# driver-side quantizer fits run batched gemms while the local[32]
+# JVM saturates the same cores, and an unbounded OpenBLAS pool
+# oversubscribes into 5-10x wall-time variance on those fits
+# (measured: the same _joint_lloyd call 0.6s alone vs 7.1s beside a
+# busy JVM). Eight BLAS threads keep the fits sub-second and stable;
+# UDF worker processes inherit the cap through the JVM's environment.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "8")
+
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -171,10 +171,26 @@ def pq_fit(
     return books
 
 
+def _encode_batch(X: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """``(n, m)`` int16 codes for an already-normalized ``(n, d)``
+    batch: per subspace, argmin squared distance to the codebook."""
+    m, k, sub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int16)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        d2 = (
+            (Xj * Xj).sum(1)[:, None]
+            - 2 * (Xj @ books[j].T)
+            + (books[j] * books[j]).sum(1)
+        )
+        codes[:, j] = d2.argmin(1).astype(np.int16)
+    return codes
+
+
 def _encoder_udf(codebooks: "np.ndarray"):
     """Arrow-batched UDF mapping each vector to its m nearest
     sub-centroid codes after L2 normalization (shared by ``pq_encode``
-    and the fused encode+route pass in ``ivfpq_topk``)."""
+    and ``ivfpq_topk``)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, k, sub = books.shape
 
@@ -185,15 +201,7 @@ def _encoder_udf(codebooks: "np.ndarray"):
         if valid:
             X = np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in valid])
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            codes = np.empty((len(valid), m), dtype=np.int16)
-            for j in range(m):
-                Xj = X[:, j * sub : (j + 1) * sub]
-                d2 = (
-                    (Xj * Xj).sum(1)[:, None]
-                    - 2 * (Xj @ books[j].T)
-                    + (books[j] * books[j]).sum(1)
-                )
-                codes[:, j] = d2.argmin(1).astype(np.int16)
+            codes = _encode_batch(X, books)
             for row, i in enumerate(valid):
                 out[i] = codes[row]
         return pd.Series(out)
@@ -306,8 +314,6 @@ def ivfpq_topk(
     `write_range_clustered` layout) so a probe reads only matching
     files; the scoring join is an equi-join on cell, never a scan.
     """
-    from meta_frame_spark.operators.similarity import _cell_assigner
-
     # The whole IVFPQ pipeline is cosine-consistent: PQ codes are built
     # from L2-NORMALIZED vectors (pq_encode), so the coarse quantizer
     # must be fit on and assign the SAME normalized geometry, and query
@@ -358,24 +364,53 @@ def ivfpq_topk(
         corpus, m, bits, id_col, vec_col, seed,
         cache_key=cache_key, train_sample=sample,
     )
-    # Fused encode + route: codes and cell id come out of ONE map pass
-    # over the normalized corpus (the encoder re-normalizes its input,
-    # a no-op on unit vectors). The previous shape derived them in two
-    # separate selects and equi-joined on id — a full corpus shuffle
-    # for two columns born on the same row. At 100 TB this is also the
-    # write shape: codes land partitioned by cell in the same pass.
-    coded = corpus_vec.select(
-        F.col("_id").alias("neighbor_id"),
-        _encoder_udf(books)(F.col("v")).alias("codes"),
-        _cell_assigner(coarse)(F.col("v")).alias("cell"),
-    ).filter(F.col("codes").isNotNull())
+    mm, kk, sub = books.shape
+
+    # Fused encode + route: codes AND cell id come out of ONE pandas
+    # UDF in ONE map pass over the normalized corpus. Two separate
+    # UDF columns cost two ArrowEvalPython nodes — two worker
+    # round-trips per task; one struct-returning UDF halves that, and
+    # the earlier shape (two selects equi-joined on id) cost a full
+    # corpus shuffle on top. At 100 TB this is also the write shape:
+    # codes land partitioned by cell in the same pass.
+    @F.pandas_udf("struct<codes: array<smallint>, cell: int>")
+    def _encode_route(vs: pd.Series) -> pd.DataFrame:
+        codes_out: list = [None] * len(vs)
+        cell_out = np.full(len(vs), -1, dtype=np.int32)
+        valid = [
+            i for i, v in enumerate(vs) if v is not None and len(v) == mm * sub
+        ]
+        if valid:
+            X = np.stack([np.asarray(vs.iloc[i], dtype=np.float64) for i in valid])
+            # inputs are unit vectors (corpus_vec); renormalize anyway
+            # so the UDF is safe on raw input too
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = _encode_batch(X, books)
+            dc = (
+                (X * X).sum(1)[:, None]
+                - 2 * (X @ coarse.T)
+                + (coarse * coarse).sum(1)
+            )
+            cells = dc.argmin(1).astype(np.int32)
+            for row, i in enumerate(valid):
+                codes_out[i] = codes[row]
+                cell_out[i] = cells[row]
+        return pd.DataFrame({"codes": codes_out, "cell": cell_out})
+
+    coded = (
+        corpus_vec.select(
+            F.col("_id").alias("neighbor_id"),
+            _encode_route(F.col("v")).alias("_cc"),
+        )
+        .select("neighbor_id", "_cc.codes", "_cc.cell")
+        .filter(F.col("codes").isNotNull())
+    )
 
     # per-query probe cells + ADC lookup tables (driver-side: the query
     # batch is small by contract, same as brute_force/pq_topk)
     q_rows = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("v")
     ).collect()
-    mm, kk, sub = books.shape
     probes = []
     luts = {}
     for r in q_rows:
