@@ -123,6 +123,16 @@ def pagerank(
             F.col("node").isin(seeds), F.lit(1.0 / present)
         ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", t.alias("rank")).localCheckpoint()
+    # Dangling detection ONCE, not per round: the out-degree frame is
+    # static, so a graph with no sink nodes at round 0 never develops
+    # one, and every round's dangling mass is identically 0. One
+    # up-front anti-join existence probe (limit-1, early-terminating)
+    # then removes the anti-join + global agg + crossJoin from ALL
+    # n_iter rounds — for sink-free graphs (transition graphs, strongly
+    # connected link graphs) that is a third of the per-round stages.
+    has_dangling = (
+        nodes.join(deg, nodes.node == deg.src, "left_anti").limit(1).count() > 0
+    )
     try:
         for _ in range(n_iter):
             contrib = (
@@ -133,24 +143,29 @@ def pagerank(
                     F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
                 )
             )
-            dangling = (
-                ranks.join(deg, ranks.node == deg.src, "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-            )
+            if has_dangling:
+                dangling = (
+                    ranks.join(deg, ranks.node == deg.src, "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+                )
+                dangling_mass = F.col("_dangling")
+            else:
+                dangling_mass = F.lit(0.0)
             # eager localCheckpoint: materializes AND replaces the
             # logical plan with the computed RDD — O(1) lineage per
             # round (see module docstring)
+            new_ranks = nodes.join(contrib, "node", "left")
+            if has_dangling:
+                new_ranks = new_ranks.crossJoin(dangling)
             ranks = (
-                nodes.join(contrib, "node", "left")
-                .crossJoin(dangling)
-                .select(
+                new_ranks.select(
                     "node",
                     (
                         F.lit(1.0 - damping) * t
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("_dangling") * t
+                            + dangling_mass * t
                         )
                     ).alias("rank"),
                 )
