@@ -63,6 +63,7 @@ from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
+from meta_frame_spark.operators.nb import nb_predict, nb_train
 from meta_frame_spark.operators.privacy import (
     k_anonymity_filter,
     k_anonymity_report,
@@ -249,6 +250,8 @@ __all__ = [
     "k_anonymity_report",
     "kcenter_coverage",
     "mmr_select",
+    "nb_predict",
+    "nb_train",
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",

@@ -1,0 +1,168 @@
+"""Multinomial Naive Bayes text classifier, trained and applied as
+pure aggregations.
+
+Not in the reference (SURVEY.md §2 — no ML surface); this is the
+standard supervised baseline a corpus pipeline trains on its own
+labels (language, source, quality tier) to re-label or audit unlabeled
+slices — the event-count model of McCallum & Nigam, "A Comparison of
+Event Models for Naive Bayes Text Classification" (AAAI-98 workshop).
+
+Scale design (the reason NB is THE distributed classifier):
+
+* **fit is one groupBy**: token counts per (label, token) with
+  map-side combine — no iterations, no gradient state, no driver data
+  path. The vocabulary is bounded to the global frequency head
+  (``vocab_size``), so the model is a (V x L) table of
+  log-conditionals plus L priors — kilobytes, broadcast to every
+  executor.
+* **score is one broadcast join + one aggregate**: explode test
+  tokens, hash-join the broadcast conditional table, sum log-probs
+  per (doc, label), add the prior, argmax per doc via a row_number
+  window on the doc key. Two shuffles total (count agg + argmax),
+  both on keys with natural cardinality.
+* Out-of-vocabulary tokens drop out of the inner join (every label
+  loses the same mass, so the argmax is unaffected); a document with
+  ZERO in-vocabulary tokens still scores — the doc x label matrix is
+  built from the doc ids crossed with the L-row prior table, so such
+  docs fall back to the prior argmax instead of vanishing.
+* Scores are exact doubles internally and rounded only at the
+  presentation layer (the repo-wide determinism contract): ranking
+  uses 6dp-rounded scores with a label-asc tiebreak, so FP sum-order
+  differences across engines and partitionings cannot flip a
+  prediction unless two labels genuinely tie to a micro-nat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from meta_frame_spark.functions.text import tokens
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 2048,
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial NB: returns ``(priors, cond)``.
+
+    ``priors`` is ``(label, log_prior)`` — document-frequency priors.
+    ``cond`` is the FULL labels x vocabulary grid ``(label, token,
+    log_cond)`` with Laplace smoothing ``smoothing`` over the realized
+    vocabulary size, so every in-vocabulary token has a conditional
+    for every label (zero-count cells get the smoothed floor rather
+    than dropping out). The vocabulary is the global top
+    ``vocab_size`` tokens by count (token-asc tiebreak — deterministic
+    under any partitioning). The only driver scalars are the realized
+    vocabulary size and the training document count.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    tok = df.filter(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("n_lt"))
+    )
+    label_tot = counts.groupBy("label").agg(F.sum("n_lt").alias("n_l"))
+    # bounded driver scalars: realized vocab size (<= vocab_size) and
+    # the training doc count for the prior denominator
+    v = vocab.count()
+    n_docs = df.filter(
+        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+    ).count()
+    if n_docs == 0:
+        raise ValueError("nb_train: no rows with non-null label and text")
+    priors = (
+        df.filter(F.col(label_col).isNotNull() & F.col(text_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "label",
+            F.log(F.col("n_docs") / F.lit(float(n_docs))).alias("log_prior"),
+        )
+    )
+    grid = (
+        label_tot.select("label", "n_l")
+        .crossJoin(F.broadcast(vocab))
+        .join(counts, ["label", "token"], "left")
+        .select(
+            "label",
+            "token",
+            F.log(
+                (F.coalesce(F.col("n_lt"), F.lit(0)) + F.lit(smoothing))
+                / (F.col("n_l") + F.lit(smoothing * v))
+            ).alias("log_cond"),
+        )
+    )
+    return priors, grid
+
+
+def nb_predict(
+    df: DataFrame,
+    priors: DataFrame,
+    cond: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """``(id_col, pred_label, score)`` — the argmax label per document
+    under the fitted model, score = log prior + sum of in-vocabulary
+    token log-conditionals, rounded to ``round_to``. Ties rank
+    label-asc (deterministic). Documents with no in-vocabulary tokens
+    fall back to the prior argmax."""
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    tok = base.select(
+        "_id", F.explode(tokens(F.lower(F.col("_text")))).alias("token")
+    )
+    ll = (
+        tok.join(F.broadcast(cond), "token")
+        .groupBy("_id", "label")
+        .agg(F.sum("log_cond").alias("_ll"))
+    )
+    # doc x label score matrix from the id set crossed with the L-row
+    # prior table (broadcast nested loop over a handful of labels) —
+    # keeps zero-known-token docs scoreable
+    mat = (
+        base.select("_id").distinct()
+        .crossJoin(F.broadcast(priors))
+        .join(ll, ["_id", "label"], "left")
+        .select(
+            "_id",
+            "label",
+            (F.col("log_prior") + F.coalesce(F.col("_ll"), F.lit(0.0))).alias(
+                "_score"
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.round(F.col("_score"), round_to).desc(), F.col("label").asc()
+    )
+    return (
+        mat.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("label").alias("pred_label"),
+            F.round(F.col("_score"), round_to).alias("score"),
+        )
+    )
