@@ -3626,7 +3626,12 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.min("nr") == 5)
         ).alias("ranks_ok"),
     )
-    top1 = brute_force_topk(emb, q, k=1).select("query_id", "neighbor_id")
+    # round_scores=12 matches mmr_select's 12dp argmax tie semantics
+    # (ADVICE r7): without it a <5e-13 cosine tie can rank differently
+    # on the two sides and flip first_pick_is_argmax
+    top1 = brute_force_topk(emb, q, k=1, round_scores=12).select(
+        "query_id", "neighbor_id"
+    )
     argmax_ok = (
         sel.filter(F.col("rank") == 1)
         .join(top1, ["query_id", "neighbor_id"], "left_anti")
@@ -3672,6 +3677,24 @@ def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes re-labeling (operators/nb.py): fit on
+    the lang labels of the doc_id%5!=0 slice (top-64 vocabulary,
+    Laplace s=1), predict the held-out slice. Fit is one groupBy,
+    score is one broadcast join + argmax window. Full oracle: DuckDB
+    recomputes the whole model — vocab head, smoothed grid,
+    doc-frequency priors, prior fallback for zero-in-vocab docs, and
+    the 6dp/label-asc argmax tiebreak."""
+    from meta_frame_spark.operators.nb import nb_predict, nb_train
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    priors, cond = nb_train(train, label_col="lang", text_col="text",
+                            vocab_size=64)
+    return nb_predict(test, priors, cond)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3688,39 +3711,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-7 window (VERDICT r6 "Next round" #1b):
-#   1-10   the 10 queries deferred since r5 that have NEVER had a
-#          driver row (text_normalize .. top_mass) — locally green at
-#          sf0.001/0.01/0.1 for two consecutive rounds;
-#   11-16  the six round-6 modules' queries (privacy / quantize /
-#          diversify), registered here for their FIRST driver rows;
-#   17-20  the §2 dialect flagships whose newest rows are r4
-#          (a_cascade, b_join_tree, bp_grandchild, b_q3_shipping) —
-#          refreshes reference-parity evidence;
-#   21-50  the 30 oldest r3-green rows (events_hourly .. hash_split)
-#          for their first recheck since r3.
-# The 19 remaining r3-green entries (stratified_sample .. fuzzy_join)
-# queue for r8. Every entry has an oracle_sql() twin.
+# Round-8 window (VERDICT r7 "Next round" #2):
+#   1-19   the 19 r3-green entries whose latest driver row is still
+#          r3 (stratified_sample .. fuzzy_join) — the oldest evidence
+#          in the registry, queued since r7;
+#   20     nb_predict — FIRST driver row for operators/nb.py, wired
+#          this round per VERDICT r7 #1 (full DuckDB model oracle);
+#   21-23  the three bench heavies whose r7 driver slot was
+#          contention-poisoned (ann_topk_ivfpq, event_ppr,
+#          bpe_tokenize) — fresh correctness rows beside the clean
+#          re-measure;
+#   24-50  the 27 oldest r4-green rows (a_filters .. fingerprint) in
+#          registry order, for their first recheck since r4.
+# The 19 remaining r4-green entries (group_quantiles .. event_paths)
+# queue for r9. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (1) never-driver-checked since r5 — drain the backlog first
-    "text_normalize", "char_entropy", "script_profile", "sentences",
-    "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
-    "key_skew", "top_mass",
-    # (2) round-6 modules: first driver evidence
-    "k_anonymity", "k_anonymity_report", "int8_quantize", "int8_topk",
-    "mmr_select", "kcenter_coverage",
-    # (3) §2 dialect flagships, newest row r4
-    "a_cascade", "b_join_tree", "bp_grandchild", "b_q3_shipping",
-    # (4) oldest r3-green rows, in their r3 ordering
-    "events_hourly", "events_sessions", "events_sliding", "events_asof",
-    "events_interval", "set_ops", "events_json", "events_enriched",
-    "scd2_versions", "rolling_1h", "event_funnel", "sessionize",
-    "cohort_retention", "pack_sequences", "dedup_minhash",
-    "dedup_simhash", "ann_topk_lsh", "ann_topk_ivf", "emb_near_dup",
-    "mm_pixel_stats", "agg_approx", "semantic_dedup",
-    "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
-    "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
-    "hash_split",
+    # (1) last r3-green evidence — drain the r3 backlog completely
+    "stratified_sample", "latest_by_key", "apply_changelog",
+    "redact_pii", "text_repetition", "date_funcs", "pivot",
+    "window_analytics", "topk_per_group", "dedup_exact", "corpus_clean",
+    "ann_topk", "ngram_jaccard", "text_stats", "text_quality",
+    "token_bpe", "vocab_topk", "row_numbers", "fuzzy_join",
+    # (2) new this round: Naive Bayes first evidence
+    "nb_predict",
+    # (3) r7 contended bench heavies — fresh correctness rows
+    "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
+    # (4) oldest r4-green rows, in registry order
+    "a_filters", "a_keep_columns", "a_chained", "a_derive",
+    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
+    "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
+    "corpus_diff", "corpus_mix", "count_distinct_skew",
+    "curation_pipeline", "decontaminate", "dedup_incremental",
+    "doc_chunks", "doc_lm_score", "domain_cap", "expectations",
+    "fingerprint",
 )
 
 
@@ -3899,6 +3923,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
+        "nb_predict": q_nb_predict,
     }
 
 
@@ -6305,5 +6330,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3 AS n_ks, 2 AS k_min, 8 AS k_max,
                    TRUE AS radii_nonneg, TRUE AS r8_le_r4,
                    TRUE AS r4_le_r2
+        """,
+        # Full NB model recomputed from scratch: vocab head (count
+        # desc, token asc), Laplace grid over labels x vocab,
+        # doc-frequency priors, OOV-ignoring score join, prior
+        # fallback for zero-in-vocab docs, 6dp/label-asc argmax.
+        "nb_predict": """
+            WITH docs AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+            ),
+            tok AS (
+                SELECT lang AS label,
+                       unnest(regexp_extract_all(lower(text), '\\S+'))
+                           AS token
+                FROM docs WHERE doc_id % 5 != 0
+            ),
+            vocab AS (
+                SELECT token FROM tok GROUP BY token
+                ORDER BY COUNT(*) DESC, token ASC LIMIT 64
+            ),
+            counts AS (
+                SELECT label, token, COUNT(*) AS n_lt FROM tok
+                JOIN vocab USING (token) GROUP BY 1, 2
+            ),
+            label_tot AS (
+                SELECT label, SUM(n_lt) AS n_l FROM counts GROUP BY 1
+            ),
+            v AS (SELECT COUNT(*) AS v FROM vocab),
+            priors AS (
+                SELECT lang AS label,
+                       ln(COUNT(*) / CAST((SELECT COUNT(*) FROM docs
+                                           WHERE doc_id % 5 != 0)
+                                          AS DOUBLE)) AS log_prior
+                FROM docs WHERE doc_id % 5 != 0 GROUP BY 1
+            ),
+            grid AS (
+                SELECT lt.label, vo.token,
+                       ln((COALESCE(c.n_lt, 0) + 1.0)
+                          / (lt.n_l + 1.0 * v.v)) AS log_cond
+                FROM label_tot lt CROSS JOIN vocab vo CROSS JOIN v
+                LEFT JOIN counts c
+                    ON c.label = lt.label AND c.token = vo.token
+            ),
+            ttok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\S+'))
+                           AS token
+                FROM documents
+                WHERE doc_id % 5 = 0 AND text IS NOT NULL
+            ),
+            ll AS (
+                SELECT doc_id, label, SUM(log_cond) AS ll FROM ttok
+                JOIN grid USING (token) GROUP BY 1, 2
+            ),
+            mat AS (
+                SELECT d.doc_id, p.label,
+                       p.log_prior + COALESCE(ll.ll, 0.0) AS score
+                FROM (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id % 5 = 0 AND text IS NOT NULL) d
+                CROSS JOIN priors p
+                LEFT JOIN ll
+                    ON ll.doc_id = d.doc_id AND ll.label = p.label
+            )
+            SELECT doc_id, label AS pred_label,
+                   ROUND(score, 6) AS score
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY ROUND(score, 6) DESC, label ASC) AS rn
+                FROM mat
+            ) WHERE rn = 1
         """,
     }

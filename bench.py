@@ -148,33 +148,54 @@ def main() -> None:
     probe_end = _probe()
     probes.append([len(all_queries), probe_end])
 
-    # A query is noise-suspect if EITHER bracketing probe ran >1.5x
+    # A query is noise-suspect ONLY if a bracketing probe ran >1.5x
     # the clean value (the r7 d*/e* contended block sat under a 1.73x
     # probe — 2x missed it; queries amplify contention more than the
-    # pure-codegen probe does), OR it took >2.5s outright (the tail
-    # entries the record is judged on; mid-burst contention between
-    # two clean probes is otherwise invisible). Rerun suspects
-    # (slowest first, capped so a fully contended run can't double its
-    # own wall time) once the end-state probe says the slot is clean
-    # again, and keep the min — min-of-two is the standard
-    # noise-robust estimator and can't fake an improvement.
+    # pure-codegen probe does). The old unconditional >2.5s trigger is
+    # gone (ADVICE r7): it reran every slow-tail query on every record
+    # run, and the warm second run systematically biased exactly the
+    # headline entries low; now a rerun happens only when the probes
+    # PROVE the first measurement was contaminated.
+    #
+    # Rerun protocol (VERDICT r7 "Next round" #3 — the [16.0, 48.1]
+    # doubly-poisoned case): each rerun is itself bracketed by probes.
+    # A clean-bracketed rerun REPLACES the poisoned first value (the
+    # rerun is the only uncontaminated measurement — min-of-two would
+    # keep a poisoned number if contention somehow sped the clock, and
+    # systematically prefers the warm run). If the rerun's own bracket
+    # is dirty, try once more; if every attempt is dirty-bracketed the
+    # entry is recorded as CONTENDED — min of the attempts, plus its
+    # name in probe.contended — never a poisoned min presented as a
+    # clean measurement.
     dirty = {
         idx
         for (a_idx, a_sec), (b_idx, b_sec) in zip(probes, probes[1:])
         if a_sec > 1.5 * PROBE_CLEAN_SEC or b_sec > 1.5 * PROBE_CLEAN_SEC
         for idx in range(a_idx, b_idx)
     }
-    dirty |= {i for i, (name, _) in enumerate(all_queries)
-              if per_query[name] > 2.5}
     suspects = [all_queries[i][0] for i in sorted(dirty)]
     reran: dict[str, list[float]] = {}
-    if suspects and probe_end <= 1.5 * PROBE_CLEAN_SEC:
+    contended: list[str] = []
+    if suspects:
         by_name = dict(all_queries)
+        pre = probe_end  # last measured probe state
         for name in sorted(suspects, key=lambda n: -per_query[n])[:20]:
             first = per_query[name]
-            second = run_one(by_name[name])
-            per_query[name] = min(first, second)
-            reran[name] = [first, second]
+            attempts = []
+            for _ in range(2):
+                val = run_one(by_name[name])
+                post = _probe()
+                attempts.append(val)
+                clean = (pre <= 1.5 * PROBE_CLEAN_SEC
+                         and post <= 1.5 * PROBE_CLEAN_SEC)
+                pre = post
+                if clean:
+                    per_query[name] = val
+                    break
+            else:
+                per_query[name] = min([first, *attempts])
+                contended.append(name)
+            reran[name] = [first, *attempts]
     try:
         load_1m = round(os.getloadavg()[0], 1)
     except OSError:
@@ -192,7 +213,11 @@ def main() -> None:
             "clean_sec": PROBE_CLEAN_SEC,
             "load_1m": load_1m,
             "interleaved": probes,
-            "suspect_rerun_min": reran,
+            # per-suspect [first, rerun...]: recorded value is the
+            # clean-bracketed rerun, or min + a `contended` entry when
+            # no attempt got a clean bracket
+            "suspect_reruns": reran,
+            "contended": contended,
         },
     }
     # Full-precision record as a repo artifact (not size-constrained).
@@ -227,6 +252,7 @@ def main() -> None:
         "max_interleaved": max(p[1] for p in probes),
         "n_suspect": len(suspects),
         "n_reran": len(reran),
+        "contended": contended,
     }
 
     def emit(q: dict[str, float], omitted: int) -> str:

@@ -20,11 +20,17 @@ Scale design (the reason NB is THE distributed classifier):
   per (doc, label), add the prior, argmax per doc via a row_number
   window on the doc key. Two shuffles total (count agg + argmax),
   both on keys with natural cardinality.
-* Out-of-vocabulary tokens drop out of the inner join (every label
-  loses the same mass, so the argmax is unaffected); a document with
-  ZERO in-vocabulary tokens still scores — the doc x label matrix is
-  built from the doc ids crossed with the L-row prior table, so such
-  docs fall back to the prior argmax instead of vanishing.
+* Out-of-vocabulary tokens are ignored BY DESIGN — the fitted-
+  vocabulary convention (scikit-learn's ``MultinomialNB`` after
+  ``CountVectorizer``): they drop out of the inner join and the doc
+  is scored on its in-vocabulary stream only. (This is a modeling
+  choice, not a no-op: under Laplace smoothing an OOV floor
+  ``log(s / (n_l + s*V))`` would be label-dependent, so including
+  OOV tokens at the floor would shift scores toward small-corpus
+  labels.) A document with ZERO in-vocabulary tokens still scores —
+  the doc x label matrix is built from the doc ids crossed with the
+  L-row prior table, so such docs fall back to the prior argmax
+  instead of vanishing.
 * Scores are exact doubles internally and rounded only at the
   presentation layer (the repo-wide determinism contract): ranking
   uses 6dp-rounded scores with a label-asc tiebreak, so FP sum-order

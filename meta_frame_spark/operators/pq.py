@@ -337,7 +337,15 @@ def ivfpq_topk(
     # one training set). Before this the two fits ran two
     # near-identical sample-collect Spark jobs (~1s each at bench
     # scale) back to back.
-    max_train = 8_192  # pq_fit's default; both fits share its sample
+    # pq_fit's default; both fits share its sample. INTENTIONAL
+    # behavior change vs the pre-r7 shape (ADVICE r7): the coarse
+    # quantizer previously trained on _fit_quantizer's 25,600-row
+    # sample and now trains on 8,192 rows, which shifts IVF cell
+    # geometry slightly. For a 16-cell coarse quantizer, 8,192 points
+    # is ~512 per centroid — far past the k*100 rule of thumb — and
+    # the end-to-end recall@k driver bound (recall_ok >= 0.4,
+    # observed 0.66 at sf0.01) guards the composed effect.
+    max_train = 8_192
     coarse_memo = (
         ("coarse", cache_key, n_cells, seed, id_col, vec_col, max_train)
         if cache_key is not None else None

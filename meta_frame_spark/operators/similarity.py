@@ -39,13 +39,19 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    round_scores: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     Returns (query_id, neighbor_id, rank) ordered deterministically:
-    score desc, neighbor_id asc tiebreak. The queries side is hinted
-    broadcast — the corpus never shuffles for the scoring stage; the
-    only shuffle is the per-query top-k window over surviving rows.
+    score desc, neighbor_id asc tiebreak. With ``round_scores`` the
+    ordering score is rounded to that many decimals first — pass 12 to
+    share tie semantics with mmr_select's 12dp argmax, so two
+    candidates whose cosines differ by <5e-13 rank by neighbor_id on
+    both sides instead of by a last-ulp score difference (ADVICE r7).
+    The queries side is hinted broadcast — the corpus never shuffles
+    for the scoring stage; the only shuffle is the per-query top-k
+    window over surviving rows.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -57,8 +63,12 @@ def brute_force_topk(
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn("score", cosine_similarity("q_vec", "c_vec"))
+    order_score = (
+        F.round(F.col("score"), round_scores)
+        if round_scores is not None else F.col("score")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+        order_score.desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

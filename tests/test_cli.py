@@ -80,10 +80,10 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # the round-6 modules' first driver evidence lives in this window
+    # round-8 plan: NB's first driver evidence plus fresh rows for the
+    # three bench heavies whose r7 slot was contention-poisoned
     for name in (
-        "k_anonymity", "k_anonymity_report", "int8_quantize",
-        "int8_topk", "mmr_select", "kcenter_coverage",
+        "nb_predict", "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
     ):
         assert name in window, name
     # every registered query still has an oracle twin
