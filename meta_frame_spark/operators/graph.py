@@ -44,12 +44,27 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     teleport_to: list | None = None,
+    eps: float | None = None,
 ) -> DataFrame:
     """``(node, rank)`` after ``n_iter`` damped power-iteration rounds.
     With ``weight_col`` each edge passes rank in proportion to its
     weight share of the source's outgoing total (the weighted random
     surfer); without it, multi-edges contribute multiply — pass a
     ``.distinct()`` edge list for an unweighted graph.
+
+    ``eps`` turns on convergence early-stop and makes ``n_iter`` a MAX:
+    after each round the L1 delta between successive rank vectors is
+    measured (one tiny |V|-row join-aggregate over the two
+    checkpointed frames — no recompute), and the loop stops once
+    delta < eps. The geometric contraction of the damped walk bounds
+    everything downstream of the stop: the remaining rounds could move
+    any rank by at most ``eps * damping / (1 - damping)`` in L1
+    (~5.7x eps at damping 0.85), so ``eps = 1e-9`` is provably
+    invisible at the repo's 6dp presentation rounding even against a
+    fixed-``n_iter`` reference. Driver-sequenced rounds are the one
+    documented 100x-scale soft spot of this operator — early-stop
+    directly cuts that barrier count (transition graphs mix in ~5
+    rounds; the fixed default runs 10).
 
     ``teleport_to`` switches to PERSONALIZED PageRank: the teleport
     and dangling mass land uniformly on the seed set (and the walk
@@ -64,6 +79,8 @@ def pagerank(
         raise ValueError(f"damping must be in [0, 1], got {damping}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if eps is not None and eps <= 0:
+        raise ValueError(f"eps must be > 0 (or None), got {eps}")
     if teleport_to is not None and not teleport_to:
         raise ValueError("teleport_to must be None or a non-empty list")
     w = (
@@ -157,21 +174,42 @@ def pagerank(
             new_ranks = nodes.join(contrib, "node", "left")
             if has_dangling:
                 new_ranks = new_ranks.crossJoin(dangling)
-            ranks = (
-                new_ranks.select(
-                    "node",
-                    (
-                        F.lit(1.0 - damping) * t
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + dangling_mass * t
-                        )
-                    ).alias("rank"),
-                )
-                .coalesce(target)
-                .localCheckpoint()
+            stepped = new_ranks.select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * t
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + dangling_mass * t
+                    )
+                ).alias("rank"),
             )
+            if eps is not None:
+                # fold the previous rank INTO the checkpointed frame
+                # (one extra co-keyed join pipelined into the round's
+                # existing job) so the convergence check below is a
+                # single-stage scan of materialized rows — a separate
+                # post-checkpoint join job costs nearly a full round
+                # of scheduling at small |V|
+                stepped = stepped.join(
+                    ranks.select("node", F.col("rank").alias("_prev")),
+                    "node",
+                    "left",
+                )
+            ranks = stepped.coalesce(target).localCheckpoint()
+            if eps is not None:
+                delta = ranks.agg(
+                    F.sum(
+                        F.abs(
+                            F.col("rank")
+                            - F.coalesce(F.col("_prev"), F.lit(0.0))
+                        )
+                    ).alias("d")
+                ).collect()[0].d
+                ranks = ranks.drop("_prev")
+                if delta is not None and delta < eps:
+                    break
         return ranks
     finally:
         nodes.unpersist()

@@ -36,6 +36,25 @@ def test_matches_reference_implementation(spark):
         assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
 
 
+def test_eps_early_stop_matches_fixed_rounds(spark):
+    """eps turns n_iter into a max: on a fast-mixing graph the
+    early-stopped ranks equal the fixed-10-round ranks to well inside
+    the contraction bound eps*d/(1-d), and a huge eps stops after one
+    round (ranks = the round-1 vector, not the fixed point)."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    fixed = {r.node: r.rank for r in pagerank(df, 0.85, 10).collect()}
+    early = {r.node: r.rank for r in pagerank(df, 0.85, 10, eps=1e-9).collect()}
+    assert set(early) == set(fixed)
+    for v in fixed:
+        assert abs(early[v] - fixed[v]) < 1e-8, (v, early[v], fixed[v])
+    one_round = {
+        r.node: r.rank for r in pagerank(df, 0.85, 10, eps=1e9).collect()
+    }
+    want1 = _py_pagerank(EDGES, 0.85, 1)
+    for v in want1:
+        assert abs(one_round[v] - want1[v]) < 1e-12
+
+
 def test_ranks_sum_to_one_with_dangling(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     ranks = pagerank(df, 0.85, 5).collect()
@@ -169,3 +188,5 @@ def test_bad_params(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank(df, eps=0.0)
