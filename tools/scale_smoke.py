@@ -335,6 +335,35 @@ def main() -> int:
         t, radii = timed("kcenter_coverage", kcenter)
         r["kcenter_sec"], r["kcenter_radii"] = t, radii
 
+        # --- round-8 module (VERDICT r7 #6): Naive Bayes at the 10x
+        # corpus — fit+score wall time, one-prediction-per-doc, and the
+        # determinism contract (6dp round + label-asc tiebreak) checked
+        # as full prediction agreement across two different input
+        # partitionings of the same data ---
+        def nb():
+            from meta_frame_spark.operators.nb import nb_predict, nb_train
+
+            dd = docs(d)
+            train = dd.filter(F.col("doc_id") % 5 != 0)
+            test = dd.filter(F.col("doc_id") % 5 == 0)
+            n_test = test.count()
+            priors, cond = nb_train(train, label_col="lang", vocab_size=256)
+            pred = nb_predict(test, priors, cond).persist()
+            n = pred.count()
+            p2, c2 = nb_train(
+                train.repartition(13, "doc_id"), label_col="lang",
+                vocab_size=256,
+            )
+            pred2 = nb_predict(test.repartition(11, "doc_id"), p2, c2)
+            agree = pred.join(
+                pred2, ["doc_id", "pred_label"], "left_semi"
+            ).count()
+            pred.unpersist()
+            return n, n_test, agree
+        t, (n, n_test, agree) = timed("nb_predict", nb)
+        r["nb_sec"], r["nb_rows"] = t, n
+        r["nb_test_docs"], r["nb_agree"] = n_test, agree
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -346,7 +375,7 @@ def main() -> int:
                 "tfidf", "theta_matrix", "epoch_shuffle",
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
-                "k_anonymity", "int8", "mmr", "kcenter"):
+                "k_anonymity", "int8", "mmr", "kcenter", "nb"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -366,6 +395,11 @@ def main() -> int:
         ("mmr first=argmax", b["mmr_bad_first"] == 0),
         ("kcenter radii mono", b["kcenter_radii"]
          == sorted(b["kcenter_radii"], reverse=True)),
+        # round-8: NB scores every held-out doc exactly once and the
+        # determinism contract holds — 100% prediction agreement
+        # across two different partitionings of the same inputs
+        ("nb one row per test doc", b["nb_rows"] == b["nb_test_docs"]),
+        ("nb partition-invariant", b["nb_agree"] == b["nb_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
