@@ -3684,6 +3684,25 @@ def q_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py dsir_log_weights —
+    Xie et al. 2023): hashed-bigram multinomial models for the target
+    (English docs) vs the raw pool, every raw doc scored by its log
+    likelihood ratio. Both fits are bounded 4,096-bucket groupBys
+    broadcast back; scoring is one map-side broadcast join + per-doc
+    sum. Full oracle: DuckDB rebuilds both models over the same
+    md5-bucketed bigrams (engine-portable hashing) and recomputes every
+    weight exactly."""
+    from meta_frame_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_log_weights(docs, target, n=2, hex_chars=3, smoothing=1.0)
+    return out.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
 def q_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes re-labeling (operators/nb.py): fit on
     the lang labels of the doc_id%5!=0 slice (top-64 vocabulary,
@@ -3724,13 +3743,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #          in the registry, queued since r7;
 #   20     nb_predict — FIRST driver row for operators/nb.py, wired
 #          this round per VERDICT r7 #1 (full DuckDB model oracle);
+#   20b    dsir_weights — FIRST driver row for the new round-8 module
+#          operators/dsir.py (full DuckDB model oracle), so it never
+#          enters the orphan state nb.py was dinged for;
 #   21-23  the three bench heavies whose r7 driver slot was
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   24-50  the 27 oldest r4-green rows (a_filters .. fingerprint) in
+#   25-50  the 26 oldest r4-green rows (a_filters .. expectations) in
 #          registry order, for their first recheck since r4.
-# The 19 remaining r4-green entries (group_quantiles .. event_paths)
+# The 20 remaining r4-green entries (fingerprint .. event_paths)
 # queue for r9. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
@@ -3739,8 +3761,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_analytics", "topk_per_group", "dedup_exact", "corpus_clean",
     "ann_topk", "ngram_jaccard", "text_stats", "text_quality",
     "token_bpe", "vocab_topk", "row_numbers", "fuzzy_join",
-    # (2) new this round: Naive Bayes first evidence
-    "nb_predict",
+    # (2) new this round: Naive Bayes + DSIR first evidence
+    "nb_predict", "dsir_weights",
     # (3) r7 contended bench heavies — fresh correctness rows
     "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
     # (4) oldest r4-green rows, in registry order
@@ -3751,7 +3773,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_diff", "corpus_mix", "count_distinct_skew",
     "curation_pipeline", "decontaminate", "dedup_incremental",
     "doc_chunks", "doc_lm_score", "domain_cap", "expectations",
-    "fingerprint",
 )
 
 
@@ -3931,6 +3952,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_numbers": q_row_numbers,
         "fuzzy_join": q_fuzzy_join,
         "nb_predict": q_nb_predict,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -6337,6 +6359,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3 AS n_ks, 2 AS k_min, 8 AS k_max,
                    TRUE AS radii_nonneg, TRUE AS r8_le_r4,
                    TRUE AS r4_le_r2
+        """,
+        # Full DSIR model recomputed from scratch: md5-bucketed bigram
+        # instances (same partial-gram semantics as the dedup family),
+        # Laplace-smoothed target/raw multinomials over the 4,096
+        # bucket space, per-doc log likelihood ratio. Every bucket a
+        # raw doc emits exists in the raw counts by construction, so
+        # the raw-side join is inner and the unseen-bucket constant
+        # never fires (matching the Spark coalesce that also never
+        # fires for raw docs).
+        "dsir_weights": """
+            WITH docs AS (
+                SELECT doc_id, lang,
+                       string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bkt
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(list_transform(
+                               range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(toks[i:i+1], ' ')
+                           )) AS gram
+                    FROM docs
+                )
+            ),
+            tcnt AS (
+                SELECT bkt, COUNT(*) AS ct FROM g
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            rcnt AS (SELECT bkt, COUNT(*) AS cr FROM g GROUP BY 1),
+            tt AS (SELECT COALESCE(SUM(ct), 0) AS t FROM tcnt),
+            tr AS (SELECT COALESCE(SUM(cr), 0) AS t FROM rcnt)
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   ROUND(SUM(
+                       ln((COALESCE(tc.ct, 0) + 1.0) / (tt.t + 4096.0))
+                       - ln((rc.cr + 1.0) / (tr.t + 4096.0))
+                   ), 6) AS log_weight
+            FROM g
+            LEFT JOIN tcnt tc USING (bkt)
+            JOIN rcnt rc USING (bkt), tt, tr
+            GROUP BY g.doc_id
         """,
         # Full NB model recomputed from scratch: vocab head (count
         # desc, token asc), Laplace grid over labels x vocab,

@@ -158,15 +158,18 @@ def main() -> None:
     # PROVE the first measurement was contaminated.
     #
     # Rerun protocol (VERDICT r7 "Next round" #3 — the [16.0, 48.1]
-    # doubly-poisoned case): each rerun is itself bracketed by probes.
-    # A clean-bracketed rerun REPLACES the poisoned first value (the
-    # rerun is the only uncontaminated measurement — min-of-two would
-    # keep a poisoned number if contention somehow sped the clock, and
-    # systematically prefers the warm run). If the rerun's own bracket
-    # is dirty, try once more; if every attempt is dirty-bracketed the
-    # entry is recorded as CONTENDED — min of the attempts, plus its
-    # name in probe.contended — never a poisoned min presented as a
-    # clean measurement.
+    # doubly-poisoned case): each rerun is itself probe-bracketed.
+    # External contention can only ever ADD time to a CPU-bound noop
+    # sink, so every measurement is an UPPER bound on the true time
+    # and the recorded value is the MIN over all attempts — a slower
+    # rerun never displaces a faster first value (an r8 dry run showed
+    # exactly that failure: end-of-run contention made "clean"-probed
+    # reruns slower than their dirty-probed originals). A rerun stops
+    # early once an attempt lands clean-bracketed AND <= the flagged
+    # first value. If NO attempt (rerun, or retry) ever got a clean
+    # bracket, the name goes in probe.contended: its min is still
+    # recorded but explicitly marked as a contended upper bound, never
+    # presented as a clean measurement.
     dirty = {
         idx
         for (a_idx, a_sec), (b_idx, b_sec) in zip(probes, probes[1:])
@@ -182,6 +185,7 @@ def main() -> None:
         for name in sorted(suspects, key=lambda n: -per_query[n])[:20]:
             first = per_query[name]
             attempts = []
+            got_clean = False
             for _ in range(2):
                 val = run_one(by_name[name])
                 post = _probe()
@@ -190,10 +194,11 @@ def main() -> None:
                          and post <= 1.5 * PROBE_CLEAN_SEC)
                 pre = post
                 if clean:
-                    per_query[name] = val
-                    break
-            else:
-                per_query[name] = min([first, *attempts])
+                    got_clean = True
+                    if val <= first:
+                        break
+            per_query[name] = min([first, *attempts])
+            if not got_clean:
                 contended.append(name)
             reran[name] = [first, *attempts]
     try:

@@ -64,6 +64,7 @@ from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
+from meta_frame_spark.operators.dsir import dsir_log_weights
 from meta_frame_spark.operators.privacy import (
     k_anonymity_filter,
     k_anonymity_report,
@@ -252,6 +253,7 @@ __all__ = [
     "mmr_select",
     "nb_predict",
     "nb_train",
+    "dsir_log_weights",
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",

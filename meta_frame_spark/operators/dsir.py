@@ -1,0 +1,139 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Not in the reference (SURVEY.md §2 — no selection surface); this is
+the public importance-resampling recipe of Xie et al., "Data Selection
+for Language Models via Importance Resampling" (NeurIPS 2023): fit two
+bag-of-hashed-n-grams multinomial models — one on a (small) TARGET
+corpus that exemplifies the distribution you want, one on the RAW pool
+— and weight every raw document by its log likelihood ratio
+``sum_g log(p_target(g) / p_raw(g))``. Resampling the pool by those
+weights (or keeping the top fraction) shifts the selected data toward
+the target distribution. Downstream, compose with
+``operators/sampling.weighted_sample`` (Bernoulli by normalized
+weight) or a quantile gate on ``log_weight``.
+
+Scale design:
+
+* **Features are hashed buckets, not strings**: every n-gram maps to
+  ``substr(md5(gram), 1, hex_chars)`` — a fixed 16^hex_chars feature
+  space (4,096 at the default 3), the same hashing trick the paper
+  uses (they hash to 10k buckets). Both model fits therefore reduce to
+  ONE groupBy each whose result is bounded by the bucket count —
+  kilobytes, broadcast back — regardless of corpus size. md5 (not
+  xxhash64) keeps the bucket id engine-portable, so the DuckDB oracle
+  reproduces every value (same recipe as sampling._md5_hex4).
+* **Scoring is map-side**: explode raw grams, broadcast-hash-join the
+  bucket ratio table, one per-doc sum aggregate. The only shuffles are
+  the two bounded fit groupBys and the final per-doc aggregate.
+* Buckets unseen in BOTH corpora share one constant smoothed ratio
+  ``log((T_raw + s*V) / (T_target + s*V))`` — applied via coalesce
+  after the left join, so the ratio table only materializes observed
+  buckets (<= V rows), never the full feature space.
+* The only driver scalars are the two corpus gram totals (two one-row
+  aggregates), the same bounded-stats pattern as the quantizer fits.
+* Laplace smoothing ``smoothing`` over the full V-bucket space keeps
+  every ratio finite; exact doubles internally, rounding is the
+  caller's presentation concern (repo contract: ROUND(x, 6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meta_frame_spark.operators.dedup import _shingles
+
+
+def _gram_buckets(df: DataFrame, text_col: str, n: int, hex_chars: int,
+                  *extra_cols) -> DataFrame:
+    """One row per n-gram INSTANCE (DSIR counts occurrences, not
+    distinct grams): ``(*extra_cols, _bucket)``."""
+    from meta_frame_spark.operators.skew import ensure_min_partitions
+
+    return ensure_min_partitions(df.filter(F.col(text_col).isNotNull())).select(
+        *extra_cols, F.explode(_shingles(text_col, n)).alias("_g")
+    ).select(
+        *extra_cols, F.substring(F.md5(F.col("_g")), 1, hex_chars).alias("_b")
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    hex_chars: int = 3,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """``(id_col, n_grams, log_weight)`` for every raw document with
+    non-null text: ``log_weight = sum_g log p_t(b(g)) - log p_r(b(g))``
+    over the document's n-gram instances, where each corpus model is
+    Laplace-smoothed over the full ``V = 16^hex_chars`` bucket space:
+    ``p_c(b) = (count_c(b) + smoothing) / (total_c + smoothing * V)``.
+
+    Positive weights read "more target-like than pool-like". A
+    document with zero grams cannot occur (a non-null text yields at
+    least one — possibly partial — gram, matching the dedup family's
+    shingle semantics), so every raw doc gets exactly one row.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 1 <= hex_chars <= 8:
+        raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    v = float(16 ** hex_chars)
+
+    # persist the two bounded (<= V rows) count frames: the total
+    # collects below materialize them, so the ratio-table join in the
+    # final scoring DAG reuses the cached rows instead of re-running
+    # the corpus gram explode per reference
+    t_counts = (
+        _gram_buckets(target, text_col, n, hex_chars)
+        .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+        .persist()
+    )
+    r_counts = (
+        _gram_buckets(raw, text_col, n, hex_chars)
+        .groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+        .persist()
+    )
+    # bounded driver scalars: the two corpus gram totals
+    tt = float(
+        t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("s")).collect()[0].s
+    )
+    tr = float(
+        r_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("s")).collect()[0].s
+    )
+    ratio = (
+        t_counts.join(r_counts, "_b", "full_outer")
+        .select(
+            "_b",
+            (
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(smoothing))
+                    / F.lit(tt + smoothing * v)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(smoothing))
+                    / F.lit(tr + smoothing * v)
+                )
+            ).alias("_lr"),
+        )
+    )
+    # buckets observed in neither corpus: the smoothed-floor constant
+    import math
+
+    default_lr = math.log((tr + smoothing * v) / (tt + smoothing * v))
+    doc_grams = _gram_buckets(raw, text_col, n, hex_chars, F.col(id_col))
+    return (
+        doc_grams.join(F.broadcast(ratio), "_b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_lr"), F.lit(default_lr))).alias(
+                "log_weight"
+            ),
+        )
+    )

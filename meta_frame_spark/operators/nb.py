@@ -75,12 +75,27 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
-    vocab = (
-        tok.groupBy("token")
+    # Materialize the vocabulary head ONCE as a bounded driver list
+    # (<= vocab_size strings — the same bounded-fit budget as the
+    # quantizer codebooks) and re-enter it as a local relation: the
+    # lazy alternative left the explode+groupBy+sort vocabulary plan
+    # embedded THREE times in the final scoring DAG (the size count,
+    # the counts join, the grid crossJoin), re-tokenizing the corpus
+    # per reference.
+    vocab_list = [
+        r.token
+        for r in tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(vocab_size)
         .select("token")
+        .collect()
+    ]
+    v = len(vocab_list)
+    if v == 0:
+        raise ValueError("nb_train: training corpus has no tokens")
+    vocab = df.sparkSession.createDataFrame(
+        [(t,) for t in vocab_list], "token string"
     )
     counts = (
         tok.join(F.broadcast(vocab), "token")
@@ -88,9 +103,7 @@ def nb_train(
         .agg(F.count(F.lit(1)).alias("n_lt"))
     )
     label_tot = counts.groupBy("label").agg(F.sum("n_lt").alias("n_l"))
-    # bounded driver scalars: realized vocab size (<= vocab_size) and
-    # the training doc count for the prior denominator
-    v = vocab.count()
+    # bounded driver scalar: the training doc count (prior denominator)
     n_docs = df.filter(
         F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
     ).count()
