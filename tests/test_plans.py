@@ -374,3 +374,36 @@ def test_rp_project_is_map_only(spark, sf_dir):
     plan = _plan(rp_project(emb, out_dim=16))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_nb_scoring_broadcasts_model(spark, sf_dir):
+    """NB scoring must probe the kilobyte model via broadcast joins:
+    the token->log_cond join is a BroadcastHashJoin, and the only
+    nested-loop shapes are the two intentional model-sized broadcasts
+    — the L-row priors x doc-id matrix (scoring) and the L x V
+    conditional grid (training, embedded lazily in the scoring DAG).
+    Both sides of each are bounded by the model, never the corpus; a
+    CartesianProduct or a third nested loop would mean corpus rows on
+    the wire for a model that fits in L1."""
+    from meta_frame_spark.operators.nb import nb_predict, nb_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    priors, cond = nb_train(docs, label_col="lang", vocab_size=64)
+    plan = _plan(nb_predict(docs, priors, cond))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_dsir_scoring_broadcasts_ratio_table(spark, sf_dir):
+    """DSIR scoring must probe the bounded bucket-ratio table via a
+    broadcast hash join — the raw corpus never shuffles for scoring
+    (its only shuffle is the final per-doc aggregate)."""
+    from meta_frame_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    plan = _plan(dsir_log_weights(docs, target))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
