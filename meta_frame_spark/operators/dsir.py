@@ -22,9 +22,13 @@ Scale design:
   kilobytes, broadcast back — regardless of corpus size. md5 (not
   xxhash64) keeps the bucket id engine-portable, so the DuckDB oracle
   reproduces every value (same recipe as sampling._md5_hex4).
-* **Scoring is map-side**: explode raw grams, broadcast-hash-join the
-  bucket ratio table, one per-doc sum aggregate. The only shuffles are
-  the two bounded fit groupBys and the final per-doc aggregate.
+* **One pass over the pool**: raw grams are exploded and hashed ONCE
+  into a persisted per-doc bucket-count frame (``(doc, bucket, c)`` —
+  compressed vs gram instances); the pool model fit re-aggregates
+  those rows and scoring broadcast-hash-joins the bucket ratio table
+  against them with a weighted per-doc sum. Shuffles: the per-doc
+  bucket-count groupBy, the two bounded fit groupBys, and the final
+  per-doc aggregate — all on compact rows, never raw gram instances.
 * Buckets unseen in BOTH corpora share one constant smoothed ratio
   ``log((T_raw + s*V) / (T_target + s*V))`` — applied via coalesce
   after the left join, so the ratio table only materializes observed
@@ -85,19 +89,26 @@ def dsir_log_weights(
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     v = float(16 ** hex_chars)
 
-    # persist the two bounded (<= V rows) count frames: the total
-    # collects below materialize them, so the ratio-table join in the
-    # final scoring DAG reuses the cached rows instead of re-running
-    # the corpus gram explode per reference
+    # ONE explode+md5 pass over the raw corpus: per-doc bucket counts
+    # (<= min(doc grams, V) rows per doc — far smaller than gram
+    # instances) are persisted as the shared branch, and the pool
+    # model fit is a re-aggregation of the same rows. Without this the
+    # raw corpus was exploded and hashed twice — once for the fit,
+    # once for scoring. The same pattern as similarity.py's persisted
+    # shared branch; spills to disk at scale.
+    doc_bucket = (
+        _gram_buckets(raw, text_col, n, hex_chars, F.col(id_col))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
     t_counts = (
         _gram_buckets(target, text_col, n, hex_chars)
         .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
         .persist()
     )
     r_counts = (
-        _gram_buckets(raw, text_col, n, hex_chars)
-        .groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-        .persist()
+        doc_bucket.groupBy("_b").agg(F.sum("_c").alias("_cr")).persist()
     )
     # bounded driver scalars: the two corpus gram totals
     tt = float(
@@ -126,14 +137,13 @@ def dsir_log_weights(
     import math
 
     default_lr = math.log((tr + smoothing * v) / (tt + smoothing * v))
-    doc_grams = _gram_buckets(raw, text_col, n, hex_chars, F.col(id_col))
     return (
-        doc_grams.join(F.broadcast(ratio), "_b", "left")
+        doc_bucket.join(F.broadcast(ratio), "_b", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("_lr"), F.lit(default_lr))).alias(
-                "log_weight"
-            ),
+            F.sum("_c").alias("n_grams"),
+            F.sum(
+                F.col("_c") * F.coalesce(F.col("_lr"), F.lit(default_lr))
+            ).alias("log_weight"),
         )
     )

@@ -10,9 +10,11 @@ Scale design (billion-edge graphs):
 
 * Each of the ``n_iter`` rounds is ONE edge-join + ONE groupBy on the
   destination — the canonical two-shuffle PageRank step every
-  distributed graph engine runs. Ranks and out-degrees are joined on
-  the node key; AQE handles skewed hub nodes (or pre-salt the edge
-  list with operators/skew.py for pathological fan-in).
+  distributed graph engine runs. Edge weights are pre-normalized to
+  per-source shares ONCE up front (``w / out_w``), so the loop never
+  re-joins the out-degree frame; AQE handles skewed hub nodes (or
+  pre-salt the edge list with operators/skew.py for pathological
+  fan-in).
 * The rank frame is **eagerly localCheckpoint-ed per round** — each
   round references the previous TWICE (contribution join + dangling
   mass), so without a hard lineage cut the logical tree doubles per
@@ -22,15 +24,20 @@ Scale design (billion-edge graphs):
   real cluster prefer ``checkpoint()`` with a checkpoint dir if
   executor loss must be recoverable mid-run.
 * Dangling mass (nodes with no out-edges) is redistributed uniformly;
-  its per-round total rides along as a one-row aggregate crossJoin —
-  never a data-proportional collect. The only driver scalars are the
-  node count and the loop counter.
+  the dangling set is static, so each rank row carries an
+  ``is-dangling`` flag and the per-round total is a filter-aggregate
+  over the checkpointed rank frame riding along as a one-row
+  crossJoin — no per-round anti-join, never a data-proportional
+  collect. The only driver scalars are the node count, the loop
+  counter, and (with ``eps``) the occasional convergence delta.
 * Total work: O(n_iter * |E|) — linear per round, fixed rounds; at
   100 TB the edge list partitions on the join key once up front and
   every round reuses that layout.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,18 +60,28 @@ def pagerank(
     ``.distinct()`` edge list for an unweighted graph.
 
     ``eps`` turns on convergence early-stop and makes ``n_iter`` a MAX:
-    after each round the L1 delta between successive rank vectors is
-    measured (one tiny |V|-row join-aggregate over the two
-    checkpointed frames — no recompute), and the loop stops once
-    delta < eps. The geometric contraction of the damped walk bounds
-    everything downstream of the stop: the remaining rounds could move
-    any rank by at most ``eps * damping / (1 - damping)`` in L1
-    (~5.7x eps at damping 0.85), so ``eps = 1e-9`` is provably
-    invisible at the repo's 6dp presentation rounding even against a
-    fixed-``n_iter`` reference. Driver-sequenced rounds are the one
-    documented 100x-scale soft spot of this operator — early-stop
-    directly cuts that barrier count (transition graphs mix in ~5
-    rounds; the fixed default runs 10).
+    the loop stops once the L1 delta between successive rank vectors
+    is measured below eps. The geometric contraction of the damped
+    walk bounds everything downstream of the stop: the remaining
+    rounds could move any rank by at most
+    ``eps * damping / (1 - damping)`` in L1 (~5.7x eps at damping
+    0.85), so ``eps = 1e-9`` is provably invisible at the repo's 6dp
+    presentation rounding even against a fixed-``n_iter`` reference.
+    The previous rank rides along as a free column of the round's
+    existing join (no extra join), and the delta AGGREGATE JOB is
+    scheduled from the MEASURED decay: after two measurements the
+    firing round is projected geometrically
+    (``k + log(eps/delta_k)/log(measured rate)``) and intermediate
+    checks are skipped, re-checking one round before the projection —
+    so slow-mixing graphs pay ~2 delta jobs total while fast-mixing
+    graphs still stop the moment delta crosses eps (the measured rate
+    beats the worst-case ``damping`` bound by orders of magnitude on
+    well-connected graphs). Stopping is only ever on a measured
+    delta < eps, never on the projection; a chain that converges
+    between scheduled checks just runs until the next check (results
+    only closer to the fixed ``n_iter`` reference). Driver-sequenced
+    rounds remain the one documented 100x-scale soft spot of this
+    operator; early-stop directly cuts that barrier count.
 
     ``teleport_to`` switches to PERSONALIZED PageRank: the teleport
     and dangling mass land uniformly on the seed set (and the walk
@@ -114,6 +131,14 @@ def pagerank(
         n // 100_000 + 1,
     ))
     deg = e.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+    # Pre-normalize edge weights ONCE to per-source shares: the loop
+    # then joins ranks against a single static frame per round instead
+    # of ranks -> edges -> out-degrees (one join per round, not two).
+    e_norm = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
 
     if teleport_to is None:
         t = F.lit(1.0 / n)
@@ -139,43 +164,56 @@ def pagerank(
         t = F.when(
             F.col("node").isin(seeds), F.lit(1.0 / present)
         ).otherwise(F.lit(0.0))
-    ranks = nodes.select("node", t.alias("rank")).localCheckpoint()
-    # Dangling detection ONCE, not per round: the out-degree frame is
-    # static, so a graph with no sink nodes at round 0 never develops
-    # one, and every round's dangling mass is identically 0. One
-    # up-front anti-join existence probe (limit-1, early-terminating)
-    # then removes the anti-join + global agg + crossJoin from ALL
-    # n_iter rounds — for sink-free graphs (transition graphs, strongly
-    # connected link graphs) that is a third of the per-round stages.
-    has_dangling = (
-        nodes.join(deg, nodes.node == deg.src, "left_anti").limit(1).count() > 0
+    # Dangling handling ONCE, not per round: the out-edge-less node
+    # set is static, so each rank row carries a `_sink` flag (built
+    # from one left join at init) and every round's dangling mass is a
+    # plain filter-aggregate over the checkpointed rank frame — the
+    # per-round anti-join + its shuffle are gone. A limit-1 probe on
+    # the flag then removes even that filter-agg + crossJoin from ALL
+    # n_iter rounds of sink-free graphs (transition graphs, strongly
+    # connected link graphs).
+    ranks = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(True).alias("_o")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_o").isNull().alias("_sink"), t.alias("rank"))
+        .coalesce(target)
+        .localCheckpoint()
     )
+    has_dangling = ranks.filter("_sink").limit(1).count() > 0
+    # eps check schedule (docstring): project the firing round from
+    # the MEASURED per-round decay rate and skip the delta jobs in
+    # between, arriving one round early — a skipped round costs a full
+    # join+checkpoint, ~10x a delta job, so near the firing zone we
+    # check every round. First possible stop is after round 1.
+    next_check = 1
+    prev_delta: float | None = None
+    prev_rnd = 0
     try:
-        for _ in range(n_iter):
+        for rnd in range(1, n_iter + 1):
             contrib = (
-                ranks.join(e, ranks.node == e.src)
-                .join(deg, "src")
+                ranks.join(e_norm, ranks.node == e_norm.src)
                 .groupBy(F.col("dst").alias("node"))
-                .agg(
-                    F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib")
-                )
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
             )
+            # the checkpointed rank frame itself is the node spine —
+            # previous rank and the sink flag come along for free
+            new_ranks = ranks.select(
+                "node", "_sink", F.col("rank").alias("_prev")
+            ).join(contrib, "node", "left")
             if has_dangling:
-                dangling = (
-                    ranks.join(deg, ranks.node == deg.src, "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
+                dangling = ranks.filter("_sink").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
                 )
+                new_ranks = new_ranks.crossJoin(dangling)
                 dangling_mass = F.col("_dangling")
             else:
                 dangling_mass = F.lit(0.0)
-            # eager localCheckpoint: materializes AND replaces the
-            # logical plan with the computed RDD — O(1) lineage per
-            # round (see module docstring)
-            new_ranks = nodes.join(contrib, "node", "left")
-            if has_dangling:
-                new_ranks = new_ranks.crossJoin(dangling)
-            stepped = new_ranks.select(
-                "node",
+            cols = [
+                F.col("node"),
+                F.col("_sink"),
                 (
                     F.lit(1.0 - damping) * t
                     + F.lit(damping)
@@ -184,36 +222,40 @@ def pagerank(
                         + dangling_mass * t
                     )
                 ).alias("rank"),
-            )
+            ]
             if eps is not None:
-                # fold the previous rank INTO the checkpointed frame
-                # (one extra co-keyed join pipelined into the round's
-                # existing job) so the convergence check below is a
-                # single-stage scan of materialized rows — a separate
-                # post-checkpoint join job costs nearly a full round
-                # of scheduling at small |V|
-                stepped = stepped.join(
-                    ranks.select("node", F.col("rank").alias("_prev")),
-                    "node",
-                    "left",
-                )
-            ranks = stepped.coalesce(target).localCheckpoint()
-            if eps is not None:
+                cols.append(F.col("_prev"))
+            # eager localCheckpoint: materializes AND replaces the
+            # logical plan with the computed RDD — O(1) lineage per
+            # round (see module docstring)
+            ranks = new_ranks.select(*cols).coalesce(target).localCheckpoint()
+            if eps is not None and rnd >= next_check:
                 delta = ranks.agg(
-                    F.sum(
-                        F.abs(
-                            F.col("rank")
-                            - F.coalesce(F.col("_prev"), F.lit(0.0))
-                        )
-                    ).alias("d")
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d")
                 ).collect()[0].d
-                ranks = ranks.drop("_prev")
                 if delta is not None and delta < eps:
                     break
-        return ranks
+                if (
+                    delta is not None
+                    and delta > 0.0
+                    and prev_delta is not None
+                    and delta < prev_delta
+                ):
+                    # geometric projection from the last two points;
+                    # a too-optimistic rate just means the next check
+                    # re-projects — stopping is only ever on a
+                    # measured delta < eps, never on the projection
+                    rate = (delta / prev_delta) ** (1.0 / (rnd - prev_rnd))
+                    need = math.log(eps / delta) / math.log(rate)
+                    next_check = rnd + max(1, math.ceil(need) - 1)
+                else:
+                    next_check = rnd + 1
+                prev_delta, prev_rnd = delta, rnd
+        return ranks.select("node", "rank")
     finally:
         nodes.unpersist()
         deg.unpersist()
+        e_norm.unpersist()
         e.unpersist()
 
 

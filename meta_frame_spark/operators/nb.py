@@ -75,17 +75,27 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
-    # Materialize the vocabulary head ONCE as a bounded driver list
+    # ONE tokenize pass over the training corpus: the canonical
+    # wordcount groupBy — bounded by labels x distinct tokens, far
+    # smaller than token instances — is persisted, and both the
+    # vocabulary head and the per-(label, token) model counts derive
+    # from it. (The previous shape ran the explode twice: once for the
+    # vocabulary sort, once for the counts join.)
+    tok_counts = (
+        tok.groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("n_lt"))
+        .persist()
+    )
+    # Materialize the vocabulary head as a bounded driver list
     # (<= vocab_size strings — the same bounded-fit budget as the
     # quantizer codebooks) and re-enter it as a local relation: the
-    # lazy alternative left the explode+groupBy+sort vocabulary plan
-    # embedded THREE times in the final scoring DAG (the size count,
-    # the counts join, the grid crossJoin), re-tokenizing the corpus
-    # per reference.
+    # lazy alternative left the groupBy+sort vocabulary plan embedded
+    # THREE times in the final scoring DAG (the size count, the counts
+    # join, the grid crossJoin).
     vocab_list = [
         r.token
-        for r in tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        for r in tok_counts.groupBy("token")
+        .agg(F.sum("n_lt").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(vocab_size)
         .select("token")
@@ -97,11 +107,7 @@ def nb_train(
     vocab = df.sparkSession.createDataFrame(
         [(t,) for t in vocab_list], "token string"
     )
-    counts = (
-        tok.join(F.broadcast(vocab), "token")
-        .groupBy("label", "token")
-        .agg(F.count(F.lit(1)).alias("n_lt"))
-    )
+    counts = tok_counts.join(F.broadcast(vocab), "token")
     label_tot = counts.groupBy("label").agg(F.sum("n_lt").alias("n_l"))
     # bounded driver scalar: the training doc count (prior denominator)
     n_docs = df.filter(
