@@ -3721,6 +3721,59 @@ def q_nb_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predict(test, priors, cond)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 bigram collocations by PMI (operators/vocab.py
+    pmi_collocations — Church & Hanks 1990): one tokenize pass, pair
+    counts + both positional marginals from the same persisted pair
+    table, TakeOrdered top-k. min_count=3 floors the classic
+    rare-pair PMI bias; marginals stay calibrated on the unfiltered
+    table. Oracle: DuckDB recomputes pair/marginal counts and every
+    PMI value over the same whitespace tokenization."""
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=40, min_count=3)
+
+
+def q_rrf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three quality signals (operators/
+    ranking.py rrf_fuse — Cormack et al. 2009): doc length, distinct
+    token count, and type-token ratio fuse by rank, not by scale, so
+    no normalization step is needed. Every doc keeps its per-signal
+    rank (row_number over score desc, doc_id asc — engine-portable)
+    and the fused rrf score at k=60. Full-output query (no top-k
+    boundary), exact DuckDB window oracle."""
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    sig = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_len"),
+        F.size(F.array_distinct(toks)).cast("double").alias("s_distinct"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("s_ttr"),
+    )
+    return rrf_fuse(sig, ["s_len", "s_distinct", "s_ttr"], id_col="doc_id")
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report between the label<5 and label>=5
+    halves of the embeddings table (operators/stats.py
+    embedding_drift): mean-vector L2 shift, cosine of means, max and
+    mean per-dimension |Δmean|. The ×dim posexplode collapses
+    map-side (groupBy key is the bounded dim), so the shuffle is
+    O(partitions × dim) partials. Oracle: DuckDB parallel-unnest
+    recomputes the per-dim means and all four report scalars."""
+    from meta_frame_spark.operators.stats import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("label") < 5), emb.filter(F.col("label") >= 5)
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -3750,10 +3803,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-50  the 26 oldest r4-green rows (a_filters .. expectations) in
-#          registry order, for their first recheck since r4.
-# The 20 remaining r4-green entries (fingerprint .. event_paths)
-# queue for r9. Every entry has an oracle_sql() twin.
+#   25-47  the 23 oldest r4-green rows (a_filters .. dedup_incremental,
+#          doc_chunks) in registry order, for their first recheck
+#          since r4;
+#   48-50  pmi_collocations / rrf_quality / embedding_drift — FIRST
+#          driver rows for the three operators added later in round 8
+#          (full DuckDB oracles), same never-orphaned rule as nb/dsir.
+# The 23 remaining r4-green entries (doc_lm_score, domain_cap,
+# expectations, then fingerprint .. event_paths) queue for r9. Every
+# entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -3772,7 +3830,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
     "corpus_diff", "corpus_mix", "count_distinct_skew",
     "curation_pipeline", "decontaminate", "dedup_incremental",
-    "doc_chunks", "doc_lm_score", "domain_cap", "expectations",
+    "doc_chunks",
+    # (5) new this session: PMI collocations, RRF fusion, emb drift
+    "pmi_collocations", "rrf_quality", "embedding_drift",
 )
 
 
@@ -3953,6 +4013,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "nb_predict": q_nb_predict,
         "dsir_weights": q_dsir_weights,
+        "pmi_collocations": q_pmi_collocations,
+        "rrf_quality": q_rrf_quality,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -6473,5 +6536,121 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY ROUND(score, 6) DESC, label ASC) AS rn
                 FROM mat
             ) WHERE rn = 1
+        """,
+        # Pair counts, positional marginals (from the UNfiltered pair
+        # table), corpus bigram total, PMI, deterministic top-40 with
+        # rank — the whole collocation model recomputed from scratch.
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT regexp_extract_all(lower(text), '\\S+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pairs_raw AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks,
+                     UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+            ),
+            pairs AS (
+                SELECT w1, w2, COUNT(*) AS n_pair
+                FROM pairs_raw GROUP BY 1, 2
+            ),
+            lft AS (
+                SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left
+                FROM pairs GROUP BY 1
+            ),
+            rgt AS (
+                SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right
+                FROM pairs GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM pairs),
+            scored AS (
+                SELECT w1, w2, n_pair, n_left, n_right,
+                       ROUND(ln(n_pair * n / (1.0 * n_left * n_right)), 6)
+                           + 0.0 AS pmi
+                FROM pairs JOIN lft USING (w1) JOIN rgt USING (w2), tot
+                WHERE n_pair >= 3
+            )
+            SELECT w1, w2, n_pair, n_left, n_right, pmi,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY pmi DESC, w1 ASC, w2 ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 40
+        """,
+        # Per-signal global ranks (score desc nulls last, doc_id asc)
+        # and the fused 1/(60+rank) sum — full output, no top-k
+        # boundary.
+        "rrf_quality": """
+            WITH sig AS (
+                SELECT doc_id,
+                       CAST(n_chars AS DOUBLE) AS s_len,
+                       CAST(len(list_distinct(
+                           regexp_extract_all(lower(text), '\\S+')
+                       )) AS DOUBLE) AS s_distinct,
+                       CASE WHEN len(regexp_extract_all(
+                                    lower(text), '\\S+')) = 0 THEN 0.0
+                            ELSE len(list_distinct(regexp_extract_all(
+                                     lower(text), '\\S+')))
+                                 / (1.0 * len(regexp_extract_all(
+                                     lower(text), '\\S+')))
+                       END AS s_ttr
+                FROM documents WHERE text IS NOT NULL
+            ),
+            ranked AS (
+                SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY s_len DESC NULLS LAST, doc_id ASC
+                       ) AS INTEGER) AS rank_s_len,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY s_distinct DESC NULLS LAST, doc_id ASC
+                       ) AS INTEGER) AS rank_s_distinct,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY s_ttr DESC NULLS LAST, doc_id ASC
+                       ) AS INTEGER) AS rank_s_ttr
+                FROM sig
+            )
+            SELECT doc_id, rank_s_len, rank_s_distinct, rank_s_ttr,
+                   ROUND(1.0 / (60 + rank_s_len)
+                         + 1.0 / (60 + rank_s_distinct)
+                         + 1.0 / (60 + rank_s_ttr), 6) AS rrf
+            FROM ranked
+        """,
+        # Per-dim means of the two label halves via parallel unnest,
+        # then the four drift scalars.
+        "embedding_drift": """
+            WITH e AS (
+                SELECT label, embedding FROM embeddings
+                WHERE embedding IS NOT NULL
+            ),
+            flat AS (
+                SELECT label,
+                       unnest(embedding) AS val,
+                       unnest(range(1, len(embedding) + 1)) AS dim
+                FROM e
+            ),
+            per_dim AS (
+                SELECT dim,
+                       AVG(CASE WHEN label < 5 THEN val END) AS ma,
+                       AVG(CASE WHEN label >= 5 THEN val END) AS mb
+                FROM flat GROUP BY dim
+            ),
+            counts AS (
+                SELECT CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b
+                FROM e
+            )
+            SELECT n_a, n_b,
+                   ROUND(sqrt(SUM((ma - mb) * (ma - mb))), 6) + 0.0
+                       AS l2_shift,
+                   ROUND(SUM(ma * mb)
+                         / (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))), 6)
+                       + 0.0 AS cos_means,
+                   ROUND(MAX(abs(ma - mb)), 6) + 0.0 AS max_dim_shift,
+                   ROUND(AVG(abs(ma - mb)), 6) + 0.0 AS mean_dim_shift
+            FROM per_dim, counts
+            GROUP BY n_a, n_b
         """,
     }

@@ -100,8 +100,16 @@ from meta_frame_spark.operators.sketch import (
 )
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import histogram_fixed, profile_table
-from meta_frame_spark.operators.ranking import normalize_scores, ntile_buckets
-from meta_frame_spark.operators.vocab import vocab_drift, vocab_topk
+from meta_frame_spark.operators.ranking import (
+    normalize_scores,
+    ntile_buckets,
+    rrf_fuse,
+)
+from meta_frame_spark.operators.vocab import (
+    pmi_collocations,
+    vocab_drift,
+    vocab_topk,
+)
 from meta_frame_spark.operators.scoring import (
     bigram_logprob,
     bigram_vocab,
@@ -125,7 +133,11 @@ from meta_frame_spark.operators.sampling import (
     split_dataframes,
     stratified_sample,
 )
-from meta_frame_spark.operators.stats import corr_matrix, group_trend
+from meta_frame_spark.operators.stats import (
+    corr_matrix,
+    embedding_drift,
+    group_trend,
+)
 from meta_frame_spark.operators.basket import basket_sizes, co_occurrence
 from meta_frame_spark.operators.bloom import bloom_build, bloom_probe
 from meta_frame_spark.operators.cardest import join_cardinality_estimate
@@ -175,6 +187,7 @@ __all__ = [
     "cross_split_leakage",
     "decontaminate",
     "group_centroids",
+    "embedding_drift",
     "group_trend",
     "hard_negatives",
     "KMeansModel",
@@ -203,6 +216,7 @@ __all__ = [
     "funnel_counts",
     "cohort_retention",
     "normalize_scores",
+    "pmi_collocations",
     "sessionize",
     "chunk_documents",
     "winsorize",
@@ -288,6 +302,7 @@ __all__ = [
     "top_k_per_group",
     "top_mass_per_group",
     "two_phase_count_distinct",
+    "rrf_fuse",
     "vocab_drift",
     "vocab_topk",
 ]

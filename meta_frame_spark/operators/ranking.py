@@ -155,3 +155,56 @@ def cube_aggregate(
         getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()
     ]
     return df.cube(*group_cols).agg(*agg_exprs)
+
+
+def rrf_fuse(
+    df: DataFrame,
+    score_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 60,
+    descending: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of
+    heterogeneous quality/retrieval signals: every row gets, per
+    signal, its global rank (1 = best), and a fused score
+
+        rrf = sum_s 1 / (k + rank_s)
+
+    Output: ``(id_col, rank_<col>... , rrf)``. RRF is the standard
+    scale-free alternative to score averaging — it needs no
+    normalization step because only rank order matters, which is why
+    retrieval ensembles (BM25 + dense + heuristics) default to it.
+    ``k`` damps the head (Cormack et al. use 60).
+
+    Determinism: ranks are ``row_number`` over
+    ``(score desc|asc, id asc)`` — same fused score on any
+    partitioning or engine. Null scores sort last (worst) on every
+    signal, matching "missing signal = no evidence".
+
+    Scale: a global ``row_number`` is an UN-partitioned window — a
+    single-task sort per signal. That is the right tool for bounded
+    candidate sets (rerank pools, top-N shortlists, per-day slices),
+    which is where rank fusion is used in practice; for a full
+    100 TB corpus, pre-bucket each score against ``approxQuantile``
+    boundaries and rank within buckets (``ntile_buckets``' scale
+    note) or fuse percentile ranks instead of absolute ones.
+    """
+    if not score_cols:
+        raise ValueError("rrf_fuse requires at least one score column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out = df
+    rank_cols = []
+    for c in score_cols:
+        sc = F.col(c).desc_nulls_last() if descending \
+            else F.col(c).asc_nulls_last()
+        w = Window.orderBy(sc, F.col(id_col).asc())
+        rc = f"rank_{c}"
+        out = out.withColumn(rc, F.row_number().over(w))
+        rank_cols.append(rc)
+    rrf = F.round(
+        sum(F.lit(1.0) / (F.lit(float(k)) + F.col(rc)) for rc in rank_cols),
+        round_to,
+    )
+    return out.select(id_col, *rank_cols, rrf.alias("rrf"))

@@ -78,3 +78,75 @@ def corr_matrix(
     return agg.select(F.explode(structs).alias("p")).select(
         "p.col_a", "p.col_b", "p.corr"
     )
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row embedding-space drift report between two corpus slices
+    (crawl vs refresh, train vs eval, label groups):
+
+    - ``n_a`` / ``n_b`` — vectors per side;
+    - ``l2_shift`` — euclidean distance between the two mean vectors;
+    - ``cos_means`` — cosine similarity of the mean vectors (1.0 ⇒
+      same direction; embedding providers drift direction before
+      magnitude);
+    - ``max_dim_shift`` — largest per-dimension |Δmean| (which axis
+      moved most);
+    - ``mean_dim_shift`` — average per-dimension |Δmean|.
+
+    The "did the embedding distribution move" gate to run before
+    trusting a frozen ANN index / centroid set against refreshed data
+    (SemDeDup cells and IVF routing both assume the space is stable).
+
+    Scale: ``posexplode`` fans each vector into (dim, value) rows —
+    a ×dim row blowup that immediately collapses map-side, because
+    the groupBy key is ``dim`` (bounded by the embedding width) and
+    partial aggregation combines before the shuffle; the shuffled
+    data is O(partitions × dim) partials, never O(rows × dim). The
+    final report is one aggregate over ≤ dim rows. Both sides explode
+    in one union pass.
+    """
+    tagged = (
+        df_a.select(F.lit("a").alias("_s"), F.col(vec_col).alias("_v"))
+        .unionByName(
+            df_b.select(F.lit("b").alias("_s"), F.col(vec_col).alias("_v"))
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    per_dim = (
+        tagged.select("_s", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.avg(F.when(F.col("_s") == "a", F.col("val"))).alias("ma"),
+            F.avg(F.when(F.col("_s") == "b", F.col("val"))).alias("mb"),
+        )
+    )
+    counts = tagged.groupBy().agg(
+        F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    d = F.col("ma") - F.col("mb")
+
+    def rnd(c):
+        return F.round(c, round_to) + F.lit(0.0)
+
+    report = per_dim.agg(
+        rnd(F.sqrt(F.sum(d * d))).alias("l2_shift"),
+        rnd(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            )
+        ).alias("cos_means"),
+        rnd(F.max(F.abs(d))).alias("max_dim_shift"),
+        rnd(F.avg(F.abs(d))).alias("mean_dim_shift"),
+    )
+    return counts.crossJoin(F.broadcast(report)).select(
+        "n_a", "n_b", "l2_shift", "cos_means", "max_dim_shift",
+        "mean_dim_shift",
+    )

@@ -165,3 +165,77 @@ def vocab_drift(
     from pyspark.sql import Window
 
     return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 3,
+    lowercase: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    ``(w1, w2, n_pair, n_left, n_right, pmi, rank)`` ranked by
+    (rounded) PMI desc, ties by ``(w1, w2)`` asc — the "which word
+    pairs stick together" report (Church & Hanks 1990) that surfaces
+    multi-word expressions worth protecting from tokenizer splits.
+
+    Position-aware formulation over bigram INSTANCES: with ``N`` total
+    bigrams in the corpus, ``n_left(w)`` = occurrences of ``w`` as a
+    bigram's first token and ``n_right(w)`` as its second,
+
+        pmi(w1, w2) = ln( n_pair * N / (n_left(w1) * n_right(w2)) )
+
+    so both marginals are RE-aggregations of the pair-count table and
+    the corpus text is tokenized exactly once. ``min_count`` floors
+    ``n_pair`` (rare pairs otherwise dominate PMI — the classic
+    low-frequency bias); marginals are computed from the UNfiltered
+    pair table so the probabilities stay calibrated.
+
+    Scale: one explode + groupBy(w1, w2) shuffle over the corpus
+    (map-side combined), then everything downstream is vocabulary-
+    sized: two re-agg marginals, two skinny equi-joins, TakeOrdered
+    for the top-k (per-partition heaps, never a global sort). The
+    rank column is a window over k collected rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_grams(F.col(text_col), 2, lowercase)).alias("_g")
+    )
+    pair_part = F.split(F.col("_g"), " ", 2)
+    pairs = (
+        grams.select(
+            pair_part.getItem(0).alias("w1"),
+            pair_part.getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()  # pair counts + both marginals + total read it
+    )
+    left = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
+    right = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
+    total = pairs.agg(F.sum("n_pair").alias("_n"))
+    pmi = F.round(
+        F.log(
+            F.col("n_pair") * F.col("_n")
+            / (F.col("n_left") * F.col("n_right"))
+        ),
+        round_to,
+    ) + F.lit(0.0)  # fold IEEE -0.0 from a rounded-to-zero PMI
+    scored = (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "n_pair", "n_left", "n_right", pmi.alias("pmi"))
+    )
+    order = [F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    top = scored.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))

@@ -80,3 +80,33 @@ def test_empty_group_agg_is_distinct(spark, lineitem):
     )
     out_bp = nested_aggregate(lineitem, {"id": "y", "group_by": ["l_linestatus"]})
     assert out_bp.columns == ["l_linestatus"]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(1, 9.0, 1.0), (2, 5.0, 3.0), (3, 7.0, 2.0)],
+        ["doc_id", "s1", "s2"],
+    )
+    out = {r.doc_id: r for r in rrf_fuse(df, ["s1", "s2"]).collect()}
+    assert (out[1].rank_s1, out[1].rank_s2) == (1, 3)
+    assert (out[2].rank_s1, out[2].rank_s2) == (3, 1)
+    assert (out[3].rank_s1, out[3].rank_s2) == (2, 2)
+    assert out[3].rrf == round(2 / 62, 6)
+    assert out[1].rrf == round(1 / 61 + 1 / 63, 6)
+
+
+def test_rrf_fuse_ties_break_by_id_and_nulls_last(spark):
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(30, 5.0), (10, 5.0), (20, None)], ["doc_id", "s"]
+    ).repartition(3)
+    out = {r.doc_id: r.rank_s for r in rrf_fuse(df, ["s"]).collect()}
+    assert out == {10: 1, 30: 2, 20: 3}  # tie -> id asc; null worst
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one score"):
+        rrf_fuse(df, [])

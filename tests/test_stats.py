@@ -41,3 +41,37 @@ def test_corr_matrix_pairs_and_values(spark):
     assert abs(out[("a", "c")]) < 0.3       # near-independent
     with pytest.raises(ValueError, match="two columns"):
         corr_matrix(df, ["a"])
+
+
+def test_embedding_drift_identical_slices(spark):
+    from meta_frame_spark.operators.stats import embedding_drift
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    r = embedding_drift(df, df).collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4)
+    assert r.l2_shift == 0.0 and r.cos_means == 1.0
+    assert r.max_dim_shift == 0.0 and r.mean_dim_shift == 0.0
+
+
+def test_embedding_drift_planted_single_dim_shift(spark):
+    from meta_frame_spark.operators.stats import embedding_drift
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [3.0, 1.0, 1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )  # mean (2,1,1,1)
+    b = spark.createDataFrame(
+        [(0, [4.0, 1.0, 1.0, 1.0]), (1, [6.0, 1.0, 1.0, 1.0]),
+         (2, None)],
+        ["vec_id", "embedding"],
+    )  # mean (5,1,1,1); null vector dropped from n_b
+    r = embedding_drift(a, b).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.l2_shift == 3.0          # only dim 0 moved, by 3
+    assert r.max_dim_shift == 3.0
+    assert r.mean_dim_shift == 0.75   # 3/4 dims
+    import math
+    expect = (2 * 5 + 3) / (math.sqrt(4 + 3) * math.sqrt(25 + 3))
+    assert abs(r.cos_means - expect) < 1e-6

@@ -480,3 +480,60 @@ def test_script_profile_null_stays_null(spark):
     rows = df.select(script_profile("t").alias("s")).collect()
     assert rows[0].s is None          # null text -> null struct
     assert rows[1].s.other == 0.0     # empty text -> zero profile
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Corpus 'a b a b' + 'b a': bigrams ab,ba,ab / ba -> N=4,
+    pairs ab:2 ba:2, n_left a:2 b:2, n_right b:2 a:2 -> both PMI
+    ln(2*4/4)=ln2; ties order (a,b) before (b,a)."""
+    import math
+
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], ["doc_id", "text"]
+    )
+    rows = pmi_collocations(df, k=10, min_count=1).collect()
+    assert [(r.w1, r.w2, r.rank) for r in rows] == [
+        ("a", "b", 1), ("b", "a", 2)
+    ]
+    for r in rows:
+        assert r.n_pair == 2 and r.n_left == 2 and r.n_right == 2
+        assert r.pmi == round(math.log(2.0), 6)
+
+
+def test_pmi_collocations_min_count_keeps_marginals_calibrated(spark):
+    """min_count drops the pair row but its mass still counts in the
+    marginals: 'x y' appears once and is filtered at min_count=2, yet
+    n_left('x')/n_right('y') of surviving pairs still include it."""
+    import math
+
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "x z x z"), (2, "x y")], ["doc_id", "text"]
+    )
+    # bigrams: (x,z),(z,x),(x,z),(x,y) -> N=4; xz:2, zx:1, xy:1
+    rows = pmi_collocations(df, k=10, min_count=2).collect()
+    assert [(r.w1, r.w2) for r in rows] == [("x", "z")]
+    r = rows[0]
+    assert r.n_left == 3    # x opens xz twice AND xy once
+    assert r.n_right == 2   # z closes xz twice
+    assert r.pmi == round(math.log(2 * 4 / (3 * 2)), 6)
+
+
+def test_pmi_collocations_deterministic_under_repartition(spark):
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3} t{(i + 1) % 3} common pair common pair")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    a = [tuple(r) for r in pmi_collocations(df, k=5).collect()]
+    b = [tuple(r) for r in pmi_collocations(df.repartition(7), k=5).collect()]
+    assert a == b and len(a) == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)

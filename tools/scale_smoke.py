@@ -364,6 +364,81 @@ def main() -> int:
         r["nb_sec"], r["nb_rows"] = t, n
         r["nb_test_docs"], r["nb_agree"] = n_test, agree
 
+        # --- round-8 session ops: DSIR / PMI collocations / RRF
+        # fusion / embedding drift at the 10x corpus ---
+        def dsir():
+            from meta_frame_spark.operators.dsir import dsir_log_weights
+
+            dd = docs(d)
+            target = dd.filter(F.col("lang") == "en")
+            out = dsir_log_weights(dd, target, n=2, hex_chars=3).persist()
+            n = out.count()
+            # target-direction property at scale: target-slice docs
+            # must average a higher importance weight than the rest
+            m = out.join(dd.select("doc_id", "lang"), "doc_id").groupBy(
+                (F.col("lang") == "en").alias("is_en")
+            ).agg(F.avg("log_weight").alias("w")).collect()
+            gap = {row.is_en: row.w for row in m}
+            out.unpersist()
+            return n, round(gap[True] - gap[False], 3)
+        t, (n, gap) = timed("dsir_weights", dsir)
+        r["dsir_sec"], r["dsir_rows"], r["dsir_en_gap"] = t, n, gap
+
+        def pmi():
+            from meta_frame_spark.operators.vocab import pmi_collocations
+
+            rows = pmi_collocations(docs(d), k=40, min_count=3).collect()
+            pmis = [row.pmi for row in rows]
+            return len(rows), pmis == sorted(pmis, reverse=True)
+        t, (n, mono) = timed("pmi_collocations", pmi)
+        r["pmi_sec"], r["pmi_rows"], r["pmi_mono"] = t, n, bool(mono)
+
+        def rrf():
+            from meta_frame_spark.operators.ranking import rrf_fuse
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            toks = F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"\S+"), 0
+            )
+            sig = dd.select(
+                "doc_id",
+                F.col("n_chars").cast("double").alias("s_len"),
+                F.size(F.array_distinct(toks)).cast("double")
+                .alias("s_distinct"),
+            )
+            out = rrf_fuse(sig, ["s_len", "s_distinct"]).persist()
+            n = out.count()
+            # every signal's ranks are a permutation of 1..n
+            perm = out.agg(
+                F.countDistinct("rank_s_len").alias("d1"),
+                F.max("rank_s_len").alias("m1"),
+            ).first()
+            out.unpersist()
+            return n, perm.d1 == n and perm.m1 == n
+        t, (n, permok) = timed("rrf_fuse", rrf)
+        r["rrf_sec"], r["rrf_rows"], r["rrf_perm_ok"] = t, n, bool(permok)
+
+        def edrift():
+            from meta_frame_spark.operators.stats import embedding_drift
+
+            e_ = emb(d)
+            half = e_.agg(
+                F.expr("approx_percentile(vec_id, 0.5)")
+            ).first()[0]
+            rep = embedding_drift(
+                e_.filter(F.col("vec_id") < half),
+                e_.filter(F.col("vec_id") >= half),
+            ).first()
+            srep = embedding_drift(e_, e_).first()
+            return rep, srep
+        t, (rep, srep) = timed("embedding_drift", edrift)
+        r["edrift_sec"] = t
+        r["edrift_l2"] = float(rep.l2_shift)
+        r["edrift_self_zero"] = bool(
+            srep.l2_shift == 0.0 and srep.cos_means == 1.0
+            and srep.max_dim_shift == 0.0
+        )
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -375,7 +450,8 @@ def main() -> int:
                 "tfidf", "theta_matrix", "epoch_shuffle",
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
-                "k_anonymity", "int8", "mmr", "kcenter", "nb"):
+                "k_anonymity", "int8", "mmr", "kcenter", "nb",
+                "dsir", "pmi", "rrf", "edrift"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -400,6 +476,16 @@ def main() -> int:
         # across two different partitionings of the same inputs
         ("nb one row per test doc", b["nb_rows"] == b["nb_test_docs"]),
         ("nb partition-invariant", b["nb_agree"] == b["nb_rows"]),
+        # round-8 session ops: DSIR weights point AT the target at 10x,
+        # exactly one weight per doc (replicas -> exactly x10 rows);
+        # PMI returns a full monotone top-40; RRF ranks stay a
+        # permutation at 10x; embedding self-drift is exactly zero
+        ("dsir target-direction", b["dsir_en_gap"] > 0),
+        ("dsir rows x10", b["dsir_rows"] == 10 * a["dsir_rows"]),
+        ("pmi top-40 monotone", b["pmi_rows"] == 40 and b["pmi_mono"]),
+        ("rrf ranks permutation", b["rrf_perm_ok"]
+         and b["rrf_rows"] == 10 * a["rrf_rows"]),
+        ("edrift self-drift zero", b["edrift_self_zero"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
