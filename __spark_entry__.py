@@ -3758,6 +3758,23 @@ def q_rrf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(sig, ["s_len", "s_distinct", "s_ttr"], id_col="doc_id")
 
 
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample_k — Efraimidis-Spirakis exponential keys over the
+    deterministic md5 coin): exactly 5 docs per language, inclusion
+    probability proportional to n_chars. Full oracle: DuckDB rebuilds
+    the ES key ln(u)/w from the same md5 bytes and replays the
+    rank/tiebreak."""
+    from meta_frame_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_k(
+        docs, 5, "n_chars", "doc_id", group_cols=["lang"],
+        salt="es1", method="md5",
+    )
+    return out.select("lang", "doc_id", "n_chars", "sample_rank")
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between the label<5 and label>=5
     halves of the embeddings table (operators/stats.py
@@ -3803,15 +3820,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-47  the 23 oldest r4-green rows (a_filters .. dedup_incremental,
-#          doc_chunks) in registry order, for their first recheck
-#          since r4;
-#   48-50  pmi_collocations / rrf_quality / embedding_drift — FIRST
-#          driver rows for the three operators added later in round 8
-#          (full DuckDB oracles), same never-orphaned rule as nb/dsir.
-# The 23 remaining r4-green entries (doc_lm_score, domain_cap,
-# expectations, then fingerprint .. event_paths) queue for r9. Every
-# entry has an oracle_sql() twin.
+#   25-46  the 22 oldest r4-green rows (a_filters ..
+#          dedup_incremental) in registry order, for their first
+#          recheck since r4;
+#   47-50  pmi_collocations / rrf_quality / embedding_drift /
+#          weighted_sample_k — FIRST driver rows for the four
+#          operators added later in round 8 (full DuckDB oracles),
+#          same never-orphaned rule as nb/dsir.
+# The 24 remaining r4-green entries (doc_chunks, doc_lm_score,
+# domain_cap, expectations, then fingerprint .. event_paths) queue
+# for r9. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -3830,9 +3848,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
     "corpus_diff", "corpus_mix", "count_distinct_skew",
     "curation_pipeline", "decontaminate", "dedup_incremental",
-    "doc_chunks",
-    # (5) new this session: PMI collocations, RRF fusion, emb drift
+    # (5) new this session: PMI collocations, RRF fusion, emb drift,
+    # ES weighted sampling
     "pmi_collocations", "rrf_quality", "embedding_drift",
+    "weighted_sample_k",
 )
 
 
@@ -4016,6 +4035,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "rrf_quality": q_rrf_quality,
         "embedding_drift": q_embedding_drift,
+        "weighted_sample_k": q_weighted_sample_k,
     }
 
 
@@ -6615,6 +6635,27 @@ def oracle_sql() -> dict[str, str]:
                          + 1.0 / (60 + rank_s_distinct)
                          + 1.0 / (60 + rank_s_ttr), 6) AS rrf
             FROM ranked
+        """,
+        # ES key ln(u)/w rebuilt from the same md5 bytes; rank and
+        # id tiebreak replayed per language.
+        "weighted_sample_k": """
+            WITH elig AS (
+                SELECT lang, doc_id, n_chars,
+                       ln(greatest(
+                           ('0x' || substr(md5(doc_id::VARCHAR || ':es1'),
+                                           1, 8))::BIGINT / 4294967296.0,
+                           1.1641532182693481e-10
+                       )) / n_chars AS es
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT lang, doc_id, n_chars,
+                   CAST(rnk AS INTEGER) AS sample_rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY es DESC, doc_id ASC
+                ) AS rnk FROM elig
+            ) WHERE rnk <= 5
         """,
         # Per-dim means of the two label halves via parallel unnest,
         # then the four drift scalars.

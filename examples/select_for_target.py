@@ -41,7 +41,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def select_for_target(spark: SparkSession, sf_dir: str) -> None:
+def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
     from meta_frame_spark.operators.dsir import dsir_log_weights
     from meta_frame_spark.operators.nb import nb_predict, nb_train
     from meta_frame_spark.operators.ranking import rrf_fuse
@@ -108,16 +108,27 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> None:
     kept_ids = kept.select(F.col("doc_id").alias("vec_id"))
     a = emb.join(kept_ids, "vec_id", "left_semi")
     b = emb.join(kept_ids, "vec_id", "left_anti")
+    drift_row = embedding_drift(a, b).first()
     print("embedding drift (kept vs dropped):")
-    print(embedding_drift(a, b).first().asDict())
+    print(drift_row.asDict())
 
     # 6. Collocations the kept slice is built from — candidate
     # multi-word units worth protecting from tokenizer splits.
     kept_docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    coll = pmi_collocations(kept_docs, k=10, min_count=3).collect()
     print("top collocations in the kept slice:")
-    for r in pmi_collocations(kept_docs, k=10, min_count=3).collect():
+    for r in coll:
         print(f"  {r.rank:2d}. {r.w1} {r.w2}  pmi={r.pmi:.3f} n={r.n_pair}")
     scored.unpersist()
+    mix_rows = mix.collect()
+    return {
+        "n_pool": n_pool,
+        "n_kept": n_kept,
+        "top_pred_label": mix_rows[0].pred_label if mix_rows else None,
+        "top_pred_n": mix_rows[0].n if mix_rows else 0,
+        "drift": drift_row.asDict(),
+        "n_collocations": len(coll),
+    }
 
 
 def main() -> None:

@@ -132,6 +132,7 @@ from meta_frame_spark.operators.sampling import (
     shuffle_deterministic,
     split_dataframes,
     stratified_sample,
+    weighted_sample_k,
 )
 from meta_frame_spark.operators.stats import (
     corr_matrix,
@@ -303,6 +304,7 @@ __all__ = [
     "top_mass_per_group",
     "two_phase_count_distinct",
     "rrf_fuse",
+    "weighted_sample_k",
     "vocab_drift",
     "vocab_topk",
 ]

@@ -376,3 +376,59 @@ def negative_pairs(
     return base.select(
         id_col, "pair_rank", neg.cast("long").alias(neg_col)
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight: str | Column,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    method: str = "xxhash64",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly ``min(k,
+    eligible)`` rows per group, inclusion probability proportional to
+    ``weight`` — the Efraimidis-Spirakis (2006) reservoir recipe made
+    deterministic: each row draws ``u = unit_hash(id, salt)`` and is
+    ranked by the exponential key ``ln(u) / w`` (descending; the
+    one-pass equivalent of ``u^(1/w)``), ties broken by id. The
+    quality-proportional "pick 100k exemplar docs per domain" step
+    where Bernoulli :func:`weighted_sample` (expected-size, no cap)
+    is the wrong tool.
+
+    Rows with null or non-positive weight are ineligible and never
+    selected (the ES key needs ``w > 0``). ``u`` is floored at 2^-33
+    so a zero hash cannot hit ``ln(0)`` (Spark nulls it, engines
+    disagree on -inf); the floor is below any other attainable hash
+    value, so no ordering among nonzero draws changes.
+
+    Properties that make it a *sampling design*, not just a top-k:
+    deterministic under any partitioning (hash coin, no RNG state);
+    prefix-nested — the k-sample is a subset of the (k+1)-sample (both
+    are prefixes of one fixed key order); and re-dealable — a new
+    ``salt`` redraws independently. ``method="md5"`` is the
+    engine-portable form (DuckDB: ``ln(greatest(('0x' ||
+    substr(md5(id || ':' || salt), 1, 8))::BIGINT / 4294967296.0,
+    1.1641532182693481e-10)) / w``).
+
+    Scale: one hash-shuffle on ``group_cols`` + per-group sort;
+    Spark's WindowGroupLimit forwards at most k rows per group per
+    map task, so the shuffle carries candidates, not the corpus. With
+    no group columns the window is global — bound it the same way as
+    ``ntile_buckets``' scale note for unbounded ungrouped inputs.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    u = F.greatest(unit_hash(id_col, salt, method), F.lit(2.0 ** -33))
+    es_key = F.log(u) / w
+    win = Window.partitionBy(*(group_cols or [])).orderBy(
+        es_key.desc(), F.col(id_col).asc()
+    )
+    return (
+        eligible.withColumn(rank_col, F.row_number().over(win))
+        .filter(F.col(rank_col) <= k)
+    )

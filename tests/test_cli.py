@@ -139,3 +139,22 @@ def test_registry_integrity():
         assert lines, name
         head = lines[0].strip().split(None, 1)[0].upper()
         assert head in ("SELECT", "WITH"), name
+
+
+def test_example_targeted_selection_end_to_end(spark, sf_dir):
+    """examples/select_for_target.py: the DSIR->RRF->gate->NB-audit->
+    drift->collocations selection flow must run end to end, keep a
+    strict subset via the two median gates, and actually steer toward
+    the target label (the kept slice's NB-predicted majority is the
+    English target)."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/examples")
+    from select_for_target import select_for_target
+
+    stats = select_for_target(spark, sf_dir)
+    assert 0 < stats["n_kept"] < stats["n_pool"]
+    assert stats["top_pred_label"] == "en"
+    assert stats["top_pred_n"] > stats["n_kept"] / 2  # majority target
+    d = stats["drift"]
+    assert d["n_a"] + d["n_b"] > 0 and d["l2_shift"] >= 0.0
+    assert stats["n_collocations"] <= 10

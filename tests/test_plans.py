@@ -407,3 +407,53 @@ def test_dsir_scoring_broadcasts_ratio_table(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_collocations_single_tokenize_pass(spark, sf_dir):
+    """PMI's corpus cost is ONE explode+pair-count aggregate: the
+    marginals and total must re-aggregate the pair table, so exactly
+    one plan subtree explodes text (one Generate over the documents
+    scan; the persisted pair branch is reused). No cartesian — the
+    total joins in via a broadcast of a single row."""
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(pmi_collocations(docs, k=10, min_count=2))
+    assert "CartesianProduct" not in plan
+    # the pair table is persisted: pairs/left/right/total all read the
+    # cache (4 InMemoryTableScans), and EVERY explode in the printed
+    # plan is the cached relation's embedded lineage — no uncached
+    # tokenize path exists, so the text is exploded once at runtime
+    assert plan.count("InMemoryTableScan") >= 4
+    assert plan.count("Generate explode") == plan.count("InMemoryRelation")
+
+
+def test_weighted_sample_k_pushes_group_limit(spark, sf_dir):
+    """The ES top-k window must run as a rank window with a
+    WindowGroupLimit (map tasks forward at most k candidate rows per
+    group), and eligibility must reach the parquet scan as a pushed
+    filter — the corpus never shuffles unfiltered."""
+    from meta_frame_spark.operators.sampling import weighted_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(weighted_sample_k(
+        docs, 5, "n_chars", "doc_id", group_cols=["lang"], salt="s"
+    ))
+    assert "WindowGroupLimit" in plan
+    assert "PushedFilters: [" in plan and "IsNotNull(n_chars)" in plan
+
+
+def test_embedding_drift_shuffles_partials_not_vectors(spark, sf_dir):
+    """Drift's only exchanges carry per-dim partial aggregates (the
+    posexplode collapses map-side onto <= dim keys) — no join of the
+    two sides at vector grain, no cartesian except the final
+    broadcast of the one-row report against the one-row counts."""
+    from meta_frame_spark.operators.stats import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_drift(
+        emb.filter(F.col("label") < 5), emb.filter(F.col("label") >= 5)
+    ))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row x 1-row
+    assert "HashAggregate" in plan

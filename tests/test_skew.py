@@ -324,3 +324,52 @@ def test_key_skew_report_ranks_and_shares(spark):
     assert out[0].share == 0.6
     with pytest.raises(ValueError, match="key_cols"):
         key_skew_report(df, [], top_n=3)
+
+
+def test_weighted_sample_k_exact_k_nested_and_eligibility(spark):
+    from meta_frame_spark.operators.sampling import weighted_sample_k
+
+    rows = [(g, i, float(1 + (i % 7))) for g in ("a", "b") for i in range(40)]
+    rows += [("a", 100, 0.0), ("a", 101, -2.0), ("a", 102, None)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+
+    k3 = weighted_sample_k(df, 3, "w", "id", group_cols=["g"], salt="s")
+    per = {r.g: r.n for r in k3.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"a": 3, "b": 3}
+    picked = {(r.g, r.id) for r in k3.collect()}
+    assert not picked & {("a", 100), ("a", 101), ("a", 102)}  # ineligible
+    assert {r.sample_rank for r in k3.collect()} == {1, 2, 3}
+
+    # prefix-nested: the 3-sample is a subset of the 5-sample
+    k5 = weighted_sample_k(df, 5, "w", "id", group_cols=["g"], salt="s")
+    assert picked <= {(r.g, r.id) for r in k5.collect()}
+
+    # deterministic under repartition; a new salt redraws
+    again = weighted_sample_k(
+        df.repartition(7), 3, "w", "id", group_cols=["g"], salt="s")
+    assert {(r.g, r.id) for r in again.collect()} == picked
+    redeal = weighted_sample_k(df, 3, "w", "id", group_cols=["g"], salt="t")
+    assert {(r.g, r.id) for r in redeal.collect()} != picked
+
+    # k > eligible returns all eligible rows
+    tiny = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 1.0)],
+                                 ["g", "id", "w"])
+    assert weighted_sample_k(tiny, 9, "w", "id", ["g"]).count() == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_k(df, 0, "w", "id")
+
+
+def test_weighted_sample_k_heavy_weight_dominates(spark):
+    """A row whose weight dwarfs the rest has ES key ~ -|ln u|/1e9
+    ~ 0, above every unit-weight key — it must be selected."""
+    from meta_frame_spark.operators.sampling import weighted_sample_k
+
+    rows = [("g", i, 1.0) for i in range(200)] + [("g", 999, 1e9)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    picked = {r.id for r in
+              weighted_sample_k(df, 1, "w", "id", ["g"], salt="x").collect()}
+    assert picked == {999}

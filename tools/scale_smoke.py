@@ -431,6 +431,26 @@ def main() -> int:
             ).first()
             srep = embedding_drift(e_, e_).first()
             return rep, srep
+        def wsk():
+            from meta_frame_spark.operators.sampling import weighted_sample_k
+
+            dd = docs(d)
+            k5 = weighted_sample_k(
+                dd, 5, "n_chars", "doc_id", group_cols=["lang"], salt="s"
+            ).persist()
+            n = k5.count()
+            k8 = weighted_sample_k(
+                dd, 8, "n_chars", "doc_id", group_cols=["lang"], salt="s"
+            )
+            # prefix-nested design: the 5-sample is inside the 8-sample
+            nested = k5.select("lang", "doc_id").join(
+                k8.select("lang", "doc_id"), ["lang", "doc_id"], "left_anti"
+            ).count()
+            k5.unpersist()
+            return n, nested
+        t, (n, nested) = timed("weighted_sample_k", wsk)
+        r["wsk_sec"], r["wsk_rows"], r["wsk_unnested"] = t, n, nested
+
         t, (rep, srep) = timed("embedding_drift", edrift)
         r["edrift_sec"] = t
         r["edrift_l2"] = float(rep.l2_shift)
@@ -451,7 +471,7 @@ def main() -> int:
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
-                "dsir", "pmi", "rrf", "edrift"):
+                "dsir", "pmi", "rrf", "wsk", "edrift"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -486,6 +506,9 @@ def main() -> int:
         ("rrf ranks permutation", b["rrf_perm_ok"]
          and b["rrf_rows"] == 10 * a["rrf_rows"]),
         ("edrift self-drift zero", b["edrift_self_zero"]),
+        # 5 picks per language at 50k docs; 5-sample nested in 8-sample
+        ("wsk exact k per group", b["wsk_rows"] == 5 * 5),
+        ("wsk prefix-nested", b["wsk_unnested"] == 0),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
