@@ -3775,6 +3775,23 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "n_chars", "sample_rank")
 
 
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (operators/sampling.py
+    stratified_sample_exact): exactly ceil(0.2 * n_lang) docs per
+    language, ranked by the deterministic md5 coin — the guaranteed-
+    count contract hash-threshold sampling can't give on small
+    strata. One shuffle serves the rank and count windows. Full
+    oracle: DuckDB replays the coin, the per-stratum rank, and the
+    ceil cut."""
+    from meta_frame_spark.operators.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample_exact(
+        docs, "lang", 0.2, "doc_id", salt="ex1", method="md5"
+    )
+    return out.select("lang", "doc_id", "n_chars")
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between the label<5 and label>=5
     halves of the embeddings table (operators/stats.py
@@ -3820,16 +3837,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-46  the 22 oldest r4-green rows (a_filters ..
-#          dedup_incremental) in registry order, for their first
-#          recheck since r4;
-#   47-50  pmi_collocations / rrf_quality / embedding_drift /
-#          weighted_sample_k — FIRST driver rows for the four
-#          operators added later in round 8 (full DuckDB oracles),
-#          same never-orphaned rule as nb/dsir.
-# The 24 remaining r4-green entries (doc_chunks, doc_lm_score,
-# domain_cap, expectations, then fingerprint .. event_paths) queue
-# for r9. Every entry has an oracle_sql() twin.
+#   25-45  the 21 oldest r4-green rows (a_filters .. decontaminate)
+#          in registry order, for their first recheck since r4;
+#   46-50  pmi_collocations / rrf_quality / embedding_drift /
+#          weighted_sample_k / stratified_sample_exact — FIRST driver
+#          rows for the five operators added later in round 8 (full
+#          DuckDB oracles), same never-orphaned rule as nb/dsir.
+# The 25 remaining r4-green entries (dedup_incremental, doc_chunks,
+# doc_lm_score, domain_cap, expectations, then fingerprint ..
+# event_paths) queue for r9. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -4036,6 +4052,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_quality": q_rrf_quality,
         "embedding_drift": q_embedding_drift,
         "weighted_sample_k": q_weighted_sample_k,
+        "stratified_sample_exact": q_stratified_sample_exact,
     }
 
 
@@ -6635,6 +6652,23 @@ def oracle_sql() -> dict[str, str]:
                          + 1.0 / (60 + rank_s_distinct)
                          + 1.0 / (60 + rank_s_ttr), 6) AS rrf
             FROM ranked
+        """,
+        # Coin, per-stratum rank, and ceil cut replayed exactly.
+        "stratified_sample_exact": """
+            WITH ranked AS (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY
+                               ('0x' || substr(md5(doc_id::VARCHAR
+                                   || ':ex1'), 1, 8))::BIGINT
+                                   / 4294967296.0 ASC,
+                               doc_id ASC
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n_s
+                FROM documents
+            )
+            SELECT lang, doc_id, n_chars
+            FROM ranked WHERE rn <= ceil(0.2 * n_s)
         """,
         # ES key ln(u)/w rebuilt from the same md5 bytes; rank and
         # id tiebreak replayed per language.

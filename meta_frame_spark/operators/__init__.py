@@ -132,6 +132,7 @@ from meta_frame_spark.operators.sampling import (
     shuffle_deterministic,
     split_dataframes,
     stratified_sample,
+    stratified_sample_exact,
     weighted_sample_k,
 )
 from meta_frame_spark.operators.stats import (
@@ -292,6 +293,7 @@ __all__ = [
     "split_dataframes",
     "sample_k_per_group",
     "stratified_sample",
+    "stratified_sample_exact",
     "salted_aggregate",
     "simhash",
     "simhash_dup_groups",

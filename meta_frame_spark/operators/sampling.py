@@ -432,3 +432,61 @@ def weighted_sample_k(
         eligible.withColumn(rank_col, F.row_number().over(win))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str,
+    salt: str = "",
+    method: str = "xxhash64",
+    fractions: dict | None = None,
+) -> DataFrame:
+    """Exact-count per-stratum downsampling: keep exactly
+    ``ceil(fraction * n_s)`` rows from every stratum of size ``n_s``
+    (so no non-empty stratum empties out) — the "exactly 10% per
+    language, not 10% in expectation" contract that hash-threshold
+    :func:`stratified_sample` cannot give on small or skewed strata
+    (a 30-row stratum at 10% keeps 0-7 rows under the coin; this
+    keeps exactly 3).
+
+    Rows are ranked inside their stratum by the deterministic
+    ``unit_hash(id, salt)`` coin (ties by id), and the first
+    ``ceil(fraction * n_s)`` survive. Same guarantees as the other
+    samplers: partition-invariant, re-dealable by salt, and nested —
+    raising the fraction only adds rows (both cuts are prefixes of
+    one fixed per-stratum hash order). ``fractions`` overrides the
+    global fraction per stratum value ({stratum: fraction}).
+
+    Scale: ONE shuffle on the stratum key serving both the rank
+    window and the stratum-count window (same partitioning, shared
+    sort); no driver-side counts. Strata are groups — skew means a
+    hot stratum sorts on one task; at that point downsample the hot
+    stratum with the hash-threshold sampler first and exact-cut the
+    rest.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    for k, f in (fractions or {}).items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(
+                f"fraction for stratum {k!r} must be in [0,1], got {f}"
+            )
+    u = unit_hash(id_col, salt, method)
+    rank_w = Window.partitionBy(strata_col).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    count_w = Window.partitionBy(strata_col)
+    frac_expr = F.lit(float(fraction))
+    for value, f in (fractions or {}).items():
+        frac_expr = F.when(
+            F.col(strata_col) == value, F.lit(float(f))
+        ).otherwise(frac_expr)
+    keep = F.ceil(frac_expr * F.count(F.lit(1)).over(count_w))
+    return (
+        df.withColumn("_rn", F.row_number().over(rank_w))
+        .withColumn("_keep", keep)  # windows can't sit in a filter
+        .filter(F.col("_rn") <= F.col("_keep"))
+        .drop("_rn", "_keep")
+    )

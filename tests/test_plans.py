@@ -457,3 +457,17 @@ def test_embedding_drift_shuffles_partials_not_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row x 1-row
     assert "HashAggregate" in plan
+
+
+def test_stratified_sample_exact_single_shuffle(spark, sf_dir):
+    """The rank window and the stratum-count window share one
+    partitioning, so the whole exact cut costs ONE exchange — a
+    second one would mean the windows didn't share their shuffle."""
+    from meta_frame_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(stratified_sample_exact(docs, "lang", 0.2, "doc_id"))
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1

@@ -373,3 +373,43 @@ def test_weighted_sample_k_heavy_weight_dominates(spark):
     picked = {r.id for r in
               weighted_sample_k(df, 1, "w", "id", ["g"], salt="x").collect()}
     assert picked == {999}
+
+
+def test_stratified_sample_exact_counts_nesting_and_overrides(spark):
+    import math
+
+    from meta_frame_spark.operators.sampling import stratified_sample_exact
+
+    rows = [("a", i) for i in range(30)] + [("b", 100 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, ["g", "id"])
+
+    out = stratified_sample_exact(df, "g", 0.1, "id", salt="s")
+    per = {r.g: r.n for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"a": 3, "b": 1}  # ceil(0.1*30), ceil(0.1*7)
+
+    # nested: the 10% cut is a prefix of the 30% cut; deterministic
+    # under repartition; a new salt re-deals
+    k10 = {r.id for r in out.collect()}
+    k30 = {r.id for r in stratified_sample_exact(
+        df, "g", 0.3, "id", salt="s").collect()}
+    assert k10 <= k30
+    assert {r.id for r in stratified_sample_exact(
+        df.repartition(5), "g", 0.1, "id", salt="s").collect()} == k10
+    assert {r.id for r in stratified_sample_exact(
+        df, "g", 0.1, "id", salt="t").collect()} != k10
+
+    # per-stratum override: b keeps everything, a keeps exactly 3
+    per2 = {r.g: r.n for r in stratified_sample_exact(
+        df, "g", 0.1, "id", salt="s", fractions={"b": 1.0}
+    ).groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per2 == {"a": 3, "b": 7}
+
+    # fraction 0 empties every stratum; fraction 1 keeps all
+    assert stratified_sample_exact(df, "g", 0.0, "id").count() == 0
+    assert stratified_sample_exact(df, "g", 1.0, "id").count() == 37
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample_exact(df, "g", 1.5, "id")

@@ -451,6 +451,28 @@ def main() -> int:
         t, (n, nested) = timed("weighted_sample_k", wsk)
         r["wsk_sec"], r["wsk_rows"], r["wsk_unnested"] = t, n, nested
 
+        def sse():
+            from meta_frame_spark.operators.sampling import (
+                stratified_sample_exact,
+            )
+
+            dd = docs(d)
+            out = stratified_sample_exact(dd, "lang", 0.1, "doc_id",
+                                          salt="s").persist()
+            n = out.count()
+            # exact-count contract at scale: ceil(0.1 * n_lang) per lang
+            import math
+
+            want = {row.lang: math.ceil(0.1 * row.n) for row in
+                    dd.groupBy("lang").agg(
+                        F.count(F.lit(1)).alias("n")).collect()}
+            got = {row.lang: row.n for row in out.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+            out.unpersist()
+            return n, want == got
+        t, (n, exact) = timed("stratified_sample_exact", sse)
+        r["sse_sec"], r["sse_rows"], r["sse_exact"] = t, n, bool(exact)
+
         t, (rep, srep) = timed("embedding_drift", edrift)
         r["edrift_sec"] = t
         r["edrift_l2"] = float(rep.l2_shift)
@@ -471,7 +493,7 @@ def main() -> int:
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
-                "dsir", "pmi", "rrf", "wsk", "edrift"):
+                "dsir", "pmi", "rrf", "wsk", "sse", "edrift"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -509,6 +531,7 @@ def main() -> int:
         # 5 picks per language at 50k docs; 5-sample nested in 8-sample
         ("wsk exact k per group", b["wsk_rows"] == 5 * 5),
         ("wsk prefix-nested", b["wsk_unnested"] == 0),
+        ("sse exact per-stratum counts", b["sse_exact"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
