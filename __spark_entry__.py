@@ -3792,6 +3792,21 @@ def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id", "n_chars")
 
 
+def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile calibration (operators/ranking.py
+    quantile_match): n_chars re-expressed on the pooled empirical
+    distribution via each doc's within-language percentile — after
+    calibration one threshold means the same thing in every language.
+    Full oracle: DuckDB replays the group percent_rank, the
+    round(p*(N-1))+1 index, and the pooled inverse-CDF join."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quantile_match(docs, "n_chars", ["lang"], "doc_id",
+                         out_col="n_chars_cal")
+    return out.select("doc_id", "lang", "n_chars", "n_chars_cal")
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between the label<5 and label>=5
     halves of the embeddings table (operators/stats.py
@@ -3837,15 +3852,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-45  the 21 oldest r4-green rows (a_filters .. decontaminate)
-#          in registry order, for their first recheck since r4;
-#   46-50  pmi_collocations / rrf_quality / embedding_drift /
-#          weighted_sample_k / stratified_sample_exact — FIRST driver
-#          rows for the five operators added later in round 8 (full
-#          DuckDB oracles), same never-orphaned rule as nb/dsir.
-# The 25 remaining r4-green entries (dedup_incremental, doc_chunks,
-# doc_lm_score, domain_cap, expectations, then fingerprint ..
-# event_paths) queue for r9. Every entry has an oracle_sql() twin.
+#   25-44  the 20 oldest r4-green rows (a_filters ..
+#          curation_pipeline) in registry order, for their first
+#          recheck since r4;
+#   45-50  pmi_collocations / rrf_quality / embedding_drift /
+#          weighted_sample_k / stratified_sample_exact /
+#          quantile_match — FIRST driver rows for the six operators
+#          added later in round 8 (full DuckDB oracles), same
+#          never-orphaned rule as nb/dsir.
+# The 26 remaining r4-green entries (decontaminate, dedup_incremental,
+# doc_chunks, doc_lm_score, domain_cap, expectations, then
+# fingerprint .. event_paths) queue for r9. Every entry has an
+# oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -4053,6 +4071,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "weighted_sample_k": q_weighted_sample_k,
         "stratified_sample_exact": q_stratified_sample_exact,
+        "quantile_match": q_quantile_match,
     }
 
 
@@ -6652,6 +6671,28 @@ def oracle_sql() -> dict[str, str]:
                          + 1.0 / (60 + rank_s_distinct)
                          + 1.0 / (60 + rank_s_ttr), 6) AS rrf
             FROM ranked
+        """,
+        # Group percent_rank, round(p*(N-1))+1 index, pooled
+        # inverse-CDF join — the whole calibration replayed.
+        "quantile_match": """
+            WITH ref AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY n_chars ASC, doc_id ASC
+                       ) AS idx,
+                       n_chars AS n_chars_cal
+                FROM documents
+            ),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            p AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(round(PERCENT_RANK() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars ASC, doc_id ASC
+                       ) * (n.n - 1)) AS BIGINT) + 1 AS idx
+                FROM documents, n
+            )
+            SELECT doc_id, lang, n_chars, n_chars_cal
+            FROM p JOIN ref USING (idx)
         """,
         # Coin, per-stratum rank, and ceil cut replayed exactly.
         "stratified_sample_exact": """

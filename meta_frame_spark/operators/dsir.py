@@ -110,13 +110,18 @@ def dsir_log_weights(
     r_counts = (
         doc_bucket.groupBy("_b").agg(F.sum("_c").alias("_cr")).persist()
     )
-    # bounded driver scalars: the two corpus gram totals
-    tt = float(
-        t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("s")).collect()[0].s
+    # bounded driver scalars: the two corpus gram totals, fetched in
+    # ONE job (a crossJoin of two 1-row aggregates) so both persisted
+    # count frames materialize in parallel instead of as two
+    # driver-sequenced barriers
+    totals = (
+        t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("st"))
+        .crossJoin(
+            r_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("sr"))
+        )
+        .collect()[0]
     )
-    tr = float(
-        r_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("s")).collect()[0].s
-    )
+    tt, tr = float(totals.st), float(totals.sr)
     ratio = (
         t_counts.join(r_counts, "_b", "full_outer")
         .select(

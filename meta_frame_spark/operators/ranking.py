@@ -208,3 +208,55 @@ def rrf_fuse(
         round_to,
     )
     return out.select(id_col, *rank_cols, rrf.alias("rrf"))
+
+
+def quantile_match(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile-normalize a score ACROSS groups: each row's value is
+    replaced by the global empirical value at its within-group
+    percentile — after calibration every group has (up to rounding
+    grid) the same score distribution, so ONE threshold means the
+    same thing in every language/domain/source. The cross-domain
+    calibration step quality pipelines need before a single global
+    gate: a perplexity of 180 is "good" for code and "bad" for news;
+    their group-percentiles are comparable, raw values are not.
+
+    Mapping: ``p = percent_rank`` of the row inside its group
+    (deterministic ties by id), and the calibrated value is the
+    global sorted value at index ``round(p * (N - 1)) + 1`` — the
+    inverse empirical CDF of the pooled distribution evaluated at p.
+    Exact-empirical on purpose (engine-portable, oracle-replayable);
+    monotone within each group, so group-internal ordering never
+    changes.
+
+    Scale: one group-window shuffle, one GLOBAL sort for the
+    reference ranks (single task — same bounded-input caveat as
+    ``rrf_fuse``), one equi-join on the rank index. For unbounded
+    corpora, replace the exact reference with ``approxQuantile``
+    grid interpolation (the ``gating`` pattern); this operator is
+    the exact tool for calibration sets that fit a task.
+    """
+    out = out_col or f"{value_col}_cal"
+    v = F.col(value_col)
+    grp_w = Window.partitionBy(*group_cols).orderBy(
+        v.asc(), F.col(id_col).asc()
+    )
+    glob_w = Window.orderBy(v.asc(), F.col(id_col).asc())
+    ref = df.select(
+        F.row_number().over(glob_w).alias("_idx"), v.alias(out)
+    )
+    n = df.count()  # bounded driver scalar: reference size
+    idx = (
+        F.round(F.percent_rank().over(grp_w) * F.lit(float(n - 1)), 0)
+        .cast("long") + F.lit(1)
+    )
+    return (
+        df.withColumn("_idx", idx)
+        .join(ref, "_idx")
+        .drop("_idx")
+    )

@@ -110,3 +110,39 @@ def test_rrf_fuse_ties_break_by_id_and_nulls_last(spark):
 
     with pytest.raises(ValueError, match="at least one score"):
         rrf_fuse(df, [])
+
+
+def test_quantile_match_equalizes_group_distributions(spark):
+    """Groups A=[1,3,5], B=[2,4,6] both map onto the pooled empirical
+    CDF: percentiles (0, .5, 1) hit pooled indices (1, 4, 6) -> both
+    groups calibrate to exactly {1, 4, 6}."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 5.0),
+         ("b", 4, 2.0), ("b", 5, 4.0), ("b", 6, 6.0)],
+        ["g", "id", "v"],
+    )
+    out = quantile_match(df, "v", ["g"], "id")
+    cal = {(r.g, r.v): r.v_cal for r in out.collect()}
+    assert cal == {("a", 1.0): 1.0, ("a", 3.0): 4.0, ("a", 5.0): 6.0,
+                   ("b", 2.0): 1.0, ("b", 4.0): 4.0, ("b", 6.0): 6.0}
+    # calibration is monotone within each group
+    for g in ("a", "b"):
+        vals = sorted((r.v, r.v_cal) for r in out.collect() if r.g == g)
+        assert [c for _, c in vals] == sorted(c for _, c in vals)
+
+
+def test_quantile_match_deterministic_and_single_row_group(spark):
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    rows = [("g%d" % (i % 3), i, float((i * 7) % 13)) for i in range(60)]
+    rows.append(("solo", 999, 5.0))  # singleton: percent_rank 0 -> idx 1
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    a = sorted(tuple(r) for r in quantile_match(df, "v", ["g"], "id").collect())
+    b = sorted(tuple(r) for r in
+               quantile_match(df.repartition(7), "v", ["g"], "id").collect())
+    assert a == b
+    solo = [r for r in quantile_match(df, "v", ["g"], "id").collect()
+            if r.g == "solo"][0]
+    assert solo.v_cal == min(v for _, _, v in rows)  # global minimum

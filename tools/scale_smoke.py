@@ -473,6 +473,28 @@ def main() -> int:
         t, (n, exact) = timed("stratified_sample_exact", sse)
         r["sse_sec"], r["sse_rows"], r["sse_exact"] = t, n, bool(exact)
 
+        def qmatch():
+            from meta_frame_spark.operators.ranking import quantile_match
+
+            dd = docs(d)
+            out = quantile_match(dd, "n_chars", ["lang"], "doc_id",
+                                 out_col="cal").persist()
+            n = out.count()
+            # calibration property at scale: per-language medians of
+            # the calibrated value collapse onto (nearly) one pooled
+            # value — the spread must be a tiny fraction of the raw
+            # per-language median spread
+            med = out.groupBy("lang").agg(
+                F.expr("median(cal)").alias("mc"),
+                F.expr("median(n_chars)").alias("mr"),
+            ).collect()
+            out.unpersist()
+            spread_c = max(r2.mc for r2 in med) - min(r2.mc for r2 in med)
+            spread_r = max(r2.mr for r2 in med) - min(r2.mr for r2 in med)
+            return n, spread_c <= 0.25 * max(spread_r, 1.0)
+        t, (n, collapsed) = timed("quantile_match", qmatch)
+        r["qm_sec"], r["qm_rows"], r["qm_collapsed"] = t, n, bool(collapsed)
+
         t, (rep, srep) = timed("embedding_drift", edrift)
         r["edrift_sec"] = t
         r["edrift_l2"] = float(rep.l2_shift)
@@ -493,7 +515,7 @@ def main() -> int:
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
-                "dsir", "pmi", "rrf", "wsk", "sse", "edrift"):
+                "dsir", "pmi", "rrf", "wsk", "sse", "qm", "edrift"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -532,6 +554,8 @@ def main() -> int:
         ("wsk exact k per group", b["wsk_rows"] == 5 * 5),
         ("wsk prefix-nested", b["wsk_unnested"] == 0),
         ("sse exact per-stratum counts", b["sse_exact"]),
+        ("qmatch medians collapse", b["qm_collapsed"]
+         and b["qm_rows"] == 10 * a["qm_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
