@@ -177,6 +177,15 @@ def main() -> None:
         for idx in range(a_idx, b_idx)
     }
     suspects = [all_queries[i][0] for i in sorted(dirty)]
+    # Whole-record contention flag: per-query reruns can rescue a few
+    # poisoned entries, but when a third of the suite sits in dirty
+    # probe windows the slot itself is stolen (three r8 attempts show
+    # the shape: probes 0.3-0.6 vs 0.2 clean across the whole run,
+    # untouched code +15-40%) and the TOTAL is an upper bound, not a
+    # measurement. Mark the record so a reader never compares its
+    # total against a clean one. The two-record protocol in
+    # BASELINE.md says which record to judge in that case.
+    record_contended = len(suspects) > len(all_queries) // 3
     reran: dict[str, list[float]] = {}
     contended: list[str] = []
     if suspects:
@@ -223,6 +232,7 @@ def main() -> None:
             # no attempt got a clean bracket
             "suspect_reruns": reran,
             "contended": contended,
+            "record_contended": record_contended,
         },
     }
     # Full-precision record as a repo artifact (not size-constrained).
@@ -258,6 +268,7 @@ def main() -> None:
         "n_suspect": len(suspects),
         "n_reran": len(reran),
         "contended": contended,
+        "record_contended": record_contended,
     }
 
     def emit(q: dict[str, float], omitted: int) -> str:
