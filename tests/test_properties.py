@@ -494,3 +494,92 @@ def test_split_sentences_conserves_content(spark, texts):
     for original, sents in zip(texts, out):
         strip = lambda x: re.sub(r"[\s.!?]+", "", x)
         assert strip("".join(sents)) == strip(original)
+
+
+@_settings
+@given(k=st.integers(min_value=1, max_value=8),
+       salt=st.text(alphabet="abc", max_size=3),
+       method=st.sampled_from(["xxhash64", "md5"]))
+def test_weighted_sample_k_size_nesting_eligibility(frame, k, salt, method):
+    """ES sampling: exactly min(k, eligible) per group; the k-sample is
+    a prefix of the (k+1)-sample; ineligible (null/<=0 weight) rows
+    never appear."""
+    from meta_frame_spark.operators.sampling import weighted_sample_k
+
+    w = (F.col("v2") - 25.0)  # mixes positive, negative, and null
+    out = weighted_sample_k(frame, k, w, "v1", group_cols=["g1"],
+                            salt=salt, method=method)
+    rows = out.collect()
+    elig = [(r.g1, r.v1) for r in frame.collect()
+            if r.v2 is not None and r.v2 - 25.0 > 0]
+    per_g = {}
+    for g, _ in elig:
+        per_g[g] = per_g.get(g, 0) + 1
+    got = {}
+    for r in rows:
+        got[r.g1] = got.get(r.g1, 0) + 1
+        assert (r.g1, r.v1) in elig
+    assert got == {g: min(k, n) for g, n in per_g.items()}
+    bigger = {(r.g1, r.v1) for r in weighted_sample_k(
+        frame, k + 1, w, "v1", group_cols=["g1"], salt=salt,
+        method=method).collect()}
+    assert {(r.g1, r.v1) for r in rows} <= bigger
+
+
+@_settings
+@given(frac=st.floats(min_value=0.0, max_value=1.0),
+       salt=st.text(alphabet="ab", max_size=2))
+def test_stratified_exact_counts_and_nesting(frame, frac, salt):
+    import math
+
+    from meta_frame_spark.operators.sampling import stratified_sample_exact
+
+    out = stratified_sample_exact(frame, "g1", frac, "v1", salt=salt)
+    sizes = {r.g1: r.n for r in frame.groupBy("g1").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.g1: r.n for r in out.groupBy("g1").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    want = {g: math.ceil(frac * n) for g, n in sizes.items()}
+    assert got == {g: n for g, n in want.items() if n > 0}
+    smaller = {r.v1 for r in out.collect()}
+    larger = {r.v1 for r in stratified_sample_exact(
+        frame, "g1", min(1.0, frac + 0.3), "v1", salt=salt).collect()}
+    assert smaller <= larger
+
+
+@_settings
+@given(vals=st.lists(st.floats(min_value=-50, max_value=50,
+                               allow_nan=False), min_size=2, max_size=12))
+def test_quantile_match_output_is_pooled_values(spark, vals):
+    """Calibrated values are drawn FROM the pooled empirical values,
+    and group-internal order never changes."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    rows = [("g%d" % (i % 2), i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    out = quantile_match(df, "v", ["g"], "id").collect()
+    pooled = {float(v) for v in vals}
+    assert all(r.v_cal in pooled for r in out)
+    for g in {r.g for r in out}:
+        grp = sorted([(r.v, r.id, r.v_cal) for r in out if r.g == g])
+        cal_in_value_order = [c for _, _, c in grp]
+        assert cal_in_value_order == sorted(cal_in_value_order)
+
+
+@_settings
+@given(texts=st.lists(st.text(alphabet="ab c", min_size=0, max_size=20),
+                      min_size=1, max_size=6))
+def test_pmi_marginals_conserve_pair_mass(spark, texts):
+    """n_left sums over a word's surviving+filtered pairs: for every
+    output row, n_pair <= min(n_left, n_right), and PMI is finite."""
+    import math
+
+    from meta_frame_spark.operators.vocab import pmi_collocations
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = pmi_collocations(df, k=50, min_count=1).collect()
+    for r in rows:
+        assert r.n_pair <= min(r.n_left, r.n_right)
+        assert math.isfinite(r.pmi)
+    # ranks are 1..n in pmi-desc order
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
