@@ -36,13 +36,15 @@ def test_csv_roundtrip_inferred_and_explicit(spark, small, tmp_path):
     assert _sorted(explicit) == _sorted(small)
 
 
-def test_json_parquet_roundtrip(spark, small, tmp_path):
-    for fmt in ("json", "parquet"):
+def test_json_parquet_orc_roundtrip(spark, small, tmp_path):
+    for fmt in ("json", "parquet", "orc"):
         p = str(tmp_path / f"d_{fmt}")
         save_data(small, p, fmt=fmt)
         back = load_data(spark, fmt, path=p,
                          schema="id bigint, grp string, val double" if fmt == "json" else None)
         assert _sorted(back) == _sorted(small)
+        if fmt != "json":  # self-describing formats keep their types
+            assert back.schema == small.schema
 
 
 def test_auto_source_by_extension(spark, small, tmp_path):
