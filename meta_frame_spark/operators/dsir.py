@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meta_frame_spark.operators.cache import track
 from meta_frame_spark.operators.dedup import _shingles
 
 
@@ -96,18 +97,18 @@ def dsir_log_weights(
     # raw corpus was exploded and hashed twice — once for the fit,
     # once for scoring. The same pattern as similarity.py's persisted
     # shared branch; spills to disk at scale.
-    doc_bucket = (
+    doc_bucket = track(
         _gram_buckets(raw, text_col, n, hex_chars, F.col(id_col))
         .groupBy(id_col, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
         .persist()
     )
-    t_counts = (
+    t_counts = track(
         _gram_buckets(target, text_col, n, hex_chars)
         .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
         .persist()
     )
-    r_counts = (
+    r_counts = track(
         doc_bucket.groupBy("_b").agg(F.sum("_c").alias("_cr")).persist()
     )
     # bounded driver scalars: the two corpus gram totals, fetched in

@@ -208,7 +208,9 @@ def pmi_collocations(
         F.explode(_grams(F.col(text_col), 2, lowercase)).alias("_g")
     )
     pair_part = F.split(F.col("_g"), " ", 2)
-    pairs = (
+    from meta_frame_spark.operators.cache import track
+
+    pairs = track(
         grams.select(
             pair_part.getItem(0).alias("w1"),
             pair_part.getItem(1).alias("w2"),
