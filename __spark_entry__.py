@@ -3807,6 +3807,20 @@ def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars", "n_chars_cal")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability signals (functions/text.py
+    readability_stats): word/sentence/syllable-proxy counts and the
+    two Flesch measures, all codegen HOFs, map-only. Full oracle:
+    DuckDB recomputes every count (incl. the per-word min-1 vowel-
+    group syllable proxy) and both formulas."""
+    from meta_frame_spark.functions.text import readability_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability_stats(docs).select(
+        "doc_id", "n_words", "n_sents", "n_syll", "flesch", "fk_grade"
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between the label<5 and label>=5
     halves of the embeddings table (operators/stats.py
@@ -3852,18 +3866,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-44  the 20 oldest r4-green rows (a_filters ..
-#          curation_pipeline) in registry order, for their first
+#   25-43  the 19 oldest r4-green rows (a_filters ..
+#          count_distinct_skew) in registry order, for their first
 #          recheck since r4;
-#   45-50  pmi_collocations / rrf_quality / embedding_drift /
+#   44-50  pmi_collocations / rrf_quality / embedding_drift /
 #          weighted_sample_k / stratified_sample_exact /
-#          quantile_match — FIRST driver rows for the six operators
-#          added later in round 8 (full DuckDB oracles), same
-#          never-orphaned rule as nb/dsir.
-# The 26 remaining r4-green entries (decontaminate, dedup_incremental,
-# doc_chunks, doc_lm_score, domain_cap, expectations, then
-# fingerprint .. event_paths) queue for r9. Every entry has an
-# oracle_sql() twin.
+#          quantile_match / readability — FIRST driver rows for the
+#          seven operators added later in round 8 (full DuckDB
+#          oracles), same never-orphaned rule as nb/dsir.
+# The 27 remaining r4-green entries (curation_pipeline, decontaminate,
+# dedup_incremental, doc_chunks, doc_lm_score, domain_cap,
+# expectations, then fingerprint .. event_paths) queue for r9. Every
+# entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -4072,6 +4086,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": q_weighted_sample_k,
         "stratified_sample_exact": q_stratified_sample_exact,
         "quantile_match": q_quantile_match,
+        "readability": q_readability,
     }
 
 
@@ -6671,6 +6686,40 @@ def oracle_sql() -> dict[str, str]:
                          + 1.0 / (60 + rank_s_distinct)
                          + 1.0 / (60 + rank_s_ttr), 6) AS rrf
             FROM ranked
+        """,
+        # Every count (incl. per-word min-1 vowel groups) and both
+        # Flesch formulas recomputed.
+        "readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS toks,
+                       greatest(len(regexp_extract_all(
+                           text, '[.!?]+')), 1) AS sents
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(sents AS BIGINT) AS n_sents,
+                       CAST(list_sum(list_transform(
+                           toks,
+                           w -> greatest(len(regexp_extract_all(
+                               w, '[aeiouy]+')), 1)
+                       )) AS BIGINT) AS syll
+                FROM t
+            )
+            SELECT doc_id, n_words, n_sents,
+                   CASE WHEN n_words > 0 THEN syll END AS n_syll,
+                   CASE WHEN n_words > 0 THEN
+                       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                             - 84.6 * (syll * 1.0 / n_words), 4) + 0.0
+                   END AS flesch,
+                   CASE WHEN n_words > 0 THEN
+                       ROUND(0.39 * (n_words * 1.0 / n_sents)
+                             + 11.8 * (syll * 1.0 / n_words)
+                             - 15.59, 4) + 0.0
+                   END AS fk_grade
+            FROM s
         """,
         # Group percent_rank, round(p*(N-1))+1 index, pooled
         # inverse-CDF join — the whole calibration replayed.

@@ -428,3 +428,59 @@ def split_sentences(text: str | Column) -> Column:
     pieces = F.regexp_extract_all(c, F.lit(SENTENCE_RE), 0)
     trimmed = F.transform(pieces, lambda s: F.trim(s))
     return F.filter(trimmed, lambda s: F.length(s) > 0)
+
+
+def readability_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append classic readability signals (all codegen HOFs, map-only,
+    engine-portable): ``n_words`` (whitespace tokens), ``n_sents``
+    (``[.!?]+`` runs, floored at 1 so a headline isn't divide-by-zero),
+    ``n_syll`` (per-word vowel-group count ``[aeiouy]+``, floored at 1
+    per word — the standard cheap syllable proxy), and the two Flesch
+    measures over them:
+
+        flesch   = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)
+        fk_grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59
+
+    Rounded to 4dp (+0.0 folds IEEE -0.0); NULL for wordless docs —
+    visible, not a silent 0 "perfect readability". A quality gate on
+    ``flesch`` composes with quality_score / char_entropy /
+    repetition stats; like them it is a HEURISTIC tuned for
+    English-like text (the syllable proxy under-counts ideographic
+    scripts — gate per language).
+    """
+    c = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), 0)
+    words = F.size(toks).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+
+    def rnd(col):
+        return F.round(col, 4) + F.lit(0.0)
+
+    wps = words.cast("double") / sents
+    spw = syll.cast("double") / words
+    guard = F.when(words > 0, F.lit(True))
+    return df.select(
+        "*",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        F.when(guard, syll).alias("n_syll"),
+        F.when(
+            guard, rnd(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+        ).alias("flesch"),
+        F.when(
+            guard, rnd(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+        ).alias("fk_grade"),
+    )

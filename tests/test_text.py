@@ -537,3 +537,24 @@ def test_pmi_collocations_deterministic_under_repartition(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         pmi_collocations(df, min_count=0)
+
+
+def test_readability_stats_hand_computed(spark):
+    from meta_frame_spark.functions.text import readability_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),   # 6 words, 2 sents, 6 syll
+         (2, "xyz"),                          # vowelless word -> 1 syll
+         (3, "   ")],                         # wordless -> NULLs
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in readability_stats(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sents, r1.n_syll) == (6, 2, 6)
+    assert r1.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    assert r1.fk_grade == round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+    r2 = out[2]
+    assert (r2.n_words, r2.n_sents, r2.n_syll) == (1, 1, 1)
+    r3 = out[3]
+    assert r3.n_words == 0 and r3.n_syll is None
+    assert r3.flesch is None and r3.fk_grade is None
