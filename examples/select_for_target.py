@@ -11,9 +11,14 @@ quantile boundaries:
       -> DSIR importance weights       (hashed-bigram log likelihood
                                         ratio vs the target corpus)
       -> quality signals + RRF fusion  (length, distinct tokens,
-                                        type-token ratio — fused by
-                                        rank, no normalization step)
-      -> select: target-like AND high-quality
+                                        type-token ratio, Flesch
+                                        readability — fused by rank,
+                                        no normalization step)
+      -> per-language quality calibration
+                                       (quantile_match: "good for its
+                                        language", so one gate works
+                                        across languages)
+      -> select: target-like AND high-calibrated-quality
                                        (quantile gates on both axes)
       -> NB audit                      (does the selected slice's
                                         predicted-language mix match
@@ -25,6 +30,11 @@ quantile boundaries:
       -> PMI collocation report        (what multi-word expressions
                                         dominate the kept slice —
                                         tokenizer-design input)
+      -> exemplar shortlist            (weighted_sample_k: 3 docs per
+                                        language, inclusion odds
+                                        proportional to target-
+                                        likeness — without
+                                        replacement, deterministic)
 
 Run:  python examples/select_for_target.py [sf_dir]
 Default: /root/testdata/sf0.001
@@ -42,9 +52,11 @@ from pyspark.sql import functions as F
 
 
 def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
+    from meta_frame_spark.functions.text import readability_stats
     from meta_frame_spark.operators.dsir import dsir_log_weights
     from meta_frame_spark.operators.nb import nb_predict, nb_train
-    from meta_frame_spark.operators.ranking import rrf_fuse
+    from meta_frame_spark.operators.ranking import quantile_match, rrf_fuse
+    from meta_frame_spark.operators.sampling import weighted_sample_k
     from meta_frame_spark.operators.stats import embedding_drift
     from meta_frame_spark.operators.vocab import pmi_collocations
 
@@ -62,23 +74,36 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
     # bigrams are. Bounded model fits, broadcast-ratio scoring.
     weights = dsir_log_weights(docs, target, n=2, hex_chars=3)
 
-    # 2. Quality: three cheap signals fused by rank (RRF) — scale-free,
+    # 2. Quality: four cheap signals fused by rank (RRF) — scale-free,
     # so a perplexity or classifier score slots in later unchanged.
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    sig = docs.select(
+    sig = readability_stats(docs).select(
         "doc_id",
         F.col("n_chars").cast("double").alias("s_len"),
         F.size(F.array_distinct(toks)).cast("double").alias("s_distinct"),
         F.when(F.size(toks) == 0, F.lit(0.0))
         .otherwise(F.size(F.array_distinct(toks)) / F.size(toks))
         .alias("s_ttr"),
+        F.col("flesch").alias("s_read"),
     )
-    quality = rrf_fuse(sig, ["s_len", "s_distinct", "s_ttr"])
+    quality = rrf_fuse(sig, ["s_len", "s_distinct", "s_ttr", "s_read"])
 
-    # 3. Select: above-median target-likeness AND above-median fused
-    # quality. approxQuantile keeps the gate one bounded driver scalar
-    # per axis (never a global sort of the pool).
-    scored = weights.join(quality.select("doc_id", "rrf"), "doc_id").persist()
+    # 2b. Calibrate the fused quality ACROSS languages: raw signal
+    # distributions differ per language, so a single global gate would
+    # just pick the verbose languages. quantile_match re-expresses each
+    # doc's quality as "the pooled value at its within-language
+    # percentile" — high means good FOR ITS LANGUAGE.
+    quality = quantile_match(
+        quality.join(docs.select("doc_id", "lang"), "doc_id"),
+        "rrf", ["lang"], "doc_id", out_col="rrf_cal",
+    )
+
+    # 3. Select: above-median target-likeness AND above-median
+    # calibrated quality. approxQuantile keeps the gate one bounded
+    # driver scalar per axis (never a global sort of the pool).
+    scored = weights.join(
+        quality.select("doc_id", F.col("rrf_cal").alias("rrf")), "doc_id"
+    ).persist()
     w_med = scored.approxQuantile("log_weight", [0.5], 0.001)[0]
     q_med = scored.approxQuantile("rrf", [0.5], 0.001)[0]
     kept = scored.filter(
@@ -119,6 +144,18 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
     print("top collocations in the kept slice:")
     for r in coll:
         print(f"  {r.rank:2d}. {r.w1} {r.w2}  pmi={r.pmi:.3f} n={r.n_pair}")
+
+    # 7. Exemplar shortlist: 3 docs per language from the kept slice,
+    # inclusion odds proportional to exp-normalized target-likeness —
+    # weighted WITHOUT replacement, deterministic under reruns.
+    shortlist = weighted_sample_k(
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("w", F.exp("log_weight")),
+        3, "w", "doc_id", group_cols=["lang"], salt="demo",
+    )
+    n_shortlist = shortlist.count()
+    print(f"exemplar shortlist: {n_shortlist} docs "
+          f"(<=3 per language, weight-proportional)")
     scored.unpersist()
     mix_rows = mix.collect()
     return {
@@ -128,6 +165,7 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
         "top_pred_n": mix_rows[0].n if mix_rows else 0,
         "drift": drift_row.asDict(),
         "n_collocations": len(coll),
+        "n_shortlist": n_shortlist,
     }
 
 
