@@ -103,6 +103,7 @@ from meta_frame_spark.operators.profile import histogram_fixed, profile_table
 from meta_frame_spark.operators.ranking import (
     normalize_scores,
     ntile_buckets,
+    quantile_match,
     rrf_fuse,
 )
 from meta_frame_spark.operators.vocab import (
@@ -219,6 +220,7 @@ __all__ = [
     "cohort_retention",
     "normalize_scores",
     "pmi_collocations",
+    "quantile_match",
     "sessionize",
     "chunk_documents",
     "winsorize",
