@@ -3821,6 +3821,20 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage candidates (operators/linkage.py
+    sorted_neighborhood_pairs — Hernandez & Stolfo 1995) over part
+    names, window 3: linear (w-1)*N - C(w,2) candidate pairs via the
+    scalable contiguous-row-number path (range partition + offsets,
+    never a single-partition window) + a sequence-explode equi-join.
+    Full oracle: DuckDB replays the sort, the window, and every
+    gap."""
+    from meta_frame_spark.operators.linkage import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(part, "p_name", "p_partkey", window=3)
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift report between the label<5 and label>=5
     halves of the embeddings table (operators/stats.py
@@ -3866,18 +3880,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #          contention-poisoned (ann_topk_ivfpq, event_ppr,
 #          bpe_tokenize) — fresh correctness rows beside the clean
 #          re-measure;
-#   25-43  the 19 oldest r4-green rows (a_filters ..
-#          count_distinct_skew) in registry order, for their first
-#          recheck since r4;
-#   44-50  pmi_collocations / rrf_quality / embedding_drift /
+#   25-42  the 18 oldest r4-green rows (a_filters .. corpus_mix) in
+#          registry order, for their first recheck since r4;
+#   43-50  pmi_collocations / rrf_quality / embedding_drift /
 #          weighted_sample_k / stratified_sample_exact /
-#          quantile_match / readability — FIRST driver rows for the
-#          seven operators added later in round 8 (full DuckDB
-#          oracles), same never-orphaned rule as nb/dsir.
-# The 27 remaining r4-green entries (curation_pipeline, decontaminate,
-# dedup_incremental, doc_chunks, doc_lm_score, domain_cap,
-# expectations, then fingerprint .. event_paths) queue for r9. Every
-# entry has an oracle_sql() twin.
+#          quantile_match / readability / sorted_neighbors — FIRST
+#          driver rows for the eight operators added later in round 8
+#          (full DuckDB oracles), same never-orphaned rule as nb/dsir.
+# The 28 remaining r4-green entries (count_distinct_skew,
+# curation_pipeline, decontaminate, dedup_incremental, doc_chunks,
+# doc_lm_score, domain_cap, expectations, then fingerprint ..
+# event_paths) queue for r9. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) last r3-green evidence — drain the r3 backlog completely
     "stratified_sample", "latest_by_key", "apply_changelog",
@@ -3894,12 +3907,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
     "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
-    "corpus_diff", "corpus_mix", "count_distinct_skew",
-    "curation_pipeline", "decontaminate", "dedup_incremental",
-    # (5) new this session: PMI collocations, RRF fusion, emb drift,
-    # ES weighted sampling
+    "corpus_diff", "corpus_mix",
+    # (5) new this session — FIRST driver rows (never-orphaned rule)
     "pmi_collocations", "rrf_quality", "embedding_drift",
-    "weighted_sample_k",
+    "weighted_sample_k", "stratified_sample_exact", "quantile_match",
+    "readability", "sorted_neighbors",
 )
 
 
@@ -4087,6 +4099,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_exact": q_stratified_sample_exact,
         "quantile_match": q_quantile_match,
         "readability": q_readability,
+        "sorted_neighbors": q_sorted_neighbors,
     }
 
 
@@ -6686,6 +6699,22 @@ def oracle_sql() -> dict[str, str]:
                          + 1.0 / (60 + rank_s_distinct)
                          + 1.0 / (60 + rank_s_ttr), 6) AS rrf
             FROM ranked
+        """,
+        # Sort, window, and every gap replayed (0-based idx matches
+        # assign_row_numbers' start=0; gaps are offset-free anyway).
+        "sorted_neighbors": """
+            WITH base AS (
+                SELECT p_partkey AS _id, p_name AS _key,
+                       ROW_NUMBER() OVER (
+                           ORDER BY p_name ASC, p_partkey ASC
+                       ) - 1 AS idx
+                FROM part
+            )
+            SELECT a._id AS id_a, b._id AS id_b,
+                   a._key AS key_a, b._key AS key_b,
+                   CAST(b.idx - a.idx AS INTEGER) AS idx_gap
+            FROM base a
+            JOIN base b ON b.idx > a.idx AND b.idx <= a.idx + 2
         """,
         # Every count (incl. per-word min-1 vowel groups) and both
         # Flesch formulas recomputed.

@@ -77,3 +77,59 @@ def fuzzy_join(
         .filter(F.col(distance_col) >= 0)
         .drop(_BLK)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995):
+    sort records by the blocking key, slide a window of ``window``
+    rows, and emit every pair that co-occurs in some window —
+    ``(id_a, id_b, key_a, key_b, idx_gap)`` with ``id_a``'s sort
+    position strictly before ``id_b``'s. The complementary blocking
+    scheme to :func:`fuzzy_join`'s prefix blocks: prefix blocking
+    misses typos in the first characters; a sorted neighborhood
+    catches any pair whose keys SORT near each other, and multiple
+    passes with different key orderings compose by union.
+
+    Output is candidates, not matches — verify with an edit-distance
+    or Jaccard predicate downstream (exactly how fuzzy_join composes
+    blocking with levenshtein).
+
+    Scale: the global sort position comes from
+    ``ids.assign_row_numbers`` (range partition + per-partition
+    offsets — never a single-partition window), each row then emits
+    at most ``window - 1`` probe indices (a sequence explode, linear
+    in rows), and the pairing is one equi-join on the index — the
+    candidate count is exactly ``(window-1) * N - (window choose 2)``,
+    linear in N by construction, never quadratic.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from meta_frame_spark.operators.ids import assign_row_numbers
+
+    base = assign_row_numbers(
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_key")),
+        order_by=["_key", "_id"],
+        id_col="_idx",
+        num_partitions=num_partitions,
+    )
+    left = base.select(
+        F.col("_id").alias("id_a"), F.col("_key").alias("key_a"),
+        F.col("_idx").alias("_ia"),
+        F.explode(
+            F.sequence(F.col("_idx") + 1, F.col("_idx") + (window - 1))
+        ).alias("_ib"),
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"), F.col("_key").alias("key_b"),
+        F.col("_idx").alias("_ib"),
+    )
+    return left.join(right, "_ib").select(
+        "id_a", "id_b", "key_a", "key_b",
+        (F.col("_ib") - F.col("_ia")).cast("int").alias("idx_gap"),
+    )

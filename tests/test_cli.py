@@ -86,6 +86,18 @@ def test_driver_window_composition():
         "nb_predict", "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
     ):
         assert name in window, name
+    # round-8 session ops: every operator added this round must hold a
+    # window slot until its first driver row lands (the never-orphaned
+    # rule) — this pin exists because a window edit once silently
+    # missed while its comment updated, leaving new ops out of the
+    # driver's 50 without any test noticing
+    for name in (
+        "dsir_weights", "pmi_collocations", "rrf_quality",
+        "embedding_drift", "weighted_sample_k",
+        "stratified_sample_exact", "quantile_match", "readability",
+        "sorted_neighbors",
+    ):
+        assert name in window, name
     # every registered query still has an oracle twin
     assert set(e.queries()) == set(e.oracle_sql())
 

@@ -61,3 +61,58 @@ def test_fuzzy_join_no_collision_passthrough(spark):
     out = fuzzy_join(left, right, "lname", "rname", max_distance=1)
     assert out.columns == ["lid", "lname", "rid", "rname", "distance"]
     assert out.collect()[0].distance == 1
+
+
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    """Keys sort as b1<b2<b3<z9: window 3 pairs each row with the next
+    <=2 in sort order — exactly 5 pairs, gaps correct, no (b1,z9)."""
+    from meta_frame_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(10, "b2"), (20, "z9"), (30, "b1"), (40, "b3")], ["rid", "name"]
+    )
+    out = sorted_neighborhood_pairs(df, "name", "rid", window=3)
+    got = {(r.key_a, r.key_b, r.idx_gap) for r in out.collect()}
+    assert got == {
+        ("b1", "b2", 1), ("b1", "b3", 2),
+        ("b2", "b3", 1), ("b2", "z9", 2),
+        ("b3", "z9", 1),
+    }
+    # linear candidate count: (w-1)*N - C(w,2) on N >= w
+    assert out.count() == 2 * 4 - 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "name", "rid", window=1)
+
+
+def test_sorted_neighborhood_catches_first_char_typo(spark):
+    """The motivating case prefix blocking misses: 'mith' (dropped
+    first char of 'smith') sorts away from 'smith', but 'smyth'
+    stays adjacent — the neighborhood pairs (smith, smyth) while a
+    first-2-chars prefix block would not pair (mith, smith) either
+    way; union of passes over different key orderings covers both."""
+    from meta_frame_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "mith"), (4, "aaaa"), (5, "zzzz")],
+        ["rid", "name"],
+    )
+    pairs = {(r.key_a, r.key_b) for r in sorted_neighborhood_pairs(
+        df, "name", "rid", window=2).collect()}
+    assert ("smith", "smyth") in pairs
+
+
+def test_sorted_neighborhood_deterministic_under_partitioning(spark):
+    from meta_frame_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"k{(i * 17) % 23:02d}") for i in range(40)], ["rid", "name"]
+    )
+    a = {tuple(r) for r in sorted_neighborhood_pairs(
+        df, "name", "rid", window=4).collect()}
+    b = {tuple(r) for r in sorted_neighborhood_pairs(
+        df.repartition(7), "name", "rid", window=4, num_partitions=3
+    ).collect()}
+    assert a == b and len(a) == 3 * 40 - 6
