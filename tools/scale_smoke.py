@@ -495,6 +495,20 @@ def main() -> int:
         t, (n, collapsed) = timed("quantile_match", qmatch)
         r["qm_sec"], r["qm_rows"], r["qm_collapsed"] = t, n, bool(collapsed)
 
+        def snp():
+            from meta_frame_spark.operators.linkage import (
+                sorted_neighborhood_pairs,
+            )
+
+            dd = docs(d)
+            n_docs = dd.count()
+            n = sorted_neighborhood_pairs(dd, "text", "doc_id",
+                                          window=4).count()
+            # linear-by-construction candidate count, exactly
+            return n, n == 3 * n_docs - 6
+        t, (n, exact) = timed("sorted_neighbors", snp)
+        r["snp_sec"], r["snp_rows"], r["snp_exact"] = t, n, bool(exact)
+
         t, (rep, srep) = timed("embedding_drift", edrift)
         r["edrift_sec"] = t
         r["edrift_l2"] = float(rep.l2_shift)
@@ -515,7 +529,7 @@ def main() -> int:
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
-                "dsir", "pmi", "rrf", "wsk", "sse", "qm", "edrift"):
+                "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -556,6 +570,7 @@ def main() -> int:
         ("sse exact per-stratum counts", b["sse_exact"]),
         ("qmatch medians collapse", b["qm_collapsed"]
          and b["qm_rows"] == 10 * a["qm_rows"]),
+        ("snp linear candidate count", b["snp_exact"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
