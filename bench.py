@@ -6,8 +6,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1}
 
-Each query is forced with a count() action (full plan execution, no
-driver-side result transfer cost in the timing).
+Each query is forced with a noop-sink write (evaluates EVERY column of
+the full plan; count() would let Catalyst prune map-only projection
+work entirely — see run_one below and BASELINE.md's forcing note).
 """
 
 from __future__ import annotations
