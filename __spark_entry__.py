@@ -3735,6 +3735,21 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, k=40, min_count=3)
 
 
+def _rrf_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three heterogeneous per-doc quality signals (length, distinct
+    tokens, type-token ratio) — shared input of the two rrf queries."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_len"),
+        F.size(F.array_distinct(toks)).cast("double").alias("s_distinct"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("s_ttr"),
+    )
+
+
 def q_rrf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of three quality signals (operators/
     ranking.py rrf_fuse — Cormack et al. 2009): doc length, distinct
@@ -3745,17 +3760,28 @@ def q_rrf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary), exact DuckDB window oracle."""
     from meta_frame_spark.operators.ranking import rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
-    sig = docs.select(
-        "doc_id",
-        F.col("n_chars").cast("double").alias("s_len"),
-        F.size(F.array_distinct(toks)).cast("double").alias("s_distinct"),
-        F.when(F.size(toks) == 0, F.lit(0.0))
-        .otherwise(F.size(F.array_distinct(toks)) / F.size(toks))
-        .alias("s_ttr"),
-    )
+    sig = _rrf_signals(spark, sf_dir)
     return rrf_fuse(sig, ["s_len", "s_distinct", "s_ttr"], id_col="doc_id")
+
+
+def q_rrf_quality_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rrf fusion through the scale path (operators/
+    ranking.py rrf_fuse rank_mode="partitioned", VERDICT r8 "Next
+    round" #2): global per-signal ranks come from
+    ids.assign_row_numbers' range-partition + per-partition
+    row_number + broadcast offsets instead of a single-task
+    Window.orderBy, so no task ever sorts more than one partition.
+    The two modes are byte-identical by construction, so this query
+    shares rrf_quality's FULL DuckDB window oracle — a stronger
+    guarantee than an epsilon invariant. The no-single-partition
+    plan shape is pinned in tests/test_plans.py."""
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    sig = _rrf_signals(spark, sf_dir)
+    return rrf_fuse(
+        sig, ["s_len", "s_distinct", "s_ttr"], id_col="doc_id",
+        rank_mode="partitioned",
+    )
 
 
 def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3805,6 +3831,64 @@ def q_quantile_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quantile_match(docs, "n_chars", ["lang"], "doc_id",
                          out_col="n_chars_cal")
     return out.select("doc_id", "lang", "n_chars", "n_chars_cal")
+
+
+def q_quantile_match_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for quantile_match's bucketed scale path
+    (operators/ranking.py mode="bucketed", VERDICT r8 "Next round"
+    #2): the exact pooled inverse-CDF calibration and the 64-bucket
+    approxQuantile-grid calibration run side by side, each calibrated
+    value is mapped to its pooled empirical CDF position, and the
+    per-language max rank distance must stay within the analytic
+    bound N/B + max_tie + 2 (Greenwald–Khanna with relative_error=0
+    pins each grid point within one rank of its target; the grid
+    rounds p to 1/128; ties add their block size). Output
+    ``(lang, n, ok)`` with ok pinned TRUE by the oracle — the
+    invariant is computed in Spark, the oracle pins the expectation
+    (the recall-bar pattern from ann_topk_ivfpq). Measured headroom:
+    maxd ≈ half the bound at sf0.001/0.01/0.1. The bucketed plan
+    itself has no global sort, no count(), no join (pinned in
+    tests/test_plans.py)."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    B = 64
+    docs = _t(spark, sf_dir, "documents")
+    e = quantile_match(docs, "n_chars", ["lang"], "doc_id", out_col="cal_e")
+    b = quantile_match(
+        docs, "n_chars", ["lang"], "doc_id", out_col="cal_b",
+        mode="bucketed", n_buckets=B, relative_error=0.0,
+    )
+    # pooled empirical CDF over DISTINCT values (bounded by the value
+    # domain; test-harness-only global window)
+    pool = docs.groupBy(F.col("n_chars").cast("double").alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = pool.withColumn("cum", F.sum("c").over(Window.orderBy("val")))
+    lims = pool.agg(F.sum("c").alias("_N"), F.max("c").alias("_maxtie"))
+    ej = e.select(
+        "doc_id", "lang", F.col("cal_e").cast("double").alias("val")
+    ).join(cdf.select("val", F.col("cum").alias("cum_e")), "val")
+    bj = b.select("doc_id", F.col("cal_b").alias("val")).join(
+        cdf.select("val", F.col("cum").alias("cum_b")), "val"
+    )
+    j = ej.select("doc_id", "lang", "cum_e").join(
+        bj.select("doc_id", "cum_b"), "doc_id"
+    )
+    per_lang = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("cum_e") - F.col("cum_b"))).alias("_maxd"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(lims))
+        .select(
+            "lang",
+            "n",
+            (
+                F.col("_maxd")
+                <= F.col("_N") / F.lit(float(B)) + F.col("_maxtie") + F.lit(2)
+            ).alias("ok"),
+        )
+    )
 
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4100,11 +4184,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match": q_quantile_match,
         "readability": q_readability,
         "sorted_neighbors": q_sorted_neighbors,
+        "rrf_quality_scaled": q_rrf_quality_scaled,
+        "quantile_match_bucketed": q_quantile_match_bucketed,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "a_cascade": """
             SELECT l_returnflag,
                    ROUND(MAX(sum_price), 2) AS max_sum_price,
@@ -6649,7 +6735,8 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM pairs),
             scored AS (
                 SELECT w1, w2, n_pair, n_left, n_right,
-                       ROUND(ln(n_pair * n / (1.0 * n_left * n_right)), 6)
+                       ROUND(ln(1.0 * n_pair * n
+                                / (1.0 * n_left * n_right)), 6)
                            + 0.0 AS pmi
                 FROM pairs JOIN lft USING (w1) JOIN rgt USING (w2), tot
                 WHERE n_pair >= 3
@@ -6847,4 +6934,16 @@ def oracle_sql() -> dict[str, str]:
             FROM per_dim, counts
             GROUP BY n_a, n_b
         """,
+        # Invariant oracle (the ann_topk_ivfpq recall-bar pattern):
+        # the Spark side computes the exact-vs-bucketed rank-distance
+        # bound; the oracle pins row counts per language and ok=TRUE.
+        "quantile_match_bucketed": """
+            SELECT lang, COUNT(*) AS n, TRUE AS ok
+            FROM documents
+            GROUP BY lang
+        """,
     }
+    # rank_mode="partitioned" is byte-identical to the window mode by
+    # construction, so the scaled query re-uses the FULL exact oracle.
+    d["rrf_quality_scaled"] = d["rrf_quality"]
+    return d

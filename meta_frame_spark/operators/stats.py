@@ -125,9 +125,17 @@ def embedding_drift(
             F.avg(F.when(F.col("_s") == "b", F.col("val"))).alias("mb"),
         )
     )
+    # coalesce: F.sum over ZERO rows (both slices empty / all-null
+    # vectors) is NULL — report n_a=0/n_b=0 explicitly instead of
+    # "counts unknown" (ADVICE r8); the metric columns stay NULL,
+    # which is honest (no vectors = no means to compare).
     counts = tagged.groupBy().agg(
-        F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)).alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") == "a", 1).otherwise(0)), F.lit(0)
+        ).alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") == "b", 1).otherwise(0)), F.lit(0)
+        ).alias("n_b"),
     )
     d = F.col("ma") - F.col("mb")
 

@@ -222,10 +222,16 @@ def pmi_collocations(
     left = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
     right = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
     total = pairs.agg(F.sum("n_pair").alias("_n"))
+    # Numerator/denominator in DOUBLE: n_pair * N stays BIGINT-safe
+    # only while N < ~1e13; at corpus scale (N ~ 1e13, head pair ~
+    # 1e10) the product passes 2^63 and ANSI mode raises
+    # ARITHMETIC_OVERFLOW. log() is double anyway, so casting first
+    # changes nothing at small counts (ADVICE r8). Oracle mirrors
+    # with 1.0 * n_pair * _n.
     pmi = F.round(
         F.log(
-            F.col("n_pair") * F.col("_n")
-            / (F.col("n_left") * F.col("n_right"))
+            F.col("n_pair").cast("double") * F.col("_n")
+            / (F.col("n_left").cast("double") * F.col("n_right"))
         ),
         round_to,
     ) + F.lit(0.0)  # fold IEEE -0.0 from a rounded-to-zero PMI

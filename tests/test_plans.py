@@ -471,3 +471,39 @@ def test_stratified_sample_exact_single_shuffle(spark, sf_dir):
 
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges == 1
+
+
+def test_rrf_partitioned_rank_has_no_single_partition_exchange(spark, sf_dir):
+    """The r8 weak mark: rrf_fuse's window mode funnels every row
+    through ONE task (Exchange SinglePartition). The partitioned mode
+    must not — ranks come from a range shuffle + per-partition-id
+    window, so the plan may contain only parallel exchanges."""
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").cast("double").alias("s")
+    )
+    plan_w = _plan(rrf_fuse(docs, ["s"], id_col="doc_id"))
+    assert "SinglePartition" in plan_w  # the documented bounded-set tool
+    plan_p = _plan(rrf_fuse(docs, ["s"], id_col="doc_id",
+                            rank_mode="partitioned"))
+    assert "SinglePartition" not in plan_p
+
+
+def test_quantile_match_bucketed_plan_is_window_plus_map(spark, sf_dir):
+    """Bucketed calibration must be ONE per-group window shuffle plus
+    a broadcast-free literal-array map: no global sort (Exchange
+    SinglePartition), no join against a reference table, no second
+    hash exchange."""
+    import re
+
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(quantile_match(
+        docs, "n_chars", ["lang"], "doc_id", mode="bucketed",
+        n_buckets=32,
+    ))
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

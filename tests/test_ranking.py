@@ -146,3 +146,74 @@ def test_quantile_match_deterministic_and_single_row_group(spark):
     solo = [r for r in quantile_match(df, "v", ["g"], "id").collect()
             if r.g == "solo"][0]
     assert solo.v_cal == min(v for _, _, v in rows)  # global minimum
+
+
+def test_rrf_fuse_partitioned_identical_to_window(spark):
+    """rank_mode="partitioned" (range-partition + offsets, the scale
+    path) must be byte-identical to the window mode — same ranks,
+    same fused scores, nulls and ties included."""
+    import pytest
+
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    rows = [
+        (i, float(i % 7) if i % 11 else None, float((i * 3) % 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s1 double, s2 double")
+    a = sorted(tuple(r) for r in rrf_fuse(df, ["s1", "s2"]).collect())
+    b = sorted(
+        tuple(r)
+        for r in rrf_fuse(
+            df.repartition(7), ["s1", "s2"], rank_mode="partitioned"
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="rank_mode"):
+        rrf_fuse(df, ["s1"], rank_mode="bogus")
+
+
+def test_quantile_match_bucketed_within_grid_and_null_contract(spark):
+    """Bucketed mode calibrates within one grid step of exact mode
+    (relative_error=0 pins each grid point); null values rank last
+    and calibrate to NULL in both modes; reserved-column collisions
+    raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    rows = [(i, "g%d" % (i % 3), float((i * 17) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    e = {r.id: r.v_cal for r in quantile_match(df, "v", ["g"], "id").collect()}
+    b = {
+        r.id: r.v_cal
+        for r in quantile_match(
+            df, "v", ["g"], "id", mode="bucketed",
+            n_buckets=64, relative_error=0.0,
+        ).collect()
+    }
+    # one 64-bucket grid step on a 0..100 domain is ~ 101/64 < 2
+    assert all(abs(e[i] - b[i]) <= 2.0 for i in e)
+    assert sum(e[i] == b[i] for i in e) > len(e) // 2
+
+    withnull = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "a", 3.0), (4, "b", 2.0)],
+        "id long, g string, v double",
+    )
+    for mode in ("exact", "bucketed"):
+        cal = {
+            r.id: r.v_cal
+            for r in quantile_match(
+                withnull, "v", ["g"], "id", mode=mode
+            ).collect()
+        }
+        assert cal[2] is None  # null value -> null calibration
+        assert cal[1] is not None and cal[4] is not None
+
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_match(df.withColumn("v_cal", F.lit(1)), "v", ["g"], "id")
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_match(df.withColumn("_idx", F.lit(1)), "v", ["g"], "id")
+    with pytest.raises(ValueError, match="mode must be"):
+        quantile_match(df, "v", ["g"], "id", mode="nope")

@@ -75,3 +75,26 @@ def test_embedding_drift_planted_single_dim_shift(spark):
     import math
     expect = (2 * 5 + 3) / (math.sqrt(4 + 3) * math.sqrt(25 + 3))
     assert abs(r.cos_means - expect) < 1e-6
+
+
+def test_embedding_drift_empty_slices_report_zero_counts(spark):
+    """Empty (or all-null-vector) slices must report n_a=0/n_b=0
+    explicitly — F.sum over zero rows is NULL and previously read as
+    'counts unknown' (ADVICE r8). Metrics stay NULL: no vectors means
+    no means to compare."""
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.operators.stats import embedding_drift
+
+    empty = spark.createDataFrame([], "embedding array<float>")
+    row = embedding_drift(empty, empty).collect()[0]
+    assert (row.n_a, row.n_b) == (0, 0)
+    assert row.l2_shift is None and row.cos_means is None
+
+    # one-sided: a real slice against an all-null slice
+    real = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<float>"
+    )
+    nulls = spark.createDataFrame([(None,)], "embedding array<float>")
+    row = embedding_drift(real, nulls).collect()[0]
+    assert (row.n_a, row.n_b) == (2, 0)
