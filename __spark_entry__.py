@@ -3891,6 +3891,49 @@ def q_quantile_match_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven targeted selection (plans/curation.py, VERDICT r8
+    "Next round" #6): the DSIR -> fuse -> calibrate -> gate flow that
+    examples/select_for_target.py composes by hand, expressed as ONE
+    declarative curation config — dsir_weights (hashed-bigram log
+    likelihood ratio vs the English exemplar slice), a target-likeness
+    gate, RRF fusion of length with target-likeness, per-language
+    quantile calibration of the fused score, and a single global gate
+    that now means the same thing in every language. Full oracle:
+    DuckDB replays the DSIR models, both rank windows, the pooled
+    inverse-CDF calibration, and the gates."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    target = docs.filter(F.col("lang") == "en")
+    config = {
+        "steps": [
+            {"op": "dsir_weights", "target": target, "n": 2,
+             "hex_chars": 3, "smoothing": 1.0},
+            {"op": "derive",
+             "columns": {"log_weight": "round(log_weight, 6)",
+                         "s_len": "cast(n_chars as double)"}},
+            # self-calibrating gates (exact interpolating percentile =
+            # DuckDB quantile_cont, the proven quantile_gate pattern):
+            # keep the more-target-like half, then — after fusing and
+            # per-language calibration — the top calibrated fifth
+            {"op": "quality_gate", "value_col": "log_weight",
+             "lower_q": 0.5, "upper_q": 1.0},
+            {"op": "rrf_fuse", "score_cols": ["s_len", "log_weight"],
+             "id_col": "doc_id"},
+            {"op": "quantile_match", "value_col": "rrf",
+             "group_cols": ["lang"], "id_col": "doc_id",
+             "out_col": "rrf_cal"},
+            {"op": "quality_gate", "value_col": "rrf_cal",
+             "lower_q": 0.8, "upper_q": 1.0},
+            {"op": "select",
+             "columns": ["doc_id", "lang", "n_chars", "log_weight",
+                         "rrf", "rrf_cal"]},
+        ]
+    }
+    return run_curation(docs, config)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch readability signals (functions/text.py
     readability_stats): word/sentence/syllable-proxy counts and the
@@ -4186,6 +4229,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighbors": q_sorted_neighbors,
         "rrf_quality_scaled": q_rrf_quality_scaled,
         "quantile_match_bucketed": q_quantile_match_bucketed,
+        "curation_select": q_curation_select,
     }
 
 
@@ -6941,6 +6985,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n, TRUE AS ok
             FROM documents
             GROUP BY lang
+        """,
+        # The whole declarative pipeline replayed: DSIR hashed-bigram
+        # models (same md5 buckets as the dsir_weights oracle), the
+        # target-likeness gate, both rrf rank windows, the pooled
+        # inverse-CDF calibration over the gated set, and the final
+        # calibrated gate.
+        "curation_select": """
+            WITH docs AS (
+                SELECT doc_id, lang, n_chars,
+                       string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bkt
+                FROM (
+                    SELECT doc_id, lang,
+                           unnest(list_transform(
+                               range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(toks[i:i+1], ' ')
+                           )) AS gram
+                    FROM docs
+                )
+            ),
+            tcnt AS (
+                SELECT bkt, COUNT(*) AS ct FROM g
+                WHERE lang = 'en' GROUP BY 1
+            ),
+            rcnt AS (SELECT bkt, COUNT(*) AS cr FROM g GROUP BY 1),
+            tt AS (SELECT COALESCE(SUM(ct), 0) AS t FROM tcnt),
+            tr AS (SELECT COALESCE(SUM(cr), 0) AS t FROM rcnt),
+            w AS (
+                SELECT g.doc_id,
+                       ROUND(SUM(
+                           ln((COALESCE(tc.ct, 0) + 1.0) / (tt.t + 4096.0))
+                           - ln((rc.cr + 1.0) / (tr.t + 4096.0))
+                       ), 6) AS log_weight
+                FROM g
+                LEFT JOIN tcnt tc USING (bkt)
+                JOIN rcnt rc USING (bkt), tt, tr
+                GROUP BY g.doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id, d.lang, d.n_chars, w.log_weight,
+                       CAST(d.n_chars AS DOUBLE) AS s_len
+                FROM docs d JOIN w USING (doc_id)
+            ),
+            wq AS (
+                SELECT quantile_cont(log_weight, 0.5) AS lo,
+                       quantile_cont(log_weight, 1.0) AS hi
+                FROM scored
+            ),
+            gated AS (
+                SELECT s.* FROM scored s, wq
+                WHERE s.log_weight >= wq.lo AND s.log_weight <= wq.hi
+            ),
+            ranked AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           ORDER BY s_len DESC NULLS LAST, doc_id ASC
+                       ) AS r1,
+                       ROW_NUMBER() OVER (
+                           ORDER BY log_weight DESC NULLS LAST, doc_id ASC
+                       ) AS r2
+                FROM gated
+            ),
+            fused AS (
+                SELECT doc_id, lang, n_chars, log_weight,
+                       ROUND(1.0 / (60 + r1) + 1.0 / (60 + r2), 6) AS rrf
+                FROM ranked
+            ),
+            ref AS (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY rrf ASC, doc_id ASC
+                       ) AS idx,
+                       rrf AS rrf_cal
+                FROM fused
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM fused),
+            p AS (
+                SELECT f.doc_id, f.lang, f.n_chars, f.log_weight, f.rrf,
+                       CAST(round(PERCENT_RANK() OVER (
+                           PARTITION BY f.lang
+                           ORDER BY f.rrf ASC, f.doc_id ASC
+                       ) * (nn.n - 1)) AS BIGINT) + 1 AS idx
+                FROM fused f, nn
+            ),
+            cal AS (
+                SELECT doc_id, lang, n_chars, log_weight, rrf, rrf_cal
+                FROM p JOIN ref USING (idx)
+            ),
+            cq AS (
+                SELECT quantile_cont(rrf_cal, 0.8) AS lo,
+                       quantile_cont(rrf_cal, 1.0) AS hi
+                FROM cal
+            )
+            SELECT c.doc_id, c.lang, c.n_chars, c.log_weight, c.rrf,
+                   c.rrf_cal
+            FROM cal c, cq
+            WHERE c.rrf_cal >= cq.lo AND c.rrf_cal <= cq.hi
         """,
     }
     # rank_mode="partitioned" is byte-identical to the window mode by

@@ -105,6 +105,37 @@ def _op_normalize_scores(df: DataFrame, **kw) -> DataFrame:
     return normalize_scores(df, **kw)
 
 
+def _op_dsir_weights(df: DataFrame, **kw) -> DataFrame:
+    """Attach DSIR importance weights: the flowing frame is the raw
+    pool, ``target`` (a DataFrame, like dedup_against's ``corpus``)
+    is the exemplar corpus, and every row gains ``log_weight``.
+    Null-text rows carry no weight and are dropped by the inner join
+    (dsir_log_weights scores only non-null text)."""
+    from meta_frame_spark.operators.dsir import dsir_log_weights
+
+    target = kw.pop("target")
+    id_col = kw.get("id_col", "doc_id")
+    w = dsir_log_weights(df, target, **kw)
+    return df.join(w.select(id_col, "log_weight"), id_col)
+
+
+def _op_rrf_fuse(df: DataFrame, **kw) -> DataFrame:
+    """Attach the reciprocal-rank-fused ``rrf`` score of the named
+    score columns; the per-signal rank columns stay internal (join
+    the operator directly for those)."""
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    id_col = kw.get("id_col", "doc_id")
+    fused = rrf_fuse(df, **kw)
+    return df.join(fused.select(id_col, "rrf"), id_col)
+
+
+def _op_quantile_match(df: DataFrame, **kw) -> DataFrame:
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    return quantile_match(df, **kw)
+
+
 def _op_normalize(
     df: DataFrame,
     text_col: str = "text",
@@ -180,6 +211,9 @@ CURATION_OPS: dict[str, Callable] = {
     "mix": _op_mix,
     "decontaminate": _op_decontaminate,
     "normalize_scores": _op_normalize_scores,
+    "dsir_weights": _op_dsir_weights,
+    "rrf_fuse": _op_rrf_fuse,
+    "quantile_match": _op_quantile_match,
     "normalize": _op_normalize,
     "redact_pii": _op_redact_pii,
     "entropy_gate": _op_entropy_gate,
@@ -199,6 +233,9 @@ _SIG_TARGETS = {
     "stratified_sample": "meta_frame_spark.operators.sampling:stratified_sample",
     "hash_split": "meta_frame_spark.operators.sampling:hash_split",
     "normalize_scores": "meta_frame_spark.operators.ranking:normalize_scores",
+    "dsir_weights": "meta_frame_spark.operators.dsir:dsir_log_weights",
+    "rrf_fuse": "meta_frame_spark.operators.ranking:rrf_fuse",
+    "quantile_match": "meta_frame_spark.operators.ranking:quantile_match",
 }
 
 #: config-level kwargs that are remapped before reaching the operator

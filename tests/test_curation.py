@@ -264,3 +264,58 @@ def test_curation_new_ops_validate_kwargs(spark):
         validate_curation_config(
             {"steps": [{"op": "entropy_gate", "min": 2}]}
         )
+
+
+def test_curation_selection_ops_compose(spark):
+    """The round-9 registry additions (dsir_weights / rrf_fuse /
+    quantile_match) compose into one config-driven selection plan:
+    weights attach per row, rrf attaches the fused score, calibration
+    appends out_col — and kwargs are validated against the real
+    operator signatures."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        validate_curation_config,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", 22.0),
+            (2, "a dog ran over the hill", "en", 23.0),
+            (3, "le chat est sur le tapis", "fr", 24.0),
+            (4, "der hund lief den berg", "de", 22.5),
+        ],
+        ["doc_id", "text", "lang", "score"],
+    )
+    target = df.filter("lang = 'en'")
+    out = run_curation(df, {"steps": [
+        {"op": "dsir_weights", "target": target, "n": 2, "hex_chars": 2},
+        {"op": "rrf_fuse", "score_cols": ["score", "log_weight"],
+         "id_col": "doc_id"},
+        {"op": "quantile_match", "value_col": "rrf",
+         "group_cols": ["lang"], "id_col": "doc_id",
+         "out_col": "rrf_cal"},
+    ]})
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert {"log_weight", "rrf", "rrf_cal"} <= set(out.columns)
+    # english docs score more target-like than the others
+    assert min(rows[1].log_weight, rows[2].log_weight) > max(
+        rows[3].log_weight, rows[4].log_weight
+    )
+    # kwargs validated against the real signatures
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "dsir_weights", "target": target,
+                        "ngrams": 2}]}
+        )
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "rrf_fuse", "cols": ["score"]}]}
+        )
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "quantile_match", "value": "rrf"}]}
+        )
