@@ -3994,51 +3994,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-8 window (VERDICT r7 "Next round" #2):
-#   1-19   the 19 r3-green entries whose latest driver row is still
-#          r3 (stratified_sample .. fuzzy_join) — the oldest evidence
-#          in the registry, queued since r7;
-#   20     nb_predict — FIRST driver row for operators/nb.py, wired
-#          this round per VERDICT r7 #1 (full DuckDB model oracle);
-#   20b    dsir_weights — FIRST driver row for the new round-8 module
-#          operators/dsir.py (full DuckDB model oracle), so it never
-#          enters the orphan state nb.py was dinged for;
-#   21-23  the three bench heavies whose r7 driver slot was
-#          contention-poisoned (ann_topk_ivfpq, event_ppr,
-#          bpe_tokenize) — fresh correctness rows beside the clean
-#          re-measure;
-#   25-42  the 18 oldest r4-green rows (a_filters .. corpus_mix) in
-#          registry order, for their first recheck since r4;
-#   43-50  pmi_collocations / rrf_quality / embedding_drift /
-#          weighted_sample_k / stratified_sample_exact /
-#          quantile_match / readability / sorted_neighbors — FIRST
-#          driver rows for the eight operators added later in round 8
-#          (full DuckDB oracles), same never-orphaned rule as nb/dsir.
-# The 28 remaining r4-green entries (count_distinct_skew,
-# curation_pipeline, decontaminate, dedup_incremental, doc_chunks,
-# doc_lm_score, domain_cap, expectations, then fingerprint ..
-# event_paths) queue for r9. Every entry has an oracle_sql() twin.
+# Round-9 window (VERDICT r8 "Next round" #3):
+#   1-28   the 28 entries whose latest driver row is still r4 — the
+#          oldest evidence in the registry, queued since r8
+#          (count_distinct_skew .. event_paths, registry order);
+#   29-31  rrf_quality_scaled / quantile_match_bucketed /
+#          curation_select — FIRST driver rows for the round-9
+#          additions (the two scale-path queries clearing the r8
+#          weak marks, and the config-driven selection pipeline),
+#          never-orphaned rule;
+#   32-50  the 19 oldest r6-green rows in registry order
+#          (dedup_keep_best .. heavy_hitters).
+# After this round no registered query's latest row is older than r6.
+# The r10 queue is NEXT_WINDOW_QUEUE below — the 28 remaining
+# r6-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (1) last r3-green evidence — drain the r3 backlog completely
-    "stratified_sample", "latest_by_key", "apply_changelog",
-    "redact_pii", "text_repetition", "date_funcs", "pivot",
-    "window_analytics", "topk_per_group", "dedup_exact", "corpus_clean",
-    "ann_topk", "ngram_jaccard", "text_stats", "text_quality",
-    "token_bpe", "vocab_topk", "row_numbers", "fuzzy_join",
-    # (2) new this round: Naive Bayes + DSIR first evidence
-    "nb_predict", "dsir_weights",
-    # (3) r7 contended bench heavies — fresh correctness rows
-    "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
-    # (4) oldest r4-green rows, in registry order
-    "a_filters", "a_keep_columns", "a_chained", "a_derive",
-    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
-    "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
-    "corpus_diff", "corpus_mix",
-    # (5) new this session — FIRST driver rows (never-orphaned rule)
-    "pmi_collocations", "rrf_quality", "embedding_drift",
-    "weighted_sample_k", "stratified_sample_exact", "quantile_match",
-    "readability", "sorted_neighbors",
+    # (1) drain the r4 backlog completely, registry order
+    "count_distinct_skew", "curation_pipeline", "decontaminate",
+    "dedup_incremental", "doc_chunks", "doc_lm_score", "domain_cap",
+    "expectations", "fingerprint", "group_quantiles", "join_salted",
+    "lang_id", "length_histogram", "mm_frames", "mm_meta", "profile",
+    "quality_deciles", "quantile_gate", "score_normalize", "unpivot",
+    "url_canonical", "weighted_sample", "winsorized_lengths",
+    "hard_neg_lsh", "stream_hourly", "stream_dedup", "stream_join",
+    "event_paths",
+    # (2) new this round — FIRST driver rows (never-orphaned rule)
+    "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
+    # (3) oldest r6-green rows, registry order
+    "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
+    "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
+    "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
+    "event_transitions", "tfidf_keywords", "epoch_shuffle",
+    "count_anomalies", "theta_overlap", "heavy_hitters",
+)
+
+# The planned r10 window backbone: the 28 r6-green rows this round's
+# 50 could not fit, in registry order. Extracted from the comment
+# into a pinned constant (VERDICT r8 "Next round" #7) so the queue
+# cannot silently drift from the plan; tests/test_cli.py checks it
+# stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
+    "negative_pairs", "dedup_safe_split", "curation_cleanup",
+    "corr_signals", "near_dedup_against", "rolling_distinct",
+    "vocab_drift", "emb_outliers", "incremental_agg", "b_q10_returns",
+    "a_q1_pricing", "cms_freq", "ann_topk_rp", "mm_frame_dedup",
+    "event_pagerank", "part_pairs", "bloom_decontam", "sketch_rollup",
+    "join_cardest", "a_q6_revenue", "b_q4_priority", "trending_events",
+    "session_pairs", "funnel_latency",
 )
 
 

@@ -80,24 +80,25 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-8 plan: NB's first driver evidence plus fresh rows for the
-    # three bench heavies whose r7 slot was contention-poisoned
+    # round-9 session ops: every operator/query added this round must
+    # hold a window slot until its first driver row lands (the
+    # never-orphaned rule) — this pin exists because a window edit
+    # once silently missed while its comment updated, leaving new ops
+    # out of the driver's 50 without any test noticing
     for name in (
-        "nb_predict", "ann_topk_ivfpq", "event_ppr", "bpe_tokenize",
+        "rrf_quality_scaled", "quantile_match_bucketed",
+        "curation_select",
     ):
         assert name in window, name
-    # round-8 session ops: every operator added this round must hold a
-    # window slot until its first driver row lands (the never-orphaned
-    # rule) — this pin exists because a window edit once silently
-    # missed while its comment updated, leaving new ops out of the
-    # driver's 50 without any test noticing
-    for name in (
-        "dsir_weights", "pmi_collocations", "rrf_quality",
-        "embedding_drift", "weighted_sample_k",
-        "stratified_sample_exact", "quantile_match", "readability",
-        "sorted_neighbors",
-    ):
+    # round-9 plan: the whole 28-deep r4 backlog drains this round
+    for name in ("count_distinct_skew", "event_paths", "hard_neg_lsh"):
         assert name in window, name
+    # the r10 queue is a real plan: registered, oracle-backed, and
+    # disjoint from the current window (VERDICT r8 #7)
+    queue = list(e.NEXT_WINDOW_QUEUE)
+    assert len(set(queue)) == len(queue)
+    assert not set(queue) & set(window)
+    assert set(queue) <= set(e.queries())
     # every registered query still has an oracle twin
     assert set(e.queries()) == set(e.oracle_sql())
 
