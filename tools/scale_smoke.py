@@ -517,6 +517,100 @@ def main() -> int:
             and srep.max_dim_shift == 0.0
         )
 
+        # --- round-9: Flesch readability (the one r8 op without a
+        # measured row, VERDICT r8 #4), the partitioned rrf scale
+        # path, bucketed quantile calibration, and the config-driven
+        # curation_select pipeline on its scale settings ---
+        def readab():
+            from meta_frame_spark.functions.text import readability_stats
+
+            out = readability_stats(docs(d)).persist()
+            n = out.count()
+            # per-word min-1 vowel-group proxy => n_syll >= n_words,
+            # and every doc with words has >= 1 sentence
+            bad = out.filter(
+                (F.col("n_words") > 0)
+                & ((F.col("n_syll") < F.col("n_words"))
+                   | (F.col("n_sents") < 1))
+            ).count()
+            out.unpersist()
+            return n, bad
+        t, (n, bad) = timed("readability", readab)
+        r["read_sec"], r["read_rows"], r["read_bad"] = t, n, bad
+
+        def rrf_part():
+            from meta_frame_spark.operators.ranking import rrf_fuse
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            sig = dd.select(
+                "doc_id", F.col("n_chars").cast("double").alias("s_len")
+            )
+            p = rrf_fuse(sig, ["s_len"], rank_mode="partitioned").persist()
+            n = p.count()
+            w = rrf_fuse(sig, ["s_len"])
+            # byte-identical contract at 10x: every partitioned-path
+            # row exists verbatim in the window path
+            agree = p.join(
+                w, ["doc_id", "rank_s_len", "rrf"], "left_semi"
+            ).count()
+            p.unpersist()
+            return n, agree
+        t, (n, agree) = timed("rrf_partitioned", rrf_part)
+        r["rrfp_sec"], r["rrfp_rows"], r["rrfp_agree"] = t, n, agree
+
+        def qmb():
+            from meta_frame_spark.operators.ranking import quantile_match
+
+            dd = docs(d)
+            out = quantile_match(
+                dd, "n_chars", ["lang"], "doc_id", out_col="cal",
+                mode="bucketed", n_buckets=256,
+            ).persist()
+            n = out.count()
+            med = out.groupBy("lang").agg(
+                F.expr("median(cal)").alias("mc"),
+                F.expr("median(n_chars)").alias("mr"),
+            ).collect()
+            out.unpersist()
+            spread_c = max(r2.mc for r2 in med) - min(r2.mc for r2 in med)
+            spread_r = max(r2.mr for r2 in med) - min(r2.mr for r2 in med)
+            return n, spread_c <= 0.25 * max(spread_r, 1.0)
+        t, (n, collapsed) = timed("quantile_match_bucketed", qmb)
+        r["qmb_sec"], r["qmb_rows"] = t, n
+        r["qmb_collapsed"] = bool(collapsed)
+
+        def csel():
+            from meta_frame_spark.plans.curation import run_curation
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            target = dd.filter(F.col("lang") == "en")
+            out = run_curation(dd, {"steps": [
+                {"op": "dsir_weights", "target": target, "n": 2,
+                 "hex_chars": 3},
+                {"op": "derive",
+                 "columns": {"s_len": "cast(n_chars as double)"}},
+                {"op": "quality_gate", "value_col": "log_weight",
+                 "lower_q": 0.5, "upper_q": 1.0},
+                {"op": "rrf_fuse", "score_cols": ["s_len", "log_weight"],
+                 "id_col": "doc_id"},
+                # at scale the pipeline swaps the exact calibration for
+                # the bucketed grid by config alone
+                {"op": "quantile_match", "value_col": "rrf",
+                 "group_cols": ["lang"], "id_col": "doc_id",
+                 "out_col": "rrf_cal", "mode": "bucketed",
+                 "n_buckets": 256},
+                {"op": "quality_gate", "value_col": "rrf_cal",
+                 "lower_q": 0.8, "upper_q": 1.0},
+            ]}).persist()
+            n = out.count()
+            n_pool, n_pool_en = dd.count(), target.count()
+            kept_en = out.filter(F.col("lang") == "en").count()
+            out.unpersist()
+            return n, round(kept_en / max(n, 1)
+                            - n_pool_en / max(n_pool, 1), 3)
+        t, (n, en_lift) = timed("curation_select", csel)
+        r["csel_sec"], r["csel_rows"], r["csel_en_lift"] = t, n, en_lift
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -529,7 +623,8 @@ def main() -> int:
                 "near_dedup_against", "rolling_distinct",
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
-                "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift"):
+                "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
+                "read", "rrfp", "qmb", "csel"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -571,6 +666,18 @@ def main() -> int:
         ("qmatch medians collapse", b["qm_collapsed"]
          and b["qm_rows"] == 10 * a["qm_rows"]),
         ("snp linear candidate count", b["snp_exact"]),
+        # round-9: syllable proxy and sentence floor hold for every
+        # doc at 10x; the partitioned rank path is row-for-row equal
+        # to the window path; bucketed calibration still collapses
+        # per-language medians; the config-driven selection still
+        # points at the target
+        ("readability counts hold", b["read_bad"] == 0
+         and b["read_rows"] == 10 * a["read_rows"]),
+        ("rrf partitioned == window", b["rrfp_agree"] == b["rrfp_rows"]
+         and b["rrfp_rows"] == 10 * a["rrfp_rows"]),
+        ("qmatch bucketed collapse", b["qmb_collapsed"]),
+        ("curation_select en-lift > 0", b["csel_en_lift"] > 0
+         and b["csel_rows"] > 0),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
