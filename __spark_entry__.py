@@ -3934,6 +3934,22 @@ def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config)
 
 
+def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-code ANN (operators/binhash.py — Charikar 2002
+    hyperplane sign bits + Norouzi et al. 2012 multi-index hashing):
+    top-5 Hamming neighbors over exact-chunk-match candidates for
+    queries vec_id < 10, the 32x-compressed end of the ANN ladder.
+    Deterministic (no seed, no fit, ties by neighbor id), so unlike
+    the seeded LSH/IVF recall-bar entries this carries a FULL DuckDB
+    oracle: sign chunks, the multi-index candidate equi-join, the
+    bit_count(xor) rerank, and the top-5 cut all replay exactly."""
+    from meta_frame_spark.operators.binhash import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return hamming_topk(emb, q, k=5, dim=64, chunk_bits=8)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch readability signals (functions/text.py
     readability_stats): word/sentence/syllable-proxy counts and the
@@ -4020,12 +4036,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_paths",
     # (2) new this round — FIRST driver rows (never-orphaned rule)
     "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
-    # (3) oldest r6-green rows, registry order
+    "ann_topk_hamming",
+    # (3) oldest r6-green rows, registry order (heavy_hitters yielded
+    # its slot to ann_topk_hamming and heads the r10 queue)
     "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
     "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
     "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
     "event_transitions", "tfidf_keywords", "epoch_shuffle",
-    "count_anomalies", "theta_overlap", "heavy_hitters",
+    "count_anomalies", "theta_overlap",
 )
 
 # The planned r10 window backbone: the 28 r6-green rows this round's
@@ -4034,6 +4052,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cannot silently drift from the plan; tests/test_cli.py checks it
 # stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "heavy_hitters",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
     "negative_pairs", "dedup_safe_split", "curation_cleanup",
     "corr_signals", "near_dedup_against", "rolling_distinct",
@@ -4233,6 +4252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_quality_scaled": q_rrf_quality_scaled,
         "quantile_match_bucketed": q_quantile_match_bucketed,
         "curation_select": q_curation_select,
+        "ann_topk_hamming": q_ann_topk_hamming,
     }
 
 
@@ -7089,6 +7109,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.rrf_cal >= cq.lo AND c.rrf_cal <= cq.hi
         """,
     }
+    # Sign chunks, the multi-index candidate join, the bit_count(xor)
+    # rerank, and the tie-broken top-5 replayed exactly — the binary
+    # ANN path is deterministic, so no recall bar is needed.
+    d["ann_topk_hamming"] = """
+        WITH chunks AS (
+            SELECT vec_id,
+                   list_transform(range(0, 8), j ->
+                       CAST(list_sum(list_transform(range(0, 8), i ->
+                           CASE WHEN embedding[j * 8 + i + 1] > 0
+                                THEN (1 << i) ELSE 0 END)) AS INTEGER)
+                   ) AS ch
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, ch AS qc FROM chunks
+            WHERE vec_id < 10
+        ),
+        cidx AS (
+            SELECT vec_id AS neighbor_id, u.i AS ci, ch[u.i] AS cv
+            FROM chunks, UNNEST(range(1, 9)) AS u(i)
+        ),
+        qidx AS (
+            SELECT query_id, u.i AS ci, qc[u.i] AS cv
+            FROM q, UNNEST(range(1, 9)) AS u(i)
+        ),
+        pairs AS (
+            SELECT DISTINCT qi.query_id, c.neighbor_id
+            FROM cidx c JOIN qidx qi ON c.ci = qi.ci AND c.cv = qi.cv
+            WHERE c.neighbor_id <> qi.query_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.neighbor_id,
+                   CAST(list_sum(list_transform(range(1, 9), j ->
+                       bit_count(xor(q.qc[j], c2.ch[j]))
+                   )) AS INTEGER) AS hamming
+            FROM pairs p
+            JOIN q ON q.query_id = p.query_id
+            JOIN chunks c2 ON c2.vec_id = p.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, hamming,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY hamming ASC, neighbor_id ASC
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, hamming, rank
+        FROM ranked WHERE rank <= 5
+    """
     # rank_mode="partitioned" is byte-identical to the window mode by
     # construction, so the scaled query re-uses the FULL exact oracle.
     d["rrf_quality_scaled"] = d["rrf_quality"]
