@@ -3950,6 +3950,27 @@ def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(emb, q, k=5, dim=64, chunk_bits=8)
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget corpus subsetting (operators/sampling.py
+    budget_select over ids.running_total's two-phase distributed
+    prefix sum — never a single-task SUM() OVER ()): keep documents
+    in deterministic md5-coin order while the inclusive running
+    character count stays within 30,000 — the "unbiased N-token
+    subsample" cut of a training-data pipeline. Full oracle: DuckDB
+    replays the coin, the sequential cumulative sum (integer-valued
+    doubles — exact under any addition order), and the budget cut."""
+    from meta_frame_spark.operators.sampling import budget_select, unit_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_coin", unit_hash("doc_id", "bud1", "md5")
+    )
+    out = budget_select(docs, "n_chars", 30_000.0, ["_coin", "doc_id"])
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("cum_cost", 2).alias("cum_chars"),
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch readability signals (functions/text.py
     readability_stats): word/sentence/syllable-proxy counts and the
@@ -4036,14 +4057,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_paths",
     # (2) new this round — FIRST driver rows (never-orphaned rule)
     "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
-    "ann_topk_hamming",
-    # (3) oldest r6-green rows, registry order (heavy_hitters yielded
-    # its slot to ann_topk_hamming and heads the r10 queue)
+    "ann_topk_hamming", "budget_select",
+    # (3) oldest r6-green rows, registry order (heavy_hitters and
+    # theta_overlap yielded their slots to ann_topk_hamming and
+    # budget_select; both head the r10 queue)
     "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
     "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
     "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
     "event_transitions", "tfidf_keywords", "epoch_shuffle",
-    "count_anomalies", "theta_overlap",
+    "count_anomalies",
 )
 
 # The planned r10 window backbone: the 28 r6-green rows this round's
@@ -4052,7 +4074,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cannot silently drift from the plan; tests/test_cli.py checks it
 # stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "heavy_hitters",
+    "heavy_hitters", "theta_overlap",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
     "negative_pairs", "dedup_safe_split", "curation_cleanup",
     "corr_signals", "near_dedup_against", "rolling_distinct",
@@ -4253,6 +4275,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match_bucketed": q_quantile_match_bucketed,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
+        "budget_select": q_budget_select,
     }
 
 
@@ -7158,6 +7181,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, hamming, rank
         FROM ranked WHERE rank <= 5
+    """
+    # Coin, sequential cumulative sum (exact — integer-valued
+    # doubles), and the inclusive budget cut replayed.
+    d["budget_select"] = """
+        WITH c AS (
+            SELECT doc_id, lang, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':bud1'),
+                                   1, 8))::BIGINT / 4294967296.0 AS coin
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, n_chars,
+                   SUM(CAST(n_chars AS DOUBLE)) OVER (
+                       ORDER BY coin ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM c
+        )
+        SELECT doc_id, lang, n_chars, ROUND(cum, 2) AS cum_chars
+        FROM r WHERE cum <= 30000
     """
     # rank_mode="partitioned" is byte-identical to the window mode by
     # construction, so the scaled query re-uses the FULL exact oracle.

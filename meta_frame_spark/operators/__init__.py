@@ -127,6 +127,7 @@ from meta_frame_spark.operators.search import (
 )
 from meta_frame_spark.operators.semdedup import semantic_dedup
 from meta_frame_spark.operators.sampling import (
+    budget_select,
     epoch_shuffle,
     hash_split,
     negative_pairs,
@@ -137,6 +138,7 @@ from meta_frame_spark.operators.sampling import (
     stratified_sample_exact,
     weighted_sample_k,
 )
+from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
     corr_matrix,
     embedding_drift,
@@ -265,6 +267,9 @@ __all__ = [
     "int8_quantize",
     "hamming_topk",
     "sign_quantize",
+    "budget_select",
+    "running_total",
+    "assign_row_numbers",
     "int8_reconstruction_stats",
     "int8_topk",
     "ivf_topk",

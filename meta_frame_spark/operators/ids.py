@@ -88,3 +88,75 @@ def assign_row_numbers(
         .withColumn(id_col, (off_expr + F.col(_LOCAL) - F.lit(1)).cast("long"))
         .drop(_PID, _LOCAL)
     )
+
+
+def running_total(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the INCLUSIVE prefix sum of ``value_col``
+    in ``order_by`` order — the distributed two-phase prefix sum,
+    same shape as :func:`assign_row_numbers` (a bare
+    ``SUM() OVER (ORDER BY ...)`` funnels every row through one task):
+
+    1. range-repartition + sort by the order keys;
+    2. per-partition value sums (a ~num-partitions-row aggregate),
+       cumulative-summed on the driver into per-partition offsets;
+    3. within-partition window cumsum (keyed on the physical
+       partition id, so no task sees more than one partition) plus
+       the broadcast offset.
+
+    The order keys must be a deterministic total order (include a
+    unique key last) for a reproducible result. Null values count as
+    0. Triggers one eager job to size the offsets, like
+    assign_row_numbers. The running-totals primitive behind
+    token-budget selection (sampling.budget_select), quota ramps, and
+    cumulative-mass cuts."""
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    if out_col in df.columns:
+        raise ValueError(
+            f"running_total: column {out_col!r} already exists in the input"
+        )
+    keys = [F.col(c) for c in order_by]
+    v = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    ranged = (
+        df.repartitionByRange(num_partitions, *keys)
+        if num_partitions
+        else df.repartitionByRange(*keys)
+    )
+    with_pid = ranged.sortWithinPartitions(*keys).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    # localCheckpoint for the same reason as assign_row_numbers: the
+    # partial-sum job and the final plan must see one partitioning
+    with_pid = with_pid.localCheckpoint(eager=True)
+    sums = {
+        r[_PID]: r["s"]
+        for r in with_pid.groupBy(_PID)
+        .agg(F.sum(v).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, float] = {}
+    acc = 0.0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0.0
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        ),
+        F.col(_PID),
+    ) if offsets else F.lit(0.0)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn(out_col, (off_expr + F.sum(v).over(w)))
+        .drop(_PID)
+    )

@@ -490,3 +490,36 @@ def stratified_sample_exact(
         .filter(F.col("_rn") <= F.col("_keep"))
         .drop("_rn", "_keep")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    value_col: str,
+    budget: float,
+    order_by: list[str],
+    cum_col: str = "cum_cost",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep rows, in ``order_by`` order, while the INCLUSIVE running
+    sum of ``value_col`` stays within ``budget`` — the token-budget
+    cut of a training-data pipeline ("the best/first N-token subset"):
+    order by quality for a greedy quality-per-token selection, by a
+    deterministic hash coin for an unbiased fixed-budget subsample.
+    Output keeps every input column plus ``cum_col``; the first row
+    that would cross the budget (and everything after it) is dropped,
+    so the kept total never exceeds ``budget``.
+
+    Scale: the running sum is ids.running_total's two-phase
+    distributed prefix sum (range shuffle + per-partition window +
+    broadcast offsets) — never a single-task global window; the
+    budget cut is then a pure filter. Include a unique key last in
+    ``order_by`` for a reproducible cut."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from meta_frame_spark.operators.ids import running_total
+
+    cum = running_total(
+        df, order_by, value_col, out_col=cum_col,
+        num_partitions=num_partitions,
+    )
+    return cum.filter(F.col(cum_col) <= F.lit(float(budget)))

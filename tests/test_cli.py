@@ -87,7 +87,7 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in (
         "rrf_quality_scaled", "quantile_match_bucketed",
-        "curation_select", "ann_topk_hamming",
+        "curation_select", "ann_topk_hamming", "budget_select",
     ):
         assert name in window, name
     # round-9 plan: the whole 28-deep r4 backlog drains this round

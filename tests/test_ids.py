@@ -60,3 +60,69 @@ def test_row_numbers_no_single_partition_window(spark, orders):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "__mfs_pid" in line
+
+
+def test_running_total_exact_and_partition_invariant(spark):
+    """The two-phase prefix sum equals the sequential cumulative sum
+    exactly (integer-valued doubles), under any input partitioning
+    and any range-partition count."""
+    import pytest
+
+    from meta_frame_spark.operators.ids import running_total
+
+    rows = [(i, float((i * 7) % 13) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r.id: r.running_total for r in running_total(df, ["id"], "v").collect()}
+    acc = 0.0
+    for i in range(500):
+        acc += (i * 7) % 13 + 1
+        assert got[i] == acc
+    got2 = {
+        r.id: r.running_total
+        for r in running_total(
+            df.repartition(17), ["id"], "v", num_partitions=7
+        ).collect()
+    }
+    assert got == got2
+    # nulls count as zero, not poison
+    withnull = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 5.0)], "id long, v double"
+    )
+    out = {r.id: r.running_total
+           for r in running_total(withnull, ["id"], "v").collect()}
+    assert out == {1: 2.0, 2: 2.0, 3: 7.0}
+    with pytest.raises(ValueError, match="already exists"):
+        running_total(df.withColumn("running_total", df.v), ["id"], "v")
+    with pytest.raises(ValueError, match="at least one"):
+        running_total(df, [], "v")
+
+
+def test_running_total_plan_has_no_single_partition_exchange(spark):
+    from meta_frame_spark.operators.ids import running_total
+
+    df = spark.range(10_000).withColumn("v", (F.col("id") % 7).cast("double"))
+    plan = (
+        running_total(df, ["id"], "v")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_budget_select_prefix_and_budget_contract(spark):
+    """budget_select keeps exactly the longest order-prefix whose
+    inclusive cost stays within budget — never crosses, never skips."""
+    from meta_frame_spark.operators.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(i, 10.0) for i in range(100)], "id long, v double"
+    )
+    kept = budget_select(df, "v", 255.0, ["id"]).collect()
+    ids = sorted(r.id for r in kept)
+    assert ids == list(range(25))  # 25 * 10 = 250 <= 255 < 260
+    assert max(r.cum_cost for r in kept) == 250.0
+    # zero budget -> empty, negative raises
+    assert budget_select(df, "v", 0.0, ["id"]).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        budget_select(df, "v", -1.0, ["id"])
