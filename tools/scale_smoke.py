@@ -611,6 +611,46 @@ def main() -> int:
         t, (n, en_lift) = timed("curation_select", csel)
         r["csel_sec"], r["csel_rows"], r["csel_en_lift"] = t, n, en_lift
 
+        def hamm():
+            from meta_frame_spark.operators.binhash import hamming_topk
+
+            e_ = emb(d)
+            q = e_.filter(F.col("vec_id") < 10)
+            out = hamming_topk(
+                e_, q, k=5, dim=64, chunk_bits=8
+            ).persist()
+            n = out.count()
+            # deterministic (no seed, no fit): identical result rows
+            # under a different corpus partitioning
+            out2 = hamming_topk(
+                e_.repartition(13), q, k=5, dim=64, chunk_bits=8
+            )
+            same = out.join(
+                out2, ["query_id", "neighbor_id", "hamming", "rank"],
+                "left_semi",
+            ).count()
+            out.unpersist()
+            return n, same
+        t, (n, same) = timed("ann_topk_hamming", hamm)
+        r["hamm_sec"], r["hamm_rows"], r["hamm_stable"] = t, n, same
+
+        def bsel():
+            from meta_frame_spark.operators.sampling import (
+                budget_select,
+                unit_hash,
+            )
+
+            dd = docs(d).withColumn("_coin", unit_hash("doc_id", "b", "md5"))
+            out = budget_select(
+                dd, "n_chars", 300_000.0, ["_coin", "doc_id"]
+            ).persist()
+            n = out.count()
+            tot = out.agg(F.max("cum_cost")).first()[0] or 0.0
+            out.unpersist()
+            return n, bool(0.0 < tot <= 300_000.0)
+        t, (n, ok_b) = timed("budget_select", bsel)
+        r["bsel_sec"], r["bsel_rows"], r["bsel_ok"] = t, n, ok_b
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -624,7 +664,7 @@ def main() -> int:
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
                 "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
-                "read", "rrfp", "qmb", "csel"):
+                "read", "rrfp", "qmb", "csel", "hamm", "bsel"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -678,6 +718,14 @@ def main() -> int:
         ("qmatch bucketed collapse", b["qmb_collapsed"]),
         ("curation_select en-lift > 0", b["csel_en_lift"] > 0
          and b["csel_rows"] > 0),
+        # binary ANN returns the full deterministic top-5 for every
+        # query at 10x, identically on any partitioning; the budget
+        # cut never exceeds its budget (and keeps a constant-size
+        # prefix: the fixed budget buys ~the same docs at any scale)
+        ("hamming full deterministic top-5", b["hamm_rows"] == 50
+         and b["hamm_stable"] == 50),
+        ("budget respected at 10x", b["bsel_ok"]
+         and abs(b["bsel_rows"] - a["bsel_rows"]) <= 0.2 * a["bsel_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
