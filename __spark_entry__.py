@@ -3971,6 +3971,30 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram (operators/stats.py
+    calibration_report — Naeini et al. 2015): a synthetic
+    is-it-English scorer (deterministic md5 coin folded with the true
+    label, so the score is informative but imperfectly calibrated)
+    binned into 10 equal-width cells with per-bin count, mean score,
+    empirical positive rate, and |gap| — the ECE terms. One bounded
+    map-side-combined groupBy. Full oracle: DuckDB replays the coin,
+    the binning (1.0 into the top bin), and every aggregate."""
+    from meta_frame_spark.operators.sampling import unit_hash
+    from meta_frame_spark.operators.stats import calibration_report
+
+    docs = _t(spark, sf_dir, "documents")
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    scored = docs.select(
+        is_en.alias("is_en"),
+        (
+            F.lit(0.5) * unit_hash("doc_id", "cal1", "md5")
+            + F.lit(0.5) * is_en.cast("double")
+        ).alias("score"),
+    )
+    return calibration_report(scored, "score", "is_en", n_bins=10)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch readability signals (functions/text.py
     readability_stats): word/sentence/syllable-proxy counts and the
@@ -4057,15 +4081,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_paths",
     # (2) new this round — FIRST driver rows (never-orphaned rule)
     "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
-    "ann_topk_hamming", "budget_select",
-    # (3) oldest r6-green rows, registry order (heavy_hitters and
-    # theta_overlap yielded their slots to ann_topk_hamming and
-    # budget_select; both head the r10 queue)
+    "ann_topk_hamming", "budget_select", "calibration_report",
+    # (3) oldest r6-green rows, registry order (heavy_hitters,
+    # theta_overlap and count_anomalies yielded their slots to the
+    # session's new ops; all three head the r10 queue)
     "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
     "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
     "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
     "event_transitions", "tfidf_keywords", "epoch_shuffle",
-    "count_anomalies",
 )
 
 # The planned r10 window backbone: the 28 r6-green rows this round's
@@ -4074,7 +4097,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cannot silently drift from the plan; tests/test_cli.py checks it
 # stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "heavy_hitters", "theta_overlap",
+    "heavy_hitters", "theta_overlap", "count_anomalies",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
     "negative_pairs", "dedup_safe_split", "curation_cleanup",
     "corr_signals", "near_dedup_against", "rolling_distinct",
@@ -4276,6 +4299,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
         "budget_select": q_budget_select,
+        "calibration_report": q_calibration_report,
     }
 
 
@@ -7181,6 +7205,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, hamming, rank
         FROM ranked WHERE rank <= 5
+    """
+    # Coin, equal-width binning (1.0 -> top bin), and every per-bin
+    # aggregate (count, mean score, positive rate, rounded |gap| of
+    # the two ROUNDED means) replayed.
+    d["calibration_report"] = """
+        WITH s AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   0.5 * (('0x' || substr(md5(doc_id::VARCHAR || ':cal1'),
+                                          1, 8))::BIGINT / 4294967296.0)
+                   + CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END AS score
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(least(floor(score * 10), 9) AS INTEGER) + 1 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(score), 6) + 0.0 AS mean_score,
+                   ROUND(AVG(1.0 * y), 6) + 0.0 AS frac_pos
+            FROM s GROUP BY 1
+        )
+        SELECT bin, n, mean_score, frac_pos,
+               ROUND(ABS(mean_score - frac_pos), 6) + 0.0 AS gap
+        FROM agg
     """
     # Coin, sequential cumulative sum (exact — integer-valued
     # doubles), and the inclusive budget cut replayed.

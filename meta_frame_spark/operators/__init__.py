@@ -140,6 +140,7 @@ from meta_frame_spark.operators.sampling import (
 )
 from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
+    calibration_report,
     corr_matrix,
     embedding_drift,
     group_trend,
@@ -270,6 +271,7 @@ __all__ = [
     "budget_select",
     "running_total",
     "assign_row_numbers",
+    "calibration_report",
     "int8_reconstruction_stats",
     "int8_topk",
     "ivf_topk",

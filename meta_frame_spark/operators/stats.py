@@ -158,3 +158,51 @@ def embedding_drift(
         "n_a", "n_b", "l2_shift", "cos_means", "max_dim_shift",
         "mean_dim_shift",
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram table for a probabilistic classifier score
+    in [0, 1] against a binary label: one row per occupied score bin,
+    ``(bin, n, mean_score, frac_pos, gap)`` with ``bin`` 1..n_bins
+    (equal-width; a score of exactly 1.0 lands in the top bin) and
+    ``gap = |mean_score - frac_pos|`` — the per-bin term of expected
+    calibration error (Naeini et al. 2015; sum n/N * gap for ECE).
+    The eval step before trusting a quality classifier's scores as
+    sampling weights or gate thresholds: a miscalibrated score makes
+    every downstream quantile gate mean something different than it
+    claims. Rows with a null score or label are excluded (visible in
+    the bin counts, not silently zero-filled).
+
+    Scale: ONE map-side-combined groupBy on the bin key — bounded
+    output (<= n_bins rows), no window, no join; empty bins are
+    simply absent."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+
+    def rnd(c):
+        return F.round(c, round_to) + F.lit(0.0)
+
+    b = (
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+        + F.lit(1)
+    )
+    out = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            rnd(F.avg(s)).alias("mean_score"),
+            rnd(F.avg(y)).alias("frac_pos"),
+        )
+    )
+    return out.withColumn(
+        "gap", rnd(F.abs(F.col("mean_score") - F.col("frac_pos")))
+    )

@@ -98,3 +98,33 @@ def test_embedding_drift_empty_slices_report_zero_counts(spark):
     nulls = spark.createDataFrame([(None,)], "embedding array<float>")
     row = embedding_drift(real, nulls).collect()[0]
     assert (row.n_a, row.n_b) == (2, 0)
+
+
+def test_calibration_report_hand_computed(spark):
+    """Perfectly-labeled halves: scores below 0.5 all negative, above
+    all positive — bins, counts, means, and gaps replay by hand; a
+    1.0 score lands in the top bin; null scores/labels drop."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.operators.stats import calibration_report
+
+    rows = [
+        (0.05, 0), (0.15, 0), (0.25, 0), (1.0, 1), (0.95, 1),
+        (0.92, 1), (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bin: r for r in calibration_report(df, "score", "y").collect()}
+    assert set(out) == {1, 2, 3, 10}
+    assert out[10].n == 3 and out[10].frac_pos == 1.0
+    assert out[10].mean_score == round((1.0 + 0.95 + 0.92) / 3, 6)
+    assert out[10].gap == round(abs(out[10].mean_score - 1.0), 6)
+    assert out[1].n == 1 and out[1].frac_pos == 0.0 and out[1].gap == 0.05
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, "score", "y", n_bins=0)
+    # single shuffle, bounded output: no window, no join in the plan
+    plan = (
+        calibration_report(df, "score", "y")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
