@@ -35,6 +35,12 @@ quantile boundaries:
                                         proportional to target-
                                         likeness — without
                                         replacement, deterministic)
+      -> token-budget cut              (budget_select: greedy most-
+                                        target-like-first prefix while
+                                        the running character count
+                                        stays within budget — the
+                                        distributed prefix sum, never
+                                        a single-task window)
 
 Run:  python examples/select_for_target.py [sf_dir]
 Default: /root/testdata/sf0.001
@@ -156,6 +162,24 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
     n_shortlist = shortlist.count()
     print(f"exemplar shortlist: {n_shortlist} docs "
           f"(<=3 per language, weight-proportional)")
+
+    # 8. Token-budget cut: the kept slice is usually still bigger than
+    # the training budget — keep the MOST target-like docs while the
+    # inclusive running character count stays within budget (greedy
+    # quality-per-token; the running sum is ids.running_total's
+    # two-phase distributed prefix sum, never a single-task window).
+    from meta_frame_spark.operators.sampling import budget_select
+
+    budgeted = budget_select(
+        kept.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_neg_w", -F.col("log_weight")),
+        "n_chars", 20_000.0, ["_neg_w", "doc_id"],
+    ).persist()
+    n_budget = budgeted.count()
+    budget_chars = float(budgeted.agg(F.max("cum_cost")).first()[0] or 0.0)
+    print(f"token-budget cut: {n_budget} docs, "
+          f"{budget_chars:.0f}/20000 chars kept")
+    budgeted.unpersist()
     scored.unpersist()
     mix_rows = mix.collect()
     return {
@@ -166,6 +190,8 @@ def select_for_target(spark: SparkSession, sf_dir: str) -> dict:
         "drift": drift_row.asDict(),
         "n_collocations": len(coll),
         "n_shortlist": n_shortlist,
+        "n_budget": n_budget,
+        "budget_chars": budget_chars,
     }
 
 

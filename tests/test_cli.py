@@ -172,3 +172,7 @@ def test_example_targeted_selection_end_to_end(spark, sf_dir):
     d = stats["drift"]
     assert d["n_a"] + d["n_b"] > 0 and d["l2_shift"] >= 0.0
     assert stats["n_collocations"] <= 10
+    # the token-budget stage keeps a non-empty prefix of the kept
+    # slice and never crosses its 20k-char budget
+    assert 0 < stats["n_budget"] <= stats["n_kept"]
+    assert 0.0 < stats["budget_chars"] <= 20_000.0
