@@ -3913,6 +3913,11 @@ def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"op": "derive",
              "columns": {"log_weight": "round(log_weight, 6)",
                          "s_len": "cast(n_chars as double)"}},
+            # materialize the scored pool ONCE: every stage below
+            # references the frame at least twice (gate stats + data
+            # side, rank windows, the calibration reference + count) —
+            # without the cache each reference re-derives DSIR
+            {"op": "cache"},
             # self-calibrating gates (exact interpolating percentile =
             # DuckDB quantile_cont, the proven quantile_gate pattern):
             # keep the more-target-like half, then — after fusing and
@@ -3924,6 +3929,9 @@ def q_curation_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"op": "quantile_match", "value_col": "rrf",
              "group_cols": ["lang"], "id_col": "doc_id",
              "out_col": "rrf_cal"},
+            # second fan-out point: the calibrated gate reads the
+            # frame twice (percentile stats + data side)
+            {"op": "cache"},
             {"op": "quality_gate", "value_col": "rrf_cal",
              "lower_q": 0.8, "upper_q": 1.0},
             {"op": "select",

@@ -187,6 +187,18 @@ def _op_lang_gate(
     )
 
 
+def _op_cache(df: DataFrame) -> DataFrame:
+    """Materialization hint for fan-out points: persist the frame (and
+    register it with operators.cache so release_tracked_caches() /
+    the bench's clearCache() reclaim it). Without it, every downstream
+    step that references the flowing frame twice — a quantile gate's
+    stats aggregate + data side, quantile_match's reference + count —
+    re-derives the whole upstream plan per reference."""
+    from meta_frame_spark.operators.cache import track
+
+    return track(df.persist())
+
+
 def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.select(*columns)
 
@@ -220,6 +232,7 @@ CURATION_OPS: dict[str, Callable] = {
     "lang_gate": _op_lang_gate,
     "select": _op_select,
     "derive": _op_derive,
+    "cache": _op_cache,
 }
 
 #: ops whose underlying callable hides kwargs behind **kw — validated
@@ -250,6 +263,7 @@ _EXTRA_KEYS = {
     "redact_pii": {"text_col", "out_col", "kinds"},
     "entropy_gate": {"text_col", "min_entropy"},
     "lang_gate": {"text_col", "langs", "min_margin"},
+    "cache": set(),
 }
 
 

