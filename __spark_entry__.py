@@ -3958,6 +3958,25 @@ def q_ann_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(emb, q, k=5, dim=64, chunk_bits=8)
 
 
+def q_ann_topk_hamming_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary shortlist + exact rescore (operators/binhash.py
+    hamming_rescore_topk — the production two-stage pattern): 50
+    candidates per query by multi-index Hamming over sign codes, then
+    exact cosine re-ranking of ONLY those rows. END-TO-END
+    deterministic (no seed, no fit), so the full pipeline — shortlist
+    included — replays in DuckDB: chunks, candidate equi-join, Hamming
+    ranks, the 50-cut, exact cosine, the final top-5. Rank-only
+    output (the ann_topk precedent: order is ULP-robust, a rounded
+    float value at a boundary is not)."""
+    from meta_frame_spark.operators.binhash import hamming_rescore_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = hamming_rescore_topk(emb, q, k=5, shortlist=50,
+                               dim=64, chunk_bits=8)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-budget corpus subsetting (operators/sampling.py
     budget_select over ids.running_total's two-phase distributed
@@ -4089,14 +4108,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "event_paths",
     # (2) new this round — FIRST driver rows (never-orphaned rule)
     "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
-    "ann_topk_hamming", "budget_select", "calibration_report",
+    "ann_topk_hamming", "ann_topk_hamming_rescore", "budget_select",
+    "calibration_report",
     # (3) oldest r6-green rows, registry order (heavy_hitters,
-    # theta_overlap and count_anomalies yielded their slots to the
-    # session's new ops; all three head the r10 queue)
+    # theta_overlap, count_anomalies and epoch_shuffle yielded their
+    # slots to the session's new ops; all four head the r10 queue)
     "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
     "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
     "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
-    "event_transitions", "tfidf_keywords", "epoch_shuffle",
+    "event_transitions", "tfidf_keywords",
 )
 
 # The planned r10 window backbone: the 28 r6-green rows this round's
@@ -4105,7 +4125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # cannot silently drift from the plan; tests/test_cli.py checks it
 # stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "heavy_hitters", "theta_overlap", "count_anomalies",
+    "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
     "negative_pairs", "dedup_safe_split", "curation_cleanup",
     "corr_signals", "near_dedup_against", "rolling_distinct",
@@ -4306,6 +4326,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match_bucketed": q_quantile_match_bucketed,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
+        "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
         "budget_select": q_budget_select,
         "calibration_report": q_calibration_report,
     }
@@ -7213,6 +7234,79 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, hamming, rank
         FROM ranked WHERE rank <= 5
+    """
+    # The WHOLE two-stage pipeline replayed: sign chunks, multi-index
+    # candidates, Hamming shortlist-50 cut, exact cosine over the
+    # shortlist, final top-5 (rank-only — the ann_topk precedent).
+    d["ann_topk_hamming_rescore"] = """
+        WITH chunks AS (
+            SELECT vec_id, embedding,
+                   list_transform(range(0, 8), j ->
+                       CAST(list_sum(list_transform(range(0, 8), i ->
+                           CASE WHEN embedding[j * 8 + i + 1] > 0
+                                THEN (1 << i) ELSE 0 END)) AS INTEGER)
+                   ) AS ch
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, ch AS qc
+            FROM chunks WHERE vec_id < 10
+        ),
+        cidx AS (
+            SELECT vec_id AS neighbor_id, u.i AS ci, ch[u.i] AS cv
+            FROM chunks, UNNEST(range(1, 9)) AS u(i)
+        ),
+        qidx AS (
+            SELECT query_id, u.i AS ci, qc[u.i] AS cv
+            FROM q, UNNEST(range(1, 9)) AS u(i)
+        ),
+        cand_pairs AS (
+            SELECT DISTINCT qi.query_id, c.neighbor_id
+            FROM cidx c JOIN qidx qi ON c.ci = qi.ci AND c.cv = qi.cv
+            WHERE c.neighbor_id <> qi.query_id
+        ),
+        hamm AS (
+            SELECT p.query_id, p.neighbor_id,
+                   list_sum(list_transform(range(1, 9), j ->
+                       bit_count(xor(q.qc[j], c2.ch[j])))) AS hamming
+            FROM cand_pairs p
+            JOIN q ON q.query_id = p.query_id
+            JOIN chunks c2 ON c2.vec_id = p.neighbor_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id
+            FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY hamming ASC, neighbor_id ASC
+                       ) AS hrank
+                FROM hamm
+            ) WHERE hrank <= 50
+        ),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                    FROM (SELECT unnest(q.qe) AS x,
+                                 unnest(c2.embedding) AS y))
+                   / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                            FROM (SELECT unnest(q.qe) AS x)))
+                    * sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                            FROM (SELECT unnest(c2.embedding) AS y))))
+                       AS score
+            FROM short s
+            JOIN q ON q.query_id = s.query_id
+            JOIN chunks c2 ON c2.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC
+                   ) AS rank
+            FROM rescored
+        ) WHERE rank <= 5
     """
     # Coin, equal-width binning (1.0 -> top bin), and every per-bin
     # aggregate (count, mean score, positive rate, rounded |gap| of

@@ -75,7 +75,11 @@ from meta_frame_spark.operators.quantize import (
     int8_reconstruction_stats,
     int8_topk,
 )
-from meta_frame_spark.operators.binhash import hamming_topk, sign_quantize
+from meta_frame_spark.operators.binhash import (
+    hamming_rescore_topk,
+    hamming_topk,
+    sign_quantize,
+)
 from meta_frame_spark.operators.decontaminate import cross_split_leakage, decontaminate, ngram_overlap
 from meta_frame_spark.operators.gating import (
     quantile_band_filter,
@@ -266,6 +270,7 @@ __all__ = [
     "flag_count_anomalies",
     "int8_dequantize",
     "int8_quantize",
+    "hamming_rescore_topk",
     "hamming_topk",
     "sign_quantize",
     "budget_select",

@@ -148,3 +148,63 @@ def hamming_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def hamming_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """The production binary-ANN pattern (the rp_rescore_topk midpoint
+    applied to sign codes): shortlist ``shortlist`` candidates per
+    query by multi-index Hamming distance — equality joins on 1-byte
+    chunks over a 32x-compressed store — then join ONLY those rows
+    back to their full vectors and re-rank by exact cosine:
+    ``(query_id, neighbor_id, score, rank)``, rank 1 = best, score
+    rounded to 6dp, ties by neighbor id.
+
+    Unlike the RP/LSH/IVF tiers this is END-TO-END deterministic (no
+    seed, no fit): the shortlist is a pure function of the sign bits,
+    so the whole query — shortlist included — replays exactly on any
+    engine. Recall@k equals shortlist coverage, guaranteed 1.0 within
+    Hamming radius ``dim/chunk_bits - 1`` of the query's code. The
+    rescore join touches ``shortlist`` rows per query, never the
+    corpus."""
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist must be >= k, got {shortlist} < {k}"
+        )
+    from meta_frame_spark.functions.vectors import cosine_similarity
+
+    cand = hamming_topk(
+        corpus, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
+        dim=dim, chunk_bits=chunk_bits,
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nvec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        cand.select("query_id", "neighbor_id")
+        .join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "score",
+            F.round(cosine_similarity("_qvec", "_nvec"), 6) + F.lit(0.0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

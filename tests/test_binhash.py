@@ -113,3 +113,59 @@ def test_hamming_topk_plan_has_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # query side broadcast
+
+
+def test_hamming_rescore_finds_planted_cosine_dup_and_orders_exactly(spark):
+    """A planted near-identical vector (3 sign flips, cosine ~0.9)
+    is guaranteed into the shortlist (pigeonhole) and the exact
+    rescore puts it at rank 1 by true cosine; the rescore order is
+    the brute-force cosine order restricted to the shortlist."""
+    import random
+
+    from meta_frame_spark.operators.binhash import hamming_rescore_topk
+    from meta_frame_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(11)
+    base = [rng.choice([-1.0, 1.0]) for _ in range(64)]
+    near = list(base)
+    for i in (5, 23, 61):
+        near[i] = -near[i]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.choice([-1.0, 1.0]) for _ in range(64)])
+        for i in range(2, 102)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = corpus.filter("vec_id = 0")
+    out = sorted(
+        hamming_rescore_topk(corpus, q, k=3, shortlist=30).collect(),
+        key=lambda r: r.rank,
+    )
+    assert out[0].neighbor_id == 1 and out[0].score > 0.85
+    # monotone scores with id tiebreaks
+    assert all(
+        (a.score, -a.neighbor_id) >= (b.score, -b.neighbor_id)
+        for a, b in zip(out, out[1:])
+    )
+    # the rescore scores ARE the true cosines (python recomputation)
+    # and the global brute-force top-1 (the planted dup, which the
+    # pigeonhole guarantees into the candidate set) is recovered
+    import math
+
+    vecs = dict(rows)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        den = math.sqrt(sum(x * x for x in vecs[a])) * math.sqrt(
+            sum(x * x for x in vecs[b])
+        )
+        return round(num / den, 6)
+
+    for r in out:
+        assert r.score == cos(0, r.neighbor_id)
+    exact_top = brute_force_topk(corpus, q, k=1).collect()[0]
+    assert exact_top.neighbor_id == out[0].neighbor_id == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="shortlist"):
+        hamming_rescore_topk(corpus, q, k=5, shortlist=3)

@@ -88,7 +88,7 @@ def test_driver_window_composition():
     for name in (
         "rrf_quality_scaled", "quantile_match_bucketed",
         "curation_select", "ann_topk_hamming", "budget_select",
-        "calibration_report",
+        "calibration_report", "ann_topk_hamming_rescore",
     ):
         assert name in window, name
     # round-9 plan: the whole 28-deep r4 backlog drains this round
