@@ -3998,6 +3998,28 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group budgets (budget_select group_cols): the SAME
+    5,000-char budget for every language, however lopsided the pool —
+    the per-group cumulative sum is a window partitioned on lang (one
+    hash shuffle, no two-phase, no global sort). Full oracle: DuckDB
+    replays the coin, the per-language sequential cumsum, and the
+    inclusive cut."""
+    from meta_frame_spark.operators.sampling import budget_select, unit_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_coin", unit_hash("doc_id", "bud2", "md5")
+    )
+    out = budget_select(
+        docs, "n_chars", 5_000.0, ["_coin", "doc_id"],
+        group_cols=["lang"],
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("cum_cost", 2).alias("cum_chars"),
+    )
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram (operators/stats.py
     calibration_report — Naeini et al. 2015): a synthetic
@@ -4109,14 +4131,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (2) new this round — FIRST driver rows (never-orphaned rule)
     "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
     "ann_topk_hamming", "ann_topk_hamming_rescore", "budget_select",
-    "calibration_report",
+    "budget_per_lang", "calibration_report",
     # (3) oldest r6-green rows, registry order (heavy_hitters,
-    # theta_overlap, count_anomalies and epoch_shuffle yielded their
-    # slots to the session's new ops; all four head the r10 queue)
+    # theta_overlap, count_anomalies, epoch_shuffle and tfidf_keywords
+    # yielded their slots to the session's new ops; all five head the
+    # r10 queue)
     "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
     "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
     "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
-    "event_transitions", "tfidf_keywords",
+    "event_transitions",
 )
 
 # The planned r10 window backbone: the 28 r6-green rows this round's
@@ -4126,6 +4149,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
+    "tfidf_keywords",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
     "negative_pairs", "dedup_safe_split", "curation_cleanup",
     "corr_signals", "near_dedup_against", "rolling_distinct",
@@ -4328,6 +4352,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_hamming": q_ann_topk_hamming,
         "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
         "budget_select": q_budget_select,
+        "budget_per_lang": q_budget_per_lang,
         "calibration_report": q_calibration_report,
     }
 
@@ -7329,6 +7354,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT bin, n, mean_score, frac_pos,
                ROUND(ABS(mean_score - frac_pos), 6) + 0.0 AS gap
         FROM agg
+    """
+    # Per-language coin order, sequential cumsum, inclusive cut —
+    # the balanced-budget variant replayed.
+    d["budget_per_lang"] = """
+        WITH c AS (
+            SELECT doc_id, lang, n_chars,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':bud2'),
+                                   1, 8))::BIGINT / 4294967296.0 AS coin
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, n_chars,
+                   SUM(CAST(n_chars AS DOUBLE)) OVER (
+                       PARTITION BY lang
+                       ORDER BY coin ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM c
+        )
+        SELECT doc_id, lang, n_chars, ROUND(cum, 2) AS cum_chars
+        FROM r WHERE cum <= 5000
     """
     # Coin, sequential cumulative sum (exact — integer-valued
     # doubles), and the inclusive budget cut replayed.

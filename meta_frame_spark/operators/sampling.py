@@ -499,27 +499,47 @@ def budget_select(
     order_by: list[str],
     cum_col: str = "cum_cost",
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep rows, in ``order_by`` order, while the INCLUSIVE running
     sum of ``value_col`` stays within ``budget`` — the token-budget
     cut of a training-data pipeline ("the best/first N-token subset"):
     order by quality for a greedy quality-per-token selection, by a
     deterministic hash coin for an unbiased fixed-budget subsample.
-    Output keeps every input column plus ``cum_col``; the first row
-    that would cross the budget (and everything after it) is dropped,
-    so the kept total never exceeds ``budget``.
+    With ``group_cols``, the budget applies PER GROUP (the balanced
+    variant: the same token budget for every language/domain, however
+    lopsided the pool). Output keeps every input column plus
+    ``cum_col``; the first row that would cross the budget (and
+    everything after it, within its group) is dropped, so no kept
+    total ever exceeds ``budget``.
 
-    Scale: the running sum is ids.running_total's two-phase
-    distributed prefix sum (range shuffle + per-partition window +
-    broadcast offsets) — never a single-task global window; the
-    budget cut is then a pure filter. Include a unique key last in
+    Scale: the global cut's running sum is ids.running_total's
+    two-phase distributed prefix sum (range shuffle + per-partition
+    window + broadcast offsets) — never a single-task global window.
+    The grouped cut needs no two-phase at all: a window partitioned
+    on ``group_cols`` already parallelizes per group (one hash
+    shuffle; null values count as 0). Include a unique key last in
     ``order_by`` for a reproducible cut."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    from meta_frame_spark.operators.ids import running_total
+    if group_cols:
+        if cum_col in df.columns:
+            raise ValueError(
+                f"budget_select: column {cum_col!r} already exists in "
+                "the input"
+            )
+        v = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*[F.col(c) for c in order_by])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = df.withColumn(cum_col, F.sum(v).over(w))
+    else:
+        from meta_frame_spark.operators.ids import running_total
 
-    cum = running_total(
-        df, order_by, value_col, out_col=cum_col,
-        num_partitions=num_partitions,
-    )
+        cum = running_total(
+            df, order_by, value_col, out_col=cum_col,
+            num_partitions=num_partitions,
+        )
     return cum.filter(F.col(cum_col) <= F.lit(float(budget)))

@@ -89,6 +89,7 @@ def test_driver_window_composition():
         "rrf_quality_scaled", "quantile_match_bucketed",
         "curation_select", "ann_topk_hamming", "budget_select",
         "calibration_report", "ann_topk_hamming_rescore",
+        "budget_per_lang",
     ):
         assert name in window, name
     # round-9 plan: the whole 28-deep r4 backlog drains this round

@@ -126,3 +126,28 @@ def test_budget_select_prefix_and_budget_contract(spark):
 
     with pytest.raises(ValueError, match="budget"):
         budget_select(df, "v", -1.0, ["id"])
+
+
+def test_budget_select_per_group_budgets(spark):
+    """group_cols applies the same budget independently per group —
+    the balanced variant — via a partitioned window (no two-phase)."""
+    from meta_frame_spark.operators.sampling import budget_select
+
+    rows = [(i, "g%d" % (i % 2), 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    kept = budget_select(df, "v", 35.0, ["id"], group_cols=["g"]).collect()
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.g, []).append(r)
+    assert set(by_g) == {"g0", "g1"}
+    for g, v in by_g.items():
+        assert len(v) == 3  # 3 * 10 = 30 <= 35 < 40, per group
+        assert max(r.cum_cost for r in v) == 30.0
+        # each group keeps its own order-prefix
+        ids = sorted(r.id for r in v)
+        assert all(r.g == g for r in v)
+    # partition invariance
+    kept2 = budget_select(
+        df.repartition(13), "v", 35.0, ["id"], group_cols=["g"]
+    ).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, kept2))
