@@ -583,3 +583,82 @@ def test_pmi_marginals_conserve_pair_mass(spark, texts):
         assert math.isfinite(r.pmi)
     # ranks are 1..n in pmi-desc order
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+@_settings
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False), min_size=1, max_size=20),
+       parts=st.integers(1, 5))
+def test_running_total_matches_sequential_cumsum(spark, vals, parts):
+    """The two-phase distributed prefix sum equals the sequential
+    cumulative sum for any values and any partitioning (float sums
+    compared with tolerance; ids give the deterministic total order)."""
+    from meta_frame_spark.operators.ids import running_total
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(parts)
+    got = {
+        r.id: r.running_total
+        for r in running_total(df, ["id"], "v",
+                               num_partitions=parts).collect()
+    }
+    acc = 0.0
+    for i, v in enumerate(vals):
+        acc += float(v)
+        assert abs(got[i] - acc) < 1e-6 * max(1.0, abs(acc))
+
+
+@_settings
+@given(vals=st.lists(st.floats(min_value=-50, max_value=50,
+                               allow_nan=False), min_size=1, max_size=16),
+       k=st.integers(1, 4))
+def test_rrf_partitioned_equals_window_mode(spark, vals, k):
+    """rank_mode="partitioned" is byte-identical to the window mode on
+    arbitrary score lists (ties and duplicates included)."""
+    from meta_frame_spark.operators.ranking import rrf_fuse
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    a = sorted(tuple(r) for r in rrf_fuse(df, ["s"], k=60 * k).collect())
+    b = sorted(
+        tuple(r)
+        for r in rrf_fuse(
+            df.repartition(3), ["s"], k=60 * k, rank_mode="partitioned"
+        ).collect()
+    )
+    assert a == b
+
+
+@_settings
+@given(vals=st.lists(st.floats(min_value=0, max_value=40,
+                               allow_nan=False), min_size=2, max_size=16))
+def test_quantile_match_bucketed_within_one_grid_step(spark, vals):
+    """With relative_error=0 the bucketed calibration lands within one
+    grid cell of the exact calibration for every row."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    B = 8
+    rows = [("g%d" % (i % 2), i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    e = {r.id: r.v_cal for r in quantile_match(df, "v", ["g"], "id").collect()}
+    b = {
+        r.id: r.v_cal
+        for r in quantile_match(
+            df, "v", ["g"], "id", mode="bucketed", n_buckets=B,
+            relative_error=0.0,
+        ).collect()
+    }
+    sv = sorted(float(v) for v in vals)
+    # max gap between adjacent pooled values bounds one grid step;
+    # the grid rounds p by at most 1/(2B) + the exact index rounds by
+    # half a rank, so allow two adjacent-value gaps of slack
+    import bisect
+
+    for i in e:
+        if e[i] == b[i]:
+            continue
+        lo, hi = sorted((e[i], b[i]))
+        # pooled values STRICTLY between the two calibrations (tie
+        # blocks at either end are not separation) span <= N/B + 2
+        between = max(0, bisect.bisect_left(sv, hi) - bisect.bisect_right(sv, lo))
+        assert between <= len(sv) // B + 2
