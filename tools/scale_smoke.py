@@ -651,6 +651,72 @@ def main() -> int:
         t, (n, ok_b) = timed("budget_select", bsel)
         r["bsel_sec"], r["bsel_rows"], r["bsel_ok"] = t, n, ok_b
 
+        def hres():
+            from meta_frame_spark.operators.binhash import (
+                hamming_rescore_topk,
+            )
+
+            e_ = emb(d)
+            q = e_.filter(F.col("vec_id") < 10)
+            out = hamming_rescore_topk(
+                e_, q, k=5, shortlist=50, dim=64, chunk_bits=8
+            ).persist()
+            n = out.count()
+            # exact-rescore contract: per-query scores are strictly
+            # ordered with id tiebreaks (a broken rescore ties/flips)
+            bad = out.alias("a").join(
+                out.alias("b"),
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.rank") + 1 == F.col("b.rank"))
+                & (F.col("a.score") < F.col("b.score")),
+            ).count()
+            out.unpersist()
+            return n, bad
+        t, (n, bad) = timed("hamming_rescore", hres)
+        r["hres_sec"], r["hres_rows"], r["hres_bad"] = t, n, bad
+
+        def bpl():
+            from meta_frame_spark.operators.sampling import (
+                budget_select,
+                unit_hash,
+            )
+
+            dd = docs(d).withColumn("_coin", unit_hash("doc_id", "b2", "md5"))
+            out = budget_select(
+                dd, "n_chars", 30_000.0, ["_coin", "doc_id"],
+                group_cols=["lang"],
+            ).persist()
+            n = out.count()
+            mx = out.groupBy("lang").agg(F.max("cum_cost").alias("m"))
+            worst = mx.agg(F.max("m")).first()[0] or 0.0
+            n_langs = mx.count()
+            out.unpersist()
+            return n, bool(0.0 < worst <= 30_000.0 and n_langs == 5)
+        t, (n, ok_g) = timed("budget_per_lang", bpl)
+        r["bpl_sec"], r["bpl_rows"], r["bpl_ok"] = t, n, ok_g
+
+        def calib():
+            from meta_frame_spark.operators.sampling import unit_hash
+            from meta_frame_spark.operators.stats import calibration_report
+
+            dd = docs(d)
+            is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+            scored = dd.select(
+                is_en.alias("y"),
+                (F.lit(0.5) * unit_hash("doc_id", "c", "md5")
+                 + F.lit(0.5) * is_en.cast("double")).alias("s"),
+            )
+            rows = calibration_report(scored, "s", "y").collect()
+            # construction: bins 1-5 all-negative, 6-10 all-positive
+            ok = all(
+                (r2.frac_pos == 0.0) if r2.bin <= 5 else (r2.frac_pos == 1.0)
+                for r2 in rows
+            )
+            return len(rows), bool(ok and sum(r2.n for r2 in rows)
+                                   == dd.count())
+        t, (n, ok_c) = timed("calibration_report", calib)
+        r["calib_sec"], r["calib_rows"], r["calib_ok"] = t, n, ok_c
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -664,7 +730,8 @@ def main() -> int:
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
                 "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
-                "read", "rrfp", "qmb", "csel", "hamm", "bsel"):
+                "read", "rrfp", "qmb", "csel", "hamm", "bsel",
+                "hres", "bpl", "calib"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -726,6 +793,13 @@ def main() -> int:
          and b["hamm_stable"] == 50),
         ("budget respected at 10x", b["bsel_ok"]
          and abs(b["bsel_rows"] - a["bsel_rows"]) <= 0.2 * a["bsel_rows"]),
+        # rescore scores strictly ordered; per-language budgets all
+        # respected with all 5 languages served; calibration bins
+        # separate perfectly by construction and count every doc
+        ("rescore strictly ordered", b["hres_bad"] == 0
+         and b["hres_rows"] == 50),
+        ("per-group budgets respected", b["bpl_ok"]),
+        ("calibration bins exact", b["calib_ok"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
