@@ -251,6 +251,7 @@ def quantile_match(
     mode: str = "exact",
     n_buckets: int = 1024,
     relative_error: float = 1e-4,
+    group_rank: str = "window",
 ) -> DataFrame:
     """Quantile-normalize a score ACROSS groups: each row's value is
     replaced by the global empirical value at its within-group
@@ -274,12 +275,29 @@ def quantile_match(
     ``approxQuantile`` grid (one bounded stats pass returning
     ``n_buckets + 1`` doubles, broadcast as a literal array) and each
     row calibrates to ``grid[round(p * n_buckets)]`` — a pure map
-    after the group window. No global sort, no driver ``count()``,
-    no join: the only shuffle left is the per-group window. The
-    calibrated value lands within ``1/n_buckets + 2*relative_error``
-    of the exact quantile (Greenwald–Khanna bound);
-    ``relative_error=0.0`` makes the grid itself exact. Output dtype
-    is DOUBLE in this mode (approxQuantile returns doubles).
+    after the group-percentile step. No global sort, no driver
+    ``count()``, no rank join. The calibrated value lands within
+    ``1/n_buckets + 2*relative_error`` of the exact quantile
+    (Greenwald–Khanna bound); ``relative_error=0.0`` makes the grid
+    itself exact. Output dtype is DOUBLE in this mode (approxQuantile
+    returns doubles).
+
+    ``group_rank`` picks how the WITHIN-GROUP percentile is computed
+    in bucketed mode:
+
+    - ``"window"`` (default): exact ``percent_rank`` over a window
+      partitioned on ``group_cols`` — parallel across groups, but ONE
+      task per group value. Right when groups are many (domains,
+      shards, days); wrong for a 100 TB corpus with five languages,
+      where each language's whole slice funnels through one task.
+    - ``"grid"``: each group's OWN ``percentile_approx`` grid
+      (one distributed sketch aggregate, mergeable partials,
+      ``n_buckets + 1`` doubles per group broadcast back) and the
+      percentile is the fraction of group grid points ≤ the value —
+      NO window anywhere in the plan, so five groups of 20 TB each
+      parallelize like any aggregate. Within-group monotone like the
+      window path; quantization error adds one group-grid step on
+      top of the pooled-grid step.
 
     Null contract (both modes, matching ``rrf_fuse``'s missing =
     worst): null values rank LAST inside their group (explicit
@@ -306,6 +324,10 @@ def quantile_match(
             )
     if mode not in ("exact", "bucketed"):
         raise ValueError(f"mode must be exact|bucketed, got {mode!r}")
+    if group_rank not in ("window", "grid"):
+        raise ValueError(
+            f"group_rank must be window|grid, got {group_rank!r}"
+        )
     v = F.col(value_col)
     grp_w = Window.partitionBy(*group_cols).orderBy(
         v.asc_nulls_last(), F.col(id_col).asc()
@@ -321,6 +343,31 @@ def quantile_match(
         if not grid:
             return df.withColumn(out, F.lit(None).cast("double"))
         garr = F.array(*[F.lit(float(g)) for g in grid])
+        if group_rank == "grid":
+            # window-free within-group percentile: the group's own
+            # percentile_approx grid (distributed mergeable sketch,
+            # n_buckets+1 doubles per group) broadcast back; the
+            # percentile is the fraction of group grid points <= v.
+            # Accuracy follows percentile_approx's 1/accuracy rank
+            # bound; pass relative_error=0.0 upstream for an exact
+            # pooled grid and raise `accuracy` here via n_buckets.
+            acc = int(1.0 / relative_error) if relative_error > 0 \
+                else 10_000
+            ggrid = df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+                F.percentile_approx(
+                    v, F.array(*[F.lit(p) for p in probs]), F.lit(acc)
+                ).alias("_ggrid")
+            )
+            joined = df.join(F.broadcast(ggrid), group_cols, "left")
+            le = F.size(
+                F.filter("_ggrid", lambda g: g <= v)
+            )
+            j = F.greatest(F.lit(0), le - F.lit(1)).cast("int")
+            cal = F.when(
+                v.isNull() | F.col("_ggrid").isNull(),
+                F.lit(None).cast("double"),
+            ).otherwise(F.element_at(garr, j + F.lit(1)))
+            return joined.select(*df.columns, cal.alias(out))
         j = F.round(
             F.percent_rank().over(grp_w) * F.lit(float(n_buckets)), 0
         ).cast("int")

@@ -217,3 +217,55 @@ def test_quantile_match_bucketed_within_grid_and_null_contract(spark):
         quantile_match(df.withColumn("_idx", F.lit(1)), "v", ["g"], "id")
     with pytest.raises(ValueError, match="mode must be"):
         quantile_match(df, "v", ["g"], "id", mode="nope")
+
+
+def test_quantile_match_grid_group_rank_is_window_free_and_close(spark):
+    """group_rank="grid" (the few-huge-groups scale path) calibrates
+    within ~2 grid steps of exact, stays monotone within each group,
+    maps nulls to NULL, and its plan contains NO window at all."""
+    import pytest
+
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    rows = [(i, "g%d" % (i % 3), float((i * 17) % 101)) for i in range(300)]
+    rows.append((999, "g0", None))
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    e = {r.id: r.v_cal for r in quantile_match(df, "v", ["g"], "id").collect()}
+    g = {
+        r.id: r.v_cal
+        for r in quantile_match(
+            df, "v", ["g"], "id", mode="bucketed", n_buckets=64,
+            relative_error=0.0, group_rank="grid",
+        ).collect()
+    }
+    assert g[999] is None and e[999] is None
+    # two grid steps on a 0..100 domain is ~ 2 * 101/64 < 3.5. (Exact
+    # mode maps each group's TOP row into the pooled null tail when a
+    # null exists — the documented exact-mode null contract — so
+    # compare only rows both modes calibrate; grid mode calibrates
+    # every non-null row.)
+    assert all(g[i] is not None for i in g if i != 999)
+    both = [i for i in e if i != 999 and e[i] is not None]
+    assert len(both) >= 290
+    assert all(abs(e[i] - g[i]) <= 3.5 for i in both)
+    # monotone within each group
+    out = quantile_match(
+        df, "v", ["g"], "id", mode="bucketed", n_buckets=64,
+        group_rank="grid",
+    ).collect()
+    for grp in ("g0", "g1", "g2"):
+        seq = sorted(
+            (r.v, r.id, r.v_cal) for r in out
+            if r.g == grp and r.v is not None
+        )
+        cals = [c for _, _, c in seq]
+        assert cals == sorted(cals)
+    plan = (
+        quantile_match(
+            df, "v", ["g"], "id", mode="bucketed", n_buckets=32,
+            group_rank="grid",
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan and "SinglePartition" not in plan
+    with pytest.raises(ValueError, match="group_rank"):
+        quantile_match(df, "v", ["g"], "id", group_rank="bogus")
