@@ -579,6 +579,27 @@ def main() -> int:
         r["qmb_sec"], r["qmb_rows"] = t, n
         r["qmb_collapsed"] = bool(collapsed)
 
+        def qmg():
+            from meta_frame_spark.operators.ranking import quantile_match
+
+            dd = docs(d)
+            out = quantile_match(
+                dd, "n_chars", ["lang"], "doc_id", out_col="cal",
+                mode="bucketed", n_buckets=256, group_rank="grid",
+            ).persist()
+            n = out.count()
+            med = out.groupBy("lang").agg(
+                F.expr("median(cal)").alias("mc"),
+                F.expr("median(n_chars)").alias("mr"),
+            ).collect()
+            out.unpersist()
+            spread_c = max(r2.mc for r2 in med) - min(r2.mc for r2 in med)
+            spread_r = max(r2.mr for r2 in med) - min(r2.mr for r2 in med)
+            return n, spread_c <= 0.25 * max(spread_r, 1.0)
+        t, (n, collapsed) = timed("quantile_match_grid", qmg)
+        r["qmg_sec"], r["qmg_rows"] = t, n
+        r["qmg_collapsed"] = bool(collapsed)
+
         def csel():
             from meta_frame_spark.plans.curation import run_curation
 
@@ -730,7 +751,7 @@ def main() -> int:
                 "event_pagerank", "cms", "bloom", "part_pairs", "cardest",
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
                 "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
-                "read", "rrfp", "qmb", "csel", "hamm", "bsel",
+                "read", "rrfp", "qmb", "qmg", "csel", "hamm", "bsel",
                 "hres", "bpl", "calib"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
@@ -783,6 +804,8 @@ def main() -> int:
         ("rrf partitioned == window", b["rrfp_agree"] == b["rrfp_rows"]
          and b["rrfp_rows"] == 10 * a["rrfp_rows"]),
         ("qmatch bucketed collapse", b["qmb_collapsed"]),
+        ("qmatch grid (window-free) collapse", b["qmg_collapsed"]
+         and b["qmg_rows"] == 10 * a["qmg_rows"]),
         ("curation_select en-lift > 0", b["csel_en_lift"] > 0
          and b["csel_rows"] > 0),
         # binary ANN returns the full deterministic top-5 for every
