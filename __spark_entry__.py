@@ -6973,7 +6973,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Every count (incl. per-word min-1 vowel groups) and both
         # Flesch formulas recomputed.
-        "readability": """
+        "readability": r"""
             WITH t AS (
                 SELECT doc_id,
                        regexp_extract_all(lower(text), '\S+') AS toks,
@@ -7328,7 +7328,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id,
                    row_number() OVER (
                        PARTITION BY query_id
-                       ORDER BY score DESC, neighbor_id ASC
+                       -- rank on ROUND(score, 6) to match the Spark
+                       -- side's 6dp tie contract (ADVICE r9): two
+                       -- candidates within 1e-6 must tie and break
+                       -- by neighbor_id on BOTH engines
+                       ORDER BY ROUND(score, 6) DESC, neighbor_id ASC
                    ) AS rank
             FROM rescored
         ) WHERE rank <= 5

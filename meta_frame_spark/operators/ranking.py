@@ -208,6 +208,14 @@ def rrf_fuse(
         raise ValueError(
             f"rank_mode must be window|partitioned, got {rank_mode!r}"
         )
+    if rank_mode == "partitioned":
+        for reserved in ("_nf", "_ov"):
+            if reserved in df.columns:
+                raise ValueError(
+                    f"rrf_fuse: column {reserved!r} already exists in the "
+                    "input (reserved by rank_mode='partitioned' for its "
+                    "sort keys) — rename the input column"
+                )
     out = df
     rank_cols = []
     for c in score_cols:
@@ -221,13 +229,22 @@ def rrf_fuse(
             from meta_frame_spark.operators.ids import assign_row_numbers
 
             # assign_row_numbers sorts ascending on named columns, so
-            # spell "desc nulls last" as two temp sort keys: a null
-            # flag (nulls -> 1 -> after every real score) then the
-            # negated score. Ties fall through to id_col, matching
-            # the window path exactly.
+            # spell the window ordering as two temp sort keys: a tier
+            # flag then the (possibly negated) score. The tier flag
+            # also pins NaN where the window path puts it — Spark
+            # orders NaN above every real double, so desc_nulls_last
+            # yields NaN, reals desc, nulls and asc_nulls_last yields
+            # reals asc, NaN, nulls; negating the score alone would
+            # flip NaN to the wrong end (-NaN is still NaN).
             sv = F.col(c).cast("double")
+            nan_tier = 0 if descending else 1
+            tier = (
+                F.when(sv.isNull(), 2)
+                .when(F.isnan(sv), nan_tier)
+                .otherwise(1 - nan_tier)
+            )
             out = assign_row_numbers(
-                out.withColumn("_nf", F.when(sv.isNull(), 1).otherwise(0))
+                out.withColumn("_nf", tier)
                 .withColumn("_ov", -sv if descending else sv),
                 order_by=["_nf", "_ov", id_col],
                 id_col=rc,
@@ -304,9 +321,12 @@ def quantile_match(
     ``asc_nulls_last`` — Spark's bare ``asc`` is NULLS FIRST while
     DuckDB's is NULLS LAST, so the default would silently calibrate
     nulls to the BEST percentile and break engine portability).
-    A null value always calibrates to NULL: in exact mode it maps
-    into the pooled null tail, in bucketed mode it is mapped
-    explicitly.
+    A null value always calibrates to NULL, mapped explicitly in
+    BOTH modes; the pooled reference distribution and the
+    within-group percentile are computed over non-null rows only
+    (pooling nulls into the exact-mode reference would instead
+    calibrate each null-free group's best row to NULL — the
+    asc_nulls_last tail sits at the top rank indices).
 
     Scale (exact mode): one group-window shuffle, one GLOBAL sort
     for the reference ranks (single task — same bounded-input caveat
@@ -368,24 +388,48 @@ def quantile_match(
                 F.lit(None).cast("double"),
             ).otherwise(F.element_at(garr, j + F.lit(1)))
             return joined.select(*df.columns, cal.alias(out))
+        # group percentile over NON-NULL rows only — ranking nulls
+        # into the same window would dilute every real row's
+        # percentile (a group's best value with one null sibling
+        # would calibrate to the median, not the max).
         j = F.round(
             F.percent_rank().over(grp_w) * F.lit(float(n_buckets)), 0
         ).cast("int")
-        cal = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
-            F.element_at(garr, j + F.lit(1))
+        scored = df.filter(v.isNotNull()).withColumn(
+            out, F.element_at(garr, j + F.lit(1))
         )
-        return df.withColumn(out, cal)
-    glob_w = Window.orderBy(v.asc_nulls_last(), F.col(id_col).asc())
-    ref = df.select(
+        null_rows = df.filter(v.isNull()).withColumn(
+            out, F.lit(None).cast("double")
+        )
+        return scored.unionByName(null_rows)
+    # Null contract, exact mode: the pooled reference and the
+    # within-group percentile are both built from NON-NULL rows only —
+    # pooling nulls into the reference would put them at the top _idx
+    # positions (asc_nulls_last) and silently calibrate every
+    # null-free group's BEST row to NULL instead. Null-valued rows
+    # rejoin the output with an explicit NULL, as bucketed mode does.
+    vtype = df.schema[value_col].dataType
+    nn = df.filter(v.isNotNull())
+    n = nn.count()  # bounded driver scalar: reference size
+    if n == 0:
+        return df.withColumn(out, F.lit(None).cast(vtype))
+    glob_w = Window.orderBy(v.asc(), F.col(id_col).asc())
+    ref = nn.select(
         F.row_number().over(glob_w).alias("_idx"), v.alias(out)
     )
-    n = df.count()  # bounded driver scalar: reference size
+    grp_nn_w = Window.partitionBy(*group_cols).orderBy(
+        v.asc(), F.col(id_col).asc()
+    )
     idx = (
-        F.round(F.percent_rank().over(grp_w) * F.lit(float(n - 1)), 0)
+        F.round(F.percent_rank().over(grp_nn_w) * F.lit(float(n - 1)), 0)
         .cast("long") + F.lit(1)
     )
-    return (
-        df.withColumn("_idx", idx)
+    scored = (
+        nn.withColumn("_idx", idx)
         .join(ref, "_idx")
         .drop("_idx")
     )
+    null_rows = df.filter(v.isNull()).withColumn(
+        out, F.lit(None).cast(vtype)
+    )
+    return scored.unionByName(null_rows)

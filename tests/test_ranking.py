@@ -172,6 +172,40 @@ def test_rrf_fuse_partitioned_identical_to_window(spark):
     with pytest.raises(ValueError, match="rank_mode"):
         rrf_fuse(df, ["s1"], rank_mode="bogus")
 
+    # NaN scores: Spark orders NaN above every real double, so the
+    # window path ranks NaN first under desc_nulls_last and just
+    # before nulls under asc_nulls_last; the partitioned tier flag
+    # must reproduce both (ADVICE r9 — negating the score alone
+    # flips NaN to the wrong end).
+    nan_rows = [
+        (1, float("nan")), (2, 5.0), (3, None), (4, 1.0),
+        (5, float("nan")),
+    ]
+    ndf = spark.createDataFrame(nan_rows, "doc_id long, s1 double")
+    for desc in (True, False):
+        w = sorted(
+            tuple(r)
+            for r in rrf_fuse(ndf, ["s1"], descending=desc).collect()
+        )
+        p = sorted(
+            tuple(r)
+            for r in rrf_fuse(
+                ndf.repartition(3), ["s1"],
+                descending=desc, rank_mode="partitioned",
+            ).collect()
+        )
+        assert w == p
+
+    # reserved temp sort-key columns raise instead of being clobbered
+    from pyspark.sql import functions as F
+
+    for bad in ("_nf", "_ov"):
+        with pytest.raises(ValueError, match="reserved"):
+            rrf_fuse(
+                df.withColumn(bad, F.lit(1)), ["s1"],
+                rank_mode="partitioned",
+            )
+
 
 def test_quantile_match_bucketed_within_grid_and_null_contract(spark):
     """Bucketed mode calibrates within one grid step of exact mode
@@ -210,6 +244,12 @@ def test_quantile_match_bucketed_within_grid_and_null_contract(spark):
         }
         assert cal[2] is None  # null value -> null calibration
         assert cal[1] is not None and cal[4] is not None
+        # the ADVICE r9 repro: the BEST non-null row of a group that
+        # contains a null must NOT calibrate to NULL — the pooled
+        # reference is built from non-null rows only, so id=3
+        # (p=1.0 within group a's non-null rows) maps to the pooled
+        # maximum, not into a null tail.
+        assert cal[3] == 3.0
 
     with pytest.raises(ValueError, match="already exists"):
         quantile_match(df.withColumn("v_cal", F.lit(1)), "v", ["g"], "id")
