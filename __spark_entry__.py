@@ -4020,6 +4020,102 @@ def q_budget_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_match_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant oracle for quantile_match's WINDOW-FREE scale path
+    (operators/ranking.py mode="bucketed" group_rank="grid", VERDICT
+    r9 "Next round" #7): the exact pooled inverse-CDF calibration and
+    the fully sketch-based calibration (per-group percentile_approx
+    grid for the within-group percentile + pooled approxQuantile grid
+    for the inverse CDF — NO window anywhere in the plan) run side by
+    side, each calibrated value is mapped to its pooled empirical CDF
+    position, and the per-language max rank distance must stay within
+    2N/B + max_tie + 2 — one N/B term per quantization (the group
+    grid rounds the percentile to 1/B steps, the pooled grid rounds
+    the inverse CDF to 1/B steps; relative_error=0 pins pooled grid
+    points exactly, the group sketch runs at accuracy 10^4). Output
+    ``(lang, n, ok)`` with ok pinned TRUE by the oracle — the
+    invariant computes in Spark, the oracle pins the expectation
+    (the q_quantile_match_bucketed pattern). Measured headroom: maxd
+    ≤ 15 vs bound 23.6 at sf0.01, ≤ 10 vs 22.6 at sf0.001."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    B = 64
+    docs = _t(spark, sf_dir, "documents")
+    e = quantile_match(docs, "n_chars", ["lang"], "doc_id", out_col="cal_e")
+    g = quantile_match(
+        docs, "n_chars", ["lang"], "doc_id", out_col="cal_g",
+        mode="bucketed", n_buckets=B, relative_error=0.0,
+        group_rank="grid",
+    )
+    pool = docs.groupBy(F.col("n_chars").cast("double").alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdf = pool.withColumn("cum", F.sum("c").over(Window.orderBy("val")))
+    lims = pool.agg(F.sum("c").alias("_N"), F.max("c").alias("_maxtie"))
+    ej = e.select(
+        "doc_id", "lang", F.col("cal_e").cast("double").alias("val")
+    ).join(cdf.select("val", F.col("cum").alias("cum_e")), "val")
+    gj = g.select("doc_id", F.col("cal_g").alias("val")).join(
+        cdf.select("val", F.col("cum").alias("cum_g")), "val"
+    )
+    j = ej.select("doc_id", "lang", "cum_e").join(
+        gj.select("doc_id", "cum_g"), "doc_id"
+    )
+    per_lang = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("cum_e") - F.col("cum_g"))).alias("_maxd"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(lims))
+        .select(
+            "lang",
+            "n",
+            (
+                F.col("_maxd")
+                <= F.lit(2.0) * F.col("_N") / F.lit(float(B))
+                + F.col("_maxtie") + F.lit(2)
+            ).alias("ok"),
+        )
+    )
+
+
+def q_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven budgeted selection (plans/curation.py, VERDICT r9
+    "Next round" #6): a declarative pipeline that ENDS in the cut
+    stages a training-data config actually ships — a deterministic
+    md5-ordered 400-per-language inspection pool (the
+    ``sample_per_group`` registry op) followed by a per-language
+    20,000-char token-budget cut in unbiased coin order (the
+    ``budget_select`` registry op; its grouped running sum is a
+    per-lang window, never a global sort). Full oracle: DuckDB
+    replays the md5 sample rank, the derive'd coin, the per-language
+    sequential cumulative sum, and the inclusive budget cut."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    config = {
+        "steps": [
+            {"op": "sample_per_group", "group_cols": ["lang"], "k": 400,
+             "id_col": "doc_id", "salt": "cb1", "method": "md5"},
+            # the same engine-portable md5 coin as sampling.unit_hash,
+            # spelled as a config expression (first 8 hex chars / 2^32)
+            {"op": "derive",
+             "columns": {"_coin": (
+                 "cast(conv(substring(md5(concat(cast(doc_id as string),"
+                 " ':cb2')), 1, 8), 16, 10) as double) / 4294967296.0"
+             )}},
+            {"op": "budget_select", "value_col": "n_chars",
+             "budget": 20000.0, "order_by": ["_coin", "doc_id"],
+             "group_cols": ["lang"]},
+            {"op": "derive",
+             "columns": {"cum_chars": "round(cum_cost, 2)"}},
+            {"op": "select",
+             "columns": ["doc_id", "lang", "n_chars", "cum_chars"]},
+        ]
+    }
+    return run_curation(docs, config)
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram (operators/stats.py
     calibration_report — Naeini et al. 2015): a synthetic
@@ -4104,50 +4200,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-9 window (VERDICT r8 "Next round" #3):
-#   1-28   the 28 entries whose latest driver row is still r4 — the
-#          oldest evidence in the registry, queued since r8
-#          (count_distinct_skew .. event_paths, registry order);
-#   29-31  rrf_quality_scaled / quantile_match_bucketed /
-#          curation_select — FIRST driver rows for the round-9
-#          additions (the two scale-path queries clearing the r8
-#          weak marks, and the config-driven selection pipeline),
-#          never-orphaned rule;
-#   32-50  the 19 oldest r6-green rows in registry order
-#          (dedup_keep_best .. heavy_hitters).
-# After this round no registered query's latest row is older than r6.
-# The r10 queue is NEXT_WINDOW_QUEUE below — the 28 remaining
-# r6-green rows. Every entry has an oracle_sql() twin.
+# Round-10 window (VERDICT r9 "Next round" #3):
+#   1-2    quantile_match_grid / curation_budget — FIRST driver rows
+#          for the round-10 additions (the window-free calibration
+#          path's own gate, VERDICT r9 #7, and the config-driven
+#          budget-cut pipeline, VERDICT r9 #6), never-orphaned rule;
+#   3-35   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
+#          5 r6-green rows that yielded r9 slots + the 28 remaining
+#          r6-green rows, since rotated to r6→r9 evidence ages);
+#   36-50  the 15 oldest r7-green rows in registry order
+#          (text_normalize .. mmr_select).
+# After this round no registered query's latest row is older than r7.
+# The r11 queue is NEXT_WINDOW_QUEUE below — the 35 remaining
+# r7-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (1) drain the r4 backlog completely, registry order
-    "count_distinct_skew", "curation_pipeline", "decontaminate",
-    "dedup_incremental", "doc_chunks", "doc_lm_score", "domain_cap",
-    "expectations", "fingerprint", "group_quantiles", "join_salted",
-    "lang_id", "length_histogram", "mm_frames", "mm_meta", "profile",
-    "quality_deciles", "quantile_gate", "score_normalize", "unpivot",
-    "url_canonical", "weighted_sample", "winsorized_lengths",
-    "hard_neg_lsh", "stream_hourly", "stream_dedup", "stream_join",
-    "event_paths",
-    # (2) new this round — FIRST driver rows (never-orphaned rule)
-    "rrf_quality_scaled", "quantile_match_bucketed", "curation_select",
-    "ann_topk_hamming", "ann_topk_hamming_rescore", "budget_select",
-    "budget_per_lang", "calibration_report",
-    # (3) oldest r6-green rows, registry order (heavy_hitters,
-    # theta_overlap, count_anomalies, epoch_shuffle and tfidf_keywords
-    # yielded their slots to the session's new ops; all five head the
-    # r10 queue)
-    "dedup_keep_best", "dup_graph_stats", "kmeans", "stream_totals",
-    "dup_spans", "sample_per_group", "ann_topk_pq", "pca", "mm_audio",
-    "bigram_lm", "stream_curate", "dup_span_regions", "lang_margin",
-    "event_transitions",
-)
-
-# The planned r10 window backbone: the 28 r6-green rows this round's
-# 50 could not fit, in registry order. Extracted from the comment
-# into a pinned constant (VERDICT r8 "Next round" #7) so the queue
-# cannot silently drift from the plan; tests/test_cli.py checks it
-# stays disjoint from DRIVER_WINDOW, registered, and oracle-backed.
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # (1) new this round — FIRST driver rows (never-orphaned rule)
+    "quantile_match_grid", "curation_budget",
+    # (2) the pinned r9 queue, verbatim
     "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
     "tfidf_keywords",
     "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
@@ -4158,6 +4227,29 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "event_pagerank", "part_pairs", "bloom_decontam", "sketch_rollup",
     "join_cardest", "a_q6_revenue", "b_q4_priority", "trending_events",
     "session_pairs", "funnel_latency",
+    # (3) oldest r7-green rows, registry order
+    "text_normalize", "char_entropy", "script_profile", "sentences",
+    "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
+    "key_skew", "top_mass", "k_anonymity", "k_anonymity_report",
+    "int8_quantize", "int8_topk", "mmr_select",
+)
+
+# The planned r11 window backbone: the 35 r7-green rows this round's
+# 50 could not fit, in registry order (pinned constant per VERDICT r8
+# #7 so the queue cannot silently drift from the plan;
+# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
+# registered, and oracle-backed).
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
+    "bp_grandchild", "events_hourly", "events_sessions",
+    "events_sliding", "events_asof", "events_interval", "set_ops",
+    "events_json", "events_enriched", "scd2_versions", "rolling_1h",
+    "event_funnel", "sessionize", "cohort_retention", "pack_sequences",
+    "dedup_minhash", "dedup_simhash", "ann_topk_lsh", "ann_topk_ivf",
+    "emb_near_dup", "mm_pixel_stats", "agg_approx", "semantic_dedup",
+    "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
+    "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
+    "hash_split",
 )
 
 
@@ -4348,6 +4440,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighbors": q_sorted_neighbors,
         "rrf_quality_scaled": q_rrf_quality_scaled,
         "quantile_match_bucketed": q_quantile_match_bucketed,
+        "quantile_match_grid": q_quantile_match_grid,
+        "curation_budget": q_curation_budget,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
         "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
@@ -7109,6 +7203,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n, TRUE AS ok
             FROM documents
             GROUP BY lang
+        """,
+        # Same recall-bar pattern for the window-free grid path: the
+        # 2N/B + max_tie + 2 rank-distance invariant computes in
+        # Spark; the oracle pins ok TRUE per language.
+        "quantile_match_grid": """
+            SELECT lang, COUNT(*) AS n, TRUE AS ok
+            FROM documents
+            GROUP BY lang
+        """,
+        # Config-driven budget pipeline fully replayed: md5 sample
+        # rank (k=400 per lang), the derive'd 8-hex-char coin, the
+        # per-language sequential cumulative sum (integer-valued
+        # doubles — exact under any addition order), inclusive cut.
+        "curation_budget": """
+            WITH base AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE text IS NOT NULL
+            ),
+            samp AS (
+                SELECT doc_id, lang, n_chars FROM (
+                    SELECT doc_id, lang, n_chars,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                            || ':cb1') ASC,
+                                        doc_id ASC
+                           ) AS rk
+                    FROM base
+                ) WHERE rk <= 400
+            ),
+            c AS (
+                SELECT doc_id, lang, n_chars,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':cb2'),
+                                       1, 8))::BIGINT
+                           / 4294967296.0 AS coin
+                FROM samp
+            ),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       SUM(CAST(n_chars AS DOUBLE)) OVER (
+                           PARTITION BY lang
+                           ORDER BY coin ASC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c
+            )
+            SELECT doc_id, lang, n_chars, ROUND(cum, 2) AS cum_chars
+            FROM r WHERE cum <= 20000
         """,
         # The whole declarative pipeline replayed: DSIR hashed-bigram
         # models (same md5 buckets as the dsir_weights oracle), the

@@ -136,6 +136,23 @@ def _op_quantile_match(df: DataFrame, **kw) -> DataFrame:
     return quantile_match(df, **kw)
 
 
+def _op_budget_select(df: DataFrame, **kw) -> DataFrame:
+    """Config-driven token-budget cut — the terminal step of a
+    selection pipeline ("the best/first N-token subset"); grouped
+    form gives every group the same budget."""
+    from meta_frame_spark.operators.sampling import budget_select
+
+    return budget_select(df, **kw)
+
+
+def _op_sample_per_group(df: DataFrame, **kw) -> DataFrame:
+    """Deterministic hash-ordered k-per-group sample — the
+    config-driven inspection/eval-slice cut."""
+    from meta_frame_spark.operators.sampling import sample_k_per_group
+
+    return sample_k_per_group(df, **kw)
+
+
 def _op_normalize(
     df: DataFrame,
     text_col: str = "text",
@@ -226,6 +243,8 @@ CURATION_OPS: dict[str, Callable] = {
     "dsir_weights": _op_dsir_weights,
     "rrf_fuse": _op_rrf_fuse,
     "quantile_match": _op_quantile_match,
+    "budget_select": _op_budget_select,
+    "sample_per_group": _op_sample_per_group,
     "normalize": _op_normalize,
     "redact_pii": _op_redact_pii,
     "entropy_gate": _op_entropy_gate,
@@ -249,6 +268,8 @@ _SIG_TARGETS = {
     "dsir_weights": "meta_frame_spark.operators.dsir:dsir_log_weights",
     "rrf_fuse": "meta_frame_spark.operators.ranking:rrf_fuse",
     "quantile_match": "meta_frame_spark.operators.ranking:quantile_match",
+    "budget_select": "meta_frame_spark.operators.sampling:budget_select",
+    "sample_per_group": "meta_frame_spark.operators.sampling:sample_k_per_group",
 }
 
 #: config-level kwargs that are remapped before reaching the operator

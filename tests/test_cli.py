@@ -80,20 +80,18 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-9 session ops: every operator/query added this round must
+    # round-10 session ops: every operator/query added this round must
     # hold a window slot until its first driver row lands (the
     # never-orphaned rule) — this pin exists because a window edit
     # once silently missed while its comment updated, leaving new ops
     # out of the driver's 50 without any test noticing
     for name in (
-        "rrf_quality_scaled", "quantile_match_bucketed",
-        "curation_select", "ann_topk_hamming", "budget_select",
-        "calibration_report", "ann_topk_hamming_rescore",
-        "budget_per_lang",
+        "quantile_match_grid", "curation_budget",
     ):
         assert name in window, name
-    # round-9 plan: the whole 28-deep r4 backlog drains this round
-    for name in ("count_distinct_skew", "event_paths", "hard_neg_lsh"):
+    # round-10 plan: the pinned r9 queue rotates through verbatim
+    for name in ("heavy_hitters", "funnel_latency", "event_pagerank",
+                 "bloom_decontam"):
         assert name in window, name
     # the r10 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)

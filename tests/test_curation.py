@@ -344,3 +344,46 @@ def test_curation_cache_step_materializes_and_validates(spark):
     assert release_tracked_caches() >= 1
     with pytest.raises(ConfigError, match="unknown kwargs"):
         validate_curation_config({"steps": [{"op": "cache", "eager": True}]})
+
+
+def test_curation_budget_and_sample_ops(spark):
+    """The round-10 registry additions (budget_select /
+    sample_per_group) run as config steps — a pipeline can END in the
+    cut stages — and kwargs are validated against the real operator
+    signatures."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        validate_curation_config,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), 10.0 * (1 + i % 3)) for i in range(40)],
+        ["doc_id", "grp", "cost"],
+    )
+    out = run_curation(df, {"steps": [
+        {"op": "sample_per_group", "group_cols": ["grp"], "k": 10,
+         "id_col": "doc_id", "salt": "t", "method": "md5"},
+        {"op": "budget_select", "value_col": "cost", "budget": 100.0,
+         "order_by": ["doc_id"], "group_cols": ["grp"]},
+    ]}).collect()
+    assert 0 < len(out) <= 20
+    # inclusive running sum never exceeds the per-group budget
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        assert max(r.cum_cost for r in rows) <= 100.0
+
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "budget_select", "value_col": "cost",
+                        "budget": 1.0, "order": ["doc_id"]}]}
+        )
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "sample_per_group", "group_cols": ["grp"],
+                        "k": 3, "id": "doc_id"}]}
+        )
