@@ -4116,6 +4116,35 @@ def q_curation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_curation(docs, config)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/GPT-3-style linear quality classifier
+    (operators/logreg.py — Wenzek et al. 2020; Brown et al. 2020
+    App. A): hashed bag-of-bigrams logistic regression trained by TWO
+    deterministic full-batch GD steps to separate English docs from
+    the rest, then every doc scored map-only (weights ride along as a
+    256-double literal array — no join, no shuffle in the scoring
+    plan). Completes the selection triad: DSIR importance weights,
+    generative NB, and now the discriminative classifier those
+    pipelines actually shipped. Full oracle: DuckDB replays BOTH
+    gradient steps (step 1 closed-form from p=0.5, step 2 through the
+    step-1 logits) and the final sigmoid scores."""
+    from meta_frame_spark.operators.logreg import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    labeled = docs.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    w = train_text_classifier(
+        labeled, "y", n=2, hex_chars=2, iters=2, learning_rate=1.0
+    )
+    return score_text_classifier(docs, w, n=2, hex_chars=2).select(
+        "doc_id", "lang", F.round("clf_score", 6).alias("clf_score")
+    )
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram (operators/stats.py
     calibration_report — Naeini et al. 2015): a synthetic
@@ -4201,21 +4230,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-10 window (VERDICT r9 "Next round" #3):
-#   1-2    quantile_match_grid / curation_budget — FIRST driver rows
-#          for the round-10 additions (the window-free calibration
-#          path's own gate, VERDICT r9 #7, and the config-driven
-#          budget-cut pipeline, VERDICT r9 #6), never-orphaned rule;
-#   3-35   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-3    quantile_match_grid / curation_budget /
+#          quality_classifier — FIRST driver rows for the round-10
+#          additions (the window-free calibration path's own gate,
+#          VERDICT r9 #7; the config-driven budget-cut pipeline,
+#          VERDICT r9 #6; the hashed-feature logistic-regression
+#          quality classifier), never-orphaned rule;
+#   4-36   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          5 r6-green rows that yielded r9 slots + the 28 remaining
 #          r6-green rows, since rotated to r6→r9 evidence ages);
-#   36-50  the 15 oldest r7-green rows in registry order
-#          (text_normalize .. mmr_select).
+#   37-50  the 14 oldest r7-green rows in registry order
+#          (text_normalize .. int8_topk).
 # After this round no registered query's latest row is older than r7.
-# The r11 queue is NEXT_WINDOW_QUEUE below — the 35 remaining
+# The r11 queue is NEXT_WINDOW_QUEUE below — the 36 remaining
 # r7-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "quantile_match_grid", "curation_budget",
+    "quantile_match_grid", "curation_budget", "quality_classifier",
     # (2) the pinned r9 queue, verbatim
     "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
     "tfidf_keywords",
@@ -4231,15 +4262,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_normalize", "char_entropy", "script_profile", "sentences",
     "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
     "key_skew", "top_mass", "k_anonymity", "k_anonymity_report",
-    "int8_quantize", "int8_topk", "mmr_select",
+    "int8_quantize", "int8_topk",
 )
 
-# The planned r11 window backbone: the 35 r7-green rows this round's
+# The planned r11 window backbone: the 36 r7-green rows this round's
 # 50 could not fit, in registry order (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
     "bp_grandchild", "events_hourly", "events_sessions",
     "events_sliding", "events_asof", "events_interval", "set_ops",
@@ -4442,6 +4474,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match_bucketed": q_quantile_match_bucketed,
         "quantile_match_grid": q_quantile_match_grid,
         "curation_budget": q_curation_budget,
+        "quality_classifier": q_quality_classifier,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
         "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
@@ -7211,6 +7244,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n, TRUE AS ok
             FROM documents
             GROUP BY lang
+        """,
+        # Both full-batch GD steps replayed from w = 0: step 1 is
+        # closed-form (every p_i = 0.5), step 2 runs through the
+        # step-1 logits; then the final sigmoid scores. Buckets are
+        # the same substr(md5(gram), 1, 2) space as the Spark side
+        # (int vs hex key is a bijection — only identity matters).
+        "quality_classifier": """
+            WITH base AS (
+                SELECT doc_id, lang,
+                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                       string_split_regex(lower(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT doc_id, y, substr(md5(gram), 1, 2) AS bkt
+                FROM (
+                    SELECT doc_id, y,
+                           unnest(list_transform(
+                               range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(toks[i:i+1], ' ')
+                           )) AS gram
+                    FROM base
+                )
+            ),
+            db AS (
+                SELECT doc_id, y, bkt, CAST(COUNT(*) AS DOUBLE) AS c
+                FROM g GROUP BY doc_id, y, bkt
+            ),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+            -- step 1: w = 0 so every p_i = 0.5
+            w1 AS (
+                SELECT bkt, -(1.0 / nn.n) * SUM((0.5 - y) * c) AS w
+                FROM db, nn GROUP BY bkt, nn.n
+            ),
+            b1 AS (
+                SELECT -(1.0 / nn.n) * SUM(0.5 - y) AS bias
+                FROM base, nn GROUP BY nn.n
+            ),
+            -- step 2: logits through the step-1 weights
+            z2 AS (
+                SELECT db.doc_id, ANY_VALUE(db.y) AS y,
+                       b1.bias + SUM(db.c * w1.w) AS z
+                FROM db JOIN w1 USING (bkt), b1
+                GROUP BY db.doc_id, b1.bias
+            ),
+            p2 AS (
+                SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM z2
+            ),
+            w2 AS (
+                SELECT w1.bkt,
+                       w1.w - (1.0 / nn.n) * SUM((p2.p - db.y) * db.c) AS w
+                FROM db JOIN w1 USING (bkt)
+                JOIN p2 USING (doc_id), nn
+                GROUP BY w1.bkt, w1.w, nn.n
+            ),
+            b2 AS (
+                SELECT b1.bias - (1.0 / nn.n) * SUM(p - y) AS bias
+                FROM p2, b1, nn GROUP BY b1.bias, nn.n
+            )
+            SELECT base.doc_id, base.lang,
+                   ROUND(1.0 / (1.0 + exp(-(b2.bias + s.z))), 6)
+                       AS clf_score
+            FROM base, b2
+            JOIN (
+                SELECT db.doc_id, SUM(db.c * w2.w) AS z
+                FROM db JOIN w2 USING (bkt)
+                GROUP BY db.doc_id
+            ) s ON s.doc_id = base.doc_id
         """,
         # Config-driven budget pipeline fully replayed: md5 sample
         # rank (k=400 per lang), the derive'd 8-hex-char coin, the

@@ -65,6 +65,10 @@ from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
 from meta_frame_spark.operators.dsir import dsir_log_weights
+from meta_frame_spark.operators.logreg import (
+    score_text_classifier,
+    train_text_classifier,
+)
 from meta_frame_spark.operators.privacy import (
     k_anonymity_filter,
     k_anonymity_report,
@@ -287,6 +291,8 @@ __all__ = [
     "nb_predict",
     "nb_train",
     "dsir_log_weights",
+    "train_text_classifier",
+    "score_text_classifier",
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",

@@ -86,7 +86,7 @@ def test_driver_window_composition():
     # once silently missed while its comment updated, leaving new ops
     # out of the driver's 50 without any test noticing
     for name in (
-        "quantile_match_grid", "curation_budget",
+        "quantile_match_grid", "curation_budget", "quality_classifier",
     ):
         assert name in window, name
     # round-10 plan: the pinned r9 queue rotates through verbatim
