@@ -78,8 +78,12 @@ def main() -> None:
         # no earlier alphabetical query warms — the sf0.001 graph is
         # the same 5-node transition graph, so the warm run compiles
         # identical shapes
+        # quality_classifier: its literal-array logit/gradient shapes
+        # (GD training + map-only scoring) are unique to it and pay
+        # ~6s of first-call codegen no earlier query warms — same
+        # rationale as the ivfpq/pagerank entries (VERDICT r6 #3)
         for wname in ("bm25_search", "dedup_minhash", "ann_topk_ivfpq",
-                      "event_pagerank"):
+                      "event_pagerank", "quality_classifier"):
             try:
                 all_queries[wname](spark, warm_sf).write.format("noop").mode(
                     "overwrite"

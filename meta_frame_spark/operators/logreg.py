@@ -61,8 +61,10 @@ def _bucket_array(text_col: str, n: int, hex_chars: int) -> Column:
 def _logit(bucket_arr: Column, weights: list[float]) -> Column:
     """Map-only logit: bias + sum over instances of w[bucket].
     ``weights`` is ``[bias, w_0 .. w_{V-1}]`` broadcast as a literal
-    array — no join anywhere."""
-    warr = F.array(*[F.lit(float(w)) for w in weights[1:]])
+    array — no join anywhere. ONE typed array literal (not
+    ``F.array`` of V ``lit``s, which would put a V-child CreateArray
+    into every generated method and bloat codegen)."""
+    warr = F.lit([float(w) for w in weights[1:]])
     return F.lit(float(weights[0])) + F.aggregate(
         F.transform(bucket_arr, lambda b: F.element_at(warr, b + F.lit(1))),
         F.lit(0.0),

@@ -362,7 +362,7 @@ def quantile_match(
         grid = df.stat.approxQuantile(value_col, probs, relative_error)
         if not grid:
             return df.withColumn(out, F.lit(None).cast("double"))
-        garr = F.array(*[F.lit(float(g)) for g in grid])
+        garr = F.lit([float(g) for g in grid])  # one typed array literal
         if group_rank == "grid":
             # window-free within-group percentile: the group's own
             # percentile_approx grid (distributed mergeable sketch,
@@ -375,7 +375,7 @@ def quantile_match(
                 else 10_000
             ggrid = df.filter(v.isNotNull()).groupBy(*group_cols).agg(
                 F.percentile_approx(
-                    v, F.array(*[F.lit(p) for p in probs]), F.lit(acc)
+                    v, F.lit(list(probs)), F.lit(acc)
                 ).alias("_ggrid")
             )
             joined = df.join(F.broadcast(ggrid), group_cols, "left")

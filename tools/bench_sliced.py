@@ -64,6 +64,21 @@ def main() -> int:
     ap.add_argument("--expected", default=None,
                     help="clean record JSON for slice packing "
                          "(default: repo BENCH_FULL.json)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: re-measure just "
+                         "these (use with --merge)")
+    ap.add_argument("--merge", default=None,
+                    help="existing sliced record to min-merge into: "
+                         "its per-query values and clean markers are "
+                         "preloaded, new attempts only ever lower "
+                         "values / add clean brackets (sound under "
+                         "the min rule — same code, same protocol)")
+    ap.add_argument("--replace", action="store_true",
+                    help="with --only + --merge: discard the prior "
+                         "values/clean markers of the --only queries "
+                         "instead of min-merging (use after a CODE "
+                         "change to those queries — the min rule is "
+                         "only sound across same-code attempts)")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -99,7 +114,7 @@ def main() -> int:
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
         for wname in ("bm25_search", "dedup_minhash", "ann_topk_ivfpq",
-                      "event_pagerank"):
+                      "event_pagerank", "quality_classifier"):
             try:
                 all_queries[wname](spark, warm_sf).write.format("noop").mode(
                     "overwrite").save()
@@ -139,7 +154,25 @@ def main() -> int:
     best: dict[str, float] = {}
     clean_ok: set[str] = set()
     slice_log: list[dict] = []
+    if args.merge:
+        with open(args.merge) as f:
+            prior = json.load(f)
+        best.update(prior["queries"])
+        clean_ok.update(
+            set(prior["queries"]) - set(prior["probe"].get("contended", []))
+        )
+        slice_log.extend(prior["probe"].get("slices", []))
     todo = list(all_queries)
+    if args.only:
+        wanted = {n.strip() for n in args.only.split(",") if n.strip()}
+        unknown = wanted - set(all_queries)
+        if unknown:
+            raise SystemExit(f"--only names not registered: {sorted(unknown)}")
+        todo = [n for n in todo if n in wanted]
+        if args.replace:
+            for n in wanted:
+                best.pop(n, None)
+                clean_ok.discard(n)
     budget, gap = args.slice_budget, args.gap
 
     for pass_no in range(1, args.passes + 1):
@@ -170,7 +203,9 @@ def main() -> int:
             print(f"  slice {si}: pre={p_pre} post={p_post} "
                   f"clean={clean} wall={round(sum(vals.values()), 2)} "
                   f"({len(names)} queries)", flush=True)
-        todo = [n for n in list(all_queries) if n not in clean_ok]
+        scope = set(todo) if args.only else set(all_queries)
+        todo = [n for n in list(all_queries)
+                if n in scope and n not in clean_ok]
         budget = max(4.0, budget / 2)
         gap = min(180.0, gap * 2)
 
