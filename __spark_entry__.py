@@ -4145,6 +4145,48 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus
+    (operators/decontaminate.py novelty_score — the memorization /
+    novelty audit signal): fraction of each doc's DISTINCT trigrams
+    unseen in the Chinese slice. Reference grams broadcast as 8-byte
+    hashes; the corpus side is one map-only explode + broadcast probe
+    + per-doc aggregate. Full oracle: DuckDB replays the distinct
+    trigram sets, the membership probe, and the exact fraction."""
+    from meta_frame_spark.operators.decontaminate import novelty_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ref = docs.filter(F.col("lang") == "zh")
+    out = novelty_score(docs, ref, n=3)
+    return out.select(
+        "doc_id", "n_distinct_ngrams", F.round("novelty", 6).alias("novelty")
+    )
+
+
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (operators/mixing.py
+    doremi_domain_weights — Xie et al. 2023, group-level variant):
+    three multiplicative-weights steps with uniform mixing over a
+    deterministic per-doc excess-loss proxy (ln(1 + n_chars % 101)/5
+    - 0.5 — varies by doc, differs by language through the n_chars
+    distributions). ONE bounded corpus aggregate; the iteration is
+    driver arithmetic over 5 doubles. Full oracle: DuckDB replays the
+    per-domain means and every multiplicative-weights step."""
+    from meta_frame_spark.operators.mixing import doremi_domain_weights
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_excess", F.expr("ln(1 + n_chars % 101) / 5.0 - 0.5")
+    )
+    out = doremi_domain_weights(
+        docs, "lang", "_excess", iters=3, eta=1.0, smoothing=0.2
+    )
+    return out.select(
+        "lang", "n",
+        F.round("mean_excess", 6).alias("mean_excess"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier reliability diagram (operators/stats.py
     calibration_report — Naeini et al. 2015): a synthetic
@@ -4230,23 +4272,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-10 window (VERDICT r9 "Next round" #3):
-#   1-3    quantile_match_grid / curation_budget /
-#          quality_classifier — FIRST driver rows for the round-10
-#          additions (the window-free calibration path's own gate,
-#          VERDICT r9 #7; the config-driven budget-cut pipeline,
-#          VERDICT r9 #6; the hashed-feature logistic-regression
-#          quality classifier), never-orphaned rule;
-#   4-36   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-5    quantile_match_grid / curation_budget /
+#          quality_classifier / novelty_score / doremi_mix — FIRST
+#          driver rows for the round-10 additions (the window-free
+#          calibration path's own gate, VERDICT r9 #7; the
+#          config-driven budget-cut pipeline, VERDICT r9 #6; the
+#          hashed-feature logistic-regression quality classifier;
+#          the n-gram novelty audit; the DoReMi-style domain
+#          reweighting), never-orphaned rule;
+#   6-38   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          5 r6-green rows that yielded r9 slots + the 28 remaining
 #          r6-green rows, since rotated to r6→r9 evidence ages);
-#   37-50  the 14 oldest r7-green rows in registry order
-#          (text_normalize .. int8_topk).
+#   39-50  the 12 oldest r7-green rows in registry order
+#          (text_normalize .. k_anonymity_report).
 # After this round no registered query's latest row is older than r7.
-# The r11 queue is NEXT_WINDOW_QUEUE below — the 36 remaining
+# The r11 queue is NEXT_WINDOW_QUEUE below — the 38 remaining
 # r7-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "quantile_match_grid", "curation_budget", "quality_classifier",
+    "novelty_score", "doremi_mix",
     # (2) the pinned r9 queue, verbatim
     "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
     "tfidf_keywords",
@@ -4262,16 +4307,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_normalize", "char_entropy", "script_profile", "sentences",
     "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
     "key_skew", "top_mass", "k_anonymity", "k_anonymity_report",
-    "int8_quantize", "int8_topk",
 )
 
-# The planned r11 window backbone: the 36 r7-green rows this round's
+# The planned r11 window backbone: the 38 r7-green rows this round's
 # 50 could not fit, in registry order (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "mmr_select",
+    "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
     "bp_grandchild", "events_hourly", "events_sessions",
     "events_sliding", "events_asof", "events_interval", "set_ops",
@@ -4475,6 +4519,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_match_grid": q_quantile_match_grid,
         "curation_budget": q_curation_budget,
         "quality_classifier": q_quality_classifier,
+        "novelty_score": q_novelty_score,
+        "doremi_mix": q_doremi_mix,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
         "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
@@ -7244,6 +7290,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n, TRUE AS ok
             FROM documents
             GROUP BY lang
+        """,
+        # Distinct trigram sets, reference membership probe, and the
+        # exact unseen fraction replayed (gram strings in DuckDB vs
+        # 64-bit hashes in Spark — identical modulo xxhash collisions,
+        # the decontaminate precedent).
+        "novelty_score": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT DISTINCT doc_id, lang, gram FROM (
+                    SELECT doc_id, lang,
+                           unnest(list_transform(
+                               range(1, greatest(len(t) - 2, 1) + 1),
+                               i -> array_to_string(t[i:i+2], ' ')
+                           )) AS gram
+                    FROM toks
+                )
+            ),
+            ref AS (SELECT DISTINCT gram FROM g WHERE lang = 'zh')
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+                   ROUND(1.0 - SUM(CASE WHEN r.gram IS NOT NULL
+                                        THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 6) AS novelty
+            FROM g LEFT JOIN ref r USING (gram)
+            GROUP BY g.doc_id
+        """,
+        # Per-domain means + all three multiplicative-weights steps
+        # (clip at 0, exp, normalize, uniform-mix) replayed.
+        "doremi_mix": """
+            WITH s AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                       AVG(ln(1 + n_chars % 101) / 5.0 - 0.5) AS me
+                FROM documents GROUP BY lang
+            ),
+            dd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM s),
+            c AS (SELECT lang, n, me, greatest(me, 0) AS m FROM s),
+            a1 AS (
+                SELECT lang, n, me, m, d,
+                       0.8 * u / SUM(u) OVER () + 0.2 / d AS alpha
+                FROM (SELECT c.*, dd.d, (1.0 / dd.d) * exp(m) AS u
+                      FROM c, dd)
+            ),
+            a2 AS (
+                SELECT lang, n, me, m, d,
+                       0.8 * u / SUM(u) OVER () + 0.2 / d AS alpha
+                FROM (SELECT a1.* EXCLUDE (alpha),
+                             alpha * exp(m) AS u FROM a1)
+            ),
+            a3 AS (
+                SELECT lang, n, me,
+                       0.8 * u / SUM(u) OVER () + 0.2 / d AS alpha
+                FROM (SELECT a2.* EXCLUDE (alpha),
+                             alpha * exp(m) AS u FROM a2)
+            )
+            SELECT lang, n, ROUND(me, 6) AS mean_excess,
+                   ROUND(alpha, 6) AS weight
+            FROM a3
         """,
         # Both full-batch GD steps replayed from w = 0: step 1 is
         # closed-form (every p_i = 0.5), step 2 runs through the

@@ -65,6 +65,7 @@ from meta_frame_spark.operators.chunking import chunk_documents
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
 from meta_frame_spark.operators.dsir import dsir_log_weights
+from meta_frame_spark.operators.decontaminate import novelty_score
 from meta_frame_spark.operators.logreg import (
     score_text_classifier,
     train_text_classifier,
@@ -93,7 +94,12 @@ from meta_frame_spark.operators.gating import (
 from meta_frame_spark.operators.quota import quota_per_group
 from meta_frame_spark.operators.history import scd2_from_changelog, snapshot_asof
 from meta_frame_spark.operators.linedup import dedup_units, repeated_units
-from meta_frame_spark.operators.mixing import apply_mix, mix_plan, temperature_mix_plan
+from meta_frame_spark.operators.mixing import (
+    apply_mix,
+    doremi_domain_weights,
+    mix_plan,
+    temperature_mix_plan,
+)
 from meta_frame_spark.operators.sketch import (
     cardinality_sketch,
     estimate_distinct,
@@ -293,6 +299,8 @@ __all__ = [
     "dsir_log_weights",
     "train_text_classifier",
     "score_text_classifier",
+    "novelty_score",
+    "doremi_domain_weights",
     "hash_split",
     "hashed_jaccard_pairs",
     "heavy_hitters",

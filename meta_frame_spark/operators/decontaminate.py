@@ -91,6 +91,50 @@ def decontaminate(
     )
 
 
+def novelty_score(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    ref_text_col: str | None = None,
+    out_col: str = "novelty",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus:
+    ``(id_col, n_distinct_ngrams, out_col)`` where ``out_col`` is the
+    fraction of the document's DISTINCT n-grams that occur NOWHERE in
+    ``reference`` — the memorization/novelty signal of data-quality
+    audits (1.0 = no gram shared with the reference, 0.0 = every gram
+    already seen). The complement of :func:`ngram_overlap`'s
+    hit-count view, per-doc-normalized and including zero-hit docs.
+
+    Tokenization matches the dedup/decontamination family, so all
+    three passes agree on gram identity. Scale: same shape as
+    ``ngram_overlap`` — the reference's distinct grams broadcast as
+    8-byte hashes, the corpus side is one map-only explode +
+    broadcast-probe, and the only corpus shuffle is the per-doc
+    aggregate (collapses map-side to one row per doc).
+    """
+    ref_grams = (
+        _distinct_gram_hashes(reference, ref_text_col or text_col, n)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = _distinct_gram_hashes(corpus, text_col, n, id_col)
+    return (
+        corpus_grams.join(F.broadcast(ref_grams), _GRAM, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_ngrams"),
+            (
+                F.lit(1.0)
+                - F.coalesce(F.sum("_hit"), F.lit(0))
+                / F.count(F.lit(1))
+            ).alias(out_col),
+        )
+    )
+
+
 def cross_split_leakage(
     pairs: DataFrame,
     splits: DataFrame,

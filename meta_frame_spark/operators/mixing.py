@@ -151,3 +151,71 @@ def temperature_mix_plan(
         "target_share",
         F.least(F.lit(1.0), F.col("target_share") * t / F.col("size")).alias("keep_frac"),
     )
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    excess_col: str,
+    iters: int = 3,
+    eta: float = 1.0,
+    smoothing: float = 0.2,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    given a per-example EXCESS LOSS column (proxy-model loss minus
+    reference-model loss — how much headroom a domain still has),
+    run ``iters`` multiplicative-weights steps over the domains::
+
+        u_d     = alpha_d * exp(eta * max(mean_excess_d, 0))
+        alpha'  = (1 - smoothing) * u / sum(u) + smoothing / D
+
+    starting from uniform. The uniform-mixing term is DoReMi's
+    step-stabilizer and what makes the iteration genuinely iterative
+    (without it, fixed per-domain losses would collapse T steps into
+    one exponential). Output: ``(domain_col, n, mean_excess,
+    weight)`` — the training mix to feed :func:`mix_plan` /
+    ``apply_mix``.
+
+    Scale: ONE corpus aggregate (per-domain count + mean excess,
+    map-side combined, output bounded by the domain count); the
+    iteration itself is driver arithmetic over D doubles — no
+    per-step corpus pass, because this is the group-level variant
+    with a fixed proxy (the full DoReMi retrains the proxy between
+    steps, which no engine-replayable batch operator can do).
+    Deterministic: a pure function of the per-domain means, so the
+    DuckDB oracle replays every step. The domain column comes back
+    as STRING (the weights table is a plan parameter, not data).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 <= smoothing <= 1.0:
+        raise ValueError(f"smoothing must be in [0, 1], got {smoothing}")
+    import math
+
+    stats = (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(excess_col).cast("double")).alias("mean_excess"),
+        )
+        .orderBy(domain_col)
+        .collect()
+    )  # bounded: one row per domain
+    if not stats:
+        raise ValueError("doremi_domain_weights: empty input")
+    d = len(stats)
+    alpha = [1.0 / d] * d
+    clipped = [max(float(r.mean_excess or 0.0), 0.0) for r in stats]
+    for _ in range(iters):
+        u = [a * math.exp(eta * m) for a, m in zip(alpha, clipped)]
+        s = sum(u)
+        alpha = [(1.0 - smoothing) * x / s + smoothing / d for x in u]
+    spark = df.sparkSession
+    rows = [
+        (str(r[domain_col]), int(r.n), float(r.mean_excess), w)
+        for r, w in zip(stats, alpha)
+    ]
+    return spark.createDataFrame(
+        rows, f"{domain_col} string, n long, mean_excess double, weight double"
+    )

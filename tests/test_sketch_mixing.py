@@ -197,3 +197,42 @@ def test_rolling_distinct_trailing_window(spark):
     out = {r.bucket_ts.hour: r.n_distinct for r in rolling_distinct(
         df, ["event_type"], "ts", "user_id", window_buckets=3).collect()}
     assert out == {0: 1, 1: 2, 2: 3, 3: 3, 4: 3}
+
+
+def test_doremi_domain_weights(spark):
+    """Hand-computed 2-domain case, plus the contracts: weights sum
+    to 1, the higher-excess domain gains weight monotonically with
+    iters, negative excess clips to 0 (no downweight past uniform
+    mixing), and validation raises."""
+    import math
+
+    import pytest
+
+    from meta_frame_spark.operators.mixing import doremi_domain_weights
+
+    rows = [("a", 1.0)] * 4 + [("b", 0.2)] * 4 + [("c", -1.0)] * 4
+    df = spark.createDataFrame(rows, ["dom", "excess"])
+    out = {r.dom: r for r in doremi_domain_weights(
+        df, "dom", "excess", iters=2, eta=1.0, smoothing=0.2
+    ).collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    # hand-replay
+    alpha = [1 / 3] * 3
+    clipped = [1.0, 0.2, 0.0]
+    for _ in range(2):
+        u = [a * math.exp(m) for a, m in zip(alpha, clipped)]
+        s = sum(u)
+        alpha = [0.8 * x / s + 0.2 / 3 for x in u]
+    for d, w in zip(("a", "b", "c"), alpha):
+        assert abs(out[d].weight - w) < 1e-12, d
+    assert out["a"].weight > out["b"].weight > out["c"].weight
+    assert out["c"].mean_excess == -1.0  # reported raw, clipped only in the update
+    # more iterations concentrate more on the highest-excess domain
+    w3 = {r.dom: r.weight for r in doremi_domain_weights(
+        df, "dom", "excess", iters=5, eta=1.0, smoothing=0.2
+    ).collect()}
+    assert w3["a"] > out["a"].weight
+    with pytest.raises(ValueError, match="iters"):
+        doremi_domain_weights(df, "dom", "excess", iters=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        doremi_domain_weights(df, "dom", "excess", smoothing=2.0)
