@@ -507,3 +507,18 @@ def test_quantile_match_bucketed_plan_is_window_plus_map(spark, sf_dir):
     assert "SinglePartition" not in plan
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_novelty_score_plan_broadcasts_reference(spark, sf_dir):
+    """The novelty probe must broadcast the reference gram set and
+    never cartesian: corpus rows flow through one map-only explode +
+    BroadcastHashJoin + per-doc aggregate."""
+    from meta_frame_spark.operators.decontaminate import novelty_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(novelty_score(docs, docs.filter(F.col("lang") == "zh"), n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
