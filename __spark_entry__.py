@@ -4145,6 +4145,47 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring on a REAL stream (streaming twin of
+    quality_classifier): the classifier trains on the batch table
+    (bounded fit — V+1 doubles), then its map-only sigmoid score runs
+    per micro-batch over the file-source stream with a complete-mode
+    per-language aggregate — the shape of a continuous-ingest quality
+    monitor (weights ride along as a literal array; the stream side
+    needs no join, no state beyond the aggregate). A drained stream
+    equals the batch form, so the full GD-replay oracle aggregates
+    the same scores per language."""
+    from meta_frame_spark.operators.logreg import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    docs_batch = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    labeled = docs_batch.withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    w = train_text_classifier(
+        labeled, "y", n=2, hex_chars=2, iters=2, learning_rate=1.0
+    )
+    stream = (
+        spark.readStream.schema(_t(spark, sf_dir, "documents").schema)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    scored = score_text_classifier(
+        stream.filter(F.col("text").isNotNull()), w, n=2, hex_chars=2
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("clf_score"), 6).alias("mean_score"),
+    )
+    return run_to_memory(
+        agg, "mem_stream_score", output_mode="complete", state_partitions=8
+    )
+
+
 def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/decontaminate.py novelty_score — the memorization /
@@ -4272,26 +4313,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-10 window (VERDICT r9 "Next round" #3):
-#   1-5    quantile_match_grid / curation_budget /
-#          quality_classifier / novelty_score / doremi_mix — FIRST
-#          driver rows for the round-10 additions (the window-free
-#          calibration path's own gate, VERDICT r9 #7; the
-#          config-driven budget-cut pipeline, VERDICT r9 #6; the
-#          hashed-feature logistic-regression quality classifier;
-#          the n-gram novelty audit; the DoReMi-style domain
-#          reweighting), never-orphaned rule;
-#   6-38   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-6    quantile_match_grid / curation_budget /
+#          quality_classifier / novelty_score / doremi_mix /
+#          stream_score — FIRST driver rows for the round-10
+#          additions (the window-free calibration path's own gate,
+#          VERDICT r9 #7; the config-driven budget-cut pipeline,
+#          VERDICT r9 #6; the hashed-feature logistic-regression
+#          quality classifier and its streaming twin; the n-gram
+#          novelty audit; the DoReMi-style domain reweighting),
+#          never-orphaned rule;
+#   7-39   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          5 r6-green rows that yielded r9 slots + the 28 remaining
 #          r6-green rows, since rotated to r6→r9 evidence ages);
-#   39-50  the 12 oldest r7-green rows in registry order
-#          (text_normalize .. k_anonymity_report).
+#   40-50  the 11 oldest r7-green rows in registry order
+#          (text_normalize .. k_anonymity).
 # After this round no registered query's latest row is older than r7.
-# The r11 queue is NEXT_WINDOW_QUEUE below — the 38 remaining
+# The r11 queue is NEXT_WINDOW_QUEUE below — the 39 remaining
 # r7-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "quantile_match_grid", "curation_budget", "quality_classifier",
-    "novelty_score", "doremi_mix",
+    "novelty_score", "doremi_mix", "stream_score",
     # (2) the pinned r9 queue, verbatim
     "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
     "tfidf_keywords",
@@ -4306,16 +4348,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (3) oldest r7-green rows, registry order
     "text_normalize", "char_entropy", "script_profile", "sentences",
     "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
-    "key_skew", "top_mass", "k_anonymity", "k_anonymity_report",
+    "key_skew", "top_mass", "k_anonymity",
 )
 
-# The planned r11 window backbone: the 38 r7-green rows this round's
+# The planned r11 window backbone: the 39 r7-green rows this round's
 # 50 could not fit, in registry order (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "int8_quantize", "int8_topk", "mmr_select",
+    "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
     "bp_grandchild", "events_hourly", "events_sessions",
     "events_sliding", "events_asof", "events_interval", "set_ops",
@@ -4521,6 +4563,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "novelty_score": q_novelty_score,
         "doremi_mix": q_doremi_mix,
+        "stream_score": q_stream_score,
         "curation_select": q_curation_select,
         "ann_topk_hamming": q_ann_topk_hamming,
         "ann_topk_hamming_rescore": q_ann_topk_hamming_rescore,
@@ -4528,6 +4571,78 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_per_lang": q_budget_per_lang,
         "calibration_report": q_calibration_report,
     }
+
+
+# Shared CTE chain for the logistic-regression oracles: both
+# full-batch GD steps replayed from w = 0 (step 1 closed-form from
+# p = 0.5, step 2 through the step-1 logits). quality_classifier
+# appends the per-doc sigmoid scores; stream_score appends the
+# per-language aggregate of the SAME scores (a drained stream equals
+# the batch form).
+_QC_ORACLE_CTES = """
+    WITH base AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+        SELECT doc_id, y, substr(md5(gram), 1, 2) AS bkt
+        FROM (
+            SELECT doc_id, y,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 1) + 1),
+                       i -> array_to_string(toks[i:i+1], ' ')
+                   )) AS gram
+            FROM base
+        )
+    ),
+    db AS (
+        SELECT doc_id, y, bkt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM g GROUP BY doc_id, y, bkt
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
+    -- step 1: w = 0 so every p_i = 0.5
+    w1 AS (
+        SELECT bkt, -(1.0 / nn.n) * SUM((0.5 - y) * c) AS w
+        FROM db, nn GROUP BY bkt, nn.n
+    ),
+    b1 AS (
+        SELECT -(1.0 / nn.n) * SUM(0.5 - y) AS bias
+        FROM base, nn GROUP BY nn.n
+    ),
+    -- step 2: logits through the step-1 weights
+    z2 AS (
+        SELECT db.doc_id, ANY_VALUE(db.y) AS y,
+               b1.bias + SUM(db.c * w1.w) AS z
+        FROM db JOIN w1 USING (bkt), b1
+        GROUP BY db.doc_id, b1.bias
+    ),
+    p2 AS (
+        SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM z2
+    ),
+    w2 AS (
+        SELECT w1.bkt,
+               w1.w - (1.0 / nn.n) * SUM((p2.p - db.y) * db.c) AS w
+        FROM db JOIN w1 USING (bkt)
+        JOIN p2 USING (doc_id), nn
+        GROUP BY w1.bkt, w1.w, nn.n
+    ),
+    b2 AS (
+        SELECT b1.bias - (1.0 / nn.n) * SUM(p - y) AS bias
+        FROM p2, b1, nn GROUP BY b1.bias, nn.n
+    ),
+    scores AS (
+        SELECT base.doc_id, base.lang,
+               1.0 / (1.0 + exp(-(b2.bias + s.z))) AS score
+        FROM base, b2
+        JOIN (
+            SELECT db.doc_id, SUM(db.c * w2.w) AS z
+            FROM db JOIN w2 USING (bkt)
+            GROUP BY db.doc_id
+        ) s ON s.doc_id = base.doc_id
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7352,73 +7467,20 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(alpha, 6) AS weight
             FROM a3
         """,
-        # Both full-batch GD steps replayed from w = 0: step 1 is
-        # closed-form (every p_i = 0.5), step 2 runs through the
-        # step-1 logits; then the final sigmoid scores. Buckets are
-        # the same substr(md5(gram), 1, 2) space as the Spark side
-        # (int vs hex key is a bijection — only identity matters).
-        "quality_classifier": """
-            WITH base AS (
-                SELECT doc_id, lang,
-                       CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-                       string_split_regex(lower(text), '\\s+') AS toks
-                FROM documents WHERE text IS NOT NULL
-            ),
-            g AS (
-                SELECT doc_id, y, substr(md5(gram), 1, 2) AS bkt
-                FROM (
-                    SELECT doc_id, y,
-                           unnest(list_transform(
-                               range(1, greatest(len(toks) - 1, 1) + 1),
-                               i -> array_to_string(toks[i:i+1], ' ')
-                           )) AS gram
-                    FROM base
-                )
-            ),
-            db AS (
-                SELECT doc_id, y, bkt, CAST(COUNT(*) AS DOUBLE) AS c
-                FROM g GROUP BY doc_id, y, bkt
-            ),
-            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base),
-            -- step 1: w = 0 so every p_i = 0.5
-            w1 AS (
-                SELECT bkt, -(1.0 / nn.n) * SUM((0.5 - y) * c) AS w
-                FROM db, nn GROUP BY bkt, nn.n
-            ),
-            b1 AS (
-                SELECT -(1.0 / nn.n) * SUM(0.5 - y) AS bias
-                FROM base, nn GROUP BY nn.n
-            ),
-            -- step 2: logits through the step-1 weights
-            z2 AS (
-                SELECT db.doc_id, ANY_VALUE(db.y) AS y,
-                       b1.bias + SUM(db.c * w1.w) AS z
-                FROM db JOIN w1 USING (bkt), b1
-                GROUP BY db.doc_id, b1.bias
-            ),
-            p2 AS (
-                SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) AS p FROM z2
-            ),
-            w2 AS (
-                SELECT w1.bkt,
-                       w1.w - (1.0 / nn.n) * SUM((p2.p - db.y) * db.c) AS w
-                FROM db JOIN w1 USING (bkt)
-                JOIN p2 USING (doc_id), nn
-                GROUP BY w1.bkt, w1.w, nn.n
-            ),
-            b2 AS (
-                SELECT b1.bias - (1.0 / nn.n) * SUM(p - y) AS bias
-                FROM p2, b1, nn GROUP BY b1.bias, nn.n
-            )
-            SELECT base.doc_id, base.lang,
-                   ROUND(1.0 / (1.0 + exp(-(b2.bias + s.z))), 6)
-                       AS clf_score
-            FROM base, b2
-            JOIN (
-                SELECT db.doc_id, SUM(db.c * w2.w) AS z
-                FROM db JOIN w2 USING (bkt)
-                GROUP BY db.doc_id
-            ) s ON s.doc_id = base.doc_id
+        # Both GD steps + final sigmoid scores via the shared CTE
+        # chain (_QC_ORACLE_CTES above). Buckets are the same
+        # substr(md5(gram), 1, 2) space as the Spark side (int vs hex
+        # key is a bijection — only identity matters).
+        "quality_classifier": _QC_ORACLE_CTES + """
+            SELECT doc_id, lang, ROUND(score, 6) AS clf_score
+            FROM scores
+        """,
+        # The streaming twin aggregates the SAME scores per language —
+        # a drained stream equals the batch form.
+        "stream_score": _QC_ORACLE_CTES + """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(score), 6) AS mean_score
+            FROM scores GROUP BY lang
         """,
         # Config-driven budget pipeline fully replayed: md5 sample
         # rank (k=400 per lang), the derive'd 8-hex-char coin, the

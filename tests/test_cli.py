@@ -87,7 +87,7 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in (
         "quantile_match_grid", "curation_budget", "quality_classifier",
-        "novelty_score", "doremi_mix",
+        "novelty_score", "doremi_mix", "stream_score",
     ):
         assert name in window, name
     # round-10 plan: the pinned r9 queue rotates through verbatim
