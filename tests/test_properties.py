@@ -662,3 +662,43 @@ def test_quantile_match_bucketed_within_one_grid_step(spark, vals):
         # blocks at either end are not separation) span <= N/B + 2
         between = max(0, bisect.bisect_left(sv, hi) - bisect.bisect_right(sv, lo))
         assert between <= len(sv) // B + 2
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=2,
+        max_size=24,
+    )
+)
+def test_quantile_match_null_contract_exact_mode(spark, vals):
+    """Round-10 null contract (ADVICE r9): in exact mode EVERY null
+    value calibrates to NULL, EVERY non-null value calibrates to a
+    pooled non-null value, and within each group the calibration is
+    monotone over the non-null rows."""
+    from meta_frame_spark.operators.ranking import quantile_match
+
+    rows = [
+        ("g%d" % (i % 2), i, float(v) if v is not None else None)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = quantile_match(df, "v", ["g"], "id").collect()
+    assert len(out) == len(rows)
+    nonnull_pool = sorted(float(v) for v in vals if v is not None)
+    by_group: dict = {}
+    for r in out:
+        if r.v is None:
+            assert r.v_cal is None
+        else:
+            assert r.v_cal is not None and float(r.v_cal) in nonnull_pool
+            by_group.setdefault(r.g, []).append((float(r.v), r.id, float(r.v_cal)))
+    for rows_g in by_group.values():
+        rows_g.sort()
+        cals = [c for _, _, c in rows_g]
+        assert cals == sorted(cals)  # monotone within group
