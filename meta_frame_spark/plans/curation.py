@@ -136,6 +136,22 @@ def _op_quantile_match(df: DataFrame, **kw) -> DataFrame:
     return quantile_match(df, **kw)
 
 
+def _op_novelty_gate(df: DataFrame, **kw) -> DataFrame:
+    """Keep rows whose n-gram novelty vs ``reference`` (a DataFrame,
+    like dedup_against's ``corpus``) is at least ``min_novelty`` —
+    the config-driven "don't re-ingest what the training set already
+    contains" cut. One equi-join on the id against the per-doc
+    novelty frame; schema passes through unchanged."""
+    from meta_frame_spark.operators.decontaminate import novelty_score
+
+    reference = kw.pop("reference")
+    min_novelty = float(kw.pop("min_novelty", 0.5))
+    id_col = kw.get("id_col", "doc_id")
+    nv = novelty_score(df, reference, **kw)
+    keep = nv.filter(F.col("novelty") >= min_novelty).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def _op_budget_select(df: DataFrame, **kw) -> DataFrame:
     """Config-driven token-budget cut — the terminal step of a
     selection pipeline ("the best/first N-token subset"); grouped
@@ -245,6 +261,7 @@ CURATION_OPS: dict[str, Callable] = {
     "quantile_match": _op_quantile_match,
     "budget_select": _op_budget_select,
     "sample_per_group": _op_sample_per_group,
+    "novelty_gate": _op_novelty_gate,
     "normalize": _op_normalize,
     "redact_pii": _op_redact_pii,
     "entropy_gate": _op_entropy_gate,
@@ -270,12 +287,14 @@ _SIG_TARGETS = {
     "quantile_match": "meta_frame_spark.operators.ranking:quantile_match",
     "budget_select": "meta_frame_spark.operators.sampling:budget_select",
     "sample_per_group": "meta_frame_spark.operators.sampling:sample_k_per_group",
+    "novelty_gate": "meta_frame_spark.operators.decontaminate:novelty_score",
 }
 
 #: config-level kwargs that are remapped before reaching the operator
 _EXTRA_KEYS = {
     "mix": {"source_col", "weights", "id_col", "size_col", "salt"},
     "dedup_against": {"corpus"},
+    "novelty_gate": {"min_novelty"},
     "decontaminate": {"benchmark"},
     "filter": {"predicate"},
     "select": {"columns"},

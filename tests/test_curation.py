@@ -387,3 +387,39 @@ def test_curation_budget_and_sample_ops(spark):
             {"steps": [{"op": "sample_per_group", "group_cols": ["grp"],
                         "k": 3, "id": "doc_id"}]}
         )
+
+
+def test_curation_novelty_gate(spark):
+    """novelty_gate keeps only rows sufficiently novel vs the
+    reference frame; kwargs validate against novelty_score's real
+    signature plus min_novelty."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        validate_curation_config,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # novelty 0 -> dropped
+            (2, "quantum flux capacitor hums"),  # novelty 1 -> kept
+            (3, "the cat sat somewhere else"),   # novelty 0.5 -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = run_curation(df, {"steps": [
+        {"op": "novelty_gate", "reference": ref, "n": 2,
+         "min_novelty": 0.5},
+    ]})
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    assert out.columns == df.columns  # schema passes through
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config(
+            {"steps": [{"op": "novelty_gate", "reference": ref,
+                        "min_nov": 0.5}]}
+        )
