@@ -1974,11 +1974,26 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     tag = hashlib.md5(src.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"mfs_{table}_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, f"{table}.parquet")
-    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(src, link)
+
+    def _link(target: str, name: str) -> None:
+        link = os.path.join(d, name)
+        if os.path.lexists(link) and (
+            os.path.realpath(link) != os.path.realpath(target)
+        ):
+            os.unlink(link)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
+
+    if os.path.isdir(src):
+        # a Spark-written table is a DIRECTORY of part files, and the
+        # file stream source does not descend into a symlinked
+        # subdirectory — link each part file flat (the 10x smoke
+        # corpus read as 0 rows before this)
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                _link(os.path.join(src, f), f)
+    else:
+        _link(src, f"{table}.parquet")
     return d
 
 
