@@ -1989,9 +1989,18 @@ def _stream_dir(sf_dir: str, table: str) -> str:
         # file stream source does not descend into a symlinked
         # subdirectory — link each part file flat (the 10x smoke
         # corpus read as 0 rows before this)
-        for f in sorted(os.listdir(src)):
-            if f.endswith(".parquet"):
-                _link(os.path.join(src, f), f)
+        want = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    else:
+        want = {f"{table}.parquet"}
+    # prune links whose source part file is gone (a regenerated table
+    # writes NEW part-file names; dangling leftovers would fail or
+    # pollute the next streaming read — ADVICE r10)
+    for existing in os.listdir(d):
+        if existing not in want:
+            os.unlink(os.path.join(d, existing))
+    if os.path.isdir(src):
+        for f in sorted(want):
+            _link(os.path.join(src, f), f)
     else:
         _link(src, f"{table}.parquet")
     return d

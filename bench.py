@@ -34,6 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # warn (stderr, non-fatal) if the working-tree BENCH_FULL.json is a
+    # contended driver record that must not be committed
+    try:
+        from tools.check_bench_record import warn as _bench_record_warn
+
+        _bench_record_warn()
+    except Exception:
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -240,10 +248,26 @@ def main() -> None:
             "record_contended": record_contended,
         },
     }
-    # Full-precision record as a repo artifact (not size-constrained).
+    # Full-precision record: ALWAYS written to BENCH_LAST.json
+    # (gitignored scratch); promoted to the canonical BENCH_FULL.json
+    # ONLY when this run is at the canonical SF and clean-bracketed.
+    # Unconditional promotion made every contended driver run
+    # overwrite the clean record in the working tree — a recurring
+    # commit hazard three rounds running (VERDICT r10 "Next round"
+    # #1); tools/check_bench_record.py is the backstop check.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
         json.dump(payload, f, indent=1)
+    if abs(sf - 0.1) < 1e-9 and not record_contended:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    else:
+        print(
+            f"[bench] record kept in BENCH_LAST.json only "
+            f"(sf={sf}, record_contended={record_contended}); "
+            "BENCH_FULL.json untouched",
+            file=sys.stderr,
+        )
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the final line from that window — a line longer than ~2000 chars is
     # recorded truncated and unparseable (BENCH_r01..r03 all have

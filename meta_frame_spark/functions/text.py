@@ -372,6 +372,112 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: The eight must-contain stopwords of the Gopher quality filter
+#: (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A —
+#: public thresholds; RefinedWeb and FineWeb reuse the same rule set).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Bullet characters for the Gopher bullet-line rule: the paper's
+#: '•' plus the markdown bullets real web text uses.
+_BULLET_RE = r"^[-*\x{2022}\x{2023}\x{25aa}]"
+_ELLIPSIS_LINE_RE = r"(\.\.\.|\x{2026})$"
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher rule-based quality REPORT (Rae et al. 2021,
+    Appendix A, public thresholds): the per-rule measurements, one
+    boolean flag per rule, and the conjunction ``gopher_pass``. This
+    is the rule tier every public pipeline (Gopher, RefinedWeb,
+    FineWeb) runs before any learned classifier — unlike
+    :func:`quality_score` (a composite score) it exposes the flags
+    pipelines actually gate on.
+
+    Rules (flag TRUE = keep):
+
+    * ``r_word_count``     — 50 <= word count <= 100,000
+    * ``r_mean_word_len``  — 3 <= mean word length <= 10
+    * ``r_hash_ratio``     — '#' symbol-to-word ratio <= 0.1
+    * ``r_ellipsis_ratio`` — '...'/'…' symbol-to-word ratio <= 0.1
+    * ``r_bullet_lines``   — < 90% of lines start with a bullet
+    * ``r_ellipsis_lines`` — < 30% of lines end with an ellipsis
+    * ``r_alpha_words``    — >= 80% of words contain a letter
+    * ``r_stopwords``      — >= 2 distinct :data:`GOPHER_STOPWORDS`
+
+    Scale: pure codegen HOFs (split / regexp_extract_all / filter),
+    map-only, zero Python in the row path, engine-portable (Java
+    regex and RE2 agree on every pattern — ``\\x{...}`` escapes as in
+    :data:`SCRIPT_CLASSES`). Ratios are rounded to 4dp for the
+    cross-engine hash contract. Null text yields null measurements
+    and flags (callers filter; an all-FALSE row would be
+    indistinguishable from a failing document)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    nw = F.when(n_words > 0, n_words.cast("double"))  # null-safe denom
+    # sum of token lengths == length with all whitespace removed
+    mean_wl = F.length(F.regexp_replace(c, r"\s", "")) / nw
+    hash_ratio = (F.length(c) - F.length(F.replace(c, F.lit("#")))) / nw
+    ellipsis_ratio = (
+        F.size(F.regexp_extract_all(c, F.lit(r"\.\.\.|\x{2026}"), 0)) / nw
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")  # >= 1 for non-null text
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE)))
+        / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(_ELLIPSIS_LINE_RE))
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))) / nw
+    )
+    ltoks = F.transform(toks, lambda t: F.lower(t))
+    stop_hits = F.size(
+        F.filter(
+            F.lit(list(GOPHER_STOPWORDS)).cast("array<string>"),
+            lambda w: F.array_contains(ltoks, w),
+        )
+    )
+    def _m(expr):  # null text -> null; empty text (0 words) -> 0.0
+        return F.when(
+            c.isNotNull(), F.round(F.coalesce(expr, F.lit(0.0)), 4)
+        )
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", _m(mean_wl))
+        .withColumn("hash_ratio", _m(hash_ratio))
+        .withColumn("ellipsis_ratio", _m(ellipsis_ratio))
+        .withColumn("bullet_line_frac", _m(bullet_frac))
+        .withColumn("ellipsis_line_frac", _m(ellipsis_line_frac))
+        .withColumn("alpha_word_frac", _m(alpha_frac))
+        .withColumn("stop_hits", F.when(c.isNotNull(), stop_hits))
+    )
+    flags = {
+        "r_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100000),
+        "r_mean_word_len": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "r_hash_ratio": F.col("hash_ratio") <= 0.1,
+        "r_ellipsis_ratio": F.col("ellipsis_ratio") <= 0.1,
+        "r_bullet_lines": F.col("bullet_line_frac") < 0.9,
+        "r_ellipsis_lines": F.col("ellipsis_line_frac") < 0.3,
+        "r_alpha_words": F.col("alpha_word_frac") >= 0.8,
+        "r_stopwords": F.col("stop_hits") >= 2,
+    }
+    for name, flag in flags.items():
+        out = out.withColumn(name, flag)
+    gopher_pass = None
+    for name in flags:
+        gopher_pass = (
+            F.col(name) if gopher_pass is None else gopher_pass & F.col(name)
+        )
+    return out.withColumn("gopher_pass", gopher_pass)
+
+
 #: Unicode-script classes for :func:`script_profile`, as (name, regex
 #: char-class) — written with ``\x{...}`` escapes, which Java regex
 #: (Spark) and RE2 (DuckDB oracle) both accept.
@@ -484,3 +590,48 @@ def readability_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             guard, rnd(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
         ).alias("fk_grade"),
     )
+
+
+def _mojibake_pairs() -> list[tuple[str, str]]:
+    """(mojibake, fixed) pairs for the common UTF-8-read-as-cp1252
+    double-encoding: for every target char, the broken form is its
+    UTF-8 bytes decoded as Windows-1252 (the classic web mistake ftfy
+    repairs; we cover the cases whose broken form is pure cp1252 —
+    targets with an unmappable byte like U+201D's 0x9D are skipped
+    rather than guessed). Longest mojibake first so the 3-byte
+    'â€¢'-family never gets clipped by a 2-byte 'Ã©'-family rule.
+    Generated, not hand-typed, so the table cannot drift from the
+    codec it models."""
+    targets = [chr(c) for c in range(0xA0, 0x100)] + [
+        "‘", "’", "‚", "“", "„",
+        "–", "—", "…", "•", "€", "™",
+    ]
+    out = []
+    for ch in targets:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        if moji != ch:
+            out.append((moji, ch))
+    return sorted(out, key=lambda p: -len(p[0]))
+
+
+#: The frozen (mojibake, fixed) table :func:`fix_encoding` applies.
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(_mojibake_pairs())
+
+
+def fix_encoding(text: str | Column) -> Column:
+    """Repair the common UTF-8-as-Windows-1252 mojibake in place
+    ('CafÃ©' -> 'Café', 'â€™' -> '’') — the standard encoding-repair
+    stage (ftfy's core case) expressed as a chain of literal
+    ``replace`` calls over :data:`MOJIBAKE_PAIRS`. Map-only codegen,
+    zero Python in the row path, engine-portable (DuckDB replays the
+    identical replace chain byte-for-byte). Heuristic by design:
+    text that legitimately contains a mojibake sequence is rewritten
+    too — at web-corpus scale that trade is the right one (ftfy makes
+    it as well). Null stays null."""
+    c = F.col(text) if isinstance(text, str) else text
+    for moji, fixed in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(fixed))
+    return c

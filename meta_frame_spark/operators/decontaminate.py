@@ -164,3 +164,88 @@ def cross_split_leakage(
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes_per_band: int = 2,
+    num_bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-corpus-row contamination report against an eval set in
+    EMBEDDING space (VERDICT r10 "Next round" #8): ``(id_col,
+    n_bench_hits, max_cosine)`` for every corpus vector whose cosine
+    vs ANY benchmark vector reaches ``threshold`` — the semantic
+    complement of the verbatim-gram :func:`decontaminate` (a
+    paraphrased eval question shares no 13-gram but sits at
+    cosine ~1 of its source).
+
+    Scale design: both sides bucketize with the SAME SRP hyperplanes
+    (similarity._srp_planes — one map-only Arrow matmul per side);
+    candidates come from an equi-join on (band, bucket) with the
+    benchmark side BROADCAST (an eval set is small by definition), so
+    the corpus never shuffles. Cosine is exact JVM codegen
+    (zip_with + aggregate) on candidates only; the single exchange is
+    the per-corpus-id aggregate, bounded by candidate count. Exact
+    copies of a benchmark vector collide in EVERY band, so planted
+    contaminants cannot be missed; near copies follow the
+    emb_near_dup recall argument (per-pair miss ~9e-8 at 2x32 for
+    cos >= 0.4, far smaller at 0.9)."""
+    from meta_frame_spark.operators.similarity import _bucketize, _srp_planes
+
+    planes = _srp_planes(dim, planes_per_band * num_bands, seed)
+    cb = _bucketize(corpus, id_col, vec_col, planes, planes_per_band, num_bands)
+    bb = _bucketize(benchmark, id_col, vec_col, planes, planes_per_band,
+                    num_bands).select(
+        "band", "bucket", F.col("_id").alias("_bid"), F.col("v").alias("_bv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "_bv", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = (
+        F.sqrt(F.aggregate(
+            F.transform("v", lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x))
+        * F.sqrt(F.aggregate(
+            F.transform("_bv", lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x))
+    )
+    cos = F.when(nrm > 0, dot / nrm).otherwise(F.lit(0.0))
+    hits = (
+        cb.join(F.broadcast(bb), ["band", "bucket"])
+        .select("_id", "_bid", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+    )
+    # a pair colliding in several bands counts once (count_distinct);
+    # max over duplicates is the same value either way
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count_distinct("_bid").alias("n_bench_hits"),
+            F.round(F.max("_cos"), 4).alias("max_cosine"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bench_hits", "max_cosine")
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    **kw,
+) -> DataFrame:
+    """Corpus rows NOT embedding-contaminated vs ``benchmark`` — the
+    gate form of :func:`embedding_contamination` (same kwargs), full
+    schema preserved via a left-anti join on the flagged id set (the
+    :func:`decontaminate` pattern)."""
+    flagged = embedding_contamination(
+        corpus, benchmark, threshold=threshold, id_col=id_col, **kw
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

@@ -23,8 +23,8 @@ Scale design:
   xxhash64) keeps the bucket id engine-portable, so the DuckDB oracle
   reproduces every value (same recipe as sampling._md5_hex4).
 * **One pass over the pool, zero corpus-sized shuffles**: raw text is
-  tokenized and hashed ONCE into a persisted per-doc INT bucket array
-  (4 bytes per gram instance, map-side); the pool model fit and the
+  tokenized and hashed ONCE into a persisted per-doc LONG bucket array
+  (8 bytes per gram instance, map-side); the pool model fit and the
   scoring pass each explode from that cache, and both groupBys
   collapse map-side before their exchanges — the fit to ≤ V rows per
   partition, the score to one row per doc (a doc never spans
@@ -53,14 +53,16 @@ from meta_frame_spark.operators.dedup import _shingles
 def _gram_buckets(df: DataFrame, text_col: str, n: int, hex_chars: int,
                   *extra_cols) -> DataFrame:
     """One row per n-gram INSTANCE (DSIR counts occurrences, not
-    distinct grams): ``(*extra_cols, _b)`` with ``_b`` an INT bucket
+    distinct grams): ``(*extra_cols, _b)`` with ``_b`` a LONG bucket
     id — the md5-hex truncation is parsed base-16 MAP-SIDE (VERDICT
     r9 "Next round" #5), so every downstream shuffle row is
-    fixed-width ``(long, int, long)`` instead of carrying a string
+    fixed-width ``(long, long, long)`` instead of carrying a string
     key (UnsafeRow strings cost an 8-byte offset/len word plus padded
-    bytes; the int is 4). Bucket identity is unchanged (hex -> int is
-    a bijection), so log_weight values and every oracle replay are
-    byte-identical."""
+    bytes; the long is 8). LONG, not int: hex_chars=8 reaches
+    16^8-1 > 2^31-1 and the non-ANSI string->int cast NULLs the top
+    half of the bucket space (ADVICE r10). Bucket identity is
+    unchanged (hex -> long IS a bijection for hex_chars <= 8), so
+    log_weight values and every oracle replay are byte-identical."""
     from meta_frame_spark.operators.skew import ensure_min_partitions
 
     return ensure_min_partitions(df.filter(F.col(text_col).isNotNull())).select(
@@ -68,7 +70,7 @@ def _gram_buckets(df: DataFrame, text_col: str, n: int, hex_chars: int,
     ).select(
         *extra_cols,
         F.conv(F.substring(F.md5(F.col("_g")), 1, hex_chars), 16, 10)
-        .cast("int").alias("_b"),
+        .cast("long").alias("_b"),
     )
 
 
@@ -107,8 +109,8 @@ def dsir_log_weights(
     # ~24 MB shuffled at the 10x smoke — that existed only to give
     # the cache a compact shape; every (doc, bucket) group already
     # lived in one map partition). Instead the persisted shared
-    # branch is the per-doc INT bucket array itself (hashing happens
-    # once, map-side, int4 per gram instance); the pool fit and the
+    # branch is the per-doc LONG bucket array itself (hashing happens
+    # once, map-side, int8 per gram instance); the pool fit and the
     # scoring pass each explode from the cache, and their groupBys
     # collapse map-side to <= V rows and one row per doc
     # respectively before their exchanges — kilobytes on the wire
@@ -116,9 +118,13 @@ def dsir_log_weights(
     from meta_frame_spark.operators.skew import ensure_min_partitions
 
     def _bucket(g):
+        # 'long', not 'int': hex_chars=8 reaches 16^8-1 > 2^31-1, and a
+        # non-ANSI string->int cast NULLs the top half of the bucket
+        # space (ADVICE r10) — every gram there would silently take the
+        # unseen-bucket default log-ratio.
         return F.conv(
             F.substring(F.md5(g), 1, hex_chars), 16, 10
-        ).cast("int")
+        ).cast("long")
 
     doc_arr = track(
         ensure_min_partitions(raw.filter(F.col(text_col).isNotNull()))

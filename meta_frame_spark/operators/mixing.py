@@ -212,8 +212,16 @@ def doremi_domain_weights(
         s = sum(u)
         alpha = [(1.0 - smoothing) * x / s + smoothing / d for x in u]
     spark = df.sparkSession
+    # all-NULL excess in a domain -> avg() is None; report 0.0 (the
+    # same value the MW update used via `clipped`) instead of a
+    # TypeError (ADVICE r10)
     rows = [
-        (str(r[domain_col]), int(r.n), float(r.mean_excess), w)
+        (
+            str(r[domain_col]),
+            int(r.n),
+            float(r.mean_excess) if r.mean_excess is not None else 0.0,
+            w,
+        )
         for r, w in zip(stats, alpha)
     ]
     return spark.createDataFrame(

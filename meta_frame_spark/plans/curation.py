@@ -147,8 +147,12 @@ def _op_novelty_gate(df: DataFrame, **kw) -> DataFrame:
     reference = kw.pop("reference")
     min_novelty = float(kw.pop("min_novelty", 0.5))
     id_col = kw.get("id_col", "doc_id")
+    # honor a caller-renamed score column instead of hard-coding
+    # 'novelty' (ADVICE r10: out_col passed validation, then broke
+    # the filter with an unresolved-column error)
+    out_col = kw.get("out_col", "novelty")
     nv = novelty_score(df, reference, **kw)
-    keep = nv.filter(F.col("novelty") >= min_novelty).select(id_col)
+    keep = nv.filter(F.col(out_col) >= min_novelty).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
 
@@ -220,6 +224,57 @@ def _op_lang_gate(
     )
 
 
+def _op_quality_score_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """Keep rows whose heuristic :func:`quality_score` clears
+    ``min_score`` — the stateless gate the streaming curation twins
+    (stream_curate/stream_score) hand-wired before this step existed."""
+    from meta_frame_spark.functions.text import quality_score
+
+    return df.filter(quality_score(F.col(text_col)) >= min_score)
+
+
+def _op_gopher_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows passing the Gopher rule set (all 8 rules, or just the
+    named ``rules`` — see functions.text.with_gopher_rules). Schema
+    passes through unchanged: the report columns are computed, gated
+    on, and dropped. Map-only codegen, stream-safe."""
+    from meta_frame_spark.functions.text import with_gopher_rules
+
+    scored = with_gopher_rules(df, text_col=text_col)
+    added = [c for c in scored.columns if c not in df.columns]
+    if rules is None:
+        cond = F.col("gopher_pass")
+    else:
+        bad = set(rules) - {c for c in added if c.startswith("r_")}
+        if bad:
+            raise ConfigError(
+                f"gopher_gate: unknown rules {sorted(bad)}; known: "
+                f"{sorted(c for c in added if c.startswith('r_'))}"
+            )
+        cond = F.lit(True)
+        for r in rules:
+            cond = cond & F.col(r)
+    return scored.filter(cond).drop(*added)
+
+
+def _op_fix_encoding(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    from meta_frame_spark.functions.text import fix_encoding
+
+    return df.withColumn(out_col or text_col, fix_encoding(F.col(text_col)))
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -266,6 +321,9 @@ CURATION_OPS: dict[str, Callable] = {
     "redact_pii": _op_redact_pii,
     "entropy_gate": _op_entropy_gate,
     "lang_gate": _op_lang_gate,
+    "quality_score_gate": _op_quality_score_gate,
+    "gopher_gate": _op_gopher_gate,
+    "fix_encoding": _op_fix_encoding,
     "select": _op_select,
     "derive": _op_derive,
     "cache": _op_cache,
@@ -303,6 +361,9 @@ _EXTRA_KEYS = {
     "redact_pii": {"text_col", "out_col", "kinds"},
     "entropy_gate": {"text_col", "min_entropy"},
     "lang_gate": {"text_col", "langs", "min_margin"},
+    "quality_score_gate": {"text_col", "min_score"},
+    "gopher_gate": {"text_col", "rules"},
+    "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
 }
 
@@ -359,6 +420,53 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
     """Compile a curation config into one lazy DataFrame plan."""
     steps = validate_curation_config(config)
     out = df
+    for step in steps:
+        op = step["op"]
+        kwargs = {k: v for k, v in step.items() if k != "op"}
+        out = CURATION_OPS[op](out, **kwargs)
+    return out
+
+
+#: Curation ops that are STATELESS and map-only — safe to compile onto
+#: a streaming DataFrame unchanged (no shuffle, no state store, no
+#: second reference to the flowing frame). Everything else (dedup,
+#: quantile gates, sampling with exact counts, caps, mixes, splits)
+#: needs whole-corpus state and has explicit streaming twins in
+#: streaming/ops.py instead.
+STREAM_SAFE_OPS: frozenset[str] = frozenset({
+    "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
+    "quality_score_gate", "gopher_gate", "fix_encoding", "select",
+    "derive",
+})
+
+
+def validate_stream_config(config: dict) -> list[dict]:
+    """:func:`validate_curation_config` plus stream-safety: every step
+    must be in :data:`STREAM_SAFE_OPS`, so a config typo'd with a
+    stateful op fails loudly at validation time instead of at
+    writeStream start (or worse, with a wrong-answer complete-mode
+    plan)."""
+    steps = validate_curation_config(config)
+    for i, step in enumerate(steps):
+        if step["op"] not in STREAM_SAFE_OPS:
+            raise ConfigError(
+                f"step {i} ({step['op']}): not stream-safe; streaming "
+                f"configs may only use {sorted(STREAM_SAFE_OPS)} — use "
+                "the streaming/ops.py twin for stateful operators"
+            )
+    return steps
+
+
+def run_curation_stream(stream_df: DataFrame, config: dict) -> DataFrame:
+    """Compile a STREAM-SAFE curation config onto a streaming
+    DataFrame (VERDICT r10 "Next round" #6): the same registered step
+    callables as :func:`run_curation` — they are pure column
+    transformations, so the identical gate chain runs per micro-batch
+    with zero state. A drained stream therefore equals
+    ``run_curation(batch_df, config)`` on the same data, which is the
+    driver oracle for the ``stream_gate`` query."""
+    steps = validate_stream_config(config)
+    out = stream_df
     for step in steps:
         op = step["op"]
         kwargs = {k: v for k, v in step.items() if k != "op"}

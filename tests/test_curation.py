@@ -423,3 +423,161 @@ def test_curation_novelty_gate(spark):
             {"steps": [{"op": "novelty_gate", "reference": ref,
                         "min_nov": 0.5}]}
         )
+    # out_col is a legitimate novelty_score kwarg; the gate must filter
+    # on it rather than the hard-coded 'novelty' (ADVICE r10)
+    out2 = run_curation(df, {"steps": [
+        {"op": "novelty_gate", "reference": ref, "n": 2,
+         "min_novelty": 0.5, "out_col": "nv"},
+    ]})
+    assert sorted(r.doc_id for r in out2.collect()) == [2, 3]
+
+
+def test_curation_new_stateless_steps(spark):
+    """gopher_gate / quality_score_gate / fix_encoding as registered
+    steps: schema passthrough, threshold behavior, kwarg validation."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        validate_curation_config,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "nimble cat with a big leap of joy today ") * 3
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, "CafÃ© " + good)],
+        ["doc_id", "text"],
+    )
+    out = run_curation(df, {"steps": [{"op": "gopher_gate"}]})
+    assert out.columns == df.columns
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    # rule subset: only the word-count rule -> same outcome here
+    out2 = run_curation(df, {"steps": [
+        {"op": "gopher_gate", "rules": ["r_word_count"]}]})
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 3]
+    with pytest.raises(ConfigError, match="unknown rules"):
+        run_curation(df, {"steps": [
+            {"op": "gopher_gate", "rules": ["r_nope"]}]}).collect()
+
+    kept = run_curation(df, {"steps": [
+        {"op": "quality_score_gate", "min_score": 0.75}]})
+    assert 2 not in {r.doc_id for r in kept.collect()}
+
+    fixed = run_curation(df, {"steps": [{"op": "fix_encoding"}]})
+    assert fixed.filter("doc_id = 3").first().text.startswith("Café ")
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        validate_curation_config({"steps": [
+            {"op": "fix_encoding", "column": "text"}]})
+
+
+def test_stream_config_validation_and_equality(spark, tmp_path):
+    """validate_stream_config rejects stateful ops; a drained
+    run_curation_stream equals run_curation on the same data."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        run_curation_stream,
+        validate_stream_config,
+    )
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    cfg = {"steps": [
+        {"op": "fix_encoding"},
+        {"op": "quality_score_gate", "min_score": 0.5},
+        {"op": "lang_gate", "langs": ["en"]},
+    ]}
+    validate_stream_config(cfg)
+    with pytest.raises(ConfigError, match="not stream-safe"):
+        validate_stream_config({"steps": [
+            {"op": "dedup_exact", "key_cols": ["text"], "id_col": "doc_id"},
+        ]})
+
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "nimble cat with a big leap of joy today ") * 3
+    rows = [(1, good), (2, "short"), (3, "CafÃ© " + good),
+            (4, ("le chat est sur le tapis et la pluie tombe sur les "
+                 "toits de la ville que nous aimons bien ") * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    drained = run_to_memory(
+        run_curation_stream(stream, cfg), "mem_stream_gate_t",
+        output_mode="append")
+    want = {(r.doc_id, r.text) for r in run_curation(
+        spark.read.parquet(d), cfg).collect()}
+    got = {(r.doc_id, r.text) for r in drained.collect()}
+    assert got == want and {i for i, _ in got} == {1, 3}
+
+
+class TestEmbeddingDecontamination:
+    """Embedding-space eval-set contamination gate
+    (operators/decontaminate.embedding_contamination)."""
+
+    def test_planted_contaminants_always_flagged(self, spark, embeddings):
+        """No false negative on planted contaminants: exact copies of
+        a benchmark vector collide in EVERY SRP band, so the candidate
+        join cannot miss them."""
+        from meta_frame_spark.operators.decontaminate import (
+            embedding_contamination,
+        )
+
+        bench = embeddings.filter("vec_id % 37 = 0")  # eval slice
+        n_bench = bench.count()
+        assert n_bench > 5
+        rep = embedding_contamination(embeddings, bench, threshold=0.98)
+        flagged = {r.vec_id: r for r in rep.collect()}
+        # every benchmark member is its own exact contaminant
+        for r in bench.select("vec_id").collect():
+            assert r.vec_id in flagged, r.vec_id
+            assert flagged[r.vec_id].max_cosine >= 0.98
+
+    def test_gate_removes_exactly_flagged(self, spark, embeddings):
+        from meta_frame_spark.operators.decontaminate import (
+            embedding_contamination,
+            embedding_decontaminate,
+        )
+
+        bench = embeddings.filter("vec_id % 37 = 0")
+        flagged = {r.vec_id for r in embedding_contamination(
+            embeddings, bench, threshold=0.9).collect()}
+        kept = embedding_decontaminate(embeddings, bench, threshold=0.9)
+        kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+        assert kept.columns == embeddings.columns
+        assert kept_ids.isdisjoint(flagged)
+        assert kept_ids | flagged == {
+            r.vec_id for r in embeddings.select("vec_id").collect()}
+
+    def test_hit_counts_vs_brute_force(self, spark, embeddings):
+        """Candidate recall check: the LSH report equals brute-force
+        cosine counting at a high threshold on a bounded slice."""
+        from meta_frame_spark.operators.decontaminate import (
+            embedding_contamination,
+        )
+
+        corpus = embeddings.filter("vec_id < 300")
+        bench = embeddings.filter("vec_id % 37 = 0 AND vec_id < 300")
+        got = {
+            (r.vec_id, r.n_bench_hits, r.max_cosine)
+            for r in embedding_contamination(
+                corpus, bench, threshold=0.9).collect()
+        }
+        import numpy as np
+
+        C = {r.vec_id: np.array(r.embedding, dtype=float)
+             for r in corpus.collect()}
+        B = {r.vec_id: np.array(r.embedding, dtype=float)
+             for r in bench.collect()}
+        want = set()
+        for cid, cv in C.items():
+            hits = []
+            for bv in B.values():
+                cos = float(cv @ bv / (np.linalg.norm(cv) * np.linalg.norm(bv)))
+                if cos >= 0.9:
+                    hits.append(cos)
+            if hits:
+                want.add((cid, len(hits), round(max(hits), 4)))
+        assert got == want

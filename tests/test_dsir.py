@@ -105,6 +105,24 @@ def test_deterministic_under_repartition(spark, documents):
     assert a == b
 
 
+def test_hex_chars_8_no_overflow(spark):
+    """hex_chars=8 buckets reach 16^8-1 > 2^31-1; a string->int cast
+    NULLs the top half of the bucket space and silently assigns those
+    grams the unseen-bucket default (ADVICE r10). LONG buckets must
+    replay the pure-Python reference exactly."""
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.log_weight)
+        for r in dsir_log_weights(raw, target, hex_chars=8).collect()
+    }
+    want = _py_dsir(RAW, TARGET, hex_chars=8)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-9), d
+
+
 def test_validation(spark):
     df = spark.createDataFrame(RAW, "doc_id long, text string")
     with pytest.raises(ValueError):

@@ -236,3 +236,12 @@ def test_doremi_domain_weights(spark):
         doremi_domain_weights(df, "dom", "excess", iters=0)
     with pytest.raises(ValueError, match="smoothing"):
         doremi_domain_weights(df, "dom", "excess", smoothing=2.0)
+    # a domain whose excess is all NULL (avg -> None) reports 0.0
+    # mean_excess instead of a driver TypeError (ADVICE r10)
+    nrows = [("a", 1.0), ("b", None), ("b", None)]
+    ndf = spark.createDataFrame(nrows, "dom string, excess double")
+    nout = {r.dom: r for r in doremi_domain_weights(
+        ndf, "dom", "excess", iters=1, eta=1.0, smoothing=0.2
+    ).collect()}
+    assert nout["b"].mean_excess == 0.0
+    assert abs(sum(r.weight for r in nout.values()) - 1.0) < 1e-12

@@ -379,3 +379,37 @@ def test_streaming_incremental_ingest_dedups_against_static_corpus(spark, tmp_pa
                         state_partitions=4)
     got = {r.doc_id for r in out.collect()}
     assert got == {200 + i for i in range(30)}
+
+
+def test_stream_dir_prunes_stale_links(tmp_path, monkeypatch):
+    """Regenerating a directory table writes NEW part-file names; the
+    reused temp dir must drop symlinks for parts that no longer exist
+    (ADVICE r10) or subsequent streaming reads fail/pollute."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _stream_dir
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        src = tmp_path / "sfX" / "documents.parquet"
+        src.mkdir(parents=True)
+        (src / "part-0001.parquet").write_bytes(b"a")
+        (src / "part-0002.parquet").write_bytes(b"b")
+        d1 = _stream_dir(str(tmp_path / "sfX"), "documents")
+        assert sorted(os.listdir(d1)) == [
+            "part-0001.parquet", "part-0002.parquet"]
+        # regenerate: new part names
+        (src / "part-0001.parquet").unlink()
+        (src / "part-0002.parquet").unlink()
+        (src / "part-abcd.parquet").write_bytes(b"c")
+        d2 = _stream_dir(str(tmp_path / "sfX"), "documents")
+        assert d2 == d1
+        assert os.listdir(d2) == ["part-abcd.parquet"]
+        assert os.path.exists(os.path.join(d2, "part-abcd.parquet"))
+    finally:
+        tempfile.tempdir = None

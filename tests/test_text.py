@@ -558,3 +558,95 @@ def test_readability_stats_hand_computed(spark):
     r3 = out[3]
     assert r3.n_words == 0 and r3.n_syll is None
     assert r3.flesch is None and r3.fk_grade is None
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Per-rule flags on hand-built documents that fail exactly one
+    rule each (Rae et al. 2021 thresholds)."""
+    from meta_frame_spark.functions.text import with_gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and that "
+            "nimble cat with a big leap of joy today ") * 3  # 60 words
+    docs = [
+        (1, good),
+        (2, "the of and that have with be to"),            # < 50 words
+        (3, good + " ##### " * 20),                        # hash ratio
+        (4, "\n".join(["- item " + good[:40]] * 10)),      # bullets (and <50w)
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+
+    g = out[1]
+    assert g.n_words == 60
+    assert g.r_word_count and g.r_mean_word_len and g.r_hash_ratio
+    assert g.r_bullet_lines and g.r_ellipsis_lines and g.r_alpha_words
+    assert g.r_stopwords and g.gopher_pass
+    # hand-check two measurements
+    toks = good.split()
+    assert g.mean_word_len == round(sum(len(t) for t in toks) / len(toks), 4)
+    assert g.stop_hits == len(
+        {"the", "of", "and", "that", "with", "a"} & {
+            "the", "be", "to", "of", "and", "that", "have", "with"})
+
+    assert not out[2].r_word_count and not out[2].gopher_pass
+    assert out[2].r_stopwords  # 8 distinct required stopwords present
+
+    assert not out[3].r_hash_ratio and not out[3].gopher_pass
+    assert out[3].hash_ratio > 0.1
+
+    assert not out[4].r_bullet_lines
+    assert out[4].bullet_line_frac == 1.0
+
+    n = out[5]
+    assert n.n_words is None and n.gopher_pass is None
+    assert n.mean_word_len is None and n.stop_hits is None
+
+
+def test_gopher_rules_ellipsis_and_alpha(spark):
+    from meta_frame_spark.functions.text import with_gopher_rules
+
+    base = ("the data be flowing to all of them and that stream have "
+            "kept pace with demand across every region this year ") * 3
+    docs = [
+        (1, "\n".join([base[:60] + "..."] * 10)),   # every line ends ...
+        (2, " ".join(["12345"] * 60) + " the of"),  # words mostly no alpha
+        (3, base + " " + "… " * 20),                # ellipsis char ratio
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    assert out[1].ellipsis_line_frac == 1.0 and not out[1].r_ellipsis_lines
+    assert out[2].alpha_word_frac < 0.8 and not out[2].r_alpha_words
+    assert out[3].ellipsis_ratio > 0.1 and not out[3].r_ellipsis_ratio
+
+
+def test_fix_encoding_repairs_common_mojibake(spark):
+    from meta_frame_spark.functions.text import fix_encoding
+
+    cases = [
+        ("CafÃ© au lait", "Café au lait"),
+        ("itâ€™s â€œquotedâ€¦", "it’s “quoted…"),
+        ("naÃ¯ve rÃ©sumÃ© â€” done", "naïve résumé — done"),
+        ("Â«guillemetsÂ» at 20Â°C", "«guillemets» at 20°C"),
+        ("price â‚¬9 â€¢ sold", "price €9 • sold"),
+        ("plain ascii stays", "plain ascii stays"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "i long, text string"
+    )
+    got = {r.i: r.fixed for r in df.select(
+        "i", fix_encoding("text").alias("fixed")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_fix_encoding_table_is_codec_true():
+    """Every pair really is the UTF-8-as-cp1252 misread of its target,
+    longest-first so 3-byte sequences never get clipped."""
+    from meta_frame_spark.functions.text import MOJIBAKE_PAIRS
+
+    lens = [len(m) for m, _ in MOJIBAKE_PAIRS]
+    assert lens == sorted(lens, reverse=True)
+    for moji, fixed in MOJIBAKE_PAIRS:
+        assert fixed.encode("utf-8").decode("cp1252") == moji
