@@ -4320,6 +4320,106 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality report (Rae et al. 2021 public
+    thresholds; functions/text.with_gopher_rules): per-document
+    measurements + per-rule flags + the gopher_pass conjunction — the
+    rule tier public pipelines (Gopher, RefinedWeb, FineWeb) run
+    before any learned classifier. Map-only codegen HOFs, zero
+    Python; full DuckDB oracle (every count and ratio SQL-exact)."""
+    from meta_frame_spark.functions.text import with_gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return with_gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "hash_ratio",
+        "ellipsis_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "stop_hits", "r_word_count",
+        "r_mean_word_len", "r_alpha_words", "r_stopwords", "gopher_pass",
+    )
+
+
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/text.fix_encoding — the
+    UTF-8-as-cp1252 table, chained literal replaces, map-only).
+    Planted-corruption round-trip: every document gets a known
+    mojibake suffix appended; the op must repair exactly that suffix
+    and nothing else on the (clean) corpus text. Byte-exact DuckDB
+    oracle: the oracle replays the IDENTICAL corrupt + repair replace
+    chains, so `fixed` is compared byte-for-byte."""
+    from meta_frame_spark.functions.text import fix_encoding
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corrupted = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    fixed = fix_encoding(corrupted)
+    return docs.select(
+        "doc_id",
+        F.length(corrupted).alias("n_corrupted_chars"),
+        fixed.alias("fixed"),
+        (fixed == F.concat(F.col("text"), F.lit(_MOJI_SUFFIX_FIXED)))
+        .alias("roundtrip_ok"),
+    )
+
+
+#: planted mojibake suffix for q_fix_encoding and what it must repair to
+_MOJI_SUFFIX = " CafÃ© â€” naÃ¯ve Â«quotedÂ» â‚¬5 â€¢ finÂ°"
+_MOJI_SUFFIX_FIXED = " Café — naïve «quoted» €5 • fin°"
+
+
+def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-DECLARED continuous-ingest curation (VERDICT r10 "Next
+    round" #6): the same declarative step list run_curation compiles
+    for batch is compiled onto a REAL file-source stream by
+    plans/curation.run_curation_stream (validate_stream_config
+    rejects stateful steps loudly). Gates: heuristic quality >= 0.5
+    AND language 'en' with margin >= 1 — per-micro-batch stateless
+    codegen filters; the only state is the complete-mode per-source
+    accounting. A drained stream equals the batch form, so the oracle
+    is the batch SQL of the same gates."""
+    from meta_frame_spark.functions.text import token_count
+    from meta_frame_spark.plans.curation import run_curation_stream
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    docs_batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    gated = run_curation_stream(stream, {"steps": [
+        {"op": "quality_score_gate", "min_score": 0.5},
+        {"op": "lang_gate", "langs": ["en"], "min_margin": 1},
+    ]})
+    counts = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    return run_to_memory(
+        counts, "mem_stream_gate", output_mode="complete",
+        state_partitions=8,
+    )
+
+
+def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set contamination report (VERDICT r10
+    "Next round" #8; operators/decontaminate.embedding_contamination):
+    corpus vectors at cosine >= 0.9 of any vector in a deterministic
+    eval slice (vec_id % 37 = 0), with hit count and max cosine. The
+    eval slice is IN the corpus, so every slice member is its own
+    planted exact contaminant — exact copies collide in every SRP
+    band and cannot be missed; near pairs at 0.9 band with
+    (1-acos(.9)/pi)^6 ~ 0.395 per band at the 6-plane default, miss
+    prob (1-.395)^32 ~ 1e-7 (the 6-plane bucket space also cuts
+    random-pair candidates ~16x vs the near-dup query's 2 planes —
+    the high-threshold trade). Genuine exact oracle: DuckDB replays
+    the all-pairs cosine filter."""
+    from meta_frame_spark.operators.decontaminate import (
+        embedding_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    return embedding_contamination(emb, bench, threshold=0.9)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4336,51 +4436,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-10 window (VERDICT r9 "Next round" #3):
-#   1-6    quantile_match_grid / curation_budget /
-#          quality_classifier / novelty_score / doremi_mix /
-#          stream_score — FIRST driver rows for the round-10
-#          additions (the window-free calibration path's own gate,
-#          VERDICT r9 #7; the config-driven budget-cut pipeline,
-#          VERDICT r9 #6; the hashed-feature logistic-regression
-#          quality classifier and its streaming twin; the n-gram
-#          novelty audit; the DoReMi-style domain reweighting),
+# Round-11 window (VERDICT r10 "Next round" #3, extended by the four
+# round-11 additions):
+#   1-4    gopher_rules / fix_encoding / stream_gate / emb_decontam —
+#          FIRST driver rows for the round-11 additions (the Gopher
+#          rule-based quality report, VERDICT r10 #4; the mojibake
+#          encoding repair, #7; the config-declared streaming gate,
+#          #6; the embedding-space decontamination report, #8),
 #          never-orphaned rule;
-#   7-39   the 33-entry r9 NEXT_WINDOW_QUEUE exactly as pinned (the
-#          5 r6-green rows that yielded r9 slots + the 28 remaining
-#          r6-green rows, since rotated to r6→r9 evidence ages);
-#   40-50  the 11 oldest r7-green rows in registry order
-#          (text_normalize .. k_anonymity).
-# After this round no registered query's latest row is older than r7.
-# The r11 queue is NEXT_WINDOW_QUEUE below — the 39 remaining
-# r7-green rows. Every entry has an oracle_sql() twin.
+#   5-43   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
+#          39 remaining r7-green rows);
+#   44-50  the 7 oldest r8-green rows in registry order
+#          (ann_topk_ivfpq .. a_derive).
+# After this round no registered query's latest row is older than r8.
+# The r12 queue is NEXT_WINDOW_QUEUE below — the 43 remaining
+# r8-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "quantile_match_grid", "curation_budget", "quality_classifier",
-    "novelty_score", "doremi_mix", "stream_score",
-    # (2) the pinned r9 queue, verbatim
-    "heavy_hitters", "theta_overlap", "count_anomalies", "epoch_shuffle",
-    "tfidf_keywords",
-    "containment", "kll_quantiles", "theta_matrix", "stream_anomaly",
-    "negative_pairs", "dedup_safe_split", "curation_cleanup",
-    "corr_signals", "near_dedup_against", "rolling_distinct",
-    "vocab_drift", "emb_outliers", "incremental_agg", "b_q10_returns",
-    "a_q1_pricing", "cms_freq", "ann_topk_rp", "mm_frame_dedup",
-    "event_pagerank", "part_pairs", "bloom_decontam", "sketch_rollup",
-    "join_cardest", "a_q6_revenue", "b_q4_priority", "trending_events",
-    "session_pairs", "funnel_latency",
-    # (3) oldest r7-green rows, registry order
-    "text_normalize", "char_entropy", "script_profile", "sentences",
-    "ewma_hourly", "trend_hourly", "bucket_spine", "zipf_slope",
-    "key_skew", "top_mass", "k_anonymity",
-)
-
-# The planned r11 window backbone: the 39 r7-green rows this round's
-# 50 could not fit, in registry order (pinned constant per VERDICT r8
-# #7 so the queue cannot silently drift from the plan;
-# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
-# registered, and oracle-backed).
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
+    # (2) the pinned r10 queue, verbatim
     "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
     "bp_grandchild", "events_hourly", "events_sessions",
@@ -4392,6 +4466,29 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
     "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
     "hash_split",
+    # (3) oldest r8-green rows, registry order
+    "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
+    "a_keep_columns", "a_chained", "a_derive",
+)
+
+# The planned r12 window backbone: the 43 r8-green rows this round's
+# 50 could not fit, in registry order (pinned constant per VERDICT r8
+# #7 so the queue cannot silently drift from the plan;
+# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
+# registered, and oracle-backed).
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
+    "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
+    "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
+    "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
+    "pivot", "window_analytics", "topk_per_group", "dedup_exact",
+    "corpus_clean", "ann_topk", "ngram_jaccard", "text_stats",
+    "text_quality", "token_bpe", "vocab_topk", "row_numbers",
+    "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
+    "rrf_quality", "embedding_drift", "weighted_sample_k",
+    "stratified_sample_exact", "quantile_match", "readability",
+    "sorted_neighbors",
 )
 
 
@@ -4594,6 +4691,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "budget_per_lang": q_budget_per_lang,
         "calibration_report": q_calibration_report,
+        "gopher_rules": q_gopher_rules,
+        "fix_encoding": q_fix_encoding,
+        "stream_gate": q_stream_gate,
+        "emb_decontam": q_emb_decontam,
     }
 
 
@@ -7836,4 +7937,126 @@ def oracle_sql() -> dict[str, str]:
     # rank_mode="partitioned" is byte-identical to the window mode by
     # construction, so the scaled query re-uses the FULL exact oracle.
     d["rrf_quality_scaled"] = d["rrf_quality"]
+    # Gopher rule report: every count/ratio/flag SQL-exact. Same
+    # \x{...} escapes as script_profile (Java regex and RE2 agree);
+    # flags evaluate on the ROUNDED measurements on both engines.
+    d["gopher_rules"] = r"""
+        WITH g AS (
+            SELECT doc_id, text,
+                   len(regexp_extract_all(text, '\S+')) AS nw,
+                   regexp_extract_all(text, '\S+') AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(nw AS INTEGER) AS n_words,
+                   ROUND(COALESCE(length(regexp_replace(text, '\s', '', 'g'))
+                       / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) AS mean_word_len,
+                   ROUND(COALESCE((length(text) - length(replace(text, '#', '')))
+                       / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) AS hash_ratio,
+                   ROUND(COALESCE(len(regexp_extract_all(text, '\.\.\.|\x{2026}'))
+                       / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) AS ellipsis_ratio,
+                   ROUND(len(list_filter(lines,
+                           l -> regexp_matches(ltrim(l), '^[-*\x{2022}\x{2023}\x{25aa}]')))
+                       / CAST(len(lines) AS DOUBLE), 4) AS bullet_line_frac,
+                   ROUND(len(list_filter(lines,
+                           l -> regexp_matches(rtrim(l), '(\.\.\.|\x{2026})$')))
+                       / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_line_frac,
+                   ROUND(COALESCE(len(list_filter(toks,
+                           t -> regexp_matches(t, '[A-Za-z]')))
+                       / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) AS alpha_word_frac,
+                   CAST(len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       w -> list_contains(list_transform(toks, t -> lower(t)), w)
+                   )) AS INTEGER) AS stop_hits
+            FROM g
+        )
+        SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+               n_words BETWEEN 50 AND 100000 AS r_word_count,
+               mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+               alpha_word_frac >= 0.8 AS r_alpha_words,
+               stop_hits >= 2 AS r_stopwords,
+               (n_words BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+               AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+               AND alpha_word_frac >= 0.8 AND stop_hits >= 2 AS gopher_pass
+        FROM m
+    """
+    # Byte-exact mojibake round-trip: the oracle replays the SAME
+    # generated replace chain (MOJIBAKE_PAIRS, longest-first) on the
+    # SAME planted-suffix corruption, so `fixed` compares
+    # byte-for-byte. Built programmatically from the frozen table —
+    # the SQL cannot drift from the Spark op.
+    from meta_frame_spark.functions.text import MOJIBAKE_PAIRS
+
+    _fx = f"(text || '{_MOJI_SUFFIX}')"
+    for _moji, _fixed in MOJIBAKE_PAIRS:
+        _fx = f"replace({_fx}, '{_moji}', '{_fixed}')"
+    d["fix_encoding"] = f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   CAST(length(text || '{_MOJI_SUFFIX}') AS INTEGER)
+                       AS n_corrupted_chars,
+                   {_fx} AS fixed
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_corrupted_chars, fixed,
+               fixed = (text || '{_MOJI_SUFFIX_FIXED}') AS roundtrip_ok
+        FROM f
+    """
+    # Batch form of the config-declared streaming gates: heuristic
+    # quality >= 0.5 (the text_quality recipe) and language 'en' with
+    # margin >= 1 (margin = best - second-best stopword hit count; en
+    # wins ties, so winner = en reduces to s_en = greatest).
+    d["stream_gate"] = r"""
+        WITH scored AS (
+            SELECT doc_id, text, source,
+                   ((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN len(regexp_extract_all(text, '\S+')) >= 10 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN length(text) > 0
+                                     THEN length(regexp_replace(text, '[^.!?,;:''"()\[\]{}-]', '', 'g')) / length(text)
+                                     ELSE 0.0 END) <= 0.3 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN len(regexp_extract_all(text, '\S+')) > 0
+                                     THEN length(text) / len(regexp_extract_all(text, '\S+'))
+                                     ELSE 0.0 END) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                   ) / 4.0 AS q,
+                   len(list_filter(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+                   len(list_filter(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('le','la','les','de','des','et','un','une','est','que'))) AS s_fr,
+                   len(list_filter(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+                   len(list_filter(list_transform(regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('el','la','los','las','de','y','es','un','una','que'))) AS s_es
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        FROM scored
+        WHERE q >= 0.5
+          AND greatest(s_en, s_fr, s_de, s_es) > 0
+          AND s_en = greatest(s_en, s_fr, s_de, s_es)
+          AND greatest(s_en, s_fr, s_de, s_es)
+              - list_sort([s_en, s_fr, s_de, s_es])[3] >= 1
+        GROUP BY source
+    """
+    # Genuine exact oracle: all-pairs cosine against the eval slice
+    # (recall argument in q_emb_decontam's docstring — exact copies
+    # collide in every band; near pairs miss with prob ~1e-10).
+    d["emb_decontam"] = """
+        SELECT a.vec_id,
+               COUNT(*) AS n_bench_hits,
+               ROUND(MAX(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[]))), 4) AS max_cosine
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id % 37 = 0
+         AND list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+        GROUP BY 1
+    """
     return d

@@ -59,6 +59,14 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
     counts["raw"] = docs.count()
 
+    # 0. encoding repair FIRST (UTF-8-as-cp1252 mojibake would skew
+    # every downstream gate's token/char measurements), then the
+    # quality + language gates — all map-only codegen, pushed to the
+    # scan as one fused stage
+    from meta_frame_spark.functions.text import fix_encoding
+
+    docs = docs.withColumn("text", fix_encoding("text"))
+
     # 1. quality + language gates — map-only codegen, pushed to the scan
     gated = (
         docs.withColumn("quality", quality_score("text"))

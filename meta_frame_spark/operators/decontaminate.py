@@ -173,7 +173,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    planes_per_band: int = 2,
+    planes_per_band: int = 6,
     num_bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
@@ -185,38 +185,49 @@ def embedding_contamination(
     paraphrased eval question shares no 13-gram but sits at
     cosine ~1 of its source).
 
-    Scale design: both sides bucketize with the SAME SRP hyperplanes
-    (similarity._srp_planes — one map-only Arrow matmul per side);
+    Scale design: vectors are NORMALIZED map-side FIRST (SRP sign
+    bits are invariant under positive scaling, so buckets are
+    unchanged and each candidate pair costs ONE dot instead of a dot
+    plus two norms), then both sides bucketize with the SAME SRP
+    hyperplanes (similarity._srp_planes — one Arrow matmul per side);
     candidates come from an equi-join on (band, bucket) with the
     benchmark side BROADCAST (an eval set is small by definition), so
-    the corpus never shuffles. Cosine is exact JVM codegen
-    (zip_with + aggregate) on candidates only; the single exchange is
-    the per-corpus-id aggregate, bounded by candidate count. Exact
-    copies of a benchmark vector collide in EVERY band, so planted
-    contaminants cannot be missed; near copies follow the
-    emb_near_dup recall argument (per-pair miss ~9e-8 at 2x32 for
-    cos >= 0.4, far smaller at 0.9)."""
+    the corpus never shuffles. The single exchange is the
+    per-corpus-id aggregate, bounded by candidate count. The 6-plane
+    default is the high-threshold trade (the 0.4-threshold near-dup
+    query uses 2): bucket space 64 cuts random-pair collisions ~16x
+    vs 2 planes, while a true pair AT cos 0.9 still bands with
+    p = (1 - acos(.9)/pi)^6 ~ 0.395, miss prob (1-.395)^32 ~ 1e-7.
+    Exact copies of a benchmark vector collide in EVERY band
+    regardless, so planted contaminants cannot be missed. Zero-norm
+    vectors drop at normalization (their cosine is 0 by convention —
+    below any sane threshold)."""
     from meta_frame_spark.operators.similarity import _bucketize, _srp_planes
 
+    def _unit(df: DataFrame) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        nrm = F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+        return df.select(
+            id_col,
+            F.when(
+                nrm > 0, F.transform(v, lambda x: x / nrm)
+            ).alias(vec_col),
+        ).filter(F.col(vec_col).isNotNull())
+
     planes = _srp_planes(dim, planes_per_band * num_bands, seed)
-    cb = _bucketize(corpus, id_col, vec_col, planes, planes_per_band, num_bands)
-    bb = _bucketize(benchmark, id_col, vec_col, planes, planes_per_band,
-                    num_bands).select(
+    cb = _bucketize(_unit(corpus), id_col, vec_col, planes,
+                    planes_per_band, num_bands)
+    bb = _bucketize(_unit(benchmark), id_col, vec_col, planes,
+                    planes_per_band, num_bands).select(
         "band", "bucket", F.col("_id").alias("_bid"), F.col("v").alias("_bv")
     )
-    dot = F.aggregate(
+    cos = F.aggregate(
         F.zip_with("v", "_bv", lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    nrm = (
-        F.sqrt(F.aggregate(
-            F.transform("v", lambda x: x * x), F.lit(0.0),
-            lambda acc, x: acc + x))
-        * F.sqrt(F.aggregate(
-            F.transform("_bv", lambda x: x * x), F.lit(0.0),
-            lambda acc, x: acc + x))
-    )
-    cos = F.when(nrm > 0, dot / nrm).otherwise(F.lit(0.0))
     hits = (
         cb.join(F.broadcast(bb), ["band", "bucket"])
         .select("_id", "_bid", cos.alias("_cos"))

@@ -80,21 +80,21 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-10 session ops: every operator/query added this round must
+    # round-11 session ops: every operator/query added this round must
     # hold a window slot until its first driver row lands (the
     # never-orphaned rule) — this pin exists because a window edit
     # once silently missed while its comment updated, leaving new ops
     # out of the driver's 50 without any test noticing
     for name in (
-        "quantile_match_grid", "curation_budget", "quality_classifier",
-        "novelty_score", "doremi_mix", "stream_score",
+        "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
     ):
         assert name in window, name
-    # round-10 plan: the pinned r9 queue rotates through verbatim
-    for name in ("heavy_hitters", "funnel_latency", "event_pagerank",
-                 "bloom_decontam"):
+    # round-11 plan: the pinned r10 queue rotates through verbatim,
+    # then the 7 oldest r8-green rows
+    for name in ("k_anonymity_report", "dedup_minhash", "hash_split",
+                 "ann_topk_ivfpq", "a_derive"):
         assert name in window, name
-    # the r10 queue is a real plan: registered, oracle-backed, and
+    # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)
     assert len(set(queue)) == len(queue)
