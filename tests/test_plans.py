@@ -522,3 +522,42 @@ def test_novelty_score_plan_broadcasts_reference(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_plan_is_map_only(spark, sf_dir):
+    """The Gopher report must stay a single map-side projection over
+    the scan: no exchange, no join, no window — the property that
+    makes it free at 100 TB."""
+    from meta_frame_spark.functions.text import with_gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(with_gopher_rules(docs))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op
+
+
+def test_fix_encoding_plan_is_map_only(spark, sf_dir):
+    from meta_frame_spark.functions.text import fix_encoding
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(docs.select("doc_id", fix_encoding("text").alias("t")))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op
+
+
+def test_embedding_contamination_broadcasts_benchmark(spark, sf_dir):
+    """Candidates come from a broadcast equi-join on (band, bucket);
+    the corpus side must never shuffle into a sort-merge join or a
+    cartesian product."""
+    from meta_frame_spark.operators.decontaminate import (
+        embedding_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_contamination(
+        emb, emb.filter("vec_id % 37 = 0"), threshold=0.9))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
