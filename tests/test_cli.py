@@ -176,3 +176,28 @@ def test_example_targeted_selection_end_to_end(spark, sf_dir):
     # slice and never crosses its 20k-char budget
     assert 0 < stats["n_budget"] <= stats["n_kept"]
     assert 0.0 < stats["budget_chars"] <= 20_000.0
+
+
+def test_bench_record_guard(tmp_path):
+    """tools/check_bench_record.py: clean record passes, contended
+    record fails, missing record passes (nothing to mis-commit)."""
+    import json
+
+    from tools.check_bench_record import record_is_clean
+
+    clean = tmp_path / "clean.json"
+    clean.write_text(json.dumps({
+        "value": 1.0, "queries": {"q": 1.0},
+        "probe": {"record_contended": False, "contended": []},
+    }))
+    ok, _ = record_is_clean(str(clean))
+    assert ok
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({
+        "value": 2.0, "queries": {"q": 2.0},
+        "probe": {"record_contended": True, "contended": ["q"]},
+    }))
+    ok, msg = record_is_clean(str(bad))
+    assert not ok and "git restore" in msg
+    ok, _ = record_is_clean(str(tmp_path / "missing.json"))
+    assert ok

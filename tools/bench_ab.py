@@ -48,11 +48,21 @@ def _run_side(repo_dir: str, sf_dir: str | None) -> dict[str, float]:
     env = dict(os.environ)
     if sf_dir:
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # don't let an old-checkout bench.py (which writes BENCH_FULL.json
+    # unconditionally) clobber a record we later read stale: note the
+    # pre-run mtimes and read whichever payload this run actually wrote
+    last = os.path.join(repo_dir, "BENCH_LAST.json")
+    full = os.path.join(repo_dir, "BENCH_FULL.json")
+    before = {p: os.path.getmtime(p) for p in (last, full)
+              if os.path.exists(p)}
     subprocess.run(
         [sys.executable, "bench.py"], cwd=repo_dir, env=env,
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
-    return _load(os.path.join(repo_dir, "BENCH_LAST.json"))
+    for p in (last, full):
+        if os.path.exists(p) and os.path.getmtime(p) != before.get(p):
+            return _load(p)
+    raise RuntimeError(f"bench.py in {repo_dir} wrote no record")
 
 
 def _merge_min(into: dict[str, float], new: dict[str, float]) -> None:
