@@ -4398,6 +4398,26 @@ def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION filter report (Rae et al. 2021 Table A1;
+    functions/text.with_repetition_rules): duplicate line/paragraph
+    (char) fractions via codegen HOFs, the nine n-gram character
+    fractions via ONE Arrow-batched histogram pass, per-rule flags,
+    and the repetition_pass conjunction. Full DuckDB oracle: every
+    fraction is replayed exactly (list_aggregate histograms over the
+    same frozen tokenization/segmentation)."""
+    from meta_frame_spark.functions.text import with_repetition_rules
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    keep = [
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac", "dup_10gram_char_frac",
+        "r_dup_line_frac", "r_top_2gram_char_frac", "repetition_pass",
+    ]
+    return with_repetition_rules(docs).select(*keep)
+
+
 def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set contamination report (VERDICT r10
     "Next round" #8; operators/decontaminate.embedding_contamination):
@@ -4438,22 +4458,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-11 window (VERDICT r10 "Next round" #3, extended by the four
 # round-11 additions):
-#   1-4    gopher_rules / fix_encoding / stream_gate / emb_decontam —
-#          FIRST driver rows for the round-11 additions (the Gopher
-#          rule-based quality report, VERDICT r10 #4; the mojibake
-#          encoding repair, #7; the config-declared streaming gate,
-#          #6; the embedding-space decontamination report, #8),
-#          never-orphaned rule;
-#   5-43   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-5    gopher_rules / fix_encoding / stream_gate / emb_decontam /
+#          gopher_repetition — FIRST driver rows for the round-11
+#          additions (the Gopher rule-based quality report, VERDICT
+#          r10 #4, and its Table-A1 repetition-filter sibling; the
+#          mojibake encoding repair, #7; the config-declared
+#          streaming gate, #6; the embedding-space decontamination
+#          report, #8), never-orphaned rule;
+#   6-44   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          39 remaining r7-green rows);
-#   44-50  the 7 oldest r8-green rows in registry order
-#          (ann_topk_ivfpq .. a_derive).
+#   45-50  the 6 oldest r8-green rows in registry order
+#          (ann_topk_ivfpq .. a_chained; a_derive yields its slot to
+#          gopher_repetition and heads the r12 queue instead).
 # After this round no registered query's latest row is older than r8.
-# The r12 queue is NEXT_WINDOW_QUEUE below — the 43 remaining
+# The r12 queue is NEXT_WINDOW_QUEUE below — the 44 remaining
 # r8-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
+    "gopher_repetition",
     # (2) the pinned r10 queue, verbatim
     "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
@@ -4468,16 +4491,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hash_split",
     # (3) oldest r8-green rows, registry order
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
-    "a_keep_columns", "a_chained", "a_derive",
+    "a_keep_columns", "a_chained",
 )
 
-# The planned r12 window backbone: the 43 r8-green rows this round's
-# 50 could not fit, in registry order (pinned constant per VERDICT r8
+# The planned r12 window backbone: the 44 r8-green rows this round's
+# 50 could not fit (a_derive first — it yielded its r11 slot to
+# gopher_repetition), in registry order (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
+    "a_derive", "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
     "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
     "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
@@ -4695,6 +4719,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding": q_fix_encoding,
         "stream_gate": q_stream_gate,
         "emb_decontam": q_emb_decontam,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -8042,6 +8067,89 @@ def oracle_sql() -> dict[str, str]:
           AND greatest(s_en, s_fr, s_de, s_es)
               - list_sort([s_en, s_fr, s_de, s_es])[3] >= 1
         GROUP BY source
+    """
+    # Gopher repetition report: every fraction replayed exactly via
+    # DuckDB list_aggregate histograms over the SAME frozen
+    # tokenization (ASCII-\S+ tokens of lowercased text) and
+    # segmentation (trimmed non-empty lines / '\n\n+' paragraphs).
+    # Built programmatically so SQL and Spark share one threshold
+    # table (functions.text.GOPHER_REPETITION_THRESHOLDS).
+    from meta_frame_spark.functions.text import (
+        GOPHER_REPETITION_THRESHOLDS as _REP_THR,
+    )
+
+    def _rep_grams(n: int) -> str:
+        return (
+            "list_transform(generate_series(1, greatest(len(toks) - "
+            f"{n - 1}, 0)), i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+        )
+
+    def _rep_top(n: int) -> str:
+        e = f"map_entries(list_aggregate({_rep_grams(n)}, 'histogram'))"
+        return (
+            "ROUND(COALESCE(list_max(list_transform(" + e + ", x -> "
+            "CASE WHEN x.value = list_max(list_transform(" + e + ", "
+            "y -> y.value)) THEN x.value * length(x.key) ELSE 0 END)) "
+            "/ CAST(nullif(L, 0) AS DOUBLE), 0.0), 6)"
+        )
+
+    def _rep_dup(n: int) -> str:
+        e = f"map_entries(list_aggregate({_rep_grams(n)}, 'histogram'))"
+        return (
+            "ROUND(COALESCE(list_sum(list_transform(" + e + ", x -> "
+            "CASE WHEN x.value > 1 THEN (x.value - 1) * length(x.key) "
+            "ELSE 0 END)) / CAST(nullif(L, 0) AS DOUBLE), 0.0), 6)"
+        )
+
+    def _rep_unit(unit: str, prefix: str) -> str:
+        h = f"map_entries(list_aggregate({unit}, 'histogram'))"
+        return (
+            f"ROUND(COALESCE((len({unit}) - len(list_distinct({unit})))"
+            f" / CAST(nullif(len({unit}), 0) AS DOUBLE), 0.0), 6)"
+            f" AS {prefix}_frac,\n"
+            f"ROUND(COALESCE(list_sum(list_transform({h}, x -> "
+            "(x.value - 1) * length(x.key))) / CAST(nullif("
+            f"list_sum(list_transform({unit}, x -> length(x))), 0)"
+            f" AS DOUBLE), 0.0), 6) AS {prefix}_char_frac"
+        )
+
+    _meas = [
+        _rep_unit("lines", "dup_line"),
+        _rep_unit("paras", "dup_para"),
+        f"{_rep_top(2)} AS top_2gram_char_frac",
+        f"{_rep_top(3)} AS top_3gram_char_frac",
+        f"{_rep_top(4)} AS top_4gram_char_frac",
+    ] + [
+        f"{_rep_dup(n)} AS dup_{n}gram_char_frac" for n in range(5, 11)
+    ]
+    _pass = " AND ".join(
+        f"{name} <= {thr}" for name, thr in _REP_THR.items()
+    )
+    d["gopher_repetition"] = f"""
+        WITH base AS (
+            SELECT doc_id, length(text) AS L,
+                   regexp_extract_all(lower(text), '\\S+') AS toks,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                       x -> trim(x)), x -> length(x) > 0) AS lines,
+                   list_filter(list_transform(
+                       string_split_regex(text, '\\n\\n+'),
+                       x -> trim(x)), x -> length(x) > 0) AS paras
+            FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (
+            SELECT doc_id, {", ".join(_meas)}
+            FROM base
+        )
+        SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+               dup_para_char_frac, top_2gram_char_frac,
+               top_3gram_char_frac, top_4gram_char_frac,
+               dup_5gram_char_frac, dup_10gram_char_frac,
+               dup_line_frac <= {_REP_THR["dup_line_frac"]}
+                   AS r_dup_line_frac,
+               top_2gram_char_frac <= {_REP_THR["top_2gram_char_frac"]}
+                   AS r_top_2gram_char_frac,
+               {_pass} AS repetition_pass
+        FROM m
     """
     # Genuine exact oracle: all-pairs cosine against the eval slice
     # (recall argument in q_emb_decontam's docstring — exact copies

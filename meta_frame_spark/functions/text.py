@@ -635,3 +635,158 @@ def fix_encoding(text: str | Column) -> Column:
     for moji, fixed in MOJIBAKE_PAIRS:
         c = F.replace(c, F.lit(moji), F.lit(fixed))
     return c
+
+
+#: Gopher repetition-filter thresholds (Rae et al. 2021, Table A1):
+#: measurement name -> max allowed value (filter out ABOVE).
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_unit_fracs(c: Column, units: Column, prefix: str) -> list[Column]:
+    """``{prefix}_frac`` (excess occurrences / total units) and
+    ``{prefix}_char_frac`` (chars of excess occurrences / total unit
+    chars) for a trimmed non-empty unit array (lines or paragraphs).
+    Codegen HOFs; the inner count runs over the doc's own array only."""
+    n = F.size(units)
+    nd = F.size(F.array_distinct(units))
+    frac = F.when(n > 0, (n - nd) / n.cast("double")).otherwise(F.lit(0.0))
+    excess = F.aggregate(
+        F.transform(
+            F.array_distinct(units),
+            lambda u: (
+                F.size(F.filter(units, lambda x: x == u)) - 1
+            ) * F.length(u),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        F.transform(units, lambda u: F.length(u)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    cfrac = F.when(
+        total > 0, excess.cast("double") / total
+    ).otherwise(F.lit(0.0))
+    return [
+        F.when(c.isNotNull(), F.round(frac, 6)).alias(f"{prefix}_frac"),
+        F.when(c.isNotNull(), F.round(cfrac, 6)).alias(f"{prefix}_char_frac"),
+    ]
+
+
+def with_repetition_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher REPETITION filter report (Rae et al. 2021,
+    Table A1 — the other half of the rule set next to
+    :func:`with_gopher_rules`): duplicate line/paragraph fractions,
+    duplicate line/paragraph CHARACTER fractions, the
+    most-frequent-2/3/4-gram character fractions, and the
+    duplicated-5..10-gram character fractions, plus one boolean flag
+    per rule (TRUE = keep, measurement <= threshold) and the
+    ``repetition_pass`` conjunction.
+
+    Frozen definitions (engine-parity contract — the DuckDB oracle
+    replays each exactly):
+
+    * lines = '\\n'-split, trimmed, empties dropped; paragraphs =
+      '\\n\\n+'-split, trimmed, empties dropped.
+    * dup_X_frac = occurrences beyond the first of each repeated unit
+      / total units; dup_X_char_frac weighs those excess occurrences
+      by unit length over total unit chars.
+    * word n-grams over ASCII-whitespace tokens of the lowercased
+      text; top_Ngram_char_frac = count*len of the most frequent
+      n-gram (char-heaviest among count-ties) / length(text);
+      dup_Ngram_char_frac = sum of (count-1)*len over n-grams seen
+      more than once / length(text). Zero when the doc has no
+      n-grams; null text -> null row. NOTE: overlapping repeated
+      grams are each counted in full (simpler than Gopher's
+      char-coverage union and engine-exact), so pathological loops
+      can exceed 1.0 — anything past the 0.10-0.15 thresholds fails
+      either way.
+
+    Scale: the line/paragraph metrics are pure codegen HOFs over each
+    doc's own arrays; the nine n-gram metrics come from ONE
+    Arrow-batched pandas UDF pass (one tokenize + one Counter per doc
+    per n — per-doc cost linear in tokens, nothing leaves the row).
+    Map-only end to end: no shuffle, no state, stream-safe."""
+    import re as _re
+
+    _GRAM_FIELDS = [k for k in GOPHER_REPETITION_THRESHOLDS
+                    if "gram" in k]
+    _schema = ", ".join(f"{f} double" for f in _GRAM_FIELDS)
+
+    @F.pandas_udf(_schema)
+    def _gram_metrics(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append({f: None for f in _GRAM_FIELDS})
+                continue
+            L = len(t)
+            toks = _re.findall(r"\S+", t.lower(), _re.ASCII)
+            out = {}
+            for n in range(2, 11):
+                grams = [
+                    " ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                key = (f"top_{n}gram_char_frac" if n <= 4
+                       else f"dup_{n}gram_char_frac")
+                if not grams or L == 0:
+                    out[key] = 0.0
+                    continue
+                cnt: dict[str, int] = {}
+                for g in grams:
+                    cnt[g] = cnt.get(g, 0) + 1
+                if n <= 4:
+                    maxc = max(cnt.values())
+                    out[key] = max(
+                        c * len(g) for g, c in cnt.items() if c == maxc
+                    ) / L
+                else:
+                    out[key] = sum(
+                        (c - 1) * len(g) for g, c in cnt.items() if c > 1
+                    ) / L
+            rows.append(out)
+        return pd.DataFrame(rows, columns=_GRAM_FIELDS)
+
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    paras = F.filter(
+        F.transform(F.split(c, "\n\n+"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    out = df.select(
+        "*",
+        *_dup_unit_fracs(c, lines, "dup_line"),
+        *_dup_unit_fracs(c, paras, "dup_para"),
+        _gram_metrics(c).alias("_gm"),
+    )
+    for f in _GRAM_FIELDS:
+        out = out.withColumn(f, F.round(F.col("_gm")[f], 6))
+    out = out.drop("_gm")
+    flags = {}
+    for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        flags[f"r_{name}"] = F.col(name) <= thr
+    for fname, flag in flags.items():
+        out = out.withColumn(fname, flag)
+    rep_pass = None
+    for fname in flags:
+        rep_pass = (
+            F.col(fname) if rep_pass is None else rep_pass & F.col(fname)
+        )
+    return out.withColumn("repetition_pass", rep_pass)

@@ -275,6 +275,35 @@ def _op_fix_encoding(
     return df.withColumn(out_col or text_col, fix_encoding(F.col(text_col)))
 
 
+def _op_repetition_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows passing the Gopher Table-A1 repetition filters (all
+    13, or just the named ``rules`` — functions.text
+    .with_repetition_rules). Schema passes through; map-only
+    (line/paragraph HOFs + one Arrow histogram pass), stream-safe."""
+    from meta_frame_spark.functions.text import with_repetition_rules
+
+    scored = with_repetition_rules(df, text_col=text_col)
+    added = [c for c in scored.columns if c not in df.columns]
+    if rules is None:
+        cond = F.col("repetition_pass")
+    else:
+        known = {c for c in added if c.startswith("r_")}
+        bad = set(rules) - known
+        if bad:
+            raise ConfigError(
+                f"repetition_gate: unknown rules {sorted(bad)}; "
+                f"known: {sorted(known)}"
+            )
+        cond = F.lit(True)
+        for r in rules:
+            cond = cond & F.col(r)
+    return scored.filter(cond).drop(*added)
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -323,6 +352,7 @@ CURATION_OPS: dict[str, Callable] = {
     "lang_gate": _op_lang_gate,
     "quality_score_gate": _op_quality_score_gate,
     "gopher_gate": _op_gopher_gate,
+    "repetition_gate": _op_repetition_gate,
     "fix_encoding": _op_fix_encoding,
     "select": _op_select,
     "derive": _op_derive,
@@ -363,6 +393,7 @@ _EXTRA_KEYS = {
     "lang_gate": {"text_col", "langs", "min_margin"},
     "quality_score_gate": {"text_col", "min_score"},
     "gopher_gate": {"text_col", "rules"},
+    "repetition_gate": {"text_col", "rules"},
     "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
 }
@@ -435,7 +466,8 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
 #: streaming/ops.py instead.
 STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
-    "quality_score_gate", "gopher_gate", "fix_encoding", "select",
+    "quality_score_gate", "gopher_gate", "repetition_gate",
+    "fix_encoding", "select",
     "derive",
 })
 

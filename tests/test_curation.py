@@ -581,3 +581,38 @@ class TestEmbeddingDecontamination:
             if hits:
                 want.add((cid, len(hits), round(max(hits), 4)))
         assert got == want
+
+
+def test_curation_repetition_gate(spark):
+    """repetition_gate as a registered (stream-safe) step: drops the
+    loop-spam doc, passes the clean one, schema passthrough, rule
+    subsets validate."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import (
+        STREAM_SAFE_OPS,
+        run_curation,
+    )
+
+    clean = ("the quick brown fox jumps over one lazy dog today\n"
+             "rivers run east beneath tall granite peaks each spring\n"
+             "markets opened higher while traders weighed fresh data\n"
+             "seven curious owls watched quietly from the old barn\n"
+             "gentle rain fell across wide fields before sudden dawn\n"
+             "sailors charted new routes along rocky southern coasts")
+    spam = "buy now limited offer\n" * 20
+    df = spark.createDataFrame(
+        [(1, clean), (2, spam)], ["doc_id", "text"]
+    )
+    out = run_curation(df, {"steps": [{"op": "repetition_gate"}]})
+    assert out.columns == df.columns
+    assert [r.doc_id for r in out.collect()] == [1]
+    # single-rule subset: only the duplicate-line rule
+    out2 = run_curation(df, {"steps": [
+        {"op": "repetition_gate", "rules": ["r_dup_line_frac"]}]})
+    assert [r.doc_id for r in out2.collect()] == [1]
+    with pytest.raises(ConfigError, match="unknown rules"):
+        run_curation(df, {"steps": [
+            {"op": "repetition_gate", "rules": ["r_nope"]}]}).collect()
+    assert "repetition_gate" in STREAM_SAFE_OPS

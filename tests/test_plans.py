@@ -561,3 +561,18 @@ def test_embedding_contamination_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_rules_plan_is_map_only(spark, sf_dir):
+    """The Gopher repetition report is one map stage (codegen HOFs +
+    a single ArrowEvalPython for the gram histograms): no exchange,
+    no join, no window."""
+    from meta_frame_spark.functions.text import with_repetition_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(with_repetition_rules(docs))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op
+    assert "ArrowEvalPython" in plan  # the one vectorized gram pass

@@ -650,3 +650,65 @@ def test_fix_encoding_table_is_codec_true():
     assert lens == sorted(lens, reverse=True)
     for moji, fixed in MOJIBAKE_PAIRS:
         assert fixed.encode("utf-8").decode("cp1252") == moji
+
+
+def test_repetition_rules_hand_computed(spark):
+    """Gopher Table-A1 repetition measurements on hand-built docs,
+    each value checked against a by-hand calculation under the frozen
+    definitions (excess occurrences; char-heaviest top gram among
+    count ties; raw length(text) denominator for gram fracs)."""
+    from meta_frame_spark.functions.text import with_repetition_rules
+
+    docs = [
+        (1, "alpha beta\nalpha beta\ngamma delta"),
+        (2, "para one text here\n\npara one text here\n\nother para"),
+        (3, "spam ham spam ham spam ham spam ham"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_rules(df).collect()}
+
+    d1 = out[1]
+    # 3 lines, 2 distinct -> 1/3; excess chars 10 of 31
+    assert d1.dup_line_frac == round(1 / 3, 6)
+    assert d1.dup_line_char_frac == round(10 / 31, 6)
+    assert d1.dup_para_frac == 0.0
+    # top 2gram 'alpha beta' count 2, len 10; L = 33
+    assert d1.top_2gram_char_frac == round(20 / 33, 6)
+    assert not d1.r_top_2gram_char_frac and not d1.repetition_pass
+
+    d2 = out[2]
+    assert d2.dup_para_frac == round(1 / 3, 6)
+    # excess para chars 18 of (18 + 18 + 10)
+    assert d2.dup_para_char_frac == round(18 / 46, 6)
+
+    d3 = out[3]
+    # 'spam ham spam ham spam' (len 22, x2) and 'ham spam ham spam ham'
+    # (len 21, x2) -> excess (1*22 + 1*21) / L=35; overlap makes > 1
+    assert d3.dup_5gram_char_frac == round(43 / 35, 6)
+    assert not d3.r_dup_5gram_char_frac
+
+    assert out[4].dup_line_frac is None
+    assert out[4].top_2gram_char_frac is None
+    assert out[4].repetition_pass is None
+    d5 = out[5]
+    assert d5.dup_line_frac == 0.0 and d5.top_2gram_char_frac == 0.0
+    assert d5.repetition_pass
+
+
+def test_repetition_rules_clean_doc_passes(spark):
+    from meta_frame_spark.functions.text import with_repetition_rules
+
+    # long enough that a singleton top-gram stays under the char
+    # thresholds (Gopher applies these after its >= 50-word gate)
+    text = ("the quick brown fox jumps over one lazy dog today\n"
+            "rivers run east beneath tall granite peaks each spring\n"
+            "markets opened higher while traders weighed fresh data\n"
+            "seven curious owls watched quietly from the old barn\n"
+            "gentle rain fell across wide fields before sudden dawn\n"
+            "sailors charted new routes along rocky southern coasts")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = with_repetition_rules(df).first()
+    assert r.repetition_pass
+    assert r.dup_line_frac == 0.0 and r.dup_5gram_char_frac == 0.0
