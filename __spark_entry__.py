@@ -4418,6 +4418,55 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_repetition_rules(docs).select(*keep)
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning recipe (Raffel et al. 2020;
+    functions/text.with_c4_clean): terminal-punctuation / min-3-words
+    / no-javascript line filters applied into ``c4_text``, plus the
+    lorem-ipsum / curly-brace / >= 5-sentences page gate. Pure codegen
+    HOFs, map-only. The synthetic corpus is single-line punctuation-
+    free word salad (every rule would trivially zero out), so — the
+    q_fix_encoding pattern — each doc is STAGED into a known
+    multi-line page first: its own text terminated with '.', four
+    planted lines exercising every line rule, and doc_id-keyed brace/
+    lorem plants exercising the page gate. Byte-exact DuckDB oracle:
+    the staged text and the cleaned text are both replayed."""
+    from meta_frame_spark.functions.text import with_c4_clean
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit("." + _C4_PLANT),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("\nBrace { lurks in this line."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit("\nLorem Ipsum filler sentence here."))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return with_c4_clean(staged).select(
+        "doc_id", "c4_text", "n_lines", "n_lines_kept", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "c4_pass",
+    )
+
+
+#: planted C4 page suffix: proper kept lines, a too-short line, a
+#: javascript line (dropped), and a quote-terminated kept line —
+#: sized so a clean page reaches exactly the 5-sentence gate (the
+#: quote-ended piece merges into the following one under the frozen
+#: [.!?]-run segmentation, so four planted sentence pieces + the
+#: doc's own terminated text make five)
+_C4_PLANT = (
+    "\nA planted proper sentence with enough words."
+    "\nshort line"
+    "\nPlease enable javascript to continue browsing."
+    '\nDoes the quoted ending work too?"'
+    "\nOne more full sentence follows the quote."
+    "\nA final proper sentence closes the page."
+)
+
+
 def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set contamination report (VERDICT r10
     "Next round" #8; operators/decontaminate.embedding_contamination):
@@ -4458,25 +4507,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-11 window (VERDICT r10 "Next round" #3, extended by the four
 # round-11 additions):
-#   1-5    gopher_rules / fix_encoding / stream_gate / emb_decontam /
-#          gopher_repetition — FIRST driver rows for the round-11
-#          additions (the Gopher rule-based quality report, VERDICT
-#          r10 #4, and its Table-A1 repetition-filter sibling; the
-#          mojibake encoding repair, #7; the config-declared
-#          streaming gate, #6; the embedding-space decontamination
-#          report, #8), never-orphaned rule;
-#   6-44   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-6    gopher_rules / fix_encoding / stream_gate / emb_decontam /
+#          gopher_repetition / c4_clean — FIRST driver rows for the
+#          round-11 additions (the Gopher rule-based quality report,
+#          VERDICT r10 #4, its Table-A1 repetition-filter sibling,
+#          and the C4 cleaning recipe; the mojibake encoding repair,
+#          #7; the config-declared streaming gate, #6; the
+#          embedding-space decontamination report, #8),
+#          never-orphaned rule;
+#   7-45   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          39 remaining r7-green rows);
-#   45-50  the 6 oldest r8-green rows in registry order
-#          (ann_topk_ivfpq .. a_chained; a_derive yields its slot to
-#          gopher_repetition and heads the r12 queue instead).
+#   46-50  the 5 oldest r8-green rows in registry order
+#          (ann_topk_ivfpq .. a_keep_columns; a_chained and a_derive
+#          yield their slots to gopher_repetition and c4_clean and
+#          head the r12 queue instead).
 # After this round no registered query's latest row is older than r8.
-# The r12 queue is NEXT_WINDOW_QUEUE below — the 44 remaining
+# The r12 queue is NEXT_WINDOW_QUEUE below — the 45 remaining
 # r8-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-    "gopher_repetition",
+    "gopher_repetition", "c4_clean",
     # (2) the pinned r10 queue, verbatim
     "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
@@ -4491,17 +4542,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hash_split",
     # (3) oldest r8-green rows, registry order
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
-    "a_keep_columns", "a_chained",
+    "a_keep_columns",
 )
 
-# The planned r12 window backbone: the 44 r8-green rows this round's
-# 50 could not fit (a_derive first — it yielded its r11 slot to
-# gopher_repetition), in registry order (pinned constant per VERDICT r8
+# The planned r12 window backbone: the 45 r8-green rows this round's
+# 50 could not fit (a_chained and a_derive first — they yielded their
+# r11 slots to the session ops), in registry order (pinned constant
+# per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "a_derive", "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
+    "a_chained", "a_derive",
+    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
     "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
     "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
@@ -4720,6 +4773,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_gate": q_stream_gate,
         "emb_decontam": q_emb_decontam,
         "gopher_repetition": q_gopher_repetition,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -8151,6 +8205,62 @@ def oracle_sql() -> dict[str, str]:
                {_pass} AS repetition_pass
         FROM m
     """
+    # C4 line+page rules replayed byte-exactly: the kept-line
+    # predicate, the rejoined cleaned text, the sentence count over
+    # the CLEANED text (repo's frozen [.!?]-run segmentation), and
+    # the page flags.
+    _c4_plant_sql = _C4_PLANT.replace("\n", "' || chr(10) || '")
+    d["c4_clean"] = r"""
+        WITH staged AS (
+            SELECT doc_id,
+                   text || '.' || __PLANT__
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || 'Brace { lurks in this line.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'Lorem Ipsum filler sentence here.'
+                           ELSE '' END AS text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        base AS (
+            SELECT doc_id, text,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                       x -> trim(x)), x -> length(x) > 0) AS lines
+            FROM staged
+        ),
+        k AS (
+            SELECT doc_id, text, lines,
+                   list_filter(lines, l ->
+                       regexp_matches(l, '[.!?]["\x{201d}]?$')
+                       AND len(regexp_extract_all(l, '\S+')) >= 3
+                       AND NOT list_contains(
+                           list_transform(regexp_extract_all(l, '\S+'),
+                                          w -> lower(w)),
+                           'javascript')
+                   ) AS kept
+            FROM base
+        ),
+        m AS (
+            SELECT doc_id, text, lines, kept,
+                   COALESCE(array_to_string(kept, chr(10)), '') AS c4_text
+            FROM k
+        )
+        SELECT doc_id, c4_text,
+               CAST(len(lines) AS INTEGER) AS n_lines,
+               CAST(len(kept) AS INTEGER) AS n_lines_kept,
+               CAST(len(list_filter(list_transform(
+                   regexp_extract_all(c4_text, '[^.!?]+[.!?]*'),
+                   s -> trim(s)), s -> length(s) > 0)) AS INTEGER)
+                   AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{') AS has_curly_brace,
+               NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, '{')
+               AND len(list_filter(list_transform(
+                   regexp_extract_all(c4_text, '[^.!?]+[.!?]*'),
+                   s -> trim(s)), s -> length(s) > 0)) >= 5 AS c4_pass
+        FROM m
+    """.replace("__PLANT__", "'" + _c4_plant_sql + "'")
     # Genuine exact oracle: all-pairs cosine against the eval slice
     # (recall argument in q_emb_decontam's docstring — exact copies
     # collide in every band; near pairs miss with prob ~1e-10).

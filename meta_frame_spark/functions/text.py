@@ -790,3 +790,80 @@ def with_repetition_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col(fname) if rep_pass is None else rep_pass & F.col(fname)
         )
     return out.withColumn("repetition_pass", rep_pass)
+
+
+#: Terminal punctuation a kept C4 line must end with (Raffel et al.
+#: 2020 §2.2: period, exclamation, question mark, or closing quote).
+_C4_LINE_END_RE = r'[.!?]["\x{201d}]?$'
+
+
+def with_c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the C4 cleaning recipe (Raffel et al. 2020, the
+    "Colossal Clean Crawled Corpus" rules — the most-cited public
+    cleaning stage, run before Gopher-style scoring):
+
+    line level (applied, producing ``c4_text``):
+
+    * keep only lines ending in terminal punctuation
+      (``. ! ?`` optionally followed by a closing quote);
+    * keep only lines with at least 3 words;
+    * drop any line containing the word "javascript"
+      (case-insensitive token membership, the paper's boilerplate
+      tell).
+
+    page level (flags, not applied):
+
+    * ``has_lorem_ipsum`` — the placeholder phrase anywhere
+      (case-insensitive);
+    * ``has_curly_brace`` — a literal ``{`` anywhere (code tell);
+    * ``n_sentences`` — sentence count of the CLEANED text under the
+      repo's frozen ``[.!?]``-run segmentation;
+    * ``c4_pass`` — no lorem ipsum, no brace, and >= 5 sentences
+      survive (the paper's page gate).
+
+    Returns ``c4_text`` (kept lines re-joined with ``\\n``; empty
+    string when nothing survives), ``n_lines``/``n_lines_kept``, the
+    flags above. Null text -> null row. Pure codegen HOFs over each
+    doc's own line array — map-only, no Python, stream-safe; the
+    DuckDB oracle replays every rule byte-exactly."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+    def _keep(l: Column) -> Column:
+        words = F.regexp_extract_all(l, F.lit(r"\S+"), 0)
+        return (
+            l.rlike(_C4_LINE_END_RE)
+            & (F.size(words) >= 3)
+            & ~F.array_contains(
+                F.transform(words, lambda w: F.lower(w)), "javascript"
+            )
+        )
+
+    kept = F.filter(lines, _keep)
+    c4_text = F.array_join(kept, "\n")
+    n_sents = F.size(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(c4_text, F.lit(SENTENCE_RE), 0),
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{")
+    return df.select(
+        "*",
+        F.when(c.isNotNull(), c4_text).alias("c4_text"),
+        F.when(c.isNotNull(), F.size(lines)).alias("n_lines"),
+        F.when(c.isNotNull(), F.size(kept)).alias("n_lines_kept"),
+        F.when(c.isNotNull(), n_sents).alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        (
+            ~has_lorem & ~has_brace & (n_sents >= 5)
+        ).alias("c4_pass"),
+    )

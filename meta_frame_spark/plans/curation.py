@@ -304,6 +304,26 @@ def _op_repetition_gate(
     return scored.filter(cond).drop(*added)
 
 
+def _op_c4_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    apply_line_filter: bool = True,
+) -> DataFrame:
+    """C4 page gate (Raffel et al. 2020; functions.text
+    .with_c4_clean): drop pages with lorem ipsum / curly braces /
+    fewer than 5 surviving sentences, and (by default) replace
+    ``text_col`` with the line-filtered ``c4_text``. Schema passes
+    through; map-only codegen, stream-safe."""
+    from meta_frame_spark.functions.text import with_c4_clean
+
+    scored = with_c4_clean(df, text_col=text_col)
+    added = [c for c in scored.columns if c not in df.columns]
+    out = scored.filter(F.col("c4_pass"))
+    if apply_line_filter:
+        out = out.withColumn(text_col, F.col("c4_text"))
+    return out.drop(*added)
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -353,6 +373,7 @@ CURATION_OPS: dict[str, Callable] = {
     "quality_score_gate": _op_quality_score_gate,
     "gopher_gate": _op_gopher_gate,
     "repetition_gate": _op_repetition_gate,
+    "c4_gate": _op_c4_gate,
     "fix_encoding": _op_fix_encoding,
     "select": _op_select,
     "derive": _op_derive,
@@ -394,6 +415,7 @@ _EXTRA_KEYS = {
     "quality_score_gate": {"text_col", "min_score"},
     "gopher_gate": {"text_col", "rules"},
     "repetition_gate": {"text_col", "rules"},
+    "c4_gate": {"text_col", "apply_line_filter"},
     "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
 }
@@ -466,7 +488,7 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
 #: streaming/ops.py instead.
 STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
-    "quality_score_gate", "gopher_gate", "repetition_gate",
+    "quality_score_gate", "gopher_gate", "repetition_gate", "c4_gate",
     "fix_encoding", "select",
     "derive",
 })

@@ -87,16 +87,16 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in (
         "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-        "gopher_repetition",
+        "gopher_repetition", "c4_clean",
     ):
         assert name in window, name
     # round-11 plan: the pinned r10 queue rotates through verbatim,
-    # then the 6 oldest r8-green rows (a_derive yielded its slot to
-    # gopher_repetition and heads the r12 queue)
+    # then the 5 oldest r8-green rows (a_chained and a_derive yielded
+    # their slots to the session ops and head the r12 queue)
     for name in ("k_anonymity_report", "dedup_minhash", "hash_split",
-                 "ann_topk_ivfpq", "a_chained"):
+                 "ann_topk_ivfpq", "a_keep_columns"):
         assert name in window, name
-    assert list(e.NEXT_WINDOW_QUEUE)[0] == "a_derive"
+    assert list(e.NEXT_WINDOW_QUEUE)[:2] == ["a_chained", "a_derive"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)

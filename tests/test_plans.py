@@ -576,3 +576,14 @@ def test_repetition_rules_plan_is_map_only(spark, sf_dir):
     for op in ("Exchange", "Join", "Window", "Sort"):
         assert op not in plan, op
     assert "ArrowEvalPython" in plan  # the one vectorized gram pass
+
+
+def test_c4_clean_plan_is_map_only(spark, sf_dir):
+    from meta_frame_spark.functions.text import with_c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(with_c4_clean(docs))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op

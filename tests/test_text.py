@@ -712,3 +712,60 @@ def test_repetition_rules_clean_doc_passes(spark):
     r = with_repetition_rules(df).first()
     assert r.repetition_pass
     assert r.dup_line_frac == 0.0 and r.dup_5gram_char_frac == 0.0
+
+
+def test_c4_clean_hand_computed(spark):
+    """C4 line rules and page flags on hand-built pages (Raffel et
+    al. 2020 §2.2): terminal punctuation, >= 3 words, the javascript
+    tell; lorem-ipsum / curly-brace / 5-sentence page gate."""
+    from meta_frame_spark.functions.text import with_c4_clean
+
+    docs = [
+        (1, 'Good sentence here one. Another solid line follows!\n'
+            'short line\n'
+            'Enable javascript to view this page.\n'
+            'A third proper sentence with words. And a fourth one too? '
+            'Plus "a fifth one."\nmenu'),
+        (2, "lorem ipsum dolor sit amet. More sentences here. And more. "
+            "Even more. A fifth."),
+        (3, "function f() { return 1; } Real text. More text. Extra. Fifth."),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_c4_clean(df).collect()}
+
+    d1 = out[1]
+    assert d1.n_lines == 5 and d1.n_lines_kept == 2
+    assert d1.c4_text.startswith("Good sentence here one.")
+    assert "javascript" not in d1.c4_text and "menu" not in d1.c4_text
+    assert d1.n_sentences >= 5 and d1.c4_pass
+
+    assert out[2].has_lorem_ipsum and not out[2].c4_pass
+    assert out[3].has_curly_brace and not out[3].c4_pass
+    assert out[4].c4_text is None and out[4].c4_pass is None
+    d5 = out[5]
+    assert d5.c4_text == "" and d5.n_lines == 0 and not d5.c4_pass
+
+
+def test_c4_gate_curation_step(spark):
+    from meta_frame_spark.plans.curation import STREAM_SAFE_OPS, run_curation
+
+    good = ("First proper sentence right here. Second one lands well. "
+            "Third keeps going fine. Fourth is also good. Fifth closes it.")
+    docs = [
+        (1, good),
+        (2, good + " but { code }"),          # brace -> dropped
+        (3, "Too short. Only two."),          # < 5 sentences -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = run_curation(df, {"steps": [{"op": "c4_gate"}]})
+    rows = out.collect()
+    assert out.columns == df.columns
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].text == good  # single line, kept verbatim
+    # gate-only mode leaves the text untouched
+    out2 = run_curation(df, {"steps": [
+        {"op": "c4_gate", "apply_line_filter": False}]})
+    assert [r.doc_id for r in out2.collect()] == [1]
+    assert "c4_gate" in STREAM_SAFE_OPS
