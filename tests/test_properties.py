@@ -702,3 +702,65 @@ def test_quantile_match_null_contract_exact_mode(spark, vals):
         rows_g.sort()
         cals = [c for _, _, c in rows_g]
         assert cals == sorted(cals)  # monotone within group
+
+
+_line_st = st.text(
+    alphabet=st.sampled_from(list("abc de.!?#{-*•…\"")),
+    min_size=0, max_size=30,
+)
+_page_st = st.lists(_line_st, min_size=0, max_size=6).map("\n".join)
+
+
+@_settings
+@given(pages=st.lists(_page_st, min_size=1, max_size=6))
+def test_round11_text_reports_reference_replay(spark, pages):
+    """Round-11 rule reports vs a pure-Python replay of the frozen
+    definitions on random punctuation/bullet-heavy pages: gopher
+    n_words/stop_hits, repetition dup_line fractions, and the C4
+    kept-line predicate all agree exactly; every report is row-stable
+    (one output row per input row) and flags are booleans."""
+    import re
+
+    from meta_frame_spark.functions.text import (
+        with_c4_clean,
+        with_gopher_rules,
+        with_repetition_rules,
+    )
+
+    rows = list(enumerate(pages)) + [(len(pages), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    g = {r.doc_id: r for r in with_gopher_rules(df).collect()}
+    rep = {r.doc_id: r for r in with_repetition_rules(df).collect()}
+    c4 = {r.doc_id: r for r in with_c4_clean(df).collect()}
+    assert len(g) == len(rep) == len(c4) == len(rows)
+
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, t in rows:
+        if t is None:
+            assert g[i].n_words is None and rep[i].dup_line_frac is None
+            assert c4[i].c4_text is None
+            continue
+        toks = re.findall(r"\S+", t, re.ASCII)
+        assert g[i].n_words == len(toks)
+        assert g[i].stop_hits == len(
+            req & {w.lower() for w in toks}
+        )
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        n, nd = len(lines), len(set(lines))
+        want_dl = round((n - nd) / n, 6) if n else 0.0
+        assert rep[i].dup_line_frac == want_dl
+        kept = [
+            l for l in lines
+            if re.search(r'[.!?]["”]?$', l)
+            and len(re.findall(r"\S+", l, re.ASCII)) >= 3
+            and "javascript" not in [
+                w.lower() for w in re.findall(r"\S+", l, re.ASCII)
+            ]
+        ]
+        assert c4[i].c4_text == "\n".join(kept)
+        assert c4[i].n_lines == n and c4[i].n_lines_kept == len(kept)
+        assert c4[i].has_curly_brace == ("{" in t)
+        for flag in (g[i].gopher_pass, rep[i].repetition_pass,
+                     c4[i].c4_pass):
+            assert isinstance(flag, bool)
