@@ -204,3 +204,26 @@ def test_bench_record_guard(tmp_path):
     assert not ok and "git restore" in msg
     ok, _ = record_is_clean(str(tmp_path / "missing.json"))
     assert ok
+
+
+def test_example_corpus_health_runs(spark, sf_dir):
+    """examples/corpus_health.py: the one-scan quality audit must
+    produce a consistent per-source funnel (pass_all <= each tier <=
+    n_docs, totals match the corpus) and a language histogram that
+    accounts for every doc."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/examples")
+    from corpus_health import corpus_health
+
+    report = corpus_health(spark, sf_dir)
+    funnel = report["funnel"].collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL").count()
+    assert sum(r.n_docs for r in funnel) == n_docs
+    for r in funnel:
+        for tier in (r.pass_c4, r.pass_gopher, r.pass_repetition):
+            assert 0 <= r.pass_all <= tier <= r.n_docs, r
+    kills = report["rule_kills"].first().asDict()
+    assert all(0 <= v <= n_docs for v in kills.values())
+    langs = report["languages"].collect()
+    assert sum(r.n_docs for r in langs) == n_docs
