@@ -764,3 +764,34 @@ def test_round11_text_reports_reference_replay(spark, pages):
         for flag in (g[i].gopher_pass, rep[i].repetition_pass,
                      c4[i].c4_pass):
             assert isinstance(flag, bool)
+
+
+_moji_targets = st.text(
+    alphabet=st.sampled_from(
+        list("abc 123") + ["é", "ü", "ñ", "«", "»", "°",
+                           "‘", "’", "“", "–", "—", "…", "•", "€", "™"]
+    ),
+    min_size=0, max_size=40,
+)
+
+
+@_settings
+@given(targets=st.lists(_moji_targets, min_size=1, max_size=8))
+def test_fix_encoding_roundtrip_property(spark, targets):
+    """For any string over the repairable alphabet, UTF-8-as-cp1252
+    corruption followed by fix_encoding is the identity — including
+    adjacent mojibake sequences, where a cross-boundary false match
+    would corrupt the repair (the longest-first order must prevent
+    it)."""
+    corrupted = [t.encode("utf-8").decode("cp1252") for t in targets]
+    from meta_frame_spark.functions.text import fix_encoding
+
+    df = spark.createDataFrame(
+        list(enumerate(corrupted)), "i long, text string"
+    )
+    got = {
+        r.i: r.fixed
+        for r in df.select("i", fix_encoding("text").alias("fixed")).collect()
+    }
+    for i, want in enumerate(targets):
+        assert got[i] == want, (i, corrupted[i], got[i], want)
