@@ -738,6 +738,92 @@ def main() -> int:
         t, (n, ok_c) = timed("calibration_report", calib)
         r["calib_sec"], r["calib_rows"], r["calib_ok"] = t, n, ok_c
 
+        # --- round-11 session ops at the 10x corpus ---
+        def gopher():
+            from meta_frame_spark.functions.text import with_gopher_rules
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = with_gopher_rules(dd)
+            n = out.count()
+            return n, bool(n == dd.count())
+        t, (n, ok_g) = timed("gopher_rules", gopher)
+        r["goph_sec"], r["goph_rows"], r["goph_ok"] = t, n, ok_g
+
+        def fixenc():
+            from meta_frame_spark.functions.text import fix_encoding
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            suffix = " CafÃ© â€” naÃ¯ve Â«xÂ»"
+            fixed = " Café — naïve «x»"
+            out = dd.select(
+                (fix_encoding(F.concat(F.col("text"), F.lit(suffix)))
+                 == F.concat(F.col("text"), F.lit(fixed))).alias("ok")
+            )
+            bad = out.filter(~F.col("ok")).count()
+            return out.count(), bool(bad == 0)
+        t, (n, ok_f) = timed("fix_encoding", fixenc)
+        r["fenc_sec"], r["fenc_rows"], r["fenc_ok"] = t, n, ok_f
+
+        def reprules():
+            from meta_frame_spark.functions.text import with_repetition_rules
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = with_repetition_rules(dd)
+            n = out.count()
+            return n, bool(n == dd.count())
+        t, (n, ok_r) = timed("gopher_repetition", reprules)
+        r["grep_sec"], r["grep_rows"], r["grep_ok"] = t, n, ok_r
+
+        def c4():
+            from meta_frame_spark.functions.text import with_c4_clean
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = with_c4_clean(dd).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("n_lines_kept") > F.col("n_lines"))
+                | (F.col("n_lines_kept") < 0)
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n == dd.count())
+        t, (n, ok_c4) = timed("c4_clean", c4)
+        r["c4_sec"], r["c4_rows"], r["c4_ok"] = t, n, ok_c4
+
+        def embdec():
+            from meta_frame_spark.operators.decontaminate import (
+                embedding_contamination,
+            )
+
+            ee = emb(d)
+            bench = ee.filter(F.col("vec_id") % 37 == 0)
+            rep = embedding_contamination(ee, bench, threshold=0.98)
+            flagged = {row.vec_id for row in rep.select("vec_id").collect()}
+            bench_ids = {row.vec_id for row in
+                         bench.select("vec_id").collect()}
+            # planted-contaminant completeness: the eval slice IS in
+            # the corpus, and exact copies collide in every band
+            return len(flagged), bool(bench_ids <= flagged)
+        t, (n, ok_e) = timed("emb_decontam", embdec)
+        r["edec_sec"], r["edec_rows"], r["edec_ok"] = t, n, ok_e
+
+        def sgate():
+            from meta_frame_spark.plans.curation import (
+                run_curation,
+                validate_stream_config,
+            )
+
+            cfg = {"steps": [
+                {"op": "quality_score_gate", "min_score": 0.5},
+                {"op": "lang_gate", "langs": ["en"], "min_margin": 1},
+            ]}
+            validate_stream_config(cfg)  # stream-safe by construction
+            # batch compile of the same declared steps (the streaming
+            # drain equals it by the stream_gate driver oracle; the
+            # smoke measures the gate chain itself at 10x)
+            return run_curation(docs(d), cfg).count(), True
+        t, (n, ok_s) = timed("stream_gate(batch)", sgate)
+        r["sgate_sec"], r["sgate_rows"], r["sgate_ok"] = t, n, ok_s
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -752,7 +838,8 @@ def main() -> int:
                 "k_anonymity", "int8", "mmr", "kcenter", "nb",
                 "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
                 "read", "rrfp", "qmb", "qmg", "csel", "hamm", "bsel",
-                "hres", "bpl", "calib"):
+                "hres", "bpl", "calib",
+                "goph", "fenc", "grep", "c4", "edec", "sgate"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -823,6 +910,19 @@ def main() -> int:
          and b["hres_rows"] == 50),
         ("per-group budgets respected", b["bpl_ok"]),
         ("calibration bins exact", b["calib_ok"]),
+        # round-11: the rule reports stay one-row-per-doc at 10x, the
+        # planted mojibake repairs byte-exactly on every doc, C4 kept
+        # counts stay within bounds, every planted embedding
+        # contaminant is flagged, and the stream-safe gate chain
+        # compiles and runs in batch form
+        ("gopher one row per doc", b["goph_ok"]
+         and b["goph_rows"] == 10 * a["goph_rows"]),
+        ("fix_encoding byte-exact", b["fenc_ok"]),
+        ("repetition one row per doc", b["grep_ok"]
+         and b["grep_rows"] == 10 * a["grep_rows"]),
+        ("c4 counts bounded", b["c4_ok"]),
+        ("emb_decontam no false neg", b["edec_ok"]),
+        ("stream-safe gate chain runs", b["sgate_ok"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
