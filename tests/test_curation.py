@@ -616,3 +616,44 @@ def test_curation_repetition_gate(spark):
         run_curation(df, {"steps": [
             {"op": "repetition_gate", "rules": ["r_nope"]}]}).collect()
     assert "repetition_gate" in STREAM_SAFE_OPS
+
+
+def test_every_stream_safe_op_runs_on_a_real_stream(spark, tmp_path):
+    """STREAM_SAFE_OPS is a hand-maintained allowlist: prove every
+    member actually compiles onto a streaming DataFrame and drains to
+    the same rows as the batch compile — an op that needs state or a
+    second pass would fail at writeStream start and must not be in
+    the set."""
+    from meta_frame_spark.plans.curation import (
+        STREAM_SAFE_OPS,
+        run_curation,
+        run_curation_stream,
+    )
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    good = ("the quick brown fox jumps over one lazy dog today. "
+            "rivers run east beneath tall granite peaks each spring. "
+            "markets opened higher while traders weighed fresh data. "
+            "seven curious owls watched quietly from the old barn. "
+            "gentle rain fell across wide fields before sudden dawn.")
+    rows = [(1, good), (2, "short."), (3, "CafÃ© " + good)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(d)
+
+    minimal_kwargs = {
+        "filter": {"predicate": "doc_id >= 0"},
+        "lang_gate": {"langs": ["en", "und"]},
+        "select": {"columns": ["doc_id", "text"]},
+        "derive": {"columns": {"n": "length(text)"}},
+    }
+    for i, op in enumerate(sorted(STREAM_SAFE_OPS)):
+        cfg = {"steps": [{"op": op, **minimal_kwargs.get(op, {})}]}
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        drained = run_to_memory(
+            run_curation_stream(stream, cfg), f"mem_safe_{i}",
+            output_mode="append")
+        want = {tuple(r) for r in run_curation(
+            spark.read.parquet(d), cfg).collect()}
+        got = {tuple(r) for r in drained.collect()}
+        assert got == want, op
