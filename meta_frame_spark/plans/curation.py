@@ -237,6 +237,30 @@ def _op_quality_score_gate(
     return df.filter(quality_score(F.col(text_col)) >= min_score)
 
 
+def _gate_report_cols(
+    df: DataFrame, report_fn, text_col: str, op: str
+) -> tuple[DataFrame, list[str]]:
+    """Apply a rule-report builder for a gate step and return
+    ``(scored, added_columns)`` — raising ``ConfigError`` when the
+    input frame already holds a report-named column (the builders use
+    ``withColumn``, which would silently OVERWRITE the user's column
+    and then leave the recomputed value behind, because the drop list
+    cannot tell it apart from a pass-through). The report namespace
+    is probed on a one-column projection, so detection costs a plan,
+    not a job."""
+    probe = report_fn(df.select(text_col), text_col=text_col)
+    namespace = set(probe.columns) - {text_col}
+    clash = sorted(namespace & set(df.columns))
+    if clash:
+        raise ConfigError(
+            f"{op}: input columns {clash} collide with the rule "
+            "report's column names; rename or drop them before this "
+            "step"
+        )
+    scored = report_fn(df, text_col=text_col)
+    return scored, [c for c in scored.columns if c not in df.columns]
+
+
 def _op_gopher_gate(
     df: DataFrame,
     text_col: str = "text",
@@ -248,8 +272,9 @@ def _op_gopher_gate(
     on, and dropped. Map-only codegen, stream-safe."""
     from meta_frame_spark.functions.text import with_gopher_rules
 
-    scored = with_gopher_rules(df, text_col=text_col)
-    added = [c for c in scored.columns if c not in df.columns]
+    scored, added = _gate_report_cols(
+        df, with_gopher_rules, text_col, "gopher_gate"
+    )
     if rules is None:
         cond = F.col("gopher_pass")
     else:
@@ -286,8 +311,9 @@ def _op_repetition_gate(
     (line/paragraph HOFs + one Arrow histogram pass), stream-safe."""
     from meta_frame_spark.functions.text import with_repetition_rules
 
-    scored = with_repetition_rules(df, text_col=text_col)
-    added = [c for c in scored.columns if c not in df.columns]
+    scored, added = _gate_report_cols(
+        df, with_repetition_rules, text_col, "repetition_gate"
+    )
     if rules is None:
         cond = F.col("repetition_pass")
     else:
@@ -316,8 +342,9 @@ def _op_c4_gate(
     through; map-only codegen, stream-safe."""
     from meta_frame_spark.functions.text import with_c4_clean
 
-    scored = with_c4_clean(df, text_col=text_col)
-    added = [c for c in scored.columns if c not in df.columns]
+    scored, added = _gate_report_cols(
+        df, with_c4_clean, text_col, "c4_gate"
+    )
     out = scored.filter(F.col("c4_pass"))
     if apply_line_filter:
         out = out.withColumn(text_col, F.col("c4_text"))

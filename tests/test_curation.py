@@ -657,3 +657,30 @@ def test_every_stream_safe_op_runs_on_a_real_stream(spark, tmp_path):
             spark.read.parquet(d), cfg).collect()}
         got = {tuple(r) for r in drained.collect()}
         assert got == want, op
+
+
+def test_rule_gates_raise_on_report_column_clash(spark):
+    """A frame already holding a report-named column (n_words,
+    c4_pass, ...) must fail loudly at the gate step — the report
+    builders would otherwise silently overwrite the user's column and
+    leave the recomputed value behind."""
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+    from meta_frame_spark.plans.curation import run_curation
+
+    df = spark.createDataFrame(
+        [(1, "some text here", 99)], ["doc_id", "text", "n_words"]
+    )
+    with pytest.raises(ConfigError, match="n_words.*collide"):
+        run_curation(df, {"steps": [{"op": "gopher_gate"}]})
+    df2 = spark.createDataFrame(
+        [(1, "some text here", True)], ["doc_id", "text", "c4_pass"]
+    )
+    with pytest.raises(ConfigError, match="c4_pass.*collide"):
+        run_curation(df2, {"steps": [{"op": "c4_gate"}]})
+    df3 = spark.createDataFrame(
+        [(1, "some text here", 0.5)], ["doc_id", "text", "dup_line_frac"]
+    )
+    with pytest.raises(ConfigError, match="dup_line_frac.*collide"):
+        run_curation(df3, {"steps": [{"op": "repetition_gate"}]})
