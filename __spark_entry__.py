@@ -4467,6 +4467,31 @@ _C4_PLANT = (
 )
 
 
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation (multimodal/assets.py
+    video_scene_segments): JVM substring frame cut -> map-side md5
+    frame signatures -> per-VIDEO lag/segment windows (state bounded
+    by one video's frames, never global). Payload is the hex-payload
+    trick of q_mm_frame_dedup (always-ASCII, so DuckDB re-cuts the
+    same bytes), built as six 8-char frames in a 3/2/1 run pattern
+    from each doc's own text, so segment content varies per doc and
+    the oracle replays every signature. Full oracle: frames, md5
+    values, cuts, and segment rollup are all SQL-exact."""
+    from meta_frame_spark.multimodal.assets import (
+        make_asset,
+        video_scene_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ht = F.rpad(F.hex(F.encode("text", "UTF-8")), 24, "x")
+    s0, s1, s2 = (F.substring(ht, 1 + 8 * g, 8) for g in range(3))
+    payload = F.encode(F.concat(s0, s0, s0, s1, s1, s2), "UTF-8")
+    vids = docs.select(
+        "doc_id", make_asset(payload, "video", n_frames=F.lit(6)).alias("asset")
+    )
+    return video_scene_segments(vids)
+
+
 def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space eval-set contamination report (VERDICT r10
     "Next round" #8; operators/decontaminate.embedding_contamination):
@@ -4507,27 +4532,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Round-11 window (VERDICT r10 "Next round" #3, extended by the four
 # round-11 additions):
-#   1-6    gopher_rules / fix_encoding / stream_gate / emb_decontam /
-#          gopher_repetition / c4_clean — FIRST driver rows for the
-#          round-11 additions (the Gopher rule-based quality report,
-#          VERDICT r10 #4, its Table-A1 repetition-filter sibling,
-#          and the C4 cleaning recipe; the mojibake encoding repair,
-#          #7; the config-declared streaming gate, #6; the
-#          embedding-space decontamination report, #8),
-#          never-orphaned rule;
-#   7-45   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
+#   1-7    gopher_rules / fix_encoding / stream_gate / emb_decontam /
+#          gopher_repetition / c4_clean / mm_scene_cuts — FIRST
+#          driver rows for the round-11 additions (the Gopher
+#          rule-based quality report, VERDICT r10 #4, its Table-A1
+#          repetition-filter sibling, and the C4 cleaning recipe; the
+#          mojibake encoding repair, #7; the config-declared
+#          streaming gate, #6; the embedding-space decontamination
+#          report, #8; video shot segmentation), never-orphaned rule;
+#   8-46   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
 #          39 remaining r7-green rows);
-#   46-50  the 5 oldest r8-green rows in registry order
-#          (ann_topk_ivfpq .. a_keep_columns; a_chained and a_derive
-#          yield their slots to gopher_repetition and c4_clean and
+#   47-50  the 4 oldest r8-green rows in registry order
+#          (ann_topk_ivfpq .. a_filters; a_keep_columns, a_chained,
+#          and a_derive yield their slots to the session ops and
 #          head the r12 queue instead).
 # After this round no registered query's latest row is older than r8.
-# The r12 queue is NEXT_WINDOW_QUEUE below — the 45 remaining
+# The r12 queue is NEXT_WINDOW_QUEUE below — the 46 remaining
 # r8-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-    "gopher_repetition", "c4_clean",
+    "gopher_repetition", "c4_clean", "mm_scene_cuts",
     # (2) the pinned r10 queue, verbatim
     "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
@@ -4542,18 +4567,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hash_split",
     # (3) oldest r8-green rows, registry order
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
-    "a_keep_columns",
 )
 
-# The planned r12 window backbone: the 45 r8-green rows this round's
-# 50 could not fit (a_chained and a_derive first — they yielded their
-# r11 slots to the session ops), in registry order (pinned constant
-# per VERDICT r8
+# The planned r12 window backbone: the 46 r8-green rows this round's
+# 50 could not fit (a_keep_columns, a_chained, a_derive first — they
+# yielded their r11 slots to the session ops), in registry order
+# (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "a_chained", "a_derive",
+    "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
     "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
@@ -4774,6 +4798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_decontam": q_emb_decontam,
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
+        "mm_scene_cuts": q_mm_scene_cuts,
     }
 
 
@@ -8261,6 +8286,45 @@ def oracle_sql() -> dict[str, str]:
                    s -> trim(s)), s -> length(s) > 0)) >= 5 AS c4_pass
         FROM m
     """.replace("__PLANT__", "'" + _c4_plant_sql + "'")
+    # Shot segmentation replayed exactly: the six hex frames, their
+    # md5 signatures, the lag cuts, and the per-segment rollup.
+    d["mm_scene_cuts"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   rpad(hex(encode(text)), 24, 'x') AS ht
+            FROM documents WHERE text IS NOT NULL
+        ),
+        fr AS (
+            SELECT doc_id,
+                   [substr(ht, 1, 8), substr(ht, 1, 8), substr(ht, 1, 8),
+                    substr(ht, 9, 8), substr(ht, 9, 8),
+                    substr(ht, 17, 8)] AS frames
+            FROM h
+        ),
+        f AS (
+            SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS frame_idx,
+                   md5(frames[CAST(t.i AS INTEGER)]) AS frame_sig
+            FROM fr CROSS JOIN generate_series(1, 6) AS t(i)
+        ),
+        cuts AS (
+            SELECT doc_id, frame_idx, frame_sig,
+                   CASE WHEN lag(frame_sig) OVER w IS NULL
+                             OR frame_sig != lag(frame_sig) OVER w
+                        THEN 1 ELSE 0 END AS cut
+            FROM f
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        ),
+        seg AS (
+            SELECT doc_id, frame_idx, frame_sig,
+                   SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS seg_idx
+            FROM cuts
+        )
+        SELECT doc_id, seg_idx, MIN(frame_idx) AS start_frame,
+               COUNT(*) AS seg_frames,
+               MIN(frame_sig) AS frame_sig
+        FROM seg GROUP BY 1, 2
+    """
     # Genuine exact oracle: all-pairs cosine against the eval slice
     # (recall argument in q_emb_decontam's docstring — exact copies
     # collide in every band; near pairs miss with prob ~1e-10).

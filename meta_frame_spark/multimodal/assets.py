@@ -425,3 +425,46 @@ def frame_dedup_stats(
             F.lit(1.0) - F.col("n_distinct_frames") / F.col("n_frames"), 6
         ).alias("dup_ratio"),
     )
+
+
+def video_scene_segments(
+    df: DataFrame,
+    every_n: int = 1,
+    asset_col: str = "asset",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shot/scene segmentation over the frame stream: one row per
+    maximal run of byte-identical consecutive frames —
+    ``(id_col, seg_idx, start_frame, seg_frames, frame_sig)`` — the
+    temporal-structure pass video training pipelines run before
+    frame sampling (keep one exemplar per shot instead of ``every_n``
+    blind). "Scene cut" here is frame-content change under the stub
+    codec (a real decoder would difference perceptual hashes in the
+    same shape — swap ``frame_sig`` for :func:`image_ahash`'s output).
+
+    Scale: the frame cut is the pure-JVM :func:`sample_frames` path;
+    frames collapse to md5 signatures map-side (engine-portable, so
+    the DuckDB oracle replays every value), and the lag/segment
+    windows partition BY VIDEO — state is one video's frames, never
+    global. Hour-long videos are fine (~100k frame rows per
+    partition); chunk the frame index upstream if a single video's
+    frames outgrow one task."""
+    frames = sample_frames(
+        df, every_n=every_n, asset_col=asset_col, id_col=id_col
+    ).withColumn("frame_sig", F.md5("frame_bytes"))
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    cut = (
+        F.lag("frame_sig").over(w).isNull()
+        | (F.col("frame_sig") != F.lag("frame_sig").over(w))
+    ).cast("int")
+    seg = frames.withColumn(
+        "seg_idx",
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - 1,
+    )
+    return seg.groupBy(id_col, "seg_idx").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.count(F.lit(1)).alias("seg_frames"),
+        F.first("frame_sig").alias("frame_sig"),
+    )

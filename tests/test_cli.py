@@ -87,16 +87,18 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in (
         "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-        "gopher_repetition", "c4_clean",
+        "gopher_repetition", "c4_clean", "mm_scene_cuts",
     ):
         assert name in window, name
     # round-11 plan: the pinned r10 queue rotates through verbatim,
-    # then the 5 oldest r8-green rows (a_chained and a_derive yielded
-    # their slots to the session ops and head the r12 queue)
+    # then the 4 oldest r8-green rows (a_keep_columns, a_chained,
+    # a_derive yielded their slots to the session ops and head the
+    # r12 queue)
     for name in ("k_anonymity_report", "dedup_minhash", "hash_split",
-                 "ann_topk_ivfpq", "a_keep_columns"):
+                 "ann_topk_ivfpq", "a_filters"):
         assert name in window, name
-    assert list(e.NEXT_WINDOW_QUEUE)[:2] == ["a_chained", "a_derive"]
+    assert list(e.NEXT_WINDOW_QUEUE)[:3] == [
+        "a_keep_columns", "a_chained", "a_derive"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)

@@ -136,3 +136,39 @@ def test_frame_dedup_stats_exact_census(spark):
     row = frame_dedup_stats(assets).collect()[0]
     assert (row.n_videos, row.n_frames, row.n_distinct_frames) == (2, 8, 6)
     assert abs(row.dup_ratio - (1 - 6 / 8)) < 1e-9
+
+
+def test_video_scene_segments_hand_computed(spark):
+    """Maximal runs of byte-identical frames become segments with the
+    right starts/lengths; single-frame and all-identical videos are
+    one segment; frame signatures differ across distinct content."""
+    from pyspark.sql import functions as F
+
+    from meta_frame_spark.multimodal.assets import (
+        make_asset,
+        video_scene_segments,
+    )
+
+    def vid(doc_id, s, n_frames):
+        return (doc_id, s, n_frames)
+
+    rows = [
+        vid(1, "aaaaaaaaaaaabbbbbbbbcccc", 6),  # AAA BB C (4-byte frames)
+        vid(2, "xxxxxxxx", 2),                  # XX -> one segment
+        vid(3, "qrst", 1),                      # single frame
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string, nf int").select(
+        "doc_id",
+        make_asset(F.encode("s", "UTF-8"), "video",
+                   n_frames=F.col("nf")).alias("asset"),
+    )
+    out = video_scene_segments(df).collect()
+    segs = {}
+    for r in out:
+        segs.setdefault(r.doc_id, []).append(
+            (r.seg_idx, r.start_frame, r.seg_frames))
+    assert sorted(segs[1]) == [(0, 0, 3), (1, 3, 2), (2, 5, 1)]
+    assert sorted(segs[2]) == [(0, 0, 2)]
+    assert sorted(segs[3]) == [(0, 0, 1)]
+    sigs = {r.frame_sig for r in out if r.doc_id == 1}
+    assert len(sigs) == 3  # three distinct contents, three signatures
