@@ -4514,6 +4514,104 @@ def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_contamination(emb, bench, threshold=0.9)
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup-style duplication reweighting (Xu et al. 2024;
+    operators/dedup.soft_dedup_weights): per-document weight
+    1/dup_count over exact-duplicate clusters of the dedup-normalized
+    text — down-weight duplicates instead of deleting them, so every
+    cluster contributes expected weight 1 under weighted sampling.
+    The shipped sf0.01 corpus has no exact duplicates, so — the
+    q_fix_encoding staging pattern — known duplicate copies are
+    planted first (one extra copy for doc_id%7 docs, two for
+    doc_id%21), giving clusters of size 1, 2 and 3 the op must
+    recover exactly. Compact (id, 16-byte key) shuffle shape; full
+    DuckDB oracle replays the normalization, the md5 clustering, and
+    the weights."""
+    from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", "text")
+    copy1 = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    copy2 = base.filter(F.col("doc_id") % 21 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    staged = base.unionByName(copy1).unionByName(copy2)
+    out = soft_dedup_weights(staged)
+    return out.select(
+        "doc_id", "dup_count", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_blocklist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted blocklist gate (UT1 / RefinedWeb first-tier filter;
+    functions/text.with_blocklist_score): per-document weighted
+    banned-term score, hit count, hit fraction and pass flag from a
+    literal term->weight map — pure codegen HOFs, map-only,
+    stream-safe. The term list here names corpus-vocabulary words
+    with mixed weights so scores genuinely vary; real deployments
+    pass their category lists through the same contract. Full DuckDB
+    oracle replays the lowercased tokenization and the weighted sum
+    byte-exactly."""
+    from meta_frame_spark.functions.text import with_blocklist_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = with_blocklist_score(
+        docs,
+        blocklist={"spark": 1.0, "dup": 2.0, "scan": 0.5},
+        max_score=2.0,
+    )
+    return scored.select(
+        "doc_id",
+        F.round("bl_score", 6).alias("bl_score"),
+        "bl_hits",
+        F.round("bl_hit_frac", 6).alias("bl_hit_frac"),
+        "blocklist_pass",
+    )
+
+
+def q_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned overlapping passages (the retrieval/RAG
+    training grain; operators/chunking.sentence_passages): each doc's
+    frozen sentence segmentation windowed 2-at-a-time with stride 1,
+    ragged tail kept — one codegen map (sequence/transform/slice/
+    posexplode), NO shuffle. The corpus ships punctuation-free, so
+    terminators are injected first (the q_sentences pattern). Full
+    DuckDB oracle replays the injection, the segmentation, the
+    window-count formula, and every passage's text and counts."""
+    from meta_frame_spark.operators.chunking import sentence_passages
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dotted = docs.withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit("value "), F.lit("value. ")),
+            F.lit("fast "), F.lit("fast! "),
+        ),
+    )
+    return sentence_passages(dotted, n_sentences=2, stride=1).select(
+        "doc_id", "passage_idx", "passage",
+        "passage_n_sentences", "passage_n_tokens",
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report per language
+    (operators/vocab.vocab_coverage over a vocab_topk(k=25) vocab):
+    the tokenizer-fit audit run before committing a vocabulary to a
+    training mix. Word-count-shaped (lang, token) aggregate with
+    map-side combine, broadcast vocab probe, per-language bounded
+    rollup — tokens never shuffle raw. Full DuckDB oracle replays
+    the deterministic top-k vocab (count desc, token asc) and both
+    occurrence- and type-grain rates."""
+    from meta_frame_spark.operators.vocab import vocab_coverage, vocab_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vocab = vocab_topk(docs, k=25)
+    return vocab_coverage(docs, vocab, group_col="lang")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4530,29 +4628,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-11 window (VERDICT r10 "Next round" #3, extended by the four
+# Round-11 window (VERDICT r10 "Next round" #3, extended by the
 # round-11 additions):
-#   1-7    gopher_rules / fix_encoding / stream_gate / emb_decontam /
-#          gopher_repetition / c4_clean / mm_scene_cuts — FIRST
-#          driver rows for the round-11 additions (the Gopher
+#   1-11   gopher_rules / fix_encoding / stream_gate / emb_decontam /
+#          gopher_repetition / c4_clean / mm_scene_cuts /
+#          soft_dedup / blocklist_score / passage_chunks / oov_rate —
+#          FIRST driver rows for the round-11 additions (the Gopher
 #          rule-based quality report, VERDICT r10 #4, its Table-A1
 #          repetition-filter sibling, and the C4 cleaning recipe; the
 #          mojibake encoding repair, #7; the config-declared
 #          streaming gate, #6; the embedding-space decontamination
-#          report, #8; video shot segmentation), never-orphaned rule;
-#   8-46   the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
-#          39 remaining r7-green rows);
-#   47-50  the 4 oldest r8-green rows in registry order
-#          (ann_topk_ivfpq .. a_filters; a_keep_columns, a_chained,
-#          and a_derive yield their slots to the session ops and
-#          head the r12 queue instead).
+#          report, #8; video shot segmentation; SoftDedup
+#          reweighting; the UT1-style weighted blocklist gate;
+#          sentence-aligned passages; the vocab OOV audit),
+#          never-orphaned rule;
+#   12-50  the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
+#          39 remaining r7-green rows; the 4 oldest r8-green rows —
+#          ann_topk_ivfpq, bpe_tokenize, event_ppr, a_filters — yield
+#          their slots to the session ops, like a_keep_columns /
+#          a_chained / a_derive before them, and head the r12 queue).
 # After this round no registered query's latest row is older than r8.
-# The r12 queue is NEXT_WINDOW_QUEUE below — the 46 remaining
+# The r12 queue is NEXT_WINDOW_QUEUE below — the 50 remaining
 # r8-green rows. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
     "gopher_repetition", "c4_clean", "mm_scene_cuts",
+    "soft_dedup", "blocklist_score", "passage_chunks", "oov_rate",
     # (2) the pinned r10 queue, verbatim
     "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
     "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
@@ -4565,18 +4667,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
     "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
     "hash_split",
-    # (3) oldest r8-green rows, registry order
-    "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
 )
 
-# The planned r12 window backbone: the 46 r8-green rows this round's
-# 50 could not fit (a_keep_columns, a_chained, a_derive first — they
-# yielded their r11 slots to the session ops), in registry order
-# (pinned constant per VERDICT r8
+# The planned r12 window backbone: the 50 r8-green rows this round's
+# 50 could not fit (ann_topk_ivfpq..a_filters and a_keep_columns,
+# a_chained, a_derive first — they yielded their r11 slots to the
+# session ops), in registry order (pinned constant per VERDICT r8
 # #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed).
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
     "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
@@ -4799,6 +4900,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "c4_clean": q_c4_clean,
         "mm_scene_cuts": q_mm_scene_cuts,
+        "soft_dedup": q_soft_dedup,
+        "blocklist_score": q_blocklist_score,
+        "passage_chunks": q_passage_chunks,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -8340,5 +8445,137 @@ def oracle_sql() -> dict[str, str]:
                  CAST(a.embedding AS DOUBLE[]),
                  CAST(b.embedding AS DOUBLE[])) >= 0.9
         GROUP BY 1
+    """
+    # SoftDedup reweighting over planted duplicate clusters: the
+    # staging union, the dedup normalization, the md5 cluster key and
+    # the 1/n weights all replayed exactly.
+    d["soft_dedup"] = r"""
+        WITH staged AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents
+            WHERE text IS NOT NULL AND doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents
+            WHERE text IS NOT NULL AND doc_id % 21 = 0
+        ), k AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS kk
+            FROM staged
+        )
+        SELECT doc_id,
+               COUNT(*) OVER (PARTITION BY kk) AS dup_count,
+               ROUND(CAST(1.0 AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY kk), 6) AS weight
+        FROM k
+    """
+    # Weighted blocklist gate: the lowercased \S+ tokenization and
+    # the literal term->weight map replayed token-exactly.
+    d["blocklist_score"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform(regexp_extract_all(text, '\S+'),
+                                  x -> lower(x)) AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), s AS (
+            SELECT doc_id, len(toks) AS n_toks,
+                   list_transform(toks, x -> CASE x
+                       WHEN 'spark' THEN CAST(1.0 AS DOUBLE)
+                       WHEN 'dup'   THEN CAST(2.0 AS DOUBLE)
+                       WHEN 'scan'  THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS w
+            FROM t
+        ), a AS (
+            SELECT doc_id, n_toks,
+                   COALESCE(list_sum(w), 0.0) AS score,
+                   len(list_filter(w, x -> x > 0)) AS n_hits
+            FROM s
+        )
+        SELECT doc_id,
+               ROUND(score, 6) AS bl_score,
+               CAST(n_hits AS INTEGER) AS bl_hits,
+               ROUND(CASE WHEN n_toks > 0
+                          THEN CAST(n_hits AS DOUBLE) / n_toks
+                          ELSE 0.0 END, 6) AS bl_hit_frac,
+               score < 2.0 AS blocklist_pass
+        FROM a
+    """
+    # Sentence-aligned passages: the terminator injection, the frozen
+    # sentence segmentation, the window-count formula (n_sentences=2,
+    # stride=1, ragged tail kept) and every passage's text replayed.
+    d["passage_chunks"] = r"""
+        WITH pieces AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(
+                               replace(replace(text, 'value ', 'value. '),
+                                       'fast ', 'fast! '),
+                               '[^.!?]+[.!?]*'),
+                           s -> trim(s)),
+                       s -> length(s) > 0) AS arr
+            FROM documents WHERE text IS NOT NULL
+        ), sized AS (
+            SELECT doc_id, arr, len(arr) AS n,
+                   CASE WHEN len(arr) >= 2 THEN len(arr) - 1 ELSE 0 END
+                       AS n_full
+            FROM pieces
+        ), counted AS (
+            SELECT doc_id, arr, n,
+                   n_full + CASE
+                       WHEN n_full > 0 AND (n_full - 1) + 2 < n THEN 1
+                       WHEN n_full = 0 AND n > 0 THEN 1
+                       ELSE 0 END AS n_windows
+            FROM sized
+        ), w AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, n_windows - 1),
+                       i -> struct_pack(
+                           idx := i,
+                           p := array_to_string(
+                               list_slice(arr, i + 1, i + 2), ' '),
+                           k := least(n - i, 2)))) AS pw
+            FROM counted WHERE n_windows > 0
+        )
+        SELECT doc_id,
+               CAST(pw.idx AS INTEGER) AS passage_idx,
+               pw.p AS passage,
+               CAST(pw.k AS INTEGER) AS passage_n_sentences,
+               CAST(len(regexp_extract_all(pw.p, '\S+')) AS INTEGER)
+                   AS passage_n_tokens
+        FROM w
+    """
+    # Vocab coverage / OOV rates: the deterministic top-25 vocab
+    # (count desc, token asc) and both rate grains replayed.
+    d["oov_rate"] = r"""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(regexp_extract_all(text, '\S+'),
+                                         x -> lower(x))) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), vocab AS (
+            SELECT tok FROM tok GROUP BY tok
+            ORDER BY COUNT(*) DESC, tok ASC LIMIT 25
+        ), grp AS (
+            SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+        ), j AS (
+            SELECT g.lang, g.cnt,
+                   (v.tok IS NULL) AS oov
+            FROM grp g LEFT JOIN vocab v USING (tok)
+        )
+        SELECT lang,
+               CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN oov THEN cnt ELSE 0 END) AS BIGINT)
+                   AS oov_tokens,
+               ROUND(SUM(CASE WHEN oov THEN cnt ELSE 0 END)
+                     / CAST(SUM(cnt) AS DOUBLE), 6) AS oov_rate,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oov_types,
+               ROUND(SUM(CASE WHEN oov THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_type_rate
+        FROM j GROUP BY lang
     """
     return d

@@ -13,6 +13,7 @@ scan and one per-source aggregate regardless of corpus size:
       -> C4 line rules + page gate (Raffel et al. 2020)
       -> Gopher quality rules      (Rae et al. 2021, App. A)
       -> Gopher repetition rules   (Rae et al. 2021, Table A1)
+      -> weighted blocklist        (UT1/RefinedWeb tier)
       -> language id + margin      (stopword heuristic)
       -> per-source funnel         (docs surviving each tier, and the
                                     top rule responsible for each kill)
@@ -42,6 +43,7 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from meta_frame_spark.functions.text import (
         fix_encoding,
         language_scores,
+        with_blocklist_score,
         with_c4_clean,
         with_gopher_rules,
         with_repetition_rules,
@@ -52,8 +54,8 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .filter(F.col("text").isNotNull())
         .withColumn("text", fix_encoding("text"))
     )
-    scored = with_repetition_rules(
-        with_gopher_rules(with_c4_clean(docs))
+    scored = with_blocklist_score(
+        with_repetition_rules(with_gopher_rules(with_c4_clean(docs)))
     ).withColumn("lang_pred", language_scores(F.col("text"))["lang"])
 
     funnel = scored.groupBy("source").agg(
@@ -61,10 +63,11 @@ def corpus_health(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.sum(F.col("c4_pass").cast("int")).alias("pass_c4"),
         F.sum(F.col("gopher_pass").cast("int")).alias("pass_gopher"),
         F.sum(F.col("repetition_pass").cast("int")).alias("pass_repetition"),
+        F.sum(F.col("blocklist_pass").cast("int")).alias("pass_blocklist"),
         F.sum(
             (
                 F.col("c4_pass") & F.col("gopher_pass")
-                & F.col("repetition_pass")
+                & F.col("repetition_pass") & F.col("blocklist_pass")
             ).cast("int")
         ).alias("pass_all"),
         F.round(

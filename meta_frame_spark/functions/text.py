@@ -867,3 +867,72 @@ def with_c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
             ~has_lorem & ~has_brace & (n_sents >= 5)
         ).alias("c4_pass"),
     )
+
+
+#: Demo weighted blocklist in the UT1 / RefinedWeb style (Penedo et
+#: al. 2023 filter documents by weighted hits against the public UT1
+#: category lists; weights let one "hard" term outweigh several
+#: "soft" ones). Deliberately mild placeholder terms — real
+#: deployments pass their own category list(s); the shape (lowercase
+#: single-token term -> positive weight) is the contract.
+DEFAULT_BLOCKLIST: dict[str, float] = {
+    "viagra": 3.0, "casino": 2.0, "xxx": 3.0, "porn": 3.0,
+    "jackpot": 1.0, "betting": 1.0, "escort": 2.0, "pills": 1.0,
+}
+
+
+def with_blocklist_score(
+    df: DataFrame,
+    text_col: str = "text",
+    blocklist: dict[str, float] | None = None,
+    max_score: float = 1.0,
+) -> DataFrame:
+    """Append a weighted banned-term report (the UT1-blocklist gate
+    every public web pipeline — RefinedWeb, FineWeb, CCNet — runs as
+    a cheap first tier before any model-based scoring):
+
+    * ``bl_score``    — sum of weights over all (lowercased,
+      whitespace-token) occurrences of blocklisted terms;
+    * ``bl_hits``     — number of token occurrences that matched;
+    * ``bl_hit_frac`` — ``bl_hits / n_tokens`` (0.0 for empty text);
+    * ``blocklist_pass`` — ``bl_score < max_score``.
+
+    Pure codegen HOFs over a literal map (the list is config, not
+    data — it never touches the cluster as a join side), map-only,
+    no shuffle, no Python, stream-safe. Null text -> null report.
+    Terms must be lowercase single tokens with positive weights;
+    anything else raises ``ValueError`` loudly at plan time."""
+    bl = DEFAULT_BLOCKLIST if blocklist is None else blocklist
+    if not bl:
+        raise ValueError("blocklist must be non-empty")
+    for t, w in bl.items():
+        if (not t) or t != t.lower() or any(ch.isspace() for ch in t):
+            raise ValueError(
+                f"blocklist term {t!r} must be a lowercase single token"
+            )
+        if not float(w) > 0:
+            raise ValueError(f"blocklist weight for {t!r} must be > 0")
+    c = F.col(text_col)
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+    wmap = F.create_map(
+        *[F.lit(x) for t in sorted(bl) for x in (t, float(bl[t]))]
+    )
+    per_tok = F.transform(
+        toks, lambda t: F.coalesce(F.element_at(wmap, t), F.lit(0.0))
+    )
+    score = F.aggregate(
+        per_tok, F.lit(0.0), lambda acc, x: acc + x
+    )
+    n_hits = F.size(F.filter(per_tok, lambda x: x > 0))
+    hit_frac = F.when(F.size(toks) > 0, n_hits / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        "*",
+        F.when(c.isNotNull(), score).alias("bl_score"),
+        F.when(c.isNotNull(), n_hits).alias("bl_hits"),
+        F.when(c.isNotNull(), hit_frac).alias("bl_hit_frac"),
+        F.when(c.isNotNull(), score < F.lit(float(max_score))).alias(
+            "blocklist_pass"
+        ),
+    )

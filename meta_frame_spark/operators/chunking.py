@@ -90,3 +90,78 @@ def chunk_documents(
     return out.withColumn(
         "chunk_n_tokens", F.size(tokens(F.col("chunk_text")))
     )
+
+
+def sentence_passages(
+    df: DataFrame,
+    n_sentences: int = 3,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Sentence-ALIGNED overlapping passages — the retrieval/RAG
+    training grain, where windows that cut mid-sentence hurt both
+    embedding quality and answer extraction. Each document's frozen
+    sentence segmentation (``functions.text.split_sentences`` —
+    ``[.!?]``-run splits, trimmed, empties dropped) is windowed
+    exactly like :func:`chunk_documents` windows tokens: passage *i*
+    covers sentences ``[i*stride, i*stride + n_sentences)``, trailing
+    windows adding no new sentence are dropped, and the ragged tail
+    is kept unless ``drop_partial``.
+
+    Output: ``(id_col, *keep_cols, passage_idx, passage,
+    passage_n_sentences, passage_n_tokens)``. Same scale shape as
+    chunk_documents: one whole-stage-codegen map (``sequence`` /
+    ``transform`` / ``slice`` / ``posexplode``), NO shuffle, no
+    Python; fan-out ~``n_sentences/stride``x within each task."""
+    from meta_frame_spark.functions.text import split_sentences, tokens
+
+    if n_sentences < 1:
+        raise ValueError(f"n_sentences must be >= 1, got {n_sentences}")
+    stride = stride if stride is not None else n_sentences
+    if not 1 <= stride <= n_sentences:
+        raise ValueError(f"stride must be in [1, n_sentences], got {stride}")
+
+    sents = split_sentences(F.col(text_col))
+    n = F.size(sents)
+    n_full = F.when(
+        n >= n_sentences, F.floor((n - n_sentences) / stride) + 1
+    ).otherwise(F.lit(0)).cast("int")
+    covered = (n_full - 1) * stride + n_sentences
+    if drop_partial:
+        n_windows = n_full
+    else:
+        # docs with zero sentences yield zero passages (unlike the
+        # token chunker's empty-chunk row: a sentenceless doc has no
+        # retrieval grain to preserve)
+        n_windows = (
+            n_full
+            + F.when((n_full > 0) & (covered < n), 1)
+            .when((n_full == 0) & (n > 0), 1)
+            .otherwise(0)
+        )
+    starts = F.when(
+        n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    windows = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(sents, i * stride + 1, n_sentences), " "
+            ).alias("p"),
+            F.least(n - i * stride, F.lit(n_sentences)).alias("k"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        *(keep_cols or []),
+        F.posexplode(windows).alias("passage_idx", "_w"),
+    )
+    return out.select(
+        "*",
+        F.col("_w.p").alias("passage"),
+        F.col("_w.k").alias("passage_n_sentences"),
+        F.size(tokens(F.col("_w.p"))).alias("passage_n_tokens"),
+    ).drop("_w")

@@ -818,3 +818,45 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .filter(F.col("n_members") > 1)
         .select(id_col, "n_members")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """SoftDedup-style duplication REWEIGHTING (Xu et al. 2024,
+    "SoftDedup": down-weight duplicated data instead of deleting it):
+    per-document sampling weight ``(1 / dup_count) ** alpha`` where
+    ``dup_count`` is the size of the document's exact-duplicate
+    cluster (md5 of the dedup-normalized text). At ``alpha=1`` every
+    cluster contributes total weight exactly 1 — the soft equivalent
+    of hard exact-dedup in expectation — while ``alpha<1``
+    interpolates toward keeping duplicates at reduced rate (the
+    paper's observation: mild repetition of common data helps; hard
+    removal throws signal away). Feed the ``weight`` column to
+    ``sampling.weighted_sample`` / ``weighted_sample_k``.
+
+    Returns the compact ``(id_col, dup_count, weight)`` frame — at
+    100 TB the full-row variant would shuffle every text byte by
+    cluster key; this shape shuffles only (id, 16-byte key) pairs
+    (word-count-shaped groupBy with map-side combine, then a key join
+    between two already-co-partitioned sides). Join weights back to
+    the corpus by ``id_col`` if row-level columns are needed.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from meta_frame_spark.functions.text import normalize_text
+
+    keyed = F.col(text_col) if not normalize else normalize_text(text_col)
+    pairs = df.select(F.col(id_col), F.md5(keyed).alias("_k"))
+    sizes = pairs.groupBy("_k").agg(F.count(F.lit(1)).alias("dup_count"))
+    return pairs.join(sizes, "_k").select(
+        id_col,
+        "dup_count",
+        F.pow(F.lit(1.0) / F.col("dup_count"), F.lit(float(alpha))).alias(
+            "weight"
+        ),
+    )

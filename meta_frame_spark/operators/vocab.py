@@ -247,3 +247,62 @@ def pmi_collocations(
     from pyspark.sql import Window
 
     return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    vocab_col: str = "token",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report per group — the
+    tokenizer-fit audit run before committing a vocab to a training
+    mix (a language whose OOV rate spikes is about to be shredded
+    into bytes): one row per ``group_col`` with
+
+    - ``total_tokens`` / ``oov_tokens``  — occurrence-grain counts;
+    - ``oov_rate``                        — ``oov_tokens/total_tokens``;
+    - ``n_types`` / ``oov_types``         — distinct-token counts;
+    - ``oov_type_rate``                   — type-grain rate.
+
+    Scale design: tokens NEVER leave their rows raw — the classic
+    word-count shape ``groupBy(group, token)`` (map-side combine
+    collapses repeats before the shuffle) reduces the corpus to its
+    per-group type table, the vocab joins BROADCAST (a vocabulary is
+    ~10^4-10^5 rows by construction), and the final per-group rollup
+    is bounded by ``|groups|``. One token-grain shuffle total."""
+    toks = _grams(F.col(text_col), 1, lowercase)
+    per_type = (
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vv = vocab.select(
+        (F.lower(F.col(vocab_col)) if lowercase else F.col(vocab_col))
+        .alias("tok"),
+        F.lit(True).alias("in_vocab"),
+    ).distinct()
+    joined = per_type.join(F.broadcast(vv), "tok", "left")
+    oov = F.col("in_vocab").isNull()
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(F.when(oov, F.col("cnt")).otherwise(0)).alias("oov_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(oov, 1).otherwise(0)).alias("oov_types"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "total_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("total_tokens"), 6)
+            .alias("oov_rate"),
+            "n_types",
+            "oov_types",
+            F.round(F.col("oov_types") / F.col("n_types"), 6)
+            .alias("oov_type_rate"),
+        )
+    )

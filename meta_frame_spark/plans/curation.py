@@ -351,6 +351,58 @@ def _op_c4_gate(
     return out.drop(*added)
 
 
+def _op_blocklist_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    blocklist: dict[str, float] | None = None,
+    max_score: float = 1.0,
+) -> DataFrame:
+    """Keep rows under the weighted banned-term score (functions.text
+    .with_blocklist_score — the UT1/RefinedWeb first-tier web filter).
+    Schema passes through; map-only codegen over a literal term map,
+    stream-safe."""
+    from meta_frame_spark.functions.text import with_blocklist_score
+
+    scored, added = _gate_report_cols(
+        df,
+        lambda d, text_col: with_blocklist_score(
+            d, text_col=text_col, blocklist=blocklist, max_score=max_score
+        ),
+        text_col,
+        "blocklist_gate",
+    )
+    return scored.filter(F.col("blocklist_pass")).drop(*added)
+
+
+def _op_soft_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Attach SoftDedup duplication weights (operators/dedup
+    .soft_dedup_weights) as ``weight_col`` instead of dropping
+    duplicates — feed a later ``budget_select``/``sample_per_group``
+    stage, or export the weights with the corpus. NOT stream-safe
+    (cluster sizes are whole-corpus state)."""
+    if weight_col in df.columns or f"{weight_col}_dup_count" in df.columns:
+        raise ConfigError(
+            f"soft_dedup: output columns {weight_col!r}/"
+            f"'{weight_col}_dup_count' collide with input columns"
+        )
+    from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+    w = soft_dedup_weights(
+        df, text_col=text_col, id_col=id_col, alpha=alpha
+    ).select(
+        id_col,
+        F.col("dup_count").alias(f"{weight_col}_dup_count"),
+        F.col("weight").alias(weight_col),
+    )
+    return df.join(w, id_col)
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -401,6 +453,8 @@ CURATION_OPS: dict[str, Callable] = {
     "gopher_gate": _op_gopher_gate,
     "repetition_gate": _op_repetition_gate,
     "c4_gate": _op_c4_gate,
+    "blocklist_gate": _op_blocklist_gate,
+    "soft_dedup": _op_soft_dedup,
     "fix_encoding": _op_fix_encoding,
     "select": _op_select,
     "derive": _op_derive,
@@ -443,6 +497,8 @@ _EXTRA_KEYS = {
     "gopher_gate": {"text_col", "rules"},
     "repetition_gate": {"text_col", "rules"},
     "c4_gate": {"text_col", "apply_line_filter"},
+    "blocklist_gate": {"text_col", "blocklist", "max_score"},
+    "soft_dedup": {"text_col", "id_col", "alpha", "weight_col"},
     "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
 }
@@ -516,7 +572,7 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
 STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
     "quality_score_gate", "gopher_gate", "repetition_gate", "c4_gate",
-    "fix_encoding", "select",
+    "blocklist_gate", "fix_encoding", "select",
     "derive",
 })
 

@@ -88,16 +88,17 @@ def test_driver_window_composition():
     for name in (
         "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
         "gopher_repetition", "c4_clean", "mm_scene_cuts",
+        "soft_dedup", "blocklist_score", "passage_chunks", "oov_rate",
     ):
         assert name in window, name
-    # round-11 plan: the pinned r10 queue rotates through verbatim,
-    # then the 4 oldest r8-green rows (a_keep_columns, a_chained,
-    # a_derive yielded their slots to the session ops and head the
-    # r12 queue)
-    for name in ("k_anonymity_report", "dedup_minhash", "hash_split",
-                 "ann_topk_ivfpq", "a_filters"):
+    # round-11 plan: the pinned r10 queue rotates through verbatim
+    # (the 7 oldest r8-green rows — ann_topk_ivfpq..a_filters plus
+    # a_keep_columns, a_chained, a_derive — yielded their slots to
+    # the session ops and head the r12 queue)
+    for name in ("k_anonymity_report", "dedup_minhash", "hash_split"):
         assert name in window, name
-    assert list(e.NEXT_WINDOW_QUEUE)[:3] == [
+    assert list(e.NEXT_WINDOW_QUEUE)[:7] == [
+        "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
         "a_keep_columns", "a_chained", "a_derive"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
@@ -223,7 +224,8 @@ def test_example_corpus_health_runs(spark, sf_dir):
         "text IS NOT NULL").count()
     assert sum(r.n_docs for r in funnel) == n_docs
     for r in funnel:
-        for tier in (r.pass_c4, r.pass_gopher, r.pass_repetition):
+        for tier in (r.pass_c4, r.pass_gopher, r.pass_repetition,
+                     r.pass_blocklist):
             assert 0 <= r.pass_all <= tier <= r.n_docs, r
     kills = report["rule_kills"].first().asDict()
     assert all(0 <= v <= n_docs for v in kills.values())

@@ -684,3 +684,62 @@ def test_rule_gates_raise_on_report_column_clash(spark):
     )
     with pytest.raises(ConfigError, match="dup_line_frac.*collide"):
         run_curation(df3, {"steps": [{"op": "repetition_gate"}]})
+
+
+def test_blocklist_gate_step(spark):
+    """blocklist_gate keeps rows under the weighted score, passes the
+    schema through, validates kwargs, and is stream-safe."""
+    from meta_frame_spark.plans.curation import (
+        ConfigError,
+        STREAM_SAFE_OPS,
+        run_curation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "clean words only"), (2, "casino casino jackpot")],
+        "doc_id long, text string",
+    )
+    out = run_curation(df, {"steps": [
+        {"op": "blocklist_gate", "max_score": 2.0}]})
+    assert out.columns == df.columns
+    assert [r.doc_id for r in out.collect()] == [1]
+    # custom list through the config
+    out2 = run_curation(df, {"steps": [
+        {"op": "blocklist_gate", "blocklist": {"clean": 5.0},
+         "max_score": 1.0}]})
+    assert [r.doc_id for r in out2.collect()] == [2]
+    assert "blocklist_gate" in STREAM_SAFE_OPS
+    import pytest
+
+    with pytest.raises(ConfigError, match="unknown kwargs"):
+        run_curation(df, {"steps": [{"op": "blocklist_gate", "nope": 1}]})
+    # report-column collision fails loudly (the _gate_report_cols rule)
+    clash = df.withColumn("bl_score", F.lit(1.0))
+    with pytest.raises(ConfigError, match="collide"):
+        run_curation(clash, {"steps": [{"op": "blocklist_gate"}]})
+
+
+def test_soft_dedup_step(spark):
+    """soft_dedup attaches 1/cluster-size weights without dropping
+    rows; output collisions raise; NOT stream-safe."""
+    import pytest
+
+    from meta_frame_spark.plans.curation import (
+        ConfigError,
+        STREAM_SAFE_OPS,
+        run_curation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "dup text"), (2, "dup  TEXT"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    out = run_curation(df, {"steps": [{"op": "soft_dedup"}]})
+    assert out.count() == 3
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].weight == pytest.approx(0.5)
+    assert got[1].weight_dup_count == 2
+    assert got[3].weight == 1.0
+    assert "soft_dedup" not in STREAM_SAFE_OPS
+    with pytest.raises(ConfigError, match="collide"):
+        run_curation(out, {"steps": [{"op": "soft_dedup"}]})

@@ -587,3 +587,62 @@ def test_c4_clean_plan_is_map_only(spark, sf_dir):
     plan = _plan(with_c4_clean(docs))
     for op in ("Exchange", "Join", "Window", "Sort"):
         assert op not in plan, op
+
+
+def test_blocklist_score_plan_is_map_only(spark, sf_dir):
+    """The weighted blocklist gate scores against a LITERAL term map —
+    the list is config, never a join side: no exchange, no join, no
+    window, all codegen."""
+    from meta_frame_spark.functions.text import with_blocklist_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(with_blocklist_score(docs))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op
+
+
+def test_sentence_passages_plan_is_map_only(spark, sf_dir):
+    """Passage extraction is one codegen map + generate fan-out: no
+    exchange, no join, no window — fan-out happens inside each task."""
+    from meta_frame_spark.operators.chunking import sentence_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(sentence_passages(docs, n_sentences=2, stride=1))
+    for op in ("Exchange", "Join", "Window", "Sort"):
+        assert op not in plan, op
+
+
+def test_soft_dedup_shuffles_keys_not_text(spark, sf_dir):
+    """soft_dedup_weights must aggregate/join on the 16-byte md5 key
+    projection — the text column may appear in the scan but never in
+    an exchange's output schema (the full-row window variant would
+    shuffle every text byte by cluster key)."""
+    import re
+
+    from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(soft_dedup_weights(docs))
+    assert "Window" not in plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The vocab probe joins BROADCAST onto the (group, token) type
+    table; token rows must never sort-merge against the vocabulary."""
+    from meta_frame_spark.operators.vocab import vocab_coverage, vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(vocab_coverage(docs, vocab_topk(docs, k=25)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

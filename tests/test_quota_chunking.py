@@ -253,3 +253,58 @@ def test_top_mass_zero_total_group_keeps_one_row(spark):
     kept = {(r.g, r.doc_id) for r in top_mass_per_group(
         df, ["g"], "score", mass=0.5, tiebreak="doc_id").collect()}
     assert kept == {("z", 1), ("ok", 5)}  # all-zero group keeps rank-1
+
+
+class TestSentencePassages:
+    def test_overlapping_windows_hand_case(self, spark):
+        from meta_frame_spark.operators.chunking import sentence_passages
+
+        df = spark.createDataFrame(
+            [(1, "One here. Two there! Three now? Four ends.")],
+            "doc_id long, text string",
+        )
+        out = sentence_passages(df, n_sentences=2, stride=1).collect()
+        # 4 sentences, window 2, stride 1 -> 3 passages, no tail
+        assert [r.passage_idx for r in out] == [0, 1, 2]
+        assert out[0].passage == "One here. Two there!"
+        assert out[2].passage == "Three now? Four ends."
+        assert all(r.passage_n_sentences == 2 for r in out)
+        assert out[0].passage_n_tokens == 4
+
+    def test_ragged_tail_kept_and_droppable(self, spark):
+        from meta_frame_spark.operators.chunking import sentence_passages
+
+        df = spark.createDataFrame(
+            [(1, "A one. B two. C three. D four. E five.")],
+            "doc_id long, text string",
+        )
+        # 5 sentences, window 3, stride 3 -> one full + tail of 2
+        keep = sentence_passages(df, n_sentences=3, stride=3).collect()
+        assert [r.passage_n_sentences for r in keep] == [3, 2]
+        assert keep[1].passage == "D four. E five."
+        drop = sentence_passages(
+            df, n_sentences=3, stride=3, drop_partial=True).collect()
+        assert [r.passage_n_sentences for r in drop] == [3]
+
+    def test_short_and_sentenceless_docs(self, spark):
+        from meta_frame_spark.operators.chunking import sentence_passages
+
+        df = spark.createDataFrame(
+            [(1, "Lone sentence here."), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        out = sentence_passages(df, n_sentences=2, stride=1).collect()
+        # doc 1 -> its single sentence as the tail window; 2/3 -> none
+        assert [(r.doc_id, r.passage_idx) for r in out] == [(1, 0)]
+        assert out[0].passage_n_sentences == 1
+
+    def test_validation(self, spark):
+        import pytest
+
+        from meta_frame_spark.operators.chunking import sentence_passages
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="n_sentences"):
+            sentence_passages(df, n_sentences=0)
+        with pytest.raises(ValueError, match="stride"):
+            sentence_passages(df, n_sentences=2, stride=3)

@@ -1,5 +1,6 @@
 """Text-analysis functions (SURVEY.md §7.1 step 6a)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from meta_frame_spark.functions.text import (
@@ -769,3 +770,134 @@ def test_c4_gate_curation_step(spark):
         {"op": "c4_gate", "apply_line_filter": False}]})
     assert [r.doc_id for r in out2.collect()] == [1]
     assert "c4_gate" in STREAM_SAFE_OPS
+
+
+class TestBlocklistScore:
+    def test_hand_computed_scores(self, spark):
+        from meta_frame_spark.functions.text import with_blocklist_score
+
+        bl = {"bad": 2.0, "worse": 3.0, "mild": 0.5}
+        df = spark.createDataFrame(
+            [
+                (1, "Bad things and WORSE things"),   # 2 + 3 = 5, 2 hits / 5
+                (2, "mild mild clean words here"),    # 0.5*2 = 1, 2 hits / 5
+                (3, "all clean tokens only"),         # 0
+                (4, ""),                              # empty text
+                (5, None),                            # null text
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_blocklist_score(
+            df, blocklist=bl, max_score=2.0).collect()}
+        assert out[1].bl_score == 5.0 and out[1].bl_hits == 2
+        assert out[1].bl_hit_frac == pytest.approx(2 / 5)
+        assert out[1].blocklist_pass is False
+        assert out[2].bl_score == 1.0 and out[2].blocklist_pass is True
+        assert out[3].bl_score == 0.0 and out[3].bl_hits == 0
+        assert out[4].bl_score == 0.0 and out[4].bl_hit_frac == 0.0
+        assert out[5].bl_score is None and out[5].blocklist_pass is None
+
+    def test_schema_passthrough_and_default_list(self, spark):
+        from meta_frame_spark.functions.text import with_blocklist_score
+
+        df = spark.createDataFrame(
+            [(1, "jackpot betting casino")], "doc_id long, text string"
+        )
+        out = with_blocklist_score(df)
+        assert out.columns == [
+            "doc_id", "text", "bl_score", "bl_hits", "bl_hit_frac",
+            "blocklist_pass",
+        ]
+        r = out.first()
+        assert r.bl_score == 4.0 and r.blocklist_pass is False
+
+    def test_invalid_lists_raise(self, spark):
+        from meta_frame_spark.functions.text import with_blocklist_score
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            with_blocklist_score(df, blocklist={})
+        with pytest.raises(ValueError, match="lowercase single token"):
+            with_blocklist_score(df, blocklist={"Bad": 1.0})
+        with pytest.raises(ValueError, match="lowercase single token"):
+            with_blocklist_score(df, blocklist={"two words": 1.0})
+        with pytest.raises(ValueError, match="must be > 0"):
+            with_blocklist_score(df, blocklist={"bad": 0.0})
+
+
+class TestSoftDedupWeights:
+    def test_cluster_weights(self, spark):
+        from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+        df = spark.createDataFrame(
+            [
+                (1, "same text here"),
+                (2, "Same   TEXT here "),   # normalizes to the same key
+                (3, "same text here"),
+                (4, "different entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+        assert {out[i].dup_count for i in (1, 2, 3)} == {3}
+        assert out[1].weight == pytest.approx(1 / 3)
+        assert out[4].dup_count == 1 and out[4].weight == 1.0
+        # every cluster contributes total weight 1 at alpha=1
+        assert sum(r.weight for r in out.values()) == pytest.approx(2.0)
+
+    def test_alpha_and_normalize_off(self, spark):
+        from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+        df = spark.createDataFrame(
+            [(1, "a B"), (2, "a b"), (3, "a b"), (4, "a b")],
+            "doc_id long, text string",
+        )
+        # normalize=False: case difference splits the cluster
+        raw = {r.doc_id: r.dup_count
+               for r in soft_dedup_weights(df, normalize=False).collect()}
+        assert raw == {1: 1, 2: 3, 3: 3, 4: 3}
+        # alpha=0.5 -> weight = (1/n)^0.5
+        half = {r.doc_id: r.weight
+                for r in soft_dedup_weights(df, alpha=0.5).collect()}
+        assert half[2] == pytest.approx(0.5)  # (1/4)^0.5
+        with pytest.raises(ValueError, match="alpha"):
+            soft_dedup_weights(df, alpha=0.0)
+
+
+class TestVocabCoverage:
+    def test_hand_computed_rates(self, spark):
+        from meta_frame_spark.operators.vocab import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "the cat the dog"),
+                (2, "en", "the zebra"),
+                (3, "fr", "le chat"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        vocab = spark.createDataFrame(
+            [("the",), ("cat",), ("dog",), ("le",)], "token string"
+        )
+        out = {r.lang: r for r in vocab_coverage(docs, vocab).collect()}
+        en = out["en"]
+        # en tokens: the x3, cat, dog, zebra -> 6 total, 1 oov (zebra)
+        assert en.total_tokens == 6 and en.oov_tokens == 1
+        assert en.oov_rate == pytest.approx(1 / 6, abs=1e-6)
+        assert en.n_types == 4 and en.oov_types == 1
+        fr = out["fr"]
+        # fr: le, chat -> chat oov
+        assert fr.total_tokens == 2 and fr.oov_tokens == 1
+        assert fr.oov_type_rate == pytest.approx(0.5)
+
+    def test_vocab_lowercased_and_deduped(self, spark):
+        from meta_frame_spark.operators.vocab import vocab_coverage
+
+        docs = spark.createDataFrame(
+            [(1, "en", "The THE the")], "doc_id long, lang string, text string"
+        )
+        vocab = spark.createDataFrame(
+            [("THE",), ("the",)], "token string"
+        )
+        r = vocab_coverage(docs, vocab).first()
+        assert r.total_tokens == 3 and r.oov_tokens == 0

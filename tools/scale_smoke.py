@@ -824,6 +824,83 @@ def main() -> int:
         t, (n, ok_s) = timed("stream_gate(batch)", sgate)
         r["sgate_sec"], r["sgate_rows"], r["sgate_ok"] = t, n, ok_s
 
+        def sdd():
+            from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = soft_dedup_weights(dd).persist()
+            n = out.count()
+            # alpha=1 invariant: total weight == number of clusters
+            wsum = out.agg(F.sum("weight")).first()[0]
+            from meta_frame_spark.functions.text import normalize_text
+
+            n_clusters = dd.select(
+                normalize_text("text").alias("k")).distinct().count()
+            out.unpersist()
+            return n, bool(abs(wsum - n_clusters) < 1e-6 and n == dd.count())
+        t, (n, ok_sd) = timed("soft_dedup", sdd)
+        r["sdd_sec"], r["sdd_rows"], r["sdd_ok"] = t, n, ok_sd
+
+        def blsc():
+            from meta_frame_spark.functions.text import with_blocklist_score
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = with_blocklist_score(
+                dd, blocklist={"spark": 1.0, "dup": 2.0, "scan": 0.5},
+                max_score=2.0,
+            ).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("bl_score") < 0) | (F.col("bl_hits") < 0)
+                | (F.col("bl_hit_frac") < 0) | (F.col("bl_hit_frac") > 1)
+            ).count()
+            hit = out.filter(F.col("bl_hits") > 0).count()
+            out.unpersist()
+            return n, bool(bad == 0 and hit > 0 and n == dd.count())
+        t, (n, ok_b) = timed("blocklist_score", blsc)
+        r["blsc_sec"], r["blsc_rows"], r["blsc_ok"] = t, n, ok_b
+
+        def psg():
+            from meta_frame_spark.operators.chunking import sentence_passages
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            dotted = dd.withColumn(
+                "text",
+                F.replace(
+                    F.replace(F.col("text"), F.lit("value "),
+                              F.lit("value. ")),
+                    F.lit("fast "), F.lit("fast! "),
+                ),
+            )
+            out = sentence_passages(dotted, n_sentences=2, stride=1).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("passage_n_sentences") < 1)
+                | (F.col("passage_n_sentences") > 2)
+                | (F.col("passage_idx") < 0)
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n > 0)
+        t, (n, ok_p) = timed("passage_chunks", psg)
+        r["psg_sec"], r["psg_rows"], r["psg_ok"] = t, n, ok_p
+
+        def oov():
+            from meta_frame_spark.operators.vocab import (
+                vocab_coverage,
+                vocab_topk,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = vocab_coverage(dd, vocab_topk(dd, k=25)).collect()
+            tot = sum(row.total_tokens for row in out)
+            ok = all(
+                0 <= row.oov_rate <= 1 and row.oov_tokens <= row.total_tokens
+                for row in out
+            )
+            return tot, bool(ok and len(out) == 5)
+        t, (n, ok_o) = timed("oov_rate", oov)
+        r["oov_sec"], r["oov_toks"], r["oov_ok"] = t, n, ok_o
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -839,7 +916,8 @@ def main() -> int:
                 "dsir", "pmi", "rrf", "wsk", "sse", "qm", "snp", "edrift",
                 "read", "rrfp", "qmb", "qmg", "csel", "hamm", "bsel",
                 "hres", "bpl", "calib",
-                "goph", "fenc", "grep", "c4", "edec", "sgate"):
+                "goph", "fenc", "grep", "c4", "edec", "sgate",
+                "sdd", "blsc", "psg", "oov"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -923,6 +1001,19 @@ def main() -> int:
         ("c4 counts bounded", b["c4_ok"]),
         ("emb_decontam no false neg", b["edec_ok"]),
         ("stream-safe gate chain runs", b["sgate_ok"]),
+        # round-11 session-2 ops: soft-dedup total weight equals the
+        # cluster count at 10x (every cluster contributes exactly 1),
+        # the blocklist report stays one-row-per-doc with bounded
+        # fractions, passages keep their size contract, and the OOV
+        # report still covers all 5 languages with 10x the tokens
+        ("soft_dedup weight==clusters", b["sdd_ok"]
+         and b["sdd_rows"] == 10 * a["sdd_rows"]),
+        ("blocklist one row per doc", b["blsc_ok"]
+         and b["blsc_rows"] == 10 * a["blsc_rows"]),
+        ("passages size contract", b["psg_ok"]
+         and b["psg_rows"] == 10 * a["psg_rows"]),
+        ("oov 5 langs, tokens x10", b["oov_ok"]
+         and 9.5 <= b["oov_toks"] / max(a["oov_toks"], 1) <= 10.5),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
