@@ -4612,6 +4612,105 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, vocab, group_col="lang")
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-pressure report (operators/vocab.token_fertility):
+    per-language chars-per-token and tokens-per-word over the BPE-ish
+    pre-token grain — the compression audit run next to the OOV rates
+    before committing a tokenizer to a mix. Per-row codegen regexp
+    counts (no explode) into ONE map-side-combined aggregate bounded
+    by the language count. Full DuckDB oracle: the RE2-portable
+    pre-token regex replays every count exactly."""
+    from meta_frame_spark.operators.vocab import token_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_fertility(docs, group_col="lang")
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023;
+    operators/mixing.unimax_allocation): water-fill a 40,000-token
+    budget across languages at <= 1.5 epochs per language — sized so
+    BOTH branches bind on this corpus (the four small languages hit
+    their epoch caps, the freed budget flows to English's equal
+    share). ONE bounded per-language aggregate + driver arithmetic
+    over 5 doubles (the DoReMi shape). Full DuckDB oracle: a
+    recursive CTE replays the ascending-size visit order and every
+    min(cap, remaining/left) step."""
+    from meta_frame_spark.functions.text import token_count
+    from meta_frame_spark.operators.mixing import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = unimax_allocation(
+        docs, "lang", budget=40_000.0, max_epochs=1.5,
+        size_expr=token_count("text"),
+    )
+    return out.select(
+        "lang", "n_units",
+        F.round("alloc", 6).alias("alloc"),
+        F.round("epochs", 6).alias("epochs"),
+    )
+
+
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch / language-consistency report (functions/text
+    .with_code_switch): fraction of a doc's sentences whose stopword
+    winner differs from the doc-level language — the precision gate
+    that catches mixed-language pages a doc-grain lang id hides.
+    The corpus ships single-sentence and mostly single-language, so
+    terminators are injected (the q_sentences pattern) AND a French
+    sentence is planted on every third doc to create real switches.
+    Pure codegen HOFs (the language_scores expression tree inside a
+    transform lambda), map-only. Full DuckDB oracle: sentence-grain
+    unnest replays every winner and both rollup counts."""
+    from meta_frame_spark.functions.text import with_code_switch
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = docs.withColumn(
+        "text",
+        F.concat(
+            F.replace(
+                F.replace(F.col("text"), F.lit("value "), F.lit("value. ")),
+                F.lit("fast "), F.lit("fast! "),
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_CS_PLANT))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return with_code_switch(staged).select(
+        "doc_id", "doc_lang", "n_sentences_scored", "n_switched",
+        F.round("switch_frac", 6).alias("switch_frac"),
+    )
+
+
+#: planted French sentence for q_code_switch (7 fr stopword hits vs
+#: 2 es — the fr winner is unambiguous at sentence grain)
+_CS_PLANT = ". le chat est un une des et animaux."
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix (operators/dedup
+    .cross_source_overlap): distinct shared text clusters per
+    unordered source pair — the provenance audit behind cross-source
+    dedup policy. The corpus has no cross-source copies at this SF,
+    so mirror feeds are planted (every 5th doc into 'mirror_a', every
+    10th into 'mirror_b'), giving known pairwise overlaps the matrix
+    must recover exactly. Key-projection shuffle + in-row pair HOFs —
+    raw rows never pair. Full DuckDB oracle: distinct (md5, source)
+    self-join."""
+    from meta_frame_spark.operators.dedup import cross_source_overlap
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("text", "source")
+    m_a = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "text", F.lit("mirror_a").alias("source")
+    )
+    m_b = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "text", F.lit("mirror_b").alias("source")
+    )
+    staged = base.unionByName(m_a).unionByName(m_b)
+    return cross_source_overlap(staged)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4669,14 +4768,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hash_split",
 )
 
-# The planned r12 window backbone: the 50 r8-green rows this round's
-# 50 could not fit (ann_topk_ivfpq..a_filters and a_keep_columns,
+# The planned r12 window backbone. The r11 window is exactly full —
+# 11 session ops + the 39 rows whose latest green is r7 and MUST
+# rotate this round — so the four late-session ops (token_fertility,
+# unimax_mix, code_switch, source_overlap) could not take slots
+# without re-orphaning an r7 row; they are locally gate-verified
+# (tools/check_correctness.py hash-exact at sf0.001/sf0.01/sf0.1)
+# and head this queue so their FIRST driver row lands in r12, before
+# the 50 r8-green rows (ann_topk_ivfpq..a_filters and a_keep_columns,
 # a_chained, a_derive first — they yielded their r11 slots to the
-# session ops), in registry order (pinned constant per VERDICT r8
-# #7 so the queue cannot silently drift from the plan;
-# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
-# registered, and oracle-backed).
+# session ops). Pinned constant per VERDICT r8 #7 so the queue cannot
+# silently drift from the plan; tests/test_cli.py checks it stays
+# disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "token_fertility", "unimax_mix", "code_switch", "source_overlap",
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
@@ -4904,6 +5009,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_score": q_blocklist_score,
         "passage_chunks": q_passage_chunks,
         "oov_rate": q_oov_rate,
+        "token_fertility": q_token_fertility,
+        "unimax_mix": q_unimax_mix,
+        "code_switch": q_code_switch,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -8577,5 +8686,178 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(CASE WHEN oov THEN 1 ELSE 0 END)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS oov_type_rate
         FROM j GROUP BY lang
+    """
+    # Tokenizer-pressure report: both token grains are RE2-portable
+    # regex counts, replayed exactly.
+    d["token_fertility"] = r"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                   AS total_words,
+               CAST(SUM(len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
+                   AS total_tokens,
+               ROUND(SUM(length(text)) / CAST(SUM(len(regexp_extract_all(
+                   text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+                   AS DOUBLE), 6) AS chars_per_token,
+               ROUND(SUM(len(regexp_extract_all(text,
+                   ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')))
+                   / CAST(SUM(len(regexp_extract_all(text, '\S+')))
+                   AS DOUBLE), 6) AS tokens_per_word
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY lang
+    """
+    # UniMax water-fill replayed step by step: ascending-size visit
+    # order via ROW_NUMBER, each group takes min(cap, remaining/left).
+    d["unimax_mix"] = r"""
+        WITH RECURSIVE sizes AS (
+            SELECT lang,
+                   CAST(SUM(len(regexp_extract_all(text, '\S+')))
+                        AS DOUBLE) AS n
+            FROM documents WHERE text IS NOT NULL GROUP BY lang
+        ), ord AS (
+            SELECT lang, n,
+                   ROW_NUMBER() OVER (ORDER BY n, lang) AS rn,
+                   COUNT(*) OVER () AS g
+            FROM sizes
+        ), fill AS (
+            SELECT o.lang, o.n, o.rn, o.g,
+                   least(1.5 * o.n, 40000.0 / o.g) AS alloc,
+                   40000.0 - least(1.5 * o.n, 40000.0 / o.g) AS rem
+            FROM ord o WHERE o.rn = 1
+            UNION ALL
+            SELECT o.lang, o.n, o.rn, o.g,
+                   least(1.5 * o.n, p.rem / (o.g - o.rn + 1)),
+                   p.rem - least(1.5 * o.n, p.rem / (o.g - o.rn + 1))
+            FROM fill p JOIN ord o ON o.rn = p.rn + 1
+        )
+        SELECT lang, n AS n_units,
+               ROUND(alloc, 6) AS alloc,
+               ROUND(CASE WHEN n > 0 THEN alloc / n ELSE 0.0 END, 6)
+                   AS epochs
+        FROM fill
+    """
+    # Code-switch report: the terminator injection, the French plant,
+    # the frozen segmentation, and the language_scores winner rules
+    # (argmax, declared lang order breaks ties, 'und' on zero hits)
+    # replayed at sentence grain; docs aggregate back LEFT so
+    # zero-sentence docs would keep their row.
+    d["code_switch"] = r"""
+        WITH staged AS (
+            SELECT doc_id,
+                   replace(replace(text, 'value ', 'value. '),
+                           'fast ', 'fast! ')
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN '. le chat est un une des et animaux.'
+                            ELSE '' END) AS text
+            FROM documents WHERE text IS NOT NULL
+        ), docscore AS (
+            SELECT doc_id, text,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('the','a','of','and','to','in','is',
+                                  'it','that','for'))) AS s_en,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('le','la','les','de','des','et','un',
+                                  'une','est','que'))) AS s_fr,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('der','die','das','und','ist','ein',
+                                  'eine','zu','mit','nicht'))) AS s_de,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(text, '\S+'), x -> lower(x)),
+                       x -> x IN ('el','la','los','las','de','y','es',
+                                  'un','una','que'))) AS s_es
+            FROM staged
+        ), docl AS (
+            SELECT doc_id, text,
+                   CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0
+                        THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'de'
+                        ELSE 'es' END AS doc_lang
+            FROM docscore
+        ), sent AS (
+            SELECT doc_id,
+                   unnest(list_filter(list_transform(
+                       regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                       x -> trim(x)), x -> length(x) > 0)) AS s
+            FROM docl
+        ), sscore AS (
+            SELECT doc_id,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(s, '\S+'), x -> lower(x)),
+                       x -> x IN ('the','a','of','and','to','in','is',
+                                  'it','that','for'))) AS s_en,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(s, '\S+'), x -> lower(x)),
+                       x -> x IN ('le','la','les','de','des','et','un',
+                                  'une','est','que'))) AS s_fr,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(s, '\S+'), x -> lower(x)),
+                       x -> x IN ('der','die','das','und','ist','ein',
+                                  'eine','zu','mit','nicht'))) AS s_de,
+                   len(list_filter(list_transform(
+                       regexp_extract_all(s, '\S+'), x -> lower(x)),
+                       x -> x IN ('el','la','los','las','de','y','es',
+                                  'un','una','que'))) AS s_es
+            FROM sent
+        ), swin AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0
+                        THEN 'und'
+                        WHEN s_en = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'en'
+                        WHEN s_fr = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'fr'
+                        WHEN s_de = greatest(s_en, s_fr, s_de, s_es)
+                        THEN 'de'
+                        ELSE 'es' END AS sl
+            FROM sscore
+        ), agg AS (
+            SELECT d2.doc_id,
+                   COUNT(CASE WHEN w.sl != 'und' THEN 1 END) AS n_scored,
+                   COUNT(CASE WHEN w.sl != 'und'
+                              AND w.sl != d2.doc_lang THEN 1 END)
+                       AS n_switched
+            FROM docl d2 LEFT JOIN swin w USING (doc_id)
+            GROUP BY d2.doc_id
+        )
+        SELECT d3.doc_id, d3.doc_lang,
+               CAST(a.n_scored AS INTEGER) AS n_sentences_scored,
+               CAST(a.n_switched AS INTEGER) AS n_switched,
+               ROUND(CASE WHEN a.n_scored > 0
+                          THEN CAST(a.n_switched AS DOUBLE) / a.n_scored
+                          ELSE 0.0 END, 6) AS switch_frac
+        FROM docl d3 JOIN agg a USING (doc_id)
+    """
+    # Cross-source duplication matrix: distinct (cluster, source)
+    # pairs self-joined source_a < source_b.
+    d["source_overlap"] = r"""
+        WITH staged AS (
+            SELECT text, source FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT text, 'mirror_a' FROM documents
+            WHERE text IS NOT NULL AND doc_id % 5 = 0
+            UNION ALL
+            SELECT text, 'mirror_b' FROM documents
+            WHERE text IS NOT NULL AND doc_id % 10 = 0
+        ), k AS (
+            SELECT DISTINCT
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS kk,
+                   source
+            FROM staged
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM k a JOIN k b ON a.kk = b.kk AND a.source < b.source
+        GROUP BY 1, 2
     """
     return d

@@ -936,3 +936,45 @@ def with_blocklist_score(
             "blocklist_pass"
         ),
     )
+
+
+def with_code_switch(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a code-switch / language-consistency report — the
+    precision gate for multilingual corpora, where a doc-level
+    language id hides mixed-language pages that poison monolingual
+    slices:
+
+    * ``doc_lang``        — the document-level winner
+      (:func:`language_scores` rules: stopword-hit argmax, declared
+      language order breaks ties, 'und' when nothing hits);
+    * ``n_sentences_scored`` — sentences (frozen ``[.!?]``-run
+      segmentation) whose own winner is not 'und';
+    * ``n_switched``      — scored sentences whose winner differs
+      from ``doc_lang``;
+    * ``switch_frac``     — ``n_switched / n_sentences_scored``
+      (0.0 when nothing scored).
+
+    The per-sentence scorer is the SAME expression tree as
+    :func:`language_scores`, built inside a ``transform`` lambda —
+    pure codegen HOFs, map-only, no Python, stream-safe; the DuckDB
+    oracle replays sentence grain exactly. Null text -> null report."""
+    c = F.col(text_col)
+    doc_lang = language_scores(c)["lang"]
+    sent_langs = F.transform(
+        split_sentences(c), lambda s: language_scores(s)["lang"]
+    )
+    scored = F.filter(sent_langs, lambda lg: lg != "und")
+    n_scored = F.size(scored)
+    n_switched = F.size(
+        F.filter(scored, lambda lg: lg != doc_lang)
+    )
+    return df.select(
+        "*",
+        F.when(c.isNotNull(), doc_lang).alias("doc_lang"),
+        F.when(c.isNotNull(), n_scored).alias("n_sentences_scored"),
+        F.when(c.isNotNull(), n_switched).alias("n_switched"),
+        F.when(
+            c.isNotNull(),
+            F.when(n_scored > 0, n_switched / n_scored).otherwise(0.0),
+        ).alias("switch_frac"),
+    )

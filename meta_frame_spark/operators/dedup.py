@@ -860,3 +860,56 @@ def soft_dedup_weights(
             "weight"
         ),
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    normalize: bool = True,
+) -> DataFrame:
+    """Cross-source exact-duplication matrix — the provenance audit
+    behind dedup policy (which feeds copy from which, where one
+    source is a mirror of another, which pair a cross-source
+    `dedup_against` should prioritize): for every UNORDERED source
+    pair, the number of distinct normalized-text clusters present in
+    BOTH. Output ``(source_a, source_b, n_shared)`` with
+    ``source_a < source_b``, only pairs with overlap.
+
+    Scale: one (md5-key, source) distinct aggregate (map-side
+    combined, shuffles 16-byte keys), then per-key source SETS —
+    bounded by the source count, never by cluster size — exploded
+    into in-row pairs (the `basket.py` HOF pattern: pairs are built
+    inside each key's row, raw rows never pair) and one bounded
+    rollup, at most |sources|^2 output rows."""
+    from meta_frame_spark.functions.text import normalize_text
+
+    keyed = F.col(text_col) if not normalize else normalize_text(text_col)
+    per_key = (
+        df.select(
+            F.md5(keyed).alias("_k"), F.col(source_col).alias("_s")
+        )
+        .groupBy("_k")
+        .agg(F.sort_array(F.collect_set("_s")).alias("_srcs"))
+        .filter(F.size("_srcs") > 1)
+    )
+    # in-row unordered pairs via index HOFs (i < j)
+    idx = F.sequence(F.lit(0), F.size("_srcs") - 1)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("_srcs"), i + 2, F.size("_srcs")),
+                lambda s: F.struct(
+                    F.col("_srcs")[i].alias("a"), s.alias("b")
+                ),
+            ),
+        )
+    )
+    return (
+        per_key.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

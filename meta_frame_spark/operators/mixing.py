@@ -227,3 +227,72 @@ def doremi_domain_weights(
     return spark.createDataFrame(
         rows, f"{domain_col} string, n long, mean_excess double, weight double"
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: float,
+    max_epochs: float = 4.0,
+    size_expr: Column | str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training ``budget`` (tokens, or rows
+    when ``size_expr`` is None) across groups as UNIFORMLY as
+    possible, capping each group at ``max_epochs`` passes over its
+    own data — the fairness fix for temperature sampling, which
+    either starves tail languages or epochs them into memorization.
+
+    Water-filling: visit groups by ascending size; each takes
+    ``min(max_epochs * size, remaining / groups_left)``. A group
+    whose cap binds frees budget for the larger groups after it;
+    once caps stop binding, everyone left gets an equal share.
+    Output: ``(group_col, n_units, alloc, epochs)`` with
+    ``sum(alloc) = min(budget, max_epochs * corpus_size)``.
+
+    Scale: ONE corpus aggregate (map-side combined, bounded by the
+    group count); the water-fill is driver arithmetic over G doubles
+    — the DoReMi pattern (`doremi_domain_weights`), so the DuckDB
+    oracle replays every step with a recursive CTE. Feed the
+    resulting per-group rates to :func:`mix_plan` / ``apply_mix``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if size_expr is None:
+        unit = F.lit(1).cast("double")
+    elif isinstance(size_expr, str):
+        unit = F.col(size_expr).cast("double")
+    else:
+        unit = size_expr.cast("double")
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.sum(unit).alias("n_units"))
+        # ascending size, group name breaks exact-size ties — the
+        # visit order IS the algorithm, so it must be deterministic
+        .orderBy("n_units", group_col)
+        .collect()
+    )  # bounded: one row per group
+    if not stats:
+        raise ValueError("unimax_allocation: empty input")
+    remaining = float(budget)
+    out = []
+    for i, r in enumerate(stats):
+        size = float(r.n_units or 0.0)
+        share = remaining / (len(stats) - i)
+        alloc = min(max_epochs * size, share)
+        remaining -= alloc
+        out.append(
+            (
+                str(r[group_col]),
+                size,
+                alloc,
+                (alloc / size) if size > 0 else 0.0,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        f"{group_col} string, n_units double, alloc double, epochs double",
+    )

@@ -306,3 +306,54 @@ def vocab_coverage(
             .alias("oov_type_rate"),
         )
     )
+
+
+def token_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-pressure report per group — the compression-ratio
+    audit that complements :func:`vocab_coverage`'s OOV rates: a
+    language whose chars-per-token drops toward 1 is being shredded
+    into near-byte pieces (high fertility = more compute per word of
+    signal). One row per ``group_col`` with
+
+    - ``n_docs`` / ``total_chars`` / ``total_words`` (whitespace) /
+      ``total_tokens`` (BPE-ish pre-tokens, :data:`~meta_frame_spark.
+      functions.text.BPE_TOKEN_RE`);
+    - ``chars_per_token``  — corpus-level compression ratio;
+    - ``tokens_per_word``  — fertility (1.0 = every word one token).
+
+    Scale: the counts are per-row codegen expressions (regexp counts,
+    no explode — tokens never become rows) feeding ONE map-side
+    combined aggregate bounded by the group count. Engine-portable:
+    the pre-token regex is RE2-safe, so the DuckDB oracle replays the
+    exact counts."""
+    from meta_frame_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    c = F.col(text_col)
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(c)).alias("total_chars"),
+            F.sum(token_count(c)).alias("total_words"),
+            F.sum(bpe_token_count(c)).alias("total_tokens"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "total_chars",
+            "total_words",
+            "total_tokens",
+            F.round(F.col("total_chars") / F.col("total_tokens"), 6)
+            .alias("chars_per_token"),
+            F.round(F.col("total_tokens") / F.col("total_words"), 6)
+            .alias("tokens_per_word"),
+        )
+    )

@@ -97,7 +97,12 @@ def test_driver_window_composition():
     # the session ops and head the r12 queue)
     for name in ("k_anonymity_report", "dedup_minhash", "hash_split"):
         assert name in window, name
-    assert list(e.NEXT_WINDOW_QUEUE)[:7] == [
+    # the r11 window is exactly full (11 session ops + the 39
+    # mandatory r7 rotations), so the late-session ops are locally
+    # gate-verified at three SFs and take their first driver row in
+    # r12 — they must head the queue, ahead of the displaced r8 rows
+    assert list(e.NEXT_WINDOW_QUEUE)[:11] == [
+        "token_fertility", "unimax_mix", "code_switch", "source_overlap",
         "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
         "a_keep_columns", "a_chained", "a_derive"]
     # the r12 queue is a real plan: registered, oracle-backed, and

@@ -646,3 +646,46 @@ def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_code_switch_plan_is_map_only(spark, sf_dir):
+    """The code-switch report runs the language_scores expression tree
+    per sentence INSIDE a transform lambda — still one codegen map:
+    no exchange, no join, no window, no generate."""
+    from meta_frame_spark.functions.text import with_code_switch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(with_code_switch(docs))
+    for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
+        assert op not in plan, op
+
+
+def test_token_fertility_is_one_aggregate_no_explode(spark, sf_dir):
+    """Fertility counts are per-row regexp expressions feeding one
+    map-side-combined aggregate — tokens must never become rows (no
+    Generate) and nothing joins or windows."""
+    from meta_frame_spark.operators.vocab import token_fertility
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(token_fertility(docs))
+    for op in ("Join", "Window", "Generate"):
+        assert op not in plan, op
+    assert plan.count("Exchange") <= 2  # partial/final agg pair
+
+
+def test_cross_source_overlap_never_shuffles_text(spark, sf_dir):
+    """The overlap matrix aggregates on the 16-byte md5 key; the text
+    column may feed the scan but must not appear in any exchange."""
+    import re
+
+    from meta_frame_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(cross_source_overlap(docs))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)

@@ -245,3 +245,63 @@ def test_doremi_domain_weights(spark):
     ).collect()}
     assert nout["b"].mean_excess == 0.0
     assert abs(sum(r.weight for r in nout.values()) - 1.0) < 1e-12
+
+
+class TestUnimaxAllocation:
+    def test_hand_computed_water_fill(self, spark):
+        """B=100, caps 2x: sizes 10/20/60 -> 10 is capped at 20, 20
+        capped at 40, 60 takes the remaining 40 (< its 120 cap)."""
+        from meta_frame_spark.operators.mixing import unimax_allocation
+
+        rows = [("s", i) for i in range(10)] + \
+               [("m", i) for i in range(20)] + \
+               [("l", i) for i in range(60)]
+        df = spark.createDataFrame(rows, "grp string, x long")
+        out = {r.grp: r for r in
+               unimax_allocation(df, "grp", budget=100.0,
+                                 max_epochs=2.0).collect()}
+        assert out["s"].alloc == pytest.approx(20.0)
+        assert out["s"].epochs == pytest.approx(2.0)
+        assert out["m"].alloc == pytest.approx(40.0)
+        assert out["l"].alloc == pytest.approx(40.0)
+        assert out["l"].epochs == pytest.approx(40 / 60)
+        assert sum(r.alloc for r in out.values()) == pytest.approx(100.0)
+
+    def test_uncapped_budget_splits_evenly(self, spark):
+        """A small budget never hits any cap -> pure equal shares."""
+        from meta_frame_spark.operators.mixing import unimax_allocation
+
+        rows = [("a", 0)] * 50 + [("b", 0)] * 500
+        df = spark.createDataFrame(rows, "grp string, x long")
+        out = {r.grp: r.alloc for r in
+               unimax_allocation(df, "grp", budget=20.0,
+                                 max_epochs=1.0).collect()}
+        assert out == {"a": pytest.approx(10.0), "b": pytest.approx(10.0)}
+
+    def test_total_capped_by_corpus_epochs(self, spark):
+        """Budget beyond max_epochs * corpus just saturates every cap."""
+        from meta_frame_spark.operators.mixing import unimax_allocation
+
+        rows = [("a", 0)] * 10 + [("b", 0)] * 30
+        df = spark.createDataFrame(rows, "grp string, x long")
+        out = unimax_allocation(df, "grp", budget=1e9,
+                                max_epochs=3.0).collect()
+        assert sum(r.alloc for r in out) == pytest.approx(3.0 * 40)
+        assert all(r.epochs == pytest.approx(3.0) for r in out)
+
+    def test_size_expr_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.mixing import unimax_allocation
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 5), ("b", 30)], "grp string, w long"
+        )
+        out = {r.grp: r.n_units for r in
+               unimax_allocation(df, "grp", budget=10.0,
+                                 size_expr="w").collect()}
+        assert out == {"a": 10.0, "b": 30.0}
+        with _pt.raises(ValueError, match="budget"):
+            unimax_allocation(df, "grp", budget=0.0)
+        with _pt.raises(ValueError, match="max_epochs"):
+            unimax_allocation(df, "grp", budget=1.0, max_epochs=0)

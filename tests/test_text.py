@@ -901,3 +901,95 @@ class TestVocabCoverage:
         )
         r = vocab_coverage(docs, vocab).first()
         assert r.total_tokens == 3 and r.oov_tokens == 0
+
+
+class TestCodeSwitch:
+    def test_hand_computed_switches(self, spark):
+        from meta_frame_spark.functions.text import with_code_switch
+
+        df = spark.createDataFrame(
+            [
+                # 2 en sentences + 1 fr sentence -> doc en, 1/3 switched
+                (1, "the cat is on it. the dog is in it. le chat est une."),
+                # all en
+                (2, "the cat is here. a dog is there."),
+                # no stopwords anywhere
+                (3, "zzz qqq. www rrr."),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_code_switch(df).collect()}
+        assert out[1].doc_lang == "en"
+        assert out[1].n_sentences_scored == 3
+        assert out[1].n_switched == 1
+        assert out[1].switch_frac == pytest.approx(1 / 3)
+        assert out[2].n_switched == 0 and out[2].switch_frac == 0.0
+        assert out[3].doc_lang == "und"
+        assert out[3].n_sentences_scored == 0 and out[3].switch_frac == 0.0
+        assert out[4].doc_lang is None
+
+    def test_tie_rules_match_language_scores(self, spark):
+        """A sentence hitting en and fr equally must pick en — the
+        declared STOPWORDS order, same as language_scores."""
+        from meta_frame_spark.functions.text import with_code_switch
+
+        df = spark.createDataFrame(
+            # doc-level: fr wins 3-2; sentence 1 ties en/fr 2-2 -> en
+            [(1, "la une le. the a la une.")],
+            "doc_id long, text string",
+        )
+        r = with_code_switch(df).first()
+        assert r.doc_lang == "fr"
+        assert r.n_switched == 1  # the tied sentence resolved to en
+
+
+class TestTokenFertility:
+    def test_hand_computed_ratios(self, spark):
+        from meta_frame_spark.operators.vocab import token_fertility
+
+        df = spark.createDataFrame(
+            [
+                # "ab cd" -> 5 chars, 2 words, 2 pre-tokens
+                (1, "en", "ab cd"),
+                # "it's x1" -> 7 chars, 2 words, pre-tokens: it/'/s/ x/1 = 5
+                (2, "en", "it's x1"),
+                (3, "fr", None),  # null text dropped
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {r.lang: r for r in token_fertility(df).collect()}
+        en = out["en"]
+        assert en.n_docs == 2
+        assert en.total_chars == 12
+        assert en.total_words == 4
+        assert en.total_tokens == 7
+        assert en.chars_per_token == pytest.approx(12 / 7, abs=1e-6)
+        assert en.tokens_per_word == pytest.approx(7 / 4, abs=1e-6)
+        assert "fr" not in out
+
+
+class TestCrossSourceOverlap:
+    def test_hand_computed_matrix(self, spark):
+        from meta_frame_spark.operators.dedup import cross_source_overlap
+
+        df = spark.createDataFrame(
+            [
+                ("shared one", "a"), ("Shared   ONE", "b"),  # a~b
+                ("shared one", "c"),                          # a~b~c
+                ("pair two", "a"), ("pair two", "b"),         # a~b again
+                ("only here", "a"),
+            ],
+            "text string, source string",
+        )
+        out = {(r.source_a, r.source_b): r.n_shared
+               for r in cross_source_overlap(df).collect()}
+        assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_same_source_dups_do_not_pair(self, spark):
+        from meta_frame_spark.operators.dedup import cross_source_overlap
+
+        df = spark.createDataFrame(
+            [("x y", "a"), ("x y", "a")], "text string, source string"
+        )
+        assert cross_source_overlap(df).count() == 0

@@ -901,6 +901,70 @@ def main() -> int:
         t, (n, ok_o) = timed("oov_rate", oov)
         r["oov_sec"], r["oov_toks"], r["oov_ok"] = t, n, ok_o
 
+        def fert():
+            from meta_frame_spark.operators.vocab import token_fertility
+
+            out = token_fertility(docs(d)).collect()
+            ok = all(
+                row.chars_per_token >= 1.0 and row.tokens_per_word >= 1.0
+                for row in out
+            )
+            return sum(row.total_tokens for row in out), bool(
+                ok and len(out) == 5
+            )
+        t, (n, ok_tf) = timed("token_fertility", fert)
+        r["fert_sec"], r["fert_toks"], r["fert_ok"] = t, n, ok_tf
+
+        def umx():
+            from meta_frame_spark.functions.text import token_count
+            from meta_frame_spark.operators.mixing import unimax_allocation
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = unimax_allocation(
+                dd, "lang", budget=400_000.0, max_epochs=1.5,
+                size_expr=token_count("text"),
+            ).collect()
+            total = sum(row.alloc for row in out)
+            corpus = sum(row.n_units for row in out)
+            want = min(400_000.0, 1.5 * corpus)
+            ok = (
+                abs(total - want) < 1e-6
+                and all(row.epochs <= 1.5 + 1e-9 for row in out)
+            )
+            return int(total), bool(ok and len(out) == 5)
+        t, (n, ok_u) = timed("unimax_mix", umx)
+        r["umx_sec"], r["umx_alloc"], r["umx_ok"] = t, n, ok_u
+
+        def cswitch():
+            from meta_frame_spark.functions.text import with_code_switch
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = with_code_switch(dd).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("switch_frac") < 0) | (F.col("switch_frac") > 1)
+                | (F.col("n_switched") > F.col("n_sentences_scored"))
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n == dd.count())
+        t, (n, ok_cs) = timed("code_switch", cswitch)
+        r["csw_sec"], r["csw_rows"], r["csw_ok"] = t, n, ok_cs
+
+        def sovl():
+            from meta_frame_spark.operators.dedup import cross_source_overlap
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            base = dd.select("text", "source")
+            mirror = dd.filter(F.col("doc_id") % 5 == 0).select(
+                "text", F.lit("mirror_a").alias("source")
+            )
+            out = cross_source_overlap(base.unionByName(mirror)).collect()
+            # every planted mirror pair must surface; counts positive
+            ok = len(out) > 0 and all(row.n_shared > 0 for row in out)
+            return len(out), bool(ok)
+        t, (n, ok_so) = timed("source_overlap", sovl)
+        r["sovl_sec"], r["sovl_pairs"], r["sovl_ok"] = t, n, ok_so
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -917,7 +981,8 @@ def main() -> int:
                 "read", "rrfp", "qmb", "qmg", "csel", "hamm", "bsel",
                 "hres", "bpl", "calib",
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
-                "sdd", "blsc", "psg", "oov"):
+                "sdd", "blsc", "psg", "oov",
+                "fert", "umx", "csw", "sovl"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1014,6 +1079,17 @@ def main() -> int:
          and b["psg_rows"] == 10 * a["psg_rows"]),
         ("oov 5 langs, tokens x10", b["oov_ok"]
          and 9.5 <= b["oov_toks"] / max(a["oov_toks"], 1) <= 10.5),
+        # batch-2 session ops: fertility ratios stay >= 1 with 10x
+        # tokens, the UniMax fill exhausts exactly min(B, E*corpus)
+        # under its caps at both scales, code-switch fractions stay
+        # bounded one-row-per-doc, and every planted mirror pair
+        # surfaces in the overlap matrix
+        ("fertility ratios >= 1, x10", b["fert_ok"]
+         and 9.5 <= b["fert_toks"] / max(a["fert_toks"], 1) <= 10.5),
+        ("unimax fills its budget", b["umx_ok"] and a["umx_ok"]),
+        ("code_switch bounded per doc", b["csw_ok"]
+         and b["csw_rows"] == 10 * a["csw_rows"]),
+        ("source overlap pairs surface", b["sovl_ok"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
