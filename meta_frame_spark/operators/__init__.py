@@ -21,6 +21,7 @@ from meta_frame_spark.operators.incremental import (
 )
 from meta_frame_spark.operators.dedup import (
     containment_pairs,
+    cross_source_overlap,
     dedup_against,
     drop_exact_duplicates,
     drop_near_duplicates,
@@ -35,6 +36,7 @@ from meta_frame_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_groups,
+    soft_dedup_weights,
 )
 from meta_frame_spark.operators.ranking import (
     cube_aggregate,
@@ -61,7 +63,7 @@ from meta_frame_spark.operators.spans import (
 )
 from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
-from meta_frame_spark.operators.chunking import chunk_documents
+from meta_frame_spark.operators.chunking import chunk_documents, sentence_passages
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
 from meta_frame_spark.operators.dsir import dsir_log_weights
@@ -99,6 +101,7 @@ from meta_frame_spark.operators.mixing import (
     doremi_domain_weights,
     mix_plan,
     temperature_mix_plan,
+    unimax_allocation,
 )
 from meta_frame_spark.operators.sketch import (
     cardinality_sketch,
@@ -123,6 +126,9 @@ from meta_frame_spark.operators.ranking import (
 )
 from meta_frame_spark.operators.vocab import (
     pmi_collocations,
+    token_counts,
+    token_fertility,
+    vocab_coverage,
     vocab_drift,
     vocab_topk,
 )
@@ -205,6 +211,7 @@ __all__ = [
     "merge_aggregate_states",
     "merge_cardinality_sketches",
     "temperature_mix_plan",
+    "unimax_allocation",
     "cross_split_leakage",
     "decontaminate",
     "group_centroids",
@@ -241,6 +248,7 @@ __all__ = [
     "quantile_match",
     "sessionize",
     "chunk_documents",
+    "sentence_passages",
     "winsorize",
     "histogram_fixed",
     "dedup_against",
@@ -328,6 +336,8 @@ __all__ = [
     "salted_aggregate",
     "simhash",
     "simhash_dup_groups",
+    "soft_dedup_weights",
+    "cross_source_overlap",
     "srp_lsh_topk",
     "theta_overlap_matrix",
     "tfidf_topk_terms",
@@ -340,4 +350,7 @@ __all__ = [
     "weighted_sample_k",
     "vocab_drift",
     "vocab_topk",
+    "vocab_coverage",
+    "token_counts",
+    "token_fertility",
 ]
