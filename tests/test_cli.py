@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 from meta_frame_spark.__main__ import main
 from meta_frame_spark.config.model import (
     validate_nested_config,
@@ -236,3 +238,34 @@ def test_example_corpus_health_runs(spark, sf_dir):
     assert all(0 <= v <= n_docs for v in kills.values())
     langs = report["languages"].collect()
     assert sum(r.n_docs for r in langs) == n_docs
+
+
+def test_example_plan_mixture_runs(spark, sf_dir):
+    """examples/plan_mixture.py: the three mixing policies must agree
+    on structural contracts — UniMax exhausts min(budget, epochs*corpus)
+    under its caps, temperature shares sum to 1, DoReMi weights sum to
+    1, and the materialized mix respects the per-language keep
+    fractions (<= allocation-implied counts, deterministic)."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/examples")
+    from plan_mixture import plan_mixture
+
+    out = plan_mixture(spark, sf_dir, budget=30_000.0, max_epochs=1.5)
+    uni = out["unimax"].collect()
+    corpus = sum(r.n_units for r in uni)
+    assert sum(r.alloc for r in uni) == pytest.approx(
+        min(30_000.0, 1.5 * corpus))
+    assert all(r.epochs <= 1.5 + 1e-9 for r in uni)
+    assert sum(r.target_share for r in
+               out["temperature"].collect()) == pytest.approx(1.0)
+    assert sum(r.weight for r in out["doremi"].collect()) == pytest.approx(1.0)
+    soft = out["soft_weights"]
+    assert soft.filter("weight <= 0 OR weight > 1").count() == 0
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "text IS NOT NULL").count()
+    assert 0 < out["mixed"].count() <= n_docs
+    # determinism: a second materialization picks the same rows
+    again = plan_mixture(spark, sf_dir, budget=30_000.0, max_epochs=1.5)
+    a = {r.doc_id for r in out["mixed"].select("doc_id").collect()}
+    b = {r.doc_id for r in again["mixed"].select("doc_id").collect()}
+    assert a == b

@@ -795,3 +795,113 @@ def test_fix_encoding_roundtrip_property(spark, targets):
     }
     for i, want in enumerate(targets):
         assert got[i] == want, (i, corrupted[i], got[i], want)
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=list("abcdef .!?"), min_size=0, max_size=60
+        ),
+        min_size=1, max_size=6,
+    ),
+    n_sent=st.integers(min_value=1, max_value=4),
+    stride_frac=st.floats(min_value=0.25, max_value=1.0),
+)
+def test_sentence_passages_python_replay(spark, texts, n_sent, stride_frac):
+    """sentence_passages == a pure-Python replay of the frozen
+    segmentation and the chunk_documents window rule, on arbitrary
+    punctuation-bearing strings."""
+    import re
+
+    from meta_frame_spark.operators.chunking import sentence_passages
+
+    stride = max(1, int(n_sent * stride_frac))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.passage_idx): (r.passage, r.passage_n_sentences)
+        for r in sentence_passages(
+            df, n_sentences=n_sent, stride=stride
+        ).collect()
+    }
+
+    want = {}
+    for i, t in enumerate(texts):
+        sents = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", t)]
+        sents = [s for s in sents if s]
+        n = len(sents)
+        n_full = (n - n_sent) // stride + 1 if n >= n_sent else 0
+        covered = (n_full - 1) * stride + n_sent
+        n_windows = n_full + (
+            1 if (n_full > 0 and covered < n) or (n_full == 0 and n > 0)
+            else 0
+        )
+        for w in range(n_windows):
+            piece = sents[w * stride: w * stride + n_sent]
+            want[(i, w)] = (" ".join(piece), len(piece))
+    assert got == want
+
+
+@_settings
+@given(
+    texts=st.lists(
+        st.text(alphabet=list("ab c"), min_size=0, max_size=40),
+        min_size=1, max_size=8,
+    ),
+    weights=st.fixed_dictionaries(
+        {}, optional={"a": st.floats(0.5, 3), "ab": st.floats(0.5, 3),
+                      "c": st.floats(0.5, 3)},
+    ),
+)
+def test_blocklist_score_python_replay(spark, texts, weights):
+    """with_blocklist_score == a pure-Python weighted-hit replay on
+    arbitrary whitespace-token strings."""
+    from meta_frame_spark.functions.text import with_blocklist_score
+
+    if not weights:
+        weights = {"a": 1.0}
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.bl_score, r.bl_hits, r.blocklist_pass)
+        for r in with_blocklist_score(
+            df, blocklist=weights, max_score=2.0
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w.lower() for w in t.split()]
+        score = sum(weights.get(w, 0.0) for w in toks)
+        hits = sum(1 for w in toks if w in weights)
+        assert got[i][0] == pytest.approx(score)
+        assert got[i][1] == hits
+        assert got[i][2] == (score < 2.0)
+
+
+@_settings
+@given(
+    dups=st.lists(st.integers(min_value=1, max_value=4),
+                  min_size=1, max_size=5),
+    alpha=st.floats(min_value=0.25, max_value=1.0),
+)
+def test_soft_dedup_weights_python_replay(spark, dups, alpha):
+    """Every cluster of n copies gets weight (1/n)^alpha on all
+    members; total weight at alpha=1 equals the cluster count."""
+    from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+    rows, nid = [], 0
+    for ci, n in enumerate(dups):
+        for _ in range(n):
+            rows.append((nid, f"cluster {ci} text"))
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.dup_count, r.weight)
+           for r in soft_dedup_weights(df, alpha=alpha).collect()}
+    nid = 0
+    for ci, n in enumerate(dups):
+        for _ in range(n):
+            assert got[nid][0] == n
+            assert got[nid][1] == pytest.approx((1.0 / n) ** alpha)
+            nid += 1

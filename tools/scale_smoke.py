@@ -864,12 +864,16 @@ def main() -> int:
             from meta_frame_spark.operators.chunking import sentence_passages
 
             dd = docs(d).filter(F.col("text").isNotNull())
+            # replica tokens carry a _rK suffix (make_scale_data.py),
+            # so the terminator injection matches the suffixed forms
+            # too — every replica then yields the same passage
+            # structure as its original, and exact x10 holds
             dotted = dd.withColumn(
                 "text",
-                F.replace(
-                    F.replace(F.col("text"), F.lit("value "),
-                              F.lit("value. ")),
-                    F.lit("fast "), F.lit("fast! "),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), r"(value\S*) ", r"$1. "),
+                    r"(fast\S*) ", r"$1! ",
                 ),
             )
             out = sentence_passages(dotted, n_sentences=2, stride=1).persist()
@@ -909,11 +913,15 @@ def main() -> int:
                 row.chars_per_token >= 1.0 and row.tokens_per_word >= 1.0
                 for row in out
             )
-            return sum(row.total_tokens for row in out), bool(
+            # ratio metric is WORD count (x10-stable); pre-token count
+            # is exactly what the _rK replica suffix inflates (each
+            # suffixed word splits into extra letter/digit/symbol
+            # runs), so it is checked via the >= 1 ratios instead
+            return sum(row.total_words for row in out), bool(
                 ok and len(out) == 5
             )
         t, (n, ok_tf) = timed("token_fertility", fert)
-        r["fert_sec"], r["fert_toks"], r["fert_ok"] = t, n, ok_tf
+        r["fert_sec"], r["fert_words"], r["fert_ok"] = t, n, ok_tf
 
         def umx():
             from meta_frame_spark.functions.text import token_count
@@ -1084,8 +1092,8 @@ def main() -> int:
         # under its caps at both scales, code-switch fractions stay
         # bounded one-row-per-doc, and every planted mirror pair
         # surfaces in the overlap matrix
-        ("fertility ratios >= 1, x10", b["fert_ok"]
-         and 9.5 <= b["fert_toks"] / max(a["fert_toks"], 1) <= 10.5),
+        ("fertility ratios >= 1, words x10", b["fert_ok"]
+         and 9.5 <= b["fert_words"] / max(a["fert_words"], 1) <= 10.5),
         ("unimax fills its budget", b["umx_ok"] and a["umx_ok"]),
         ("code_switch bounded per doc", b["csw_ok"]
          and b["csw_rows"] == 10 * a["csw_rows"]),
