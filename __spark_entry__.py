@@ -4711,6 +4711,37 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_overlap(staged)
 
 
+def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-tier quality flags (functions/web.with_url_quality): the
+    filter CCNet/RefinedWeb run BEFORE any content tier — parameter
+    count, path depth, session-id and calendar-trap tells, and the
+    pass conjunction. Deterministic messy URLs are staged from doc_id
+    (the q_url_canonical pattern) with planted PHPSESSID params
+    (doc_id%6), numeric archive paths (doc_id%9) and parameter floods
+    (doc_id%4) so every flag fires on known rows. Map-only codegen
+    string/array expressions; byte-exact DuckDB oracle."""
+    from meta_frame_spark.functions.web import with_url_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (k % 7).cast("string"),
+        F.lit(".example.com/a/b/"), k.cast("string"),
+        F.when(k % 9 == 0, F.lit("/2021/07/14")).otherwise(F.lit("")),
+        F.lit("?x=1&y=2"),
+        F.when(k % 6 == 0, F.lit("&PHPSESSID=abc")).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("&z=3&w=4&v=5&u=6&t=7&s=8"))
+        .otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    return with_url_quality(
+        docs.select("doc_id", url.alias("url")), max_params=8
+    ).select(
+        "doc_id", "url_len", "n_params", "path_depth",
+        "has_session_id", "is_calendar_trap", "url_pass",
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4782,6 +4813,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "token_fertility", "unimax_mix", "code_switch", "source_overlap",
+    "url_quality",
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
@@ -5013,6 +5045,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "code_switch": q_code_switch,
         "source_overlap": q_source_overlap,
+        "url_quality": q_url_quality,
     }
 
 
@@ -8859,5 +8892,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM k a JOIN k b ON a.kk = b.kk AND a.source < b.source
         GROUP BY 1, 2
+    """
+    # URL-tier flags: the staged URL, the frozen fragment/query/path
+    # splits, and every tell replayed byte-exactly.
+    d["url_quality"] = r"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://site' || (doc_id % 7) || '.example.com/a/b/'
+                   || doc_id
+                   || (CASE WHEN doc_id % 9 = 0
+                            THEN '/2021/07/14' ELSE '' END)
+                   || '?x=1&y=2'
+                   || (CASE WHEN doc_id % 6 = 0
+                            THEN '&PHPSESSID=abc' ELSE '' END)
+                   || (CASE WHEN doc_id % 4 = 0
+                            THEN '&z=3&w=4&v=5&u=6&t=7&s=8' ELSE '' END)
+                   || (CASE WHEN doc_id % 4 = 0
+                            THEN '#section' ELSE '' END) AS url
+            FROM documents
+        ), q AS (
+            SELECT doc_id, url,
+                   regexp_extract(split_part(url, '#', 1),
+                                  '\?(.*)$', 1) AS qs,
+                   regexp_extract(split_part(url, '#', 1),
+                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                                  1) AS path
+            FROM u
+        ), m AS (
+            SELECT doc_id,
+                   CAST(length(url) AS INTEGER) AS url_len,
+                   CAST(len(list_filter(string_split(qs, '&'),
+                        x -> length(x) > 0)) AS INTEGER) AS n_params,
+                   CAST(len(list_filter(string_split(path, '/'),
+                        x -> length(x) > 0)) AS INTEGER) AS path_depth,
+                   regexp_matches(lower(qs),
+                       '(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)=')
+                       AS has_session_id,
+                   contains(array_to_string(list_transform(
+                       list_filter(string_split(path, '/'),
+                                   x -> length(x) > 0),
+                       x -> CASE WHEN regexp_matches(x, '^[0-9]+$')
+                                 THEN '1' ELSE '0' END), ''), '111')
+                       AS is_calendar_trap
+            FROM q
+        )
+        SELECT doc_id, url_len, n_params, path_depth,
+               has_session_id, is_calendar_trap,
+               (url_len <= 2048 AND n_params <= 8 AND path_depth <= 12
+                AND NOT has_session_id AND NOT is_calendar_trap)
+                   AS url_pass
+        FROM m
     """
     return d

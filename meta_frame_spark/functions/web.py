@@ -64,3 +64,76 @@ def url_host(url: str | Column) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?:#]*)", 1))
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+#: RE2-portable scheme://host prefix; group 1 captures the path
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+#: session-id parameter names (case-insensitive, anchored to a
+#: parameter boundary) — the classic crawler-trap tell
+_SESSION_RE = r"(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)="
+
+
+def with_url_quality(
+    df,
+    url_col: str = "url",
+    max_len: int = 2048,
+    max_params: int = 8,
+    max_depth: int = 12,
+):
+    """Append the URL-tier quality flags every web pipeline applies
+    BEFORE fetching or keeping a page (CCNet/RefinedWeb run a URL
+    filter ahead of all content tiers — a crawler-trap URL predicts
+    junk content and infinite crawl spaces):
+
+    * ``url_len``      — total length;
+    * ``n_params``     — query parameters (non-empty ``&`` pieces);
+    * ``path_depth``   — non-empty ``/`` segments of the path;
+    * ``has_session_id`` — sid/sessionid/phpsessid/jsessionid
+      parameter (case-insensitive);
+    * ``is_calendar_trap`` — three or more CONSECUTIVE all-numeric
+      path segments (``/2005/03/17/`` archives and their infinite
+      neighbors);
+    * ``url_pass``     — within all limits and no trap tells.
+
+    Pure codegen string/array expressions over frozen, RE2-portable
+    regexes — map-only, no Python, stream-safe; the DuckDB oracle
+    replays every count and flag byte-exactly. Null URL -> null row.
+    """
+    c = F.col(url_col)
+    frag_free = F.split_part(c, F.lit("#"), F.lit(1))
+    # everything after the FIRST '?' (regexp_extract: both engines
+    # return '' on no match — no conditional needed)
+    query = F.regexp_extract(frag_free, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"), lambda p: F.length(p) > 0
+    )
+    path = F.regexp_extract(frag_free, _URL_PATH_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    numeric_mask = F.array_join(
+        F.transform(
+            segs,
+            lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("1"))
+            .otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    n_params = F.size(params)
+    depth = F.size(segs)
+    has_sess = F.lower(query).rlike(_SESSION_RE)
+    trap = numeric_mask.contains("111")
+    ok = (
+        (F.length(c) <= max_len)
+        & (n_params <= max_params)
+        & (depth <= max_depth)
+        & ~has_sess
+        & ~trap
+    )
+    return df.select(
+        "*",
+        F.when(c.isNotNull(), F.length(c)).alias("url_len"),
+        F.when(c.isNotNull(), n_params).alias("n_params"),
+        F.when(c.isNotNull(), depth).alias("path_depth"),
+        F.when(c.isNotNull(), has_sess).alias("has_session_id"),
+        F.when(c.isNotNull(), trap).alias("is_calendar_trap"),
+        F.when(c.isNotNull(), ok).alias("url_pass"),
+    )

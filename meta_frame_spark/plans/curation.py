@@ -374,6 +374,31 @@ def _op_blocklist_gate(
     return scored.filter(F.col("blocklist_pass")).drop(*added)
 
 
+def _op_url_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    max_len: int = 2048,
+    max_params: int = 8,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Keep rows whose URL passes the pre-content web-filter tier
+    (functions.web.with_url_quality: length/param/depth limits,
+    session-id and calendar-trap tells). Schema passes through;
+    map-only codegen, stream-safe."""
+    from meta_frame_spark.functions.web import with_url_quality
+
+    scored, added = _gate_report_cols(
+        df,
+        lambda d, text_col: with_url_quality(
+            d, url_col=text_col, max_len=max_len,
+            max_params=max_params, max_depth=max_depth,
+        ),
+        url_col,
+        "url_gate",
+    )
+    return scored.filter(F.col("url_pass")).drop(*added)
+
+
 def _op_soft_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -454,6 +479,7 @@ CURATION_OPS: dict[str, Callable] = {
     "repetition_gate": _op_repetition_gate,
     "c4_gate": _op_c4_gate,
     "blocklist_gate": _op_blocklist_gate,
+    "url_gate": _op_url_gate,
     "soft_dedup": _op_soft_dedup,
     "fix_encoding": _op_fix_encoding,
     "select": _op_select,
@@ -498,6 +524,7 @@ _EXTRA_KEYS = {
     "repetition_gate": {"text_col", "rules"},
     "c4_gate": {"text_col", "apply_line_filter"},
     "blocklist_gate": {"text_col", "blocklist", "max_score"},
+    "url_gate": {"url_col", "max_len", "max_params", "max_depth"},
     "soft_dedup": {"text_col", "id_col", "alpha", "weight_col"},
     "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
@@ -572,7 +599,7 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
 STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
     "quality_score_gate", "gopher_gate", "repetition_gate", "c4_gate",
-    "blocklist_gate", "fix_encoding", "select",
+    "blocklist_gate", "url_gate", "fix_encoding", "select",
     "derive",
 })
 

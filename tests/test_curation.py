@@ -646,6 +646,10 @@ def test_every_stream_safe_op_runs_on_a_real_stream(spark, tmp_path):
         "lang_gate": {"langs": ["en", "und"]},
         "select": {"columns": ["doc_id", "text"]},
         "derive": {"columns": {"n": "length(text)"}},
+        # the tiny stream frame has no url column; pointing the gate
+        # at text still exercises compile + drain (no scheme -> zero
+        # params/depth -> every row passes)
+        "url_gate": {"url_col": "text"},
     }
     for i, op in enumerate(sorted(STREAM_SAFE_OPS)):
         cfg = {"steps": [{"op": op, **minimal_kwargs.get(op, {})}]}

@@ -689,3 +689,15 @@ def test_cross_source_overlap_never_shuffles_text(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_url_quality_plan_is_map_only(spark, sf_dir):
+    from meta_frame_spark.functions.web import with_url_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("https://x.io/"),
+                           F.col("doc_id").cast("string")).alias("url")
+    )
+    plan = _plan(with_url_quality(docs))
+    for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
+        assert op not in plan, op

@@ -993,3 +993,64 @@ class TestCrossSourceOverlap:
             [("x y", "a"), ("x y", "a")], "text string, source string"
         )
         assert cross_source_overlap(df).count() == 0
+
+
+class TestUrlQuality:
+    def test_hand_computed_flags(self, spark):
+        from meta_frame_spark.functions.web import with_url_quality
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/a/b?x=1&y=2"),
+                (2, "https://ex.com/p?PHPSESSID=k9"),
+                (3, "https://ex.com/2021/07/14/post"),
+                (4, "https://ex.com/2021/news/14"),    # not consecutive
+                (5, "https://ex.com/p?a=1&b=2&c=3&d=4"),
+                (6, None),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r for r in with_url_quality(
+            df, max_params=3).collect()}
+        assert out[1].n_params == 2 and out[1].path_depth == 2
+        assert out[1].url_pass is True
+        assert out[2].has_session_id is True and out[2].url_pass is False
+        assert out[3].is_calendar_trap is True and out[3].url_pass is False
+        assert out[4].is_calendar_trap is False and out[4].url_pass is True
+        assert out[5].n_params == 4 and out[5].url_pass is False
+        assert out[6].url_pass is None
+
+    def test_fragment_and_empty_query(self, spark):
+        from meta_frame_spark.functions.web import with_url_quality
+
+        df = spark.createDataFrame(
+            [(1, "https://ex.com/a#b?c=1"), (2, "https://ex.com")],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r for r in with_url_quality(df).collect()}
+        # the query lives in the fragment -> stripped before parsing
+        assert out[1].n_params == 0 and out[1].path_depth == 1
+        assert out[2].n_params == 0 and out[2].path_depth == 0
+
+    def test_url_gate_step(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.plans.curation import (
+            ConfigError,
+            STREAM_SAFE_OPS,
+            run_curation,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/fine"),
+                (2, "https://ex.com/p?JSESSIONID=x"),
+            ],
+            "doc_id long, url string",
+        )
+        out = run_curation(df, {"steps": [{"op": "url_gate"}]})
+        assert out.columns == df.columns
+        assert [r.doc_id for r in out.collect()] == [1]
+        assert "url_gate" in STREAM_SAFE_OPS
+        with _pt.raises(ConfigError, match="unknown kwargs"):
+            run_curation(df, {"steps": [{"op": "url_gate", "nope": 1}]})
