@@ -4742,6 +4742,21 @@ def q_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/vocab.coverage_curve):
+    fraction of corpus token occurrences covered by the top-k vocab
+    at k in (5, 10, 20, 40) — the tokenizer-sizing study. One corpus
+    word-count aggregate, then two-phase rank + prefix sum over the
+    vocab table (never a single-task window) and a len(ks)-scalar
+    driver grid. Full DuckDB oracle: window cumsum over the same
+    deterministic ordering replays every point (the 40-point
+    exercises the k > |vocab| saturation branch)."""
+    from meta_frame_spark.operators.vocab import coverage_curve
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return coverage_curve(docs, ks=(5, 10, 20, 40))
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4813,7 +4828,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "token_fertility", "unimax_mix", "code_switch", "source_overlap",
-    "url_quality",
+    "url_quality", "coverage_curve",
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
@@ -5046,6 +5061,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch": q_code_switch,
         "source_overlap": q_source_overlap,
         "url_quality": q_url_quality,
+        "coverage_curve": q_coverage_curve,
     }
 
 
@@ -8942,5 +8958,35 @@ def oracle_sql() -> dict[str, str]:
                 AND NOT has_session_id AND NOT is_calendar_trap)
                    AS url_pass
         FROM m
+    """
+    # Coverage curve: the deterministic ranking (count desc, token
+    # asc), the inclusive cumsum, and the k > |vocab| saturation
+    # branch all replayed.
+    d["coverage_curve"] = r"""
+        WITH tok AS (
+            SELECT unnest(list_transform(regexp_extract_all(text, '\S+'),
+                                         x -> lower(x))) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), cnt AS (
+            SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ), rk AS (
+            SELECT tok, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank,
+                   SUM(c) OVER (ORDER BY c DESC, tok
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM cnt
+        ), tot AS (
+            SELECT MAX(rank) AS v, CAST(SUM(c) AS DOUBLE) AS t FROM rk
+        ), grid AS (
+            SELECT unnest([5, 10, 20, 40]) AS k
+        )
+        SELECT CAST(g.k AS INTEGER) AS k,
+               CAST(LEAST(g.k, tot.v) AS INTEGER) AS vocab_size,
+               CAST(COALESCE((SELECT cum FROM rk WHERE rank = g.k),
+                             tot.t) AS BIGINT) AS covered_occurrences,
+               CAST(tot.t AS BIGINT) AS total_occurrences,
+               ROUND(COALESCE((SELECT cum FROM rk WHERE rank = g.k),
+                              tot.t) / tot.t, 6) AS coverage
+        FROM grid g, tot
     """
     return d

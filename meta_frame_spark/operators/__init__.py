@@ -125,6 +125,7 @@ from meta_frame_spark.operators.ranking import (
     rrf_fuse,
 )
 from meta_frame_spark.operators.vocab import (
+    coverage_curve,
     pmi_collocations,
     token_counts,
     token_fertility,
@@ -351,6 +352,7 @@ __all__ = [
     "vocab_drift",
     "vocab_topk",
     "vocab_coverage",
+    "coverage_curve",
     "token_counts",
     "token_fertility",
 ]

@@ -357,3 +357,70 @@ def token_fertility(
             .alias("tokens_per_word"),
         )
     )
+
+
+def coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ks: tuple[int, ...] = (10, 25, 50, 100, 1000),
+    n: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Vocabulary coverage CURVE — what fraction of the corpus's token
+    occurrences the top-k vocabulary covers, at each k in ``ks``: the
+    sizing study behind "how big does the vocab need to be", run
+    before committing a tokenizer (the knee of this curve is the
+    classic vocab-size pick). One row per k:
+    ``(k, vocab_size, covered_occurrences, total_occurrences,
+    coverage)`` where ``vocab_size = min(k, |vocab|)``.
+
+    Scale: ONE corpus token-count aggregate (the word-count shape),
+    then rank + inclusive prefix sum over the VOCAB table — both via
+    the two-phase range-shuffle primitives (`ids.assign_row_numbers`
+    / `ids.running_total`), never a single-task global window; the
+    grid itself is ``len(ks)+1`` driver scalars (the DoReMi pattern).
+    Deterministic: ranking ties break by token text."""
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"ks must be non-empty positive ints, got {ks}")
+    from meta_frame_spark.operators.ids import (
+        assign_row_numbers,
+        running_total,
+    )
+
+    counts = token_counts(
+        df, text_col=text_col, id_col=id_col, n=n, lowercase=lowercase
+    ).withColumn("_neg", -F.col("n_occurrences"))
+    ranked = assign_row_numbers(
+        counts, order_by=["_neg", "token"], id_col="rank", start=1
+    )
+    cum = running_total(
+        ranked, order_by=["_neg", "token"], value_col="n_occurrences",
+        out_col="cum",
+    )
+    ks_sorted = sorted(set(int(k) for k in ks))
+    picks = {
+        int(r["rank"]): float(r["cum"])
+        for r in cum.filter(F.col("rank").isin(ks_sorted)).collect()
+    }  # bounded: <= len(ks) rows
+    tot_row = cum.agg(
+        F.max("rank").alias("v"), F.max("cum").alias("t")
+    ).first()  # bounded: the vocab size and the grand total
+    v_size, total = int(tot_row.v or 0), float(tot_row.t or 0.0)
+    rows = []
+    for k in ks_sorted:
+        covered = picks.get(k, total if k >= v_size else 0.0)
+        rows.append(
+            (
+                k,
+                min(k, v_size),
+                int(covered),
+                int(total),
+                round(covered / total, 6) if total else 0.0,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "k int, vocab_size int, covered_occurrences long, "
+        "total_occurrences long, coverage double",
+    )

@@ -1054,3 +1054,36 @@ class TestUrlQuality:
         assert "url_gate" in STREAM_SAFE_OPS
         with _pt.raises(ConfigError, match="unknown kwargs"):
             run_curation(df, {"steps": [{"op": "url_gate", "nope": 1}]})
+
+
+class TestCoverageCurve:
+    def test_hand_computed_points(self, spark):
+        from meta_frame_spark.operators.vocab import coverage_curve
+
+        # counts: a=4, b=2, c=1, d=1 -> total 8; ranking a,b,c,d
+        df = spark.createDataFrame(
+            [(1, "a a b c"), (2, "a a b d")], "doc_id long, text string"
+        )
+        out = {r.k: r for r in coverage_curve(
+            df, ks=(1, 2, 3, 10)).collect()}
+        assert out[1].covered_occurrences == 4
+        assert out[1].coverage == pytest.approx(0.5)
+        assert out[2].covered_occurrences == 6
+        assert out[3].covered_occurrences == 7  # c before d (tie: text)
+        # k beyond the vocab saturates at the full mass
+        assert out[10].vocab_size == 4
+        assert out[10].covered_occurrences == 8
+        assert out[10].coverage == 1.0
+
+    def test_validation_and_monotone(self, spark, documents):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.vocab import coverage_curve
+
+        with _pt.raises(ValueError, match="ks"):
+            coverage_curve(documents, ks=())
+        with _pt.raises(ValueError, match="ks"):
+            coverage_curve(documents, ks=(0,))
+        pts = coverage_curve(documents, ks=(3, 7, 15)).collect()
+        cov = [r.coverage for r in sorted(pts, key=lambda r: r.k)]
+        assert cov == sorted(cov)  # coverage is monotone in k
