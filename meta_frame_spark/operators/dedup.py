@@ -853,12 +853,18 @@ def soft_dedup_weights(
     keyed = F.col(text_col) if not normalize else normalize_text(text_col)
     pairs = df.select(F.col(id_col), F.md5(keyed).alias("_k"))
     sizes = pairs.groupBy("_k").agg(F.count(F.lit(1)).alias("dup_count"))
-    return pairs.join(sizes, "_k").select(
-        id_col,
-        "dup_count",
-        F.pow(F.lit(1.0) / F.col("dup_count"), F.lit(float(alpha))).alias(
-            "weight"
-        ),
+    # null-safe join key: md5(NULL) is NULL and a plain equi-join
+    # would silently DROP every null-text row; eqNullSafe keeps them,
+    # clustered together — the same grouping the size aggregate used
+    return (
+        pairs.join(sizes, pairs["_k"].eqNullSafe(sizes["_k"]))
+        .select(
+            id_col,
+            "dup_count",
+            F.pow(
+                F.lit(1.0) / F.col("dup_count"), F.lit(float(alpha))
+            ).alias("weight"),
+        )
     )
 
 
@@ -886,7 +892,11 @@ def cross_source_overlap(
 
     keyed = F.col(text_col) if not normalize else normalize_text(text_col)
     per_key = (
-        df.select(
+        # null texts are no content — without the filter they would
+        # all share the md5(NULL)=NULL cluster and report a spurious
+        # "overlap" between any two sources holding null rows
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.md5(keyed).alias("_k"), F.col(source_col).alias("_s")
         )
         .groupBy("_k")

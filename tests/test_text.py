@@ -1087,3 +1087,30 @@ class TestCoverageCurve:
         pts = coverage_curve(documents, ks=(3, 7, 15)).collect()
         cov = [r.coverage for r in sorted(pts, key=lambda r: r.k)]
         assert cov == sorted(cov)  # coverage is monotone in k
+
+
+def test_soft_dedup_keeps_null_text_rows(spark):
+    """md5(NULL) is NULL; the size join must be null-safe or every
+    null-text row silently vanishes from the weights frame."""
+    from meta_frame_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # nulls cluster together (the same grouping the aggregate used)
+    assert out[2].dup_count == 2 and out[3].dup_count == 2
+    assert out[1].dup_count == 1
+
+
+def test_cross_source_overlap_ignores_null_texts(spark):
+    """Null texts are no content — they must not manufacture an
+    overlap between sources that both hold null rows."""
+    from meta_frame_spark.operators.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("real", "a")],
+        "text string, source string",
+    )
+    assert cross_source_overlap(df).count() == 0
