@@ -747,3 +747,62 @@ def test_soft_dedup_step(spark):
     assert "soft_dedup" not in STREAM_SAFE_OPS
     with pytest.raises(ConfigError, match="collide"):
         run_curation(out, {"steps": [{"op": "soft_dedup"}]})
+
+
+def test_full_web_cleaning_chain_streams(spark, tmp_path):
+    """The complete rule-tier cleaning recipe — url_gate, fix_encoding,
+    c4_gate, gopher_gate, repetition_gate, blocklist_gate, lang_gate —
+    declared as ONE stream-safe config, compiled onto a real file
+    stream, drains to exactly the batch compile's rows. This is the
+    production shape: the whole pre-model tier runs per micro-batch
+    with zero state."""
+    from meta_frame_spark.plans.curation import (
+        run_curation,
+        run_curation_stream,
+        validate_stream_config,
+    )
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    good = ("The quick brown fox jumps over one lazy dog today. "
+            "Rivers run east beneath tall granite peaks each spring. "
+            "Markets opened higher while traders weighed fresh data. "
+            "Seven curious owls watched quietly from the old barn. "
+            "Gentle rain fell across wide fields before sudden dawn. "
+            "Quiet readers finished their long novels before midnight. "
+            "Bright kites drifted over the warm and sandy shore today. "
+            "Local bakers cooled fresh bread on wide wooden racks.") * 2
+    rows = [
+        (1, "https://ok.example.com/a/b?x=1", good),
+        (2, "https://trap.example.com/p?phpsessid=z", good),  # url kill
+        (3, "https://ok.example.com/c", "CafÃ© " + good),      # repaired
+        (4, "https://ok.example.com/d", good + " casino casino casino"),
+        (5, "https://ok.example.com/e", "short."),             # rule kill
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    d = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(d)
+
+    cfg = {"steps": [
+        {"op": "url_gate"},
+        {"op": "fix_encoding"},
+        {"op": "c4_gate", "apply_line_filter": False},
+        {"op": "gopher_gate"},
+        {"op": "repetition_gate",
+         "rules": ["r_dup_line_frac", "r_dup_para_frac"]},
+        {"op": "blocklist_gate", "max_score": 2.5},
+        {"op": "lang_gate", "langs": ["en"]},
+    ]}
+    validate_stream_config(cfg)
+
+    batch = run_curation(spark.read.parquet(d), cfg)
+    kept = sorted(r.doc_id for r in batch.collect())
+    # the chain kills the session-id URL, the blocklisted doc, and the
+    # too-short doc; repairs + keeps the mojibake doc
+    assert kept == [1, 3]
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    drained = run_to_memory(
+        run_curation_stream(stream, cfg), "mem_full_chain",
+        output_mode="append")
+    got = sorted(r.doc_id for r in drained.collect())
+    assert got == kept

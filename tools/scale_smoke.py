@@ -973,6 +973,53 @@ def main() -> int:
         t, (n, ok_so) = timed("source_overlap", sovl)
         r["sovl_sec"], r["sovl_pairs"], r["sovl_ok"] = t, n, ok_so
 
+        def urlq():
+            from meta_frame_spark.functions.web import with_url_quality
+
+            dd = docs(d)
+            k = F.col("doc_id")
+            staged = dd.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://site"), (k % 7).cast("string"),
+                    F.lit(".example.com/a/b/"), k.cast("string"),
+                    F.when(k % 9 == 0, F.lit("/2021/07/14"))
+                    .otherwise(F.lit("")),
+                    F.lit("?x=1&y=2"),
+                    F.when(k % 6 == 0, F.lit("&PHPSESSID=abc"))
+                    .otherwise(F.lit("")),
+                ).alias("url"),
+            )
+            out = with_url_quality(staged).persist()
+            n = out.count()
+            # planted tells must fire exactly on their residues
+            bad = out.filter(
+                (F.col("has_session_id") != (k % 6 == 0))
+                | (F.col("is_calendar_trap") != (k % 9 == 0))
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n == dd.count())
+        t, (n, ok_uq) = timed("url_quality", urlq)
+        r["urlq_sec"], r["urlq_rows"], r["urlq_ok"] = t, n, ok_uq
+
+        def ccurve():
+            from meta_frame_spark.operators.vocab import coverage_curve
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            pts = sorted(
+                coverage_curve(dd, ks=(10, 100, 100000)).collect(),
+                key=lambda row: row.k,
+            )
+            cov = [row.coverage for row in pts]
+            ok = (
+                cov == sorted(cov)
+                and pts[-1].coverage == 1.0
+                and pts[-1].covered_occurrences == pts[-1].total_occurrences
+            )
+            return int(pts[-1].total_occurrences), bool(ok)
+        t, (n, ok_cc) = timed("coverage_curve", ccurve)
+        r["ccur_sec"], r["ccur_total"], r["ccur_ok"] = t, n, ok_cc
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -990,7 +1037,7 @@ def main() -> int:
                 "hres", "bpl", "calib",
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
-                "fert", "umx", "csw", "sovl"):
+                "fert", "umx", "csw", "sovl", "urlq", "ccur"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1098,6 +1145,13 @@ def main() -> int:
         ("code_switch bounded per doc", b["csw_ok"]
          and b["csw_rows"] == 10 * a["csw_rows"]),
         ("source overlap pairs surface", b["sovl_ok"]),
+        # url flags fire exactly on their planted residues at 10x;
+        # the coverage curve stays monotone, saturates at 1.0 beyond
+        # the vocab, and its grand total is exactly x10 words
+        ("url flags fire on residues", b["urlq_ok"]
+         and b["urlq_rows"] == 10 * a["urlq_rows"]),
+        ("coverage curve monotone+saturates", b["ccur_ok"]
+         and 9.5 <= b["ccur_total"] / max(a["ccur_total"], 1) <= 10.5),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
