@@ -4757,6 +4757,49 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_curve(docs, ks=(5, 10, 20, 40))
 
 
+def q_passage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive positive pairs from adjacent disjoint passages
+    (Contriever-style within-document cropping;
+    operators/chunking.passage_pairs): windows AND pairing built
+    in-row over the shared passage array — one codegen map, NO
+    shuffle, the pair never exists as two rows that must meet.
+    Terminators injected first (the q_sentences pattern). Full DuckDB
+    oracle replays the disjoint windowing and every adjacent pair
+    byte-exactly."""
+    from meta_frame_spark.operators.chunking import passage_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dotted = docs.withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit("value "), F.lit("value. ")),
+            F.lit("fast "), F.lit("fast! "),
+        ),
+    )
+    return passage_pairs(dotted, n_sentences=2)
+
+
+def q_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse Cloze Task extraction (Lee et al. 2019 ORQA;
+    operators/chunking.ict_pairs): one deterministic pseudo-query
+    sentence per document (md5 argmax over doc_id:idx — the portable
+    coin), the remaining sentences as the pseudo-evidence context.
+    In-row array_max pick + filter-by-index context — one codegen
+    map, no shuffle. Full DuckDB oracle replays the digests, the
+    argmax, and the context join byte-exactly."""
+    from meta_frame_spark.operators.chunking import ict_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dotted = docs.withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit("value "), F.lit("value. ")),
+            F.lit("fast "), F.lit("fast! "),
+        ),
+    )
+    return ict_pairs(dotted)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4828,7 +4871,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "token_fertility", "unimax_mix", "code_switch", "source_overlap",
-    "url_quality", "coverage_curve",
+    "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
@@ -5062,6 +5105,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "url_quality": q_url_quality,
         "coverage_curve": q_coverage_curve,
+        "passage_pairs": q_passage_pairs,
+        "ict_pairs": q_ict_pairs,
     }
 
 
@@ -8988,5 +9033,92 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE((SELECT cum FROM rk WHERE rank = g.k),
                               tot.t) / tot.t, 6) AS coverage
         FROM grid g, tot
+    """
+    # Adjacent disjoint 2-sentence passages paired in order: the
+    # terminator injection, the windowing, and every pair replayed.
+    d["passage_pairs"] = r"""
+        WITH pieces AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(
+                               replace(replace(text, 'value ', 'value. '),
+                                       'fast ', 'fast! '),
+                               '[^.!?]+[.!?]*'),
+                           s -> trim(s)),
+                       s -> length(s) > 0) AS arr
+            FROM documents WHERE text IS NOT NULL
+        ), sized AS (
+            SELECT doc_id, arr, len(arr) AS n,
+                   CASE WHEN len(arr) >= 2
+                        THEN CAST(floor((len(arr) - 2) / 2.0) AS BIGINT) + 1
+                        ELSE 0 END AS n_full
+            FROM pieces
+        ), counted AS (
+            SELECT doc_id, arr, n,
+                   n_full + CASE
+                       WHEN n_full > 0 AND (n_full - 1) * 2 + 2 < n THEN 1
+                       WHEN n_full = 0 AND n > 0 THEN 1
+                       ELSE 0 END AS n_windows
+            FROM sized
+        ), ww AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0, n_windows - 1),
+                       i -> array_to_string(
+                           list_slice(arr, i * 2 + 1, i * 2 + 2), ' '))
+                       AS w
+            FROM counted WHERE n_windows >= 2
+        ), pairs AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, len(w) - 2),
+                       i -> struct_pack(idx := i, a := w[i + 1],
+                                        b := w[i + 2]))) AS pr
+            FROM ww
+        )
+        SELECT doc_id,
+               CAST(pr.idx AS INTEGER) AS pair_idx,
+               pr.a AS anchor,
+               pr.b AS positive
+        FROM pairs
+    """
+    # ICT: the md5(doc_id:idx) digests, the argmax pick, and the
+    # remove-one-sentence context all replayed.
+    d["ict_pairs"] = r"""
+        WITH pieces AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(
+                               replace(replace(text, 'value ', 'value. '),
+                                       'fast ', 'fast! '),
+                               '[^.!?]+[.!?]*'),
+                           s -> trim(s)),
+                       s -> length(s) > 0) AS arr
+            FROM documents WHERE text IS NOT NULL
+        ), eligible AS (
+            SELECT doc_id, arr, len(arr) AS n
+            FROM pieces WHERE len(arr) >= 2
+        ), keyed AS (
+            SELECT doc_id, arr, n,
+                   unnest(generate_series(0, n - 1)) AS i
+            FROM eligible
+        ), ranked AS (
+            SELECT doc_id, arr, n, i,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY md5(doc_id || ':' || i) DESC) AS rn
+            FROM keyed
+        )
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_sentences,
+               CAST(i AS INTEGER) AS query_idx,
+               arr[CAST(i + 1 AS INTEGER)] AS query,
+               array_to_string(
+                   list_concat(arr[1:CAST(i AS INTEGER)],
+                               arr[CAST(i + 2 AS INTEGER):]),
+                   ' ') AS context
+        FROM ranked WHERE rn = 1
     """
     return d

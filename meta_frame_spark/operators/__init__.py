@@ -63,7 +63,12 @@ from meta_frame_spark.operators.spans import (
 )
 from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
-from meta_frame_spark.operators.chunking import chunk_documents, sentence_passages
+from meta_frame_spark.operators.chunking import (
+    chunk_documents,
+    ict_pairs,
+    passage_pairs,
+    sentence_passages,
+)
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
 from meta_frame_spark.operators.dsir import dsir_log_weights
@@ -250,6 +255,8 @@ __all__ = [
     "sessionize",
     "chunk_documents",
     "sentence_passages",
+    "passage_pairs",
+    "ict_pairs",
     "winsorize",
     "histogram_fixed",
     "dedup_against",

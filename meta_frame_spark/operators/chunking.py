@@ -92,31 +92,20 @@ def chunk_documents(
     )
 
 
-def sentence_passages(
-    df: DataFrame,
-    n_sentences: int = 3,
-    stride: int | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    keep_cols: list[str] | None = None,
-    drop_partial: bool = False,
-) -> DataFrame:
-    """Sentence-ALIGNED overlapping passages — the retrieval/RAG
-    training grain, where windows that cut mid-sentence hurt both
-    embedding quality and answer extraction. Each document's frozen
-    sentence segmentation (``functions.text.split_sentences`` —
-    ``[.!?]``-run splits, trimmed, empties dropped) is windowed
-    exactly like :func:`chunk_documents` windows tokens: passage *i*
-    covers sentences ``[i*stride, i*stride + n_sentences)``, trailing
-    windows adding no new sentence are dropped, and the ragged tail
-    is kept unless ``drop_partial``.
-
-    Output: ``(id_col, *keep_cols, passage_idx, passage,
-    passage_n_sentences, passage_n_tokens)``. Same scale shape as
-    chunk_documents: one whole-stage-codegen map (``sequence`` /
-    ``transform`` / ``slice`` / ``posexplode``), NO shuffle, no
-    Python; fan-out ~``n_sentences/stride``x within each task."""
-    from meta_frame_spark.functions.text import split_sentences, tokens
+def _passage_windows(
+    text_col: str,
+    n_sentences: int,
+    stride: int | None,
+    drop_partial: bool,
+) -> "F.Column":
+    """array<struct<p: string, k: int>> of sentence windows — the
+    shared in-row builder behind :func:`sentence_passages` (explode
+    grain) and :func:`passage_pairs` (in-row pair grain). Window *i*
+    covers sentences ``[i*stride, i*stride + n_sentences)`` of the
+    frozen segmentation; trailing windows adding no new sentence are
+    dropped; the ragged tail is kept unless ``drop_partial``; docs
+    with zero sentences yield an empty array."""
+    from meta_frame_spark.functions.text import split_sentences
 
     if n_sentences < 1:
         raise ValueError(f"n_sentences must be >= 1, got {n_sentences}")
@@ -145,7 +134,7 @@ def sentence_passages(
     starts = F.when(
         n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
     ).otherwise(F.array().cast("array<int>"))
-    windows = F.transform(
+    return F.transform(
         starts,
         lambda i: F.struct(
             F.array_join(
@@ -154,6 +143,35 @@ def sentence_passages(
             F.least(n - i * stride, F.lit(n_sentences)).alias("k"),
         ),
     )
+
+
+def sentence_passages(
+    df: DataFrame,
+    n_sentences: int = 3,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Sentence-ALIGNED overlapping passages — the retrieval/RAG
+    training grain, where windows that cut mid-sentence hurt both
+    embedding quality and answer extraction. Each document's frozen
+    sentence segmentation (``functions.text.split_sentences`` —
+    ``[.!?]``-run splits, trimmed, empties dropped) is windowed
+    exactly like :func:`chunk_documents` windows tokens: passage *i*
+    covers sentences ``[i*stride, i*stride + n_sentences)``, trailing
+    windows adding no new sentence are dropped, and the ragged tail
+    is kept unless ``drop_partial``.
+
+    Output: ``(id_col, *keep_cols, passage_idx, passage,
+    passage_n_sentences, passage_n_tokens)``. Same scale shape as
+    chunk_documents: one whole-stage-codegen map (``sequence`` /
+    ``transform`` / ``slice`` / ``posexplode``), NO shuffle, no
+    Python; fan-out ~``n_sentences/stride``x within each task."""
+    from meta_frame_spark.functions.text import tokens
+
+    windows = _passage_windows(text_col, n_sentences, stride, drop_partial)
     out = df.select(
         F.col(id_col),
         *(keep_cols or []),
@@ -165,3 +183,104 @@ def sentence_passages(
         F.col("_w.k").alias("passage_n_sentences"),
         F.size(tokens(F.col("_w.p"))).alias("passage_n_tokens"),
     ).drop("_w")
+
+
+def passage_pairs(
+    df: DataFrame,
+    n_sentences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-passage POSITIVE pairs for contrastive retriever
+    training (the Contriever recipe's within-document cropping,
+    Izacard et al. 2022: two spans of the same document form a
+    positive; in-batch others are negatives): disjoint
+    ``n_sentences``-sentence passages of each document, paired with
+    their immediate successor — ``(id_col, pair_idx, anchor,
+    positive)``, one row per adjacent pair, documents with fewer
+    than two passages contribute nothing.
+
+    Scale: the passage windows AND the pairing are built in-row
+    (``transform`` over the shared window array — the pair never
+    exists as two rows that must meet), so the whole op is one
+    codegen map with a ~1x fan-out: NO shuffle, no join, no Python.
+    """
+    windows = _passage_windows(
+        text_col, n_sentences, n_sentences, drop_partial=False
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(windows) - 2),
+        lambda i: F.struct(
+            F.element_at(windows, i + 1)["p"].alias("a"),
+            F.element_at(windows, i + 2)["p"].alias("b"),
+        ),
+    )
+    guarded = F.when(F.size(windows) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(guarded).alias("pair_idx", "_pr"),
+    ).select(
+        id_col, "pair_idx",
+        F.col("_pr.a").alias("anchor"),
+        F.col("_pr.b").alias("positive"),
+    )
+
+
+def ict_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 2,
+) -> DataFrame:
+    """Inverse Cloze Task pairs (Lee et al. 2019, ORQA): pick one
+    sentence of each document as the pseudo-QUERY and the remaining
+    sentences (in order) as the pseudo-evidence CONTEXT — the
+    classic zero-label pretraining pair for dense retrievers. The
+    "random" pick is the deterministic md5 argmax over
+    ``md5(doc_id || ':' || sentence_idx)`` (the repo's portable-coin
+    convention), so reruns, partitionings, and the DuckDB oracle all
+    pick the same sentence; ties cannot occur (digests are distinct
+    inputs). Documents with fewer than ``min_sentences`` sentences
+    are dropped. Output: ``(id_col, n_sentences, query_idx, query,
+    context)``.
+
+    Scale: one codegen map — the pick is an in-row ``array_max``
+    over (digest, idx) structs and the context an in-row
+    filter-by-index + join; no shuffle, no Python."""
+    from meta_frame_spark.functions.text import split_sentences
+
+    if min_sentences < 2:
+        raise ValueError(
+            f"min_sentences must be >= 2, got {min_sentences}"
+        )
+    sents = split_sentences(F.col(text_col))
+    n = F.size(sents)
+    idx = F.sequence(F.lit(0), n - 1)
+    keyed = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"),
+                    i.cast("string"),
+                )
+            ).alias("h"),
+            i.alias("i"),
+        ),
+    )
+    best = F.array_max(keyed)["i"]
+    context = F.array_join(
+        F.filter(sents, lambda s, j: j != best), " "
+    )
+    return (
+        df.filter(n >= min_sentences)
+        .select(
+            F.col(id_col),
+            n.alias("n_sentences"),
+            best.alias("query_idx"),
+            F.element_at(sents, best + 1).alias("query"),
+            context.alias("context"),
+        )
+    )

@@ -701,3 +701,18 @@ def test_url_quality_plan_is_map_only(spark, sf_dir):
     plan = _plan(with_url_quality(docs))
     for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
         assert op not in plan, op
+
+
+def test_pair_extraction_plans_are_map_only(spark, sf_dir):
+    """passage_pairs builds windows AND pairs in-row; ict_pairs picks
+    its query via an in-row array_max — neither may shuffle, join,
+    window, or sort; the only fan-out is passage_pairs' posexplode."""
+    from meta_frame_spark.operators.chunking import ict_pairs, passage_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    for frame in (passage_pairs(docs, n_sentences=2), ict_pairs(docs)):
+        plan = _plan(frame)
+        for op in ("Exchange", "Join", "Window", "Sort"):
+            assert op not in plan, op

@@ -308,3 +308,73 @@ class TestSentencePassages:
             sentence_passages(df, n_sentences=0)
         with pytest.raises(ValueError, match="stride"):
             sentence_passages(df, n_sentences=2, stride=3)
+
+
+class TestPassagePairs:
+    def test_adjacent_disjoint_pairs(self, spark):
+        from meta_frame_spark.operators.chunking import passage_pairs
+
+        df = spark.createDataFrame(
+            [(1, "A one. B two! C three? D four. E five.")],
+            "doc_id long, text string",
+        )
+        out = passage_pairs(df, n_sentences=2).collect()
+        # disjoint windows: [A,B] [C,D] [E]; adjacent pairs: 2
+        assert [(r.pair_idx, r.anchor, r.positive) for r in out] == [
+            (0, "A one. B two!", "C three? D four."),
+            (1, "C three? D four.", "E five."),
+        ]
+
+    def test_short_docs_contribute_nothing(self, spark):
+        from meta_frame_spark.operators.chunking import passage_pairs
+
+        df = spark.createDataFrame(
+            [(1, "Only. Two."), (2, "One sentence."), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        # doc 1: one window of 2 -> no pair; others: < 2 windows
+        assert passage_pairs(df, n_sentences=2).count() == 0
+
+
+class TestIctPairs:
+    def test_deterministic_pick_and_context(self, spark):
+        import hashlib
+
+        from meta_frame_spark.operators.chunking import ict_pairs
+
+        text = "A one. B two! C three? D four."
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        r = ict_pairs(df).first()
+        sents = ["A one.", "B two!", "C three?", "D four."]
+        want = max(range(4),
+                   key=lambda i: hashlib.md5(f"7:{i}".encode()).hexdigest())
+        assert r.query_idx == want
+        assert r.query == sents[want]
+        assert r.context == " ".join(
+            s for j, s in enumerate(sents) if j != want)
+        assert r.n_sentences == 4
+
+    def test_min_sentences_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.chunking import ict_pairs
+
+        df = spark.createDataFrame(
+            [(1, "Solo."), (2, None), (3, "Two here. And there.")],
+            "doc_id long, text string",
+        )
+        out = ict_pairs(df).collect()
+        assert [r.doc_id for r in out] == [3]
+        with _pt.raises(ValueError, match="min_sentences"):
+            ict_pairs(df, min_sentences=1)
+
+    def test_partition_invariant(self, spark):
+        from meta_frame_spark.operators.chunking import ict_pairs
+
+        rows = [(i, f"Alpha {i}. Beta {i}. Gamma {i}. Delta {i}.")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {(r.doc_id, r.query_idx) for r in ict_pairs(df).collect()}
+        b = {(r.doc_id, r.query_idx)
+             for r in ict_pairs(df.repartition(13)).collect()}
+        assert a == b and len(a) == 40

@@ -1020,6 +1020,54 @@ def main() -> int:
         t, (n, ok_cc) = timed("coverage_curve", ccurve)
         r["ccur_sec"], r["ccur_total"], r["ccur_ok"] = t, n, ok_cc
 
+        def ppairs():
+            from meta_frame_spark.operators.chunking import passage_pairs
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            dotted = dd.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), r"(value\S*) ", r"$1. "),
+                    r"(fast\S*) ", r"$1! ",
+                ),
+            )
+            out = passage_pairs(dotted, n_sentences=2).persist()
+            n = out.count()
+            bad = out.filter(
+                F.col("anchor").isNull() | F.col("positive").isNull()
+                | (F.col("anchor") == F.col("positive"))
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n > 0)
+        t, (n, ok_pp) = timed("passage_pairs", ppairs)
+        r["ppr_sec"], r["ppr_rows"], r["ppr_ok"] = t, n, ok_pp
+
+        def ict():
+            from meta_frame_spark.operators.chunking import ict_pairs
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            dotted = dd.withColumn(
+                "text",
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("text"), r"(value\S*) ", r"$1. "),
+                    r"(fast\S*) ", r"$1! ",
+                ),
+            )
+            out = ict_pairs(dotted).persist()
+            n = out.count()
+            # the pick must be a real sentence index on every row
+            bad = out.filter(
+                (F.col("query_idx") < 0)
+                | (F.col("query_idx") >= F.col("n_sentences"))
+                | F.col("query").isNull()
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n > 0)
+        t, (n, ok_ic) = timed("ict_pairs", ict)
+        r["ict_sec"], r["ict_rows"], r["ict_ok"] = t, n, ok_ic
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1037,7 +1085,8 @@ def main() -> int:
                 "hres", "bpl", "calib",
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
-                "fert", "umx", "csw", "sovl", "urlq", "ccur"):
+                "fert", "umx", "csw", "sovl", "urlq", "ccur",
+                "ppr", "ict"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1152,6 +1201,12 @@ def main() -> int:
          and b["urlq_rows"] == 10 * a["urlq_rows"]),
         ("coverage curve monotone+saturates", b["ccur_ok"]
          and 9.5 <= b["ccur_total"] / max(a["ccur_total"], 1) <= 10.5),
+        # pair extraction: suffix-robust injection -> exactly x10
+        # pairs, size/index contracts hold on every row
+        ("passage pairs x10, distinct", b["ppr_ok"]
+         and b["ppr_rows"] == 10 * a["ppr_rows"]),
+        ("ict pick in range, x10", b["ict_ok"]
+         and b["ict_rows"] == 10 * a["ict_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
