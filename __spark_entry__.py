@@ -4800,6 +4800,21 @@ def q_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ict_pairs(dotted)
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption examples (Raffel et al. 2020;
+    operators/chunking.span_corruption): deterministic md5-coin token
+    masking, consecutive masked tokens collapsed into numbered
+    <extra_id_K> sentinels, dropped spans emitted as the target. One
+    codegen map over the token array, no shuffle. Full DuckDB oracle:
+    token-grain unnest replays the coins, the run detection (lag),
+    the sentinel numbering (cumsum), and both joined strings
+    byte-exactly."""
+    from meta_frame_spark.operators.chunking import span_corruption
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return span_corruption(docs, mask_rate=0.15)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4872,6 +4887,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "token_fertility", "unimax_mix", "code_switch", "source_overlap",
     "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
+    "span_corruption",
     "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
     "a_keep_columns", "a_chained", "a_derive",
     "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
@@ -5107,6 +5123,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_curve": q_coverage_curve,
         "passage_pairs": q_passage_pairs,
         "ict_pairs": q_ict_pairs,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -9120,5 +9137,56 @@ def oracle_sql() -> dict[str, str]:
                                arr[CAST(i + 2 AS INTEGER):]),
                    ' ') AS context
         FROM ranked WHERE rn = 1
+    """
+    # T5 span corruption replayed at token grain: the md5 coins, the
+    # lag-based run detection, the cumsum sentinel numbers, and both
+    # ordered string_aggs.
+    d["span_corruption"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '\S+') AS arr
+            FROM documents WHERE text IS NOT NULL
+        ), tok AS (
+            SELECT doc_id, len(arr) AS n,
+                   unnest(arr) AS t,
+                   unnest(generate_series(0, len(arr) - 1)) AS i
+            FROM toks WHERE len(arr) > 0
+        ), coin AS (
+            SELECT doc_id, n, t, i,
+                   (('0x' || substr(md5(doc_id || ':' || i), 1, 8))::BIGINT
+                    / 4294967296.0) < 0.15 AS m
+            FROM tok
+        ), flags AS (
+            SELECT doc_id, n, t, i, m,
+                   m AND NOT lag(m, 1, FALSE) OVER (
+                       PARTITION BY doc_id ORDER BY i) AS s
+            FROM coin
+        ), runs AS (
+            SELECT doc_id, n, t, i, m, s,
+                   SUM(CASE WHEN s THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) - 1 AS k
+            FROM flags
+        ), pieces AS (
+            SELECT doc_id, n, i, m, s,
+                   CASE WHEN NOT m THEN t
+                        WHEN s THEN '<extra_id_' || k || '>'
+                   END AS inp,
+                   CASE WHEN s THEN '<extra_id_' || k || '> ' || t
+                        WHEN m THEN t
+                   END AS tgt
+            FROM runs
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(inp, ' ' ORDER BY i)
+                        FILTER (inp IS NOT NULL), '') AS input_text,
+               COALESCE(string_agg(tgt, ' ' ORDER BY i)
+                        FILTER (tgt IS NOT NULL), '') AS target_text,
+               CAST(MAX(n) AS INTEGER) AS n_tokens,
+               CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_masked,
+               CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS INTEGER)
+                   AS n_spans
+        FROM pieces GROUP BY doc_id
     """
     return d

@@ -66,6 +66,7 @@ from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import (
     chunk_documents,
     ict_pairs,
+    span_corruption,
     passage_pairs,
     sentence_passages,
 )
@@ -257,6 +258,7 @@ __all__ = [
     "sentence_passages",
     "passage_pairs",
     "ict_pairs",
+    "span_corruption",
     "winsorize",
     "histogram_fixed",
     "dedup_against",

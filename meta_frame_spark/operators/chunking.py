@@ -284,3 +284,93 @@ def ict_pairs(
             context.alias("context"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_rate: float = 0.15,
+) -> DataFrame:
+    """T5-style span-corruption examples (Raffel et al. 2020 §3.1.4:
+    drop token spans, replace each span with a numbered sentinel, emit
+    the dropped spans as the target): per token the deterministic
+    md5 coin (``md5(doc_id:idx)`` first 8 hex over 2^32 — the repo's
+    portable-coin convention) marks it masked with probability
+    ``mask_rate``; CONSECUTIVE masked tokens collapse into one
+    ``<extra_id_K>`` sentinel (K counts spans left-to-right), and the
+    target lists each sentinel followed by its span's tokens. Output:
+    ``(id_col, input_text, target_text, n_tokens, n_masked,
+    n_spans)``; empty docs are dropped.
+
+    Scale: one codegen map, no shuffle, no Python — a SINGLE
+    ``aggregate`` scan over the token indices carries
+    (input pieces, target pieces, span count, masked count,
+    previous-token-masked) as one accumulator struct, so every
+    subexpression appears once in the plan (the index-HOF formulation
+    re-inlines the mask/run arrays into each other and blows up
+    Catalyst compile time). The per-step array append is O(n) copy —
+    O(n²) per row — so run this AFTER :func:`chunk_documents` bounds
+    the token count, which is where span corruption sits in a real T5
+    pipeline anyway (windows first, then corruption)."""
+    from meta_frame_spark.functions.text import tokens
+
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 1)
+    empty = F.array().cast("array<string>")
+    init = F.struct(
+        empty.alias("inp"),
+        empty.alias("tgt"),
+        F.lit(0).alias("k"),
+        F.lit(0).alias("nm"),
+        F.lit(False).alias("prev"),
+    )
+
+    def step(acc, i):
+        tok = F.element_at(toks, i + 1)
+        h8 = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), i.cast("string")
+                )
+            ),
+            1, 8,
+        )
+        m = (
+            F.conv(h8, 16, 10).cast("double") / F.lit(float(2**32))
+        ) < F.lit(float(mask_rate))
+        start = m & ~acc["prev"]
+        sent = F.concat(
+            F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+        )
+        return F.struct(
+            F.when(~m, F.concat(acc["inp"], F.array(tok)))
+            .when(start, F.concat(acc["inp"], F.array(sent)))
+            .otherwise(acc["inp"])
+            .alias("inp"),
+            F.when(
+                start,
+                F.concat(
+                    acc["tgt"], F.array(F.concat(sent, F.lit(" "), tok))
+                ),
+            )
+            .when(m, F.concat(acc["tgt"], F.array(tok)))
+            .otherwise(acc["tgt"])
+            .alias("tgt"),
+            (acc["k"] + start.cast("int")).alias("k"),
+            (acc["nm"] + m.cast("int")).alias("nm"),
+            m.alias("prev"),
+        )
+
+    acc = F.aggregate(idx, init, step)
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        F.array_join(acc["inp"], " ").alias("input_text"),
+        F.array_join(acc["tgt"], " ").alias("target_text"),
+        n.alias("n_tokens"),
+        acc["nm"].alias("n_masked"),
+        acc["k"].alias("n_spans"),
+    )

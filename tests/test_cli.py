@@ -103,9 +103,10 @@ def test_driver_window_composition():
     # mandatory r7 rotations), so the late-session ops are locally
     # gate-verified at three SFs and take their first driver row in
     # r12 — they must head the queue, ahead of the displaced r8 rows
-    assert list(e.NEXT_WINDOW_QUEUE)[:15] == [
+    assert list(e.NEXT_WINDOW_QUEUE)[:16] == [
         "token_fertility", "unimax_mix", "code_switch", "source_overlap",
         "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
+        "span_corruption",
         "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
         "a_keep_columns", "a_chained", "a_derive"]
     # the r12 queue is a real plan: registered, oracle-backed, and

@@ -716,3 +716,18 @@ def test_pair_extraction_plans_are_map_only(spark, sf_dir):
         plan = _plan(frame)
         for op in ("Exchange", "Join", "Window", "Sort"):
             assert op not in plan, op
+
+
+def test_span_corruption_plan_is_map_only_single_scan(spark, sf_dir):
+    """The corruption example is ONE aggregate scan over the token
+    array — no exchange, join, window, sort, or generate; the plan
+    stays compact (the index-HOF formulation re-inlined the mask/run
+    arrays into each other and exploded Catalyst compile time)."""
+    from meta_frame_spark.operators.chunking import span_corruption
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    plan = _plan(span_corruption(docs))
+    for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
+        assert op not in plan, op

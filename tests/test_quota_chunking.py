@@ -378,3 +378,59 @@ class TestIctPairs:
         b = {(r.doc_id, r.query_idx)
              for r in ict_pairs(df.repartition(13)).collect()}
         assert a == b and len(a) == 40
+
+
+class TestSpanCorruption:
+    def test_python_replay(self, spark):
+        """Spark output == a pure-Python replay of the coin, the run
+        collapse, and the sentinel numbering."""
+        import hashlib
+
+        from meta_frame_spark.operators.chunking import span_corruption
+
+        rows = [(i, "w%d " % i + "alpha beta gamma delta epsilon zeta "
+                 "eta theta iota kappa lam mu nu xi omicron pi")
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r
+               for r in span_corruption(df, mask_rate=0.3).collect()}
+
+        for doc_id, text in rows:
+            toks = text.split()
+            inp, tgt, k, nm, prev = [], [], 0, 0, False
+            for i, t in enumerate(toks):
+                h = hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8]
+                m = int(h, 16) / 2**32 < 0.3
+                start = m and not prev
+                if not m:
+                    inp.append(t)
+                elif start:
+                    inp.append(f"<extra_id_{k}>")
+                    tgt.append(f"<extra_id_{k}> {t}")
+                elif m:
+                    tgt.append(t)
+                k += start
+                nm += m
+                prev = m
+            r = got[doc_id]
+            assert r.input_text == " ".join(inp), doc_id
+            assert r.target_text == " ".join(tgt), doc_id
+            assert (r.n_masked, r.n_spans) == (nm, k), doc_id
+
+    def test_edges_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.chunking import span_corruption
+
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        out = span_corruption(df).collect()
+        # empty/null docs dropped; survivors keep every token accounted
+        assert [r.doc_id for r in out] == [1]
+        r = out[0]
+        assert r.n_tokens == 2 and 0 <= r.n_masked <= 2
+        with _pt.raises(ValueError, match="mask_rate"):
+            span_corruption(df, mask_rate=0.0)
+        with _pt.raises(ValueError, match="mask_rate"):
+            span_corruption(df, mask_rate=1.0)

@@ -1068,6 +1068,27 @@ def main() -> int:
         t, (n, ok_ic) = timed("ict_pairs", ict)
         r["ict_sec"], r["ict_rows"], r["ict_ok"] = t, n, ok_ic
 
+        def spanc():
+            from meta_frame_spark.operators.chunking import span_corruption
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = span_corruption(dd).persist()
+            n = out.count()
+            # every token is accounted for: masked + unmasked input
+            # words (input keeps one sentinel per span, drops the
+            # span's tokens) and the span count bounds masked count
+            bad = out.filter(
+                (F.col("n_masked") > F.col("n_tokens"))
+                | (F.col("n_spans") > F.col("n_masked"))
+                | ((F.col("n_masked") > 0) & (F.col("n_spans") == 0))
+            ).count()
+            masked = out.agg(F.sum("n_masked"), F.sum("n_tokens")).first()
+            frac = masked[0] / masked[1]
+            out.unpersist()
+            return n, bool(bad == 0 and 0.10 <= frac <= 0.20)
+        t, (n, ok_sc) = timed("span_corruption", spanc)
+        r["spanc_sec"], r["spanc_rows"], r["spanc_ok"] = t, n, ok_sc
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1086,7 +1107,7 @@ def main() -> int:
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
-                "ppr", "ict"):
+                "ppr", "ict", "spanc"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1207,6 +1228,10 @@ def main() -> int:
          and b["ppr_rows"] == 10 * a["ppr_rows"]),
         ("ict pick in range, x10", b["ict_ok"]
          and b["ict_rows"] == 10 * a["ict_rows"]),
+        # span corruption: masked fraction tracks the 15% rate at 10x
+        # and the span/mask accounting holds on every row
+        ("span corruption accounting", b["spanc_ok"]
+         and b["spanc_rows"] == 10 * a["spanc_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
