@@ -905,3 +905,58 @@ def test_soft_dedup_weights_python_replay(spark, dups, alpha):
             assert got[nid][0] == n
             assert got[nid][1] == pytest.approx((1.0 / n) ** alpha)
             nid += 1
+
+
+@_settings
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda host, segs, params, frag: (
+                "https://" + host + "/" + "/".join(segs)
+                + ("?" + "&".join(params) if params else "")
+                + ("#" + frag if frag else "")
+            ),
+            st.sampled_from(["ex.com", "a.io"]),
+            st.lists(st.sampled_from(
+                ["p", "2021", "07", "14", "x9", "0"]), max_size=6),
+            st.lists(st.sampled_from(
+                ["a=1", "b=2", "sid=9", "PHPSESSID=z"]), max_size=5),
+            st.sampled_from(["", "frag"]),
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+def test_url_quality_python_replay(spark, urls):
+    """with_url_quality == a pure-Python replay of the frozen
+    fragment/query/path splits and every tell, on generated URLs
+    mixing numeric archive segments, session params, and fragments."""
+    import re
+
+    from meta_frame_spark.functions.web import with_url_quality
+
+    df = spark.createDataFrame(
+        list(enumerate(urls)), "doc_id long, url string"
+    )
+    got = {r.doc_id: r for r in with_url_quality(
+        df, max_params=3, max_depth=4).collect()}
+    for i, u in enumerate(urls):
+        ff = u.split("#")[0]
+        m = re.search(r"\?(.*)$", ff)
+        qs = m.group(1) if m else ""
+        pm = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", ff)
+        path = pm.group(1) if pm else ""
+        params = [p for p in qs.split("&") if p]
+        segs = [s for s in path.split("/") if s]
+        sess = bool(re.search(
+            r"(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)=",
+            qs.lower()))
+        trap = "111" in "".join(
+            "1" if re.fullmatch(r"[0-9]+", s) else "0" for s in segs)
+        r = got[i]
+        assert r.n_params == len(params), u
+        assert r.path_depth == len(segs), u
+        assert r.has_session_id == sess, u
+        assert r.is_calendar_trap == trap, u
+        assert r.url_pass == (
+            len(u) <= 2048 and len(params) <= 3 and len(segs) <= 4
+            and not sess and not trap), u
