@@ -6183,7 +6183,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             j AS (SELECT a.*, w.target_share FROM a JOIN w USING (source)),
             t AS (SELECT MIN(chars / target_share) AS t FROM j)
-            SELECT source, n_rows, CAST(chars AS BIGINT) AS chars, target_share,
+            SELECT source, n_rows, CAST(chars AS BIGINT) AS chars,
+                   CAST(target_share AS DOUBLE) AS target_share,
                    ROUND(LEAST(1.0, target_share * t.t / chars), 6) AS keep_frac
             FROM j, t
         """,
@@ -8641,8 +8642,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         seg AS (
             SELECT doc_id, frame_idx, frame_sig,
-                   SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
-                                  ROWS UNBOUNDED PRECEDING) - 1 AS seg_idx
+                   -- DuckDB windowed SUM(int) is HUGEINT -> decimal128
+                   -- on the Arrow path; cast so the oracle's seg_idx
+                   -- is int64 like Spark's (VERDICT r11 #1).
+                   CAST(SUM(cut) OVER (PARTITION BY doc_id
+                                       ORDER BY frame_idx
+                                       ROWS UNBOUNDED PRECEDING) - 1
+                        AS BIGINT) AS seg_idx
             FROM cuts
         )
         SELECT doc_id, seg_idx, MIN(frame_idx) AS start_frame,

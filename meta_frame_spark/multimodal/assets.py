@@ -466,5 +466,5 @@ def video_scene_segments(
     return seg.groupBy(id_col, "seg_idx").agg(
         F.min("frame_idx").alias("start_frame"),
         F.count(F.lit(1)).alias("seg_frames"),
-        F.first("frame_sig").alias("frame_sig"),
+        F.min("frame_sig").alias("frame_sig"),
     )
