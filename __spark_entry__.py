@@ -9009,8 +9009,8 @@ def oracle_sql() -> dict[str, str]:
                         x -> length(x) > 0)) AS INTEGER) AS n_params,
                    CAST(len(list_filter(string_split(path, '/'),
                         x -> length(x) > 0)) AS INTEGER) AS path_depth,
-                   regexp_matches(lower(qs),
-                       '(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)=')
+                   regexp_matches(lower(path || '&' || qs),
+                       '(^|&|;)(sid|sessionid|session_id|phpsessid|jsessionid)=')
                        AS has_session_id,
                    contains(array_to_string(list_transform(
                        list_filter(string_split(path, '/'),
@@ -9187,7 +9187,11 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(string_agg(inp, ' ' ORDER BY i)
                         FILTER (inp IS NOT NULL), '') AS input_text,
                COALESCE(string_agg(tgt, ' ' ORDER BY i)
-                        FILTER (tgt IS NOT NULL), '') AS target_text,
+                        FILTER (tgt IS NOT NULL), '')
+               || CASE WHEN SUM(CASE WHEN s THEN 1 ELSE 0 END) > 0
+                       THEN ' <extra_id_'
+                            || SUM(CASE WHEN s THEN 1 ELSE 0 END) || '>'
+                       ELSE '' END AS target_text,
                CAST(MAX(n) AS INTEGER) AS n_tokens,
                CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS INTEGER)
                    AS n_masked,

@@ -69,8 +69,10 @@ def url_host(url: str | Column) -> Column:
 #: RE2-portable scheme://host prefix; group 1 captures the path
 _URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
 #: session-id parameter names (case-insensitive, anchored to a
-#: parameter boundary) — the classic crawler-trap tell
-_SESSION_RE = r"(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)="
+#: parameter boundary) — the classic crawler-trap tell. The ';'
+#: alternation catches the servlet path form (/page;jsessionid=abc)
+#: and ;-delimited query params, scanned over path + query together.
+_SESSION_RE = r"(^|&|;)(sid|sessionid|session_id|phpsessid|jsessionid)="
 
 
 def with_url_quality(
@@ -119,7 +121,8 @@ def with_url_quality(
     )
     n_params = F.size(params)
     depth = F.size(segs)
-    has_sess = F.lower(query).rlike(_SESSION_RE)
+    # scan path AND query: servlet URLs embed ;jsessionid= in the path
+    has_sess = F.lower(F.concat_ws("&", path, query)).rlike(_SESSION_RE)
     trap = numeric_mask.contains("111")
     ok = (
         (F.length(c) <= max_len)

@@ -243,7 +243,11 @@ def ict_pairs(
     convention), so reruns, partitionings, and the DuckDB oracle all
     pick the same sentence; ties cannot occur (digests are distinct
     inputs). Documents with fewer than ``min_sentences`` sentences
-    are dropped. Output: ``(id_col, n_sentences, query_idx, query,
+    are dropped, and so are NULL-``id_col`` rows — a null id would
+    null every digest and degrade the pick to the index tiebreak,
+    silently breaking the portable-coin contract, so they are
+    excluded like the too-short documents rather than kept with a
+    biased pick. Output: ``(id_col, n_sentences, query_idx, query,
     context)``.
 
     Scale: one codegen map — the pick is an in-row ``array_max``
@@ -275,7 +279,7 @@ def ict_pairs(
         F.filter(sents, lambda s, j: j != best), " "
     )
     return (
-        df.filter(n >= min_sentences)
+        df.filter(F.col(id_col).isNotNull() & (n >= min_sentences))
         .select(
             F.col(id_col),
             n.alias("n_sentences"),
@@ -291,6 +295,8 @@ def span_corruption(
     text_col: str = "text",
     id_col: str = "doc_id",
     mask_rate: float = 0.15,
+    max_tokens: int = 4096,
+    truncate: bool = False,
 ) -> DataFrame:
     """T5-style span-corruption examples (Raffel et al. 2020 §3.1.4:
     drop token spans, replace each span with a numbered sentinel, emit
@@ -298,10 +304,18 @@ def span_corruption(
     md5 coin (``md5(doc_id:idx)`` first 8 hex over 2^32 — the repo's
     portable-coin convention) marks it masked with probability
     ``mask_rate``; CONSECUTIVE masked tokens collapse into one
-    ``<extra_id_K>`` sentinel (K counts spans left-to-right), and the
-    target lists each sentinel followed by its span's tokens. Output:
-    ``(id_col, input_text, target_text, n_tokens, n_masked,
-    n_spans)``; empty docs are dropped.
+    ``<extra_id_K>`` sentinel (K counts spans left-to-right), the
+    target lists each sentinel followed by its span's tokens, and —
+    per the T5 target format — the target ends with the terminal
+    sentinel ``<extra_id_n_spans>`` whenever at least one span was
+    dropped. Output: ``(id_col, input_text, target_text, n_tokens,
+    n_masked, n_spans)``; empty docs are dropped.
+
+    Corruption model: the mask is an i.i.d. PER-TOKEN coin, so span
+    lengths are geometric with mean ``1/(1-mask_rate)`` (~1.2 at the
+    0.15 default) — a documented variant of T5's span-level sampling
+    (mean span length 3). The sentinel numbering, collapse, and
+    target layout follow the paper exactly.
 
     Scale: one codegen map, no shuffle, no Python — a SINGLE
     ``aggregate`` scan over the token indices carries
@@ -312,12 +326,42 @@ def span_corruption(
     Catalyst compile time). The per-step array append is O(n) copy —
     O(n²) per row — so run this AFTER :func:`chunk_documents` bounds
     the token count, which is where span corruption sits in a real T5
-    pipeline anyway (windows first, then corruption)."""
+    pipeline anyway (windows first, then corruption). That precondition
+    is ENFORCED: a document over ``max_tokens`` tokens raises at run
+    time (fail-loud, the repo convention) unless ``truncate=True``
+    opts into processing only the first ``max_tokens`` tokens."""
     from meta_frame_spark.functions.text import tokens
 
     if not 0.0 < mask_rate < 1.0:
         raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
-    toks = tokens(text_col)
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    raw = tokens(text_col)
+    if truncate:
+        toks = F.slice(raw, 1, max_tokens)
+    else:
+        # fail-loud guard against unchunked inputs: the accumulator
+        # append is O(n²) per row, so a stray 100k-token page would
+        # quietly burn quadratic time inside one task. assert_true
+        # returns NULL on pass, so fusing it into the token array
+        # keeps the check in the plan without an extra column.
+        # coalesce: NULL text -> NULL size -> pass the guard here and
+        # drop at the n > 0 filter like every other empty doc
+        ok = F.assert_true(
+            F.coalesce(F.size(raw) <= max_tokens, F.lit(True)),
+            F.concat(
+                F.lit(
+                    "span_corruption: document exceeds max_tokens="
+                    f"{max_tokens} ("
+                ),
+                F.size(raw).cast("string"),
+                F.lit(
+                    " tokens); run chunk_documents first or pass "
+                    "truncate=True"
+                ),
+            ),
+        )
+        toks = F.when(ok.isNull(), raw)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - 1)
     empty = F.array().cast("array<string>")
@@ -366,10 +410,18 @@ def span_corruption(
         )
 
     acc = F.aggregate(idx, init, step)
+    # T5 target format: terminate the target with the final sentinel
+    # <extra_id_n_spans> whenever any span was dropped
+    terminal = F.concat(
+        F.lit("<extra_id_"), acc["k"].cast("string"), F.lit(">")
+    )
+    tgt = F.when(
+        acc["k"] > 0, F.concat(acc["tgt"], F.array(terminal))
+    ).otherwise(acc["tgt"])
     return df.filter(n > 0).select(
         F.col(id_col),
         F.array_join(acc["inp"], " ").alias("input_text"),
-        F.array_join(acc["tgt"], " ").alias("target_text"),
+        F.array_join(tgt, " ").alias("target_text"),
         n.alias("n_tokens"),
         acc["nm"].alias("n_masked"),
         acc["k"].alias("n_spans"),

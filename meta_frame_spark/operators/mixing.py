@@ -286,13 +286,22 @@ def unimax_allocation(
         remaining -= alloc
         out.append(
             (
-                str(r[group_col]),
+                r[group_col],
                 size,
                 alloc,
                 (alloc / size) if size > 0 else 0.0,
             )
         )
-    return df.sparkSession.createDataFrame(
-        out,
-        f"{group_col} string, n_units double, alloc double, epochs double",
+    # preserve the group column's input type (int domain ids stay
+    # ints, NULL stays NULL) so the output joins back to the corpus
+    # or a downstream mix_plan keyed on the original column
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [StructField(group_col, df.schema[group_col].dataType)]
+        + [
+            StructField(c, DoubleType())
+            for c in ("n_units", "alloc", "epochs")
+        ]
     )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -410,7 +410,12 @@ def _op_soft_dedup(
     .soft_dedup_weights) as ``weight_col`` instead of dropping
     duplicates — feed a later ``budget_select``/``sample_per_group``
     stage, or export the weights with the corpus. NOT stream-safe
-    (cluster sizes are whole-corpus state)."""
+    (cluster sizes are whole-corpus state).
+
+    ``id_col`` must uniquely identify rows (the doc-id contract shared
+    with every dedup step); duplicated ids would multiply rows at the
+    attach join. NULL ids are kept — the attach is null-safe, matching
+    soft_dedup_weights' own eqNullSafe clustering."""
     if weight_col in df.columns or f"{weight_col}_dup_count" in df.columns:
         raise ConfigError(
             f"soft_dedup: output columns {weight_col!r}/"
@@ -421,11 +426,16 @@ def _op_soft_dedup(
     w = soft_dedup_weights(
         df, text_col=text_col, id_col=id_col, alpha=alpha
     ).select(
-        id_col,
+        F.col(id_col).alias("_sd_id"),
         F.col("dup_count").alias(f"{weight_col}_dup_count"),
         F.col("weight").alias(weight_col),
     )
-    return df.join(w, id_col)
+    # null-safe: a NULL doc_id has a weight row too (soft_dedup_weights
+    # clusters null texts via eqNullSafe); a plain equi-join would
+    # silently drop it here and change the row count
+    return df.join(
+        w, F.col(id_col).eqNullSafe(F.col("_sd_id"))
+    ).drop("_sd_id")
 
 
 def _op_cache(df: DataFrame) -> DataFrame:

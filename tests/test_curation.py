@@ -747,6 +747,16 @@ def test_soft_dedup_step(spark):
     assert "soft_dedup" not in STREAM_SAFE_OPS
     with pytest.raises(ConfigError, match="collide"):
         run_curation(out, {"steps": [{"op": "soft_dedup"}]})
+    # the attach join is null-safe: a NULL doc_id keeps its weight row
+    # instead of being silently dropped (ADVICE r11)
+    df_null = spark.createDataFrame(
+        [(None, "dup text"), (2, "dup  TEXT"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    out_null = run_curation(df_null, {"steps": [{"op": "soft_dedup"}]})
+    assert out_null.count() == 3
+    got = {r.doc_id: r for r in out_null.collect()}
+    assert got[None].weight == pytest.approx(0.5)
 
 
 def test_full_web_cleaning_chain_streams(spark, tmp_path):

@@ -918,9 +918,11 @@ def test_soft_dedup_weights_python_replay(spark, dups, alpha):
             ),
             st.sampled_from(["ex.com", "a.io"]),
             st.lists(st.sampled_from(
-                ["p", "2021", "07", "14", "x9", "0"]), max_size=6),
+                ["p", "2021", "07", "14", "x9", "0",
+                 "page;jsessionid=C0FFEE"]), max_size=6),
             st.lists(st.sampled_from(
-                ["a=1", "b=2", "sid=9", "PHPSESSID=z"]), max_size=5),
+                ["a=1", "b=2", "sid=9", "PHPSESSID=z",
+                 "c=3;jsessionid=d"]), max_size=5),
             st.sampled_from(["", "frag"]),
         ),
         min_size=1, max_size=8,
@@ -948,8 +950,8 @@ def test_url_quality_python_replay(spark, urls):
         params = [p for p in qs.split("&") if p]
         segs = [s for s in path.split("/") if s]
         sess = bool(re.search(
-            r"(^|&)(sid|sessionid|session_id|phpsessid|jsessionid)=",
-            qs.lower()))
+            r"(^|&|;)(sid|sessionid|session_id|phpsessid|jsessionid)=",
+            (path + "&" + qs).lower()))
         trap = "111" in "".join(
             "1" if re.fullmatch(r"[0-9]+", s) else "0" for s in segs)
         r = got[i]

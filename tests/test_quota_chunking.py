@@ -367,6 +367,13 @@ class TestIctPairs:
         assert [r.doc_id for r in out] == [3]
         with _pt.raises(ValueError, match="min_sentences"):
             ict_pairs(df, min_sentences=1)
+        # NULL id breaks the md5 coin (every digest null -> biased
+        # index-tiebreak pick), so the row is dropped, not kept
+        df_null = spark.createDataFrame(
+            [(None, "Two here. And there."), (7, "A one. A two.")],
+            "doc_id long, text string",
+        )
+        assert [r.doc_id for r in ict_pairs(df_null).collect()] == [7]
 
     def test_partition_invariant(self, spark):
         from meta_frame_spark.operators.chunking import ict_pairs
@@ -412,6 +419,8 @@ class TestSpanCorruption:
                 k += start
                 nm += m
                 prev = m
+            if k > 0:  # T5 terminal sentinel
+                tgt.append(f"<extra_id_{k}>")
             r = got[doc_id]
             assert r.input_text == " ".join(inp), doc_id
             assert r.target_text == " ".join(tgt), doc_id
@@ -434,3 +443,48 @@ class TestSpanCorruption:
             span_corruption(df, mask_rate=0.0)
         with _pt.raises(ValueError, match="mask_rate"):
             span_corruption(df, mask_rate=1.0)
+        with _pt.raises(ValueError, match="max_tokens"):
+            span_corruption(df, max_tokens=0)
+
+    def test_max_tokens_guard_and_truncate(self, spark):
+        """The O(n²)-per-row accumulator is guarded: a document over
+        max_tokens fails LOUDLY unless truncate=True opts into
+        processing the first max_tokens tokens; a document exactly at
+        the boundary passes (VERDICT r11 #4)."""
+        import pytest as _pt
+
+        from meta_frame_spark.operators.chunking import span_corruption
+
+        at = " ".join(f"t{i}" for i in range(8))
+        over = " ".join(f"t{i}" for i in range(9))
+        df_at = spark.createDataFrame(
+            [(1, at)], "doc_id long, text string"
+        )
+        df_over = spark.createDataFrame(
+            [(2, over)], "doc_id long, text string"
+        )
+        assert span_corruption(df_at, max_tokens=8).first().n_tokens == 8
+        with _pt.raises(Exception, match="max_tokens=8"):
+            span_corruption(df_over, max_tokens=8).collect()
+        # truncate=True processes exactly the first max_tokens tokens
+        r = span_corruption(df_over, max_tokens=8, truncate=True).first()
+        assert r.n_tokens == 8
+        assert "t8" not in r.input_text and "t8" not in r.target_text
+
+    def test_terminal_sentinel_closes_target(self, spark):
+        """Whenever any span is dropped the target ends with the
+        terminal sentinel <extra_id_n_spans>; a doc with zero masked
+        tokens has an empty target and no sentinel."""
+        from meta_frame_spark.operators.chunking import span_corruption
+
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(30)))
+                for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        saw_spans = False
+        for r in span_corruption(df, mask_rate=0.3).collect():
+            if r.n_spans > 0:
+                saw_spans = True
+                assert r.target_text.endswith(f"<extra_id_{r.n_spans}>")
+            else:
+                assert r.target_text == ""
+        assert saw_spans

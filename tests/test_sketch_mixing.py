@@ -305,3 +305,21 @@ class TestUnimaxAllocation:
             unimax_allocation(df, "grp", budget=0.0)
         with _pt.raises(ValueError, match="max_epochs"):
             unimax_allocation(df, "grp", budget=1.0, max_epochs=0)
+
+    def test_group_type_and_null_preserved(self, spark):
+        """Non-string group values keep their input type (int domain
+        ids stay LongType) and a NULL group stays NULL — not the
+        string 'None' — so the output joins back to the corpus."""
+        from pyspark.sql.types import LongType
+
+        from meta_frame_spark.operators.mixing import unimax_allocation
+
+        rows = [(1, 0)] * 4 + [(2, 0)] * 8 + [(None, 0)] * 2
+        df = spark.createDataFrame(rows, "dom long, x long")
+        out = unimax_allocation(df, "dom", budget=7.0)
+        assert out.schema["dom"].dataType == LongType()
+        got = {r.dom: r.n_units for r in out.collect()}
+        assert got == {1: 4.0, 2: 8.0, None: 2.0}
+        # joinable back to the corpus on the original typed key
+        joined = df.join(out, df["dom"].eqNullSafe(out["dom"]))
+        assert joined.count() == len(rows)
