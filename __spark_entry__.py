@@ -4815,6 +4815,29 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption(docs, mask_rate=0.15)
 
 
+def q_curation_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-declared CCNet perplexity-tail drop (plans/curation.py
+    lm_gate, VERDICT r11 #5): fit a unigram LM on the corpus itself
+    (top-100 vocab, count-1 OOV floor — operators/scoring), score
+    every document by average negative log-likelihood, and keep
+    documents at or below the exact 0.8 percentile of the score — the
+    "drop the worst-PPL fifth" stage as ONE registry step instead of
+    hand-wiring. Full oracle: DuckDB refits the model (same vocab
+    tie-break), rescores every doc, and replays the quantile_cont
+    cutoff and the gate."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_curation(
+        docs,
+        {"steps": [{"op": "lm_gate", "top_v": 100, "max_quantile": 0.8,
+                    "score_col": "lm_score"}]},
+    )
+    return out.select(
+        "doc_id", "source", F.round("lm_score", 6).alias("lm_score")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5124,6 +5147,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_pairs": q_passage_pairs,
         "ict_pairs": q_ict_pairs,
         "span_corruption": q_span_corruption,
+        "curation_lm": q_curation_lm,
     }
 
 
@@ -9198,5 +9222,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS INTEGER)
                    AS n_spans
         FROM pieces GROUP BY doc_id
+    """
+    # CCNet perplexity-tail drop, refit + rescored + gate replayed:
+    # top-100 unigram vocab (count desc, token asc tie-break), OOV
+    # count-1 floor, exact interpolating 0.8-quantile cutoff.
+    d["curation_lm"] = r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS token
+            FROM documents
+        ),
+        counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+        vocab AS (SELECT token, cnt FROM counts
+                  ORDER BY cnt DESC, token ASC LIMIT 100),
+        scored AS (
+            SELECT t.doc_id,
+                   AVG(-ln(COALESCE(v.cnt, 1) / total.total)) AS s
+            FROM tok t LEFT JOIN vocab v USING (token), total
+            GROUP BY t.doc_id
+        ),
+        cut AS (SELECT quantile_cont(s, 0.8) AS c FROM scored)
+        SELECT d.doc_id, d.source, ROUND(sc.s, 6) AS lm_score
+        FROM documents d JOIN scored sc USING (doc_id), cut
+        WHERE sc.s <= cut.c
     """
     return d

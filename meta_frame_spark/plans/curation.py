@@ -438,6 +438,88 @@ def _op_soft_dedup(
     ).drop("_sd_id")
 
 
+def _op_lm_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: str = "unigram",
+    top_v: int = 10_000,
+    max_quantile: float = 0.9,
+    score_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style perplexity-tail drop (Wenzek et al. 2020): fit a
+    unigram (or stupid-backoff bigram, ``model='bigram'``) LM on the
+    frame itself (operators/scoring), score every document by its
+    average negative log-likelihood, and KEEP documents at or below
+    the ``max_quantile`` percentile of the score — the config-declared
+    "drop the worst-PPL tail" stage that previously needed
+    hand-wiring. ``score_col`` optionally retains the score; the
+    default schema passes through unchanged.
+
+    Rows without a score are dropped: NULL text under either model,
+    and sub-2-token documents under the bigram model — a perplexity
+    gate has no evidence for them. ``id_col`` must uniquely identify
+    rows (the doc-id contract); the attach join is null-safe.
+
+    NOT stream-safe (the model and the cutoff are whole-corpus
+    state). Scale: fit is one token groupBy with map-side partials and
+    a broadcast top-``top_v`` vocab; scoring probes the broadcast
+    vocab map-side and aggregates once per doc; the cutoff is a 1-row
+    aggregate cross-joined back. ``exact=True`` uses an exact
+    percentile (oracle-matched; collects the per-group score vector on
+    one task) — at real corpus scale pass ``exact=False`` for
+    ``percentile_approx`` with ``accuracy``."""
+    if model not in ("unigram", "bigram"):
+        raise ConfigError(
+            f"lm_gate: unknown model {model!r}; use 'unigram' or 'bigram'"
+        )
+    if not 0.0 < max_quantile <= 1.0:
+        raise ConfigError(
+            f"lm_gate: max_quantile must be in (0, 1], got {max_quantile}"
+        )
+    if score_col and score_col in df.columns:
+        raise ConfigError(
+            f"lm_gate: score_col {score_col!r} collides with an input column"
+        )
+    from meta_frame_spark.operators.scoring import (
+        bigram_logprob,
+        bigram_vocab,
+        unigram_logprob,
+        unigram_vocab,
+    )
+
+    if model == "unigram":
+        vocab, total = unigram_vocab(df, text_col, top_v)
+        scores = unigram_logprob(df, vocab, total, text_col, id_col)
+    else:
+        unigrams, total = unigram_vocab(df, text_col, top_v)
+        bigrams = bigram_vocab(df, text_col, top_v)
+        scores = bigram_logprob(
+            df, bigrams, unigrams, total, text_col, id_col
+        )
+    s = scores.select(
+        F.col(id_col).alias("_lm_id"),
+        F.col("avg_neg_logprob").alias("_lm_score"),
+    )
+    q = F.lit(float(max_quantile))
+    cut = s.agg(
+        (
+            F.percentile(F.col("_lm_score"), q)
+            if exact
+            else F.percentile_approx(F.col("_lm_score"), q, F.lit(accuracy))
+        ).alias("_lm_cut")
+    )
+    gated = (
+        df.join(s, F.col(id_col).eqNullSafe(F.col("_lm_id")))
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("_lm_score") <= F.col("_lm_cut"))
+    )
+    keep = [F.col("_lm_score").alias(score_col)] if score_col else []
+    return gated.select(*df.columns, *keep)
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -491,6 +573,7 @@ CURATION_OPS: dict[str, Callable] = {
     "blocklist_gate": _op_blocklist_gate,
     "url_gate": _op_url_gate,
     "soft_dedup": _op_soft_dedup,
+    "lm_gate": _op_lm_gate,
     "fix_encoding": _op_fix_encoding,
     "select": _op_select,
     "derive": _op_derive,
@@ -536,6 +619,8 @@ _EXTRA_KEYS = {
     "blocklist_gate": {"text_col", "blocklist", "max_score"},
     "url_gate": {"url_col", "max_len", "max_params", "max_depth"},
     "soft_dedup": {"text_col", "id_col", "alpha", "weight_col"},
+    "lm_gate": {"text_col", "id_col", "model", "top_v", "max_quantile",
+                "score_col", "exact", "accuracy"},
     "fix_encoding": {"text_col", "out_col"},
     "cache": set(),
 }

@@ -759,6 +759,57 @@ def test_soft_dedup_step(spark):
     assert got[None].weight == pytest.approx(0.5)
 
 
+def test_lm_gate_step(spark):
+    """lm_gate drops the worst-perplexity tail (CCNet stage): the
+    self-fit unigram LM scores the gibberish doc far above the bulk,
+    the exact median cutoff keeps only the common-text docs; score_col
+    retains the score; NULL text has no score and is dropped;
+    validation raises; NOT stream-safe."""
+    import pytest
+
+    from meta_frame_spark.plans.curation import (
+        ConfigError,
+        STREAM_SAFE_OPS,
+        run_curation,
+    )
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(4)] + [
+        (9, "zq xv jk wq zz yy qq vv xx kk"),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_curation(
+        df,
+        {"steps": [{"op": "lm_gate", "top_v": 20, "max_quantile": 0.5,
+                    "score_col": "lm_score"}]},
+    )
+    got = {r.doc_id: r.lm_score for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}  # gibberish + null-text dropped
+    assert out.columns == ["doc_id", "text", "lm_score"]
+    # bigram model: top_v=10 keeps only the cnt-4 common bigrams in
+    # the table, so the gibberish doc's singleton bigrams hit the
+    # 0.4 * unigram-floor backoff and score far above the bulk (with
+    # a top_v covering ALL bigrams its unique pairs would score
+    # p=1/1 — self-fit stupid backoff rewards singletons)
+    out_bg = run_curation(
+        df,
+        {"steps": [{"op": "lm_gate", "model": "bigram", "top_v": 10,
+                    "max_quantile": 0.5}]},
+    )
+    assert 9 not in {r.doc_id for r in out_bg.collect()}
+    assert out_bg.columns == ["doc_id", "text"]  # schema pass-through
+    assert "lm_gate" not in STREAM_SAFE_OPS
+    with pytest.raises(ConfigError, match="model"):
+        run_curation(df, {"steps": [{"op": "lm_gate", "model": "ngram"}]})
+    with pytest.raises(ConfigError, match="max_quantile"):
+        run_curation(df, {"steps": [{"op": "lm_gate", "max_quantile": 0.0}]})
+    with pytest.raises(ConfigError, match="collide"):
+        run_curation(df, {"steps": [{"op": "lm_gate", "score_col": "text"}]})
+    with pytest.raises(ConfigError):
+        run_curation(df, {"steps": [{"op": "lm_gate", "bogus_kw": 1}]})
+
+
 def test_full_web_cleaning_chain_streams(spark, tmp_path):
     """The complete rule-tier cleaning recipe — url_gate, fix_encoding,
     c4_gate, gopher_gate, repetition_gate, blocklist_gate, lang_gate —
