@@ -4838,6 +4838,20 @@ def q_curation_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fim_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022;
+    operators/chunking.fim_examples): deterministic md5-coin apply
+    decision and two uniform token cut points, PSM sentinel layout
+    ``<PRE> prefix <SUF> suffix <MID> middle``, AR pass-through for
+    the unapplied fraction. Pure map, no shuffle. Full DuckDB oracle:
+    every coin, both cut points, all three slices, and the sentinel
+    concatenation replayed byte-exactly."""
+    from meta_frame_spark.operators.chunking import fim_examples
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return fim_examples(docs, fim_rate=0.9, mode="psm")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5148,6 +5162,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ict_pairs": q_ict_pairs,
         "span_corruption": q_span_corruption,
         "curation_lm": q_curation_lm,
+        "fim_examples": q_fim_examples,
     }
 
 
@@ -9246,5 +9261,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source, ROUND(sc.s, 6) AS lm_score
         FROM documents d JOIN scored sc USING (doc_id), cut
         WHERE sc.s <= cut.c
+    """
+    # FIM replayed exactly: the apply coin, both uniform cut points
+    # over n+1 positions, the three slices, the PSM sentinel layout,
+    # and the AR pass-through for the unapplied fraction.
+    d["fim_examples"] = r"""
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), b AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   (('0x' || substr(md5(doc_id || ':fim'), 1, 8))::BIGINT
+                    / 4294967296.0) < 0.9 AS ap,
+                   CAST(floor(
+                       (('0x' || substr(md5(doc_id || ':fim:a'), 1, 8))
+                        ::BIGINT / 4294967296.0) * (len(toks) + 1))
+                       AS BIGINT) AS c1,
+                   CAST(floor(
+                       (('0x' || substr(md5(doc_id || ':fim:b'), 1, 8))
+                        ::BIGINT / 4294967296.0) * (len(toks) + 1))
+                       AS BIGINT) AS c2
+            FROM t WHERE len(toks) > 0
+        ), s AS (
+            SELECT doc_id, toks, n, ap,
+                   LEAST(c1, c2) AS i, GREATEST(c1, c2) AS j
+            FROM b
+        )
+        SELECT doc_id, ap AS fim_applied,
+               -- COALESCE: DuckDB array_to_string of an EMPTY list is
+               -- NULL (Spark array_join is ''), and || propagates it
+               CASE WHEN ap THEN
+                    '<fim_prefix>'
+                    || COALESCE(array_to_string(toks[1:i], ' '), '')
+                    || '<fim_suffix>'
+                    || COALESCE(array_to_string(toks[j+1:n], ' '), '')
+                    || '<fim_middle>'
+                    || COALESCE(array_to_string(toks[i+1:j], ' '), '')
+               ELSE array_to_string(toks, ' ') END AS input_text,
+               CAST(n AS INTEGER) AS n_tokens,
+               CASE WHEN ap THEN CAST(i AS INTEGER) END AS prefix_len,
+               CASE WHEN ap THEN CAST(j - i AS INTEGER) END AS middle_len,
+               CASE WHEN ap THEN CAST(n - j AS INTEGER) END AS suffix_len
+        FROM s
     """
     return d

@@ -426,3 +426,99 @@ def span_corruption(
         acc["nm"].alias("n_masked"),
         acc["k"].alias("n_spans"),
     )
+
+
+def fim_examples(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.9,
+    mode: str = "psm",
+    pre_token: str = "<fim_prefix>",
+    mid_token: str = "<fim_middle>",
+    suf_token: str = "<fim_suffix>",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    with probability ``fim_rate`` split the document's whitespace
+    tokens at two uniform cut points into (prefix, middle, suffix)
+    and emit the sentinel-delimited FIM layout —
+
+    * ``mode='psm'``: ``<PRE> prefix <SUF> suffix <MID> middle``
+    * ``mode='spm'``: ``<PRE> <SUF> suffix <MID> prefix middle``
+      (the paper's SPM variant, §D) —
+
+    else emit the plain token stream (the AR fraction the paper keeps
+    for left-to-right capability). All three coins are the repo's
+    portable md5 convention (``md5(doc_id ':fim'[':a'|':b']``, first
+    8 hex over 2^32), so reruns, partitionings, and the DuckDB oracle
+    replay every split byte-exactly; cut points are
+    ``floor(u * (n_tokens + 1))`` each, low/high ordered, so empty
+    prefix/middle/suffix are all reachable exactly as in the paper's
+    character-level splitting. Output: ``(id_col, fim_applied,
+    input_text, n_tokens, prefix_len, middle_len, suffix_len)``
+    (token counts; NULL when not applied). Empty/NULL docs drop.
+
+    Note ``input_text`` for the AR fraction is the space-joined token
+    stream — whitespace-normalized, like every token-grain op here.
+
+    Scale: pure map — per-row slices over one shared token array, no
+    shuffle, no Python, no data movement at any corpus size."""
+    from meta_frame_spark.functions.text import tokens
+
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1], got {fim_rate}")
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    toks = tokens(text_col)
+    n = F.size(toks)
+
+    def coin(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(id_col).cast("string"), F.lit(tag)
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(float(2**32))
+        )
+
+    applied = coin("fim") < F.lit(float(fim_rate))
+    c1 = F.floor(coin("fim:a") * (n + 1)).cast("int")
+    c2 = F.floor(coin("fim:b") * (n + 1)).cast("int")
+    i = F.least(c1, c2)
+    j = F.greatest(c1, c2)
+    prefix = F.array_join(F.slice(toks, 1, i), " ")
+    middle = F.array_join(F.slice(toks, i + 1, j - i), " ")
+    suffix = F.array_join(F.slice(toks, j + 1, n - j), " ")
+    if mode == "psm":
+        fim_text = F.concat(
+            F.lit(pre_token), prefix, F.lit(suf_token), suffix,
+            F.lit(mid_token), middle,
+        )
+    else:
+        # SPM continues prefix -> middle as ONE contiguous span (the
+        # paper's point: no sentinel between them), so at token grain
+        # they rejoin with the normal separator: tokens [0, j)
+        fim_text = F.concat(
+            F.lit(pre_token), F.lit(suf_token), suffix,
+            F.lit(mid_token), F.array_join(F.slice(toks, 1, j), " "),
+        )
+    null_int = F.lit(None).cast("int")
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        applied.alias("fim_applied"),
+        F.when(applied, fim_text)
+        .otherwise(F.array_join(toks, " "))
+        .alias("input_text"),
+        n.alias("n_tokens"),
+        F.when(applied, i).otherwise(null_int).alias("prefix_len"),
+        F.when(applied, j - i).otherwise(null_int).alias("middle_len"),
+        F.when(applied, n - j).otherwise(null_int).alias("suffix_len"),
+    )

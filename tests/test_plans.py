@@ -731,3 +731,17 @@ def test_span_corruption_plan_is_map_only_single_scan(spark, sf_dir):
     plan = _plan(span_corruption(docs))
     for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
         assert op not in plan, op
+
+
+def test_fim_plan_is_map_only(spark, sf_dir):
+    """FIM is per-row slices over one shared token array — no
+    exchange, join, window, sort, or generate in either mode."""
+    from meta_frame_spark.operators.chunking import fim_examples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    for mode in ("psm", "spm"):
+        plan = _plan(fim_examples(docs, mode=mode))
+        for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
+            assert op not in plan, op

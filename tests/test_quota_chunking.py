@@ -488,3 +488,83 @@ class TestSpanCorruption:
             else:
                 assert r.target_text == ""
         assert saw_spans
+
+
+class TestFimExamples:
+    def test_python_replay_both_modes(self, spark):
+        """Spark output == a pure-Python replay of the apply coin,
+        both cut points, the slices, and the sentinel layouts."""
+        import hashlib
+
+        from meta_frame_spark.operators.chunking import fim_examples
+
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(14)))
+                for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def u(doc_id, tag):
+            h = hashlib.md5(f"{doc_id}:{tag}".encode()).hexdigest()[:8]
+            return int(h, 16) / 2**32
+
+        for mode in ("psm", "spm"):
+            got = {r.doc_id: r for r in
+                   fim_examples(df, fim_rate=0.6, mode=mode).collect()}
+            saw_applied = saw_plain = False
+            for doc_id, text in rows:
+                toks = text.split()
+                n = len(toks)
+                ap = u(doc_id, "fim") < 0.6
+                c1 = int(u(doc_id, "fim:a") * (n + 1))
+                c2 = int(u(doc_id, "fim:b") * (n + 1))
+                i, j = min(c1, c2), max(c1, c2)
+                pre, mid, suf = (" ".join(toks[:i]), " ".join(toks[i:j]),
+                                 " ".join(toks[j:]))
+                if not ap:
+                    expect = " ".join(toks)
+                elif mode == "psm":
+                    expect = (f"<fim_prefix>{pre}<fim_suffix>{suf}"
+                              f"<fim_middle>{mid}")
+                else:
+                    # SPM: prefix->middle is one contiguous span
+                    expect = (f"<fim_prefix><fim_suffix>{suf}"
+                              f"<fim_middle>{' '.join(toks[:j])}")
+                r = got[doc_id]
+                assert r.fim_applied == ap, doc_id
+                assert r.n_tokens == n, doc_id
+                if ap:
+                    saw_applied = True
+                    assert (r.prefix_len, r.middle_len, r.suffix_len) == \
+                        (i, j - i, n - j), doc_id
+                else:
+                    saw_plain = True
+                    assert r.prefix_len is None
+                assert r.input_text == expect, (doc_id, mode)
+            assert saw_applied and saw_plain
+
+    def test_spm_layout_and_rate_edges(self, spark):
+        from meta_frame_spark.operators.chunking import fim_examples
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        # rate 0: nothing applied, empty/null docs dropped
+        plain = fim_examples(df, fim_rate=0.0).collect()
+        assert [(r.doc_id, r.fim_applied, r.input_text) for r in plain] \
+            == [(1, False, "a b c d e")]
+        # rate 1: always applied; SPM starts with both sentinels
+        r = fim_examples(df, fim_rate=1.0, mode="spm").first()
+        assert r.fim_applied
+        assert r.input_text.startswith("<fim_prefix><fim_suffix>")
+        assert r.prefix_len + r.middle_len + r.suffix_len == 5
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.chunking import fim_examples
+
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        with _pt.raises(ValueError, match="fim_rate"):
+            fim_examples(df, fim_rate=1.5)
+        with _pt.raises(ValueError, match="mode"):
+            fim_examples(df, mode="pms")
