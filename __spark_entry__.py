@@ -4852,6 +4852,38 @@ def q_fim_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_examples(docs, fim_rate=0.9, mode="psm")
 
 
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (Kudo 2018; operators/unigram.py —
+    corpus-size-independent EM training on the word-frequency head,
+    Arrow Viterbi encode with a distinct-word memo). Per-doc invariant
+    oracle, the bpe_tokenize precedent: n_words is SQL-exact; the
+    piece count must sit in [n_words, non-space chars] (every word is
+    at least one piece, every piece at least one char),
+    Spark-verified per row under the deterministic trained vocab."""
+    from meta_frame_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = unigram_train(
+        docs, vocab_size=300, top_words=2000, max_piece_len=6, em_iters=2
+    )
+    out = unigram_encode(docs, pieces)
+    nonspace = F.length(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    )
+    bounds = docs.select("doc_id", nonspace.alias("_chars"))
+    return out.join(bounds, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.col("_chars"))
+        ).alias("piece_bounds_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5163,6 +5195,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "curation_lm": q_curation_lm,
         "fim_examples": q_fim_examples,
+        "unigram_tokenize": q_unigram_tokenize,
     }
 
 
@@ -9303,5 +9336,15 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ap THEN CAST(j - i AS INTEGER) END AS middle_len,
                CASE WHEN ap THEN CAST(n - j AS INTEGER) END AS suffix_len
         FROM s
+    """
+    # Invariant oracle (the bpe_tokenize precedent): exact word count;
+    # the piece-count bounds are Spark-verified per row.
+    d["unigram_tokenize"] = r"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x != '')) AS INTEGER) AS n_words,
+               TRUE AS piece_bounds_ok
+        FROM documents
     """
     return d
