@@ -4900,60 +4900,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-11 window (VERDICT r10 "Next round" #3, extended by the
-# round-11 additions):
-#   1-11   gopher_rules / fix_encoding / stream_gate / emb_decontam /
-#          gopher_repetition / c4_clean / mm_scene_cuts /
-#          soft_dedup / blocklist_score / passage_chunks / oov_rate —
-#          FIRST driver rows for the round-11 additions (the Gopher
-#          rule-based quality report, VERDICT r10 #4, its Table-A1
-#          repetition-filter sibling, and the C4 cleaning recipe; the
-#          mojibake encoding repair, #7; the config-declared
-#          streaming gate, #6; the embedding-space decontamination
-#          report, #8; video shot segmentation; SoftDedup
-#          reweighting; the UT1-style weighted blocklist gate;
-#          sentence-aligned passages; the vocab OOV audit),
-#          never-orphaned rule;
-#   12-50  the 39-entry r10 NEXT_WINDOW_QUEUE exactly as pinned (the
-#          39 remaining r7-green rows; the 4 oldest r8-green rows —
-#          ann_topk_ivfpq, bpe_tokenize, event_ppr, a_filters — yield
-#          their slots to the session ops, like a_keep_columns /
-#          a_chained / a_derive before them, and head the r12 queue).
-# After this round no registered query's latest row is older than r8.
-# The r12 queue is NEXT_WINDOW_QUEUE below — the 50 remaining
-# r8-green rows. Every entry has an oracle_sql() twin.
+# Round-12 window (VERDICT r11 "Next round" #1/#3):
+#   1-3    curation_lm / fim_examples / unigram_tokenize — FIRST
+#          driver rows for the round-12 additions (the CCNet
+#          perplexity-tail curation gate, VERDICT r11 #5; the
+#          fill-in-the-middle transform, #6; the unigram-LM
+#          tokenizer, #7), never-orphaned rule;
+#   4      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#          seg_idx leak, fixed this round); failed rows re-run,
+#          never orphan (VERDICT r11 #1);
+#   5-13   the 9 r11 late-session ops exactly as the r11 queue
+#          pinned them (token_fertility .. span_corruption) — their
+#          FIRST driver rows;
+#   14-50  the next 37 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. token_bpe), the oldest r8-green rows.
+# The 13 remaining r8-green rows (vocab_topk .. sorted_neighbors)
+# could not take slots without orphaning a first-driver-row op or a
+# failed row; they are the ENTIRE r13 queue below and were re-verified
+# locally this round (tools/check_correctness.py hash-exact at
+# sf0.01). Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-    "gopher_repetition", "c4_clean", "mm_scene_cuts",
-    "soft_dedup", "blocklist_score", "passage_chunks", "oov_rate",
-    # (2) the pinned r10 queue, verbatim
-    "k_anonymity_report", "int8_quantize", "int8_topk", "mmr_select",
-    "kcenter_coverage", "a_cascade", "b_join_tree", "b_q3_shipping",
-    "bp_grandchild", "events_hourly", "events_sessions",
-    "events_sliding", "events_asof", "events_interval", "set_ops",
-    "events_json", "events_enriched", "scd2_versions", "rolling_1h",
-    "event_funnel", "sessionize", "cohort_retention", "pack_sequences",
-    "dedup_minhash", "dedup_simhash", "ann_topk_lsh", "ann_topk_ivf",
-    "emb_near_dup", "mm_pixel_stats", "agg_approx", "semantic_dedup",
-    "corpus_mix_temperature", "distinct_sketch", "dup_cluster_sizes",
-    "hard_negatives", "split_leakage", "mm_phash", "label_centroids",
-    "hash_split",
-)
-
-# The planned r12 window backbone. The r11 window is exactly full —
-# 11 session ops + the 39 rows whose latest green is r7 and MUST
-# rotate this round — so the four late-session ops (token_fertility,
-# unimax_mix, code_switch, source_overlap) could not take slots
-# without re-orphaning an r7 row; they are locally gate-verified
-# (tools/check_correctness.py hash-exact at sf0.001/sf0.01/sf0.1)
-# and head this queue so their FIRST driver row lands in r12, before
-# the 50 r8-green rows (ann_topk_ivfpq..a_filters and a_keep_columns,
-# a_chained, a_derive first — they yielded their r11 slots to the
-# session ops). Pinned constant per VERDICT r8 #7 so the queue cannot
-# silently drift from the plan; tests/test_cli.py checks it stays
-# disjoint from DRIVER_WINDOW, registered, and oracle-backed.
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "curation_lm", "fim_examples", "unigram_tokenize",
+    # (2) the r11 red row, oracle fixed — re-runs, never orphans
+    "mm_scene_cuts",
+    # (3) the pinned r11 queue, verbatim
     "token_fertility", "unimax_mix", "code_switch", "source_overlap",
     "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
     "span_corruption",
@@ -4966,7 +4937,16 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
     "corpus_clean", "ann_topk", "ngram_jaccard", "text_stats",
-    "text_quality", "token_bpe", "vocab_topk", "row_numbers",
+    "text_quality", "token_bpe",
+)
+
+# The planned r13 window backbone: the 13 r8-green rows displaced by
+# the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
+# heads. Pinned constant per VERDICT r8 #7 so the queue cannot
+# silently drift from the plan; tests/test_cli.py checks it stays
+# disjoint from DRIVER_WINDOW, registered, and oracle-backed.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",

@@ -82,33 +82,27 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-11 session ops: every operator/query added this round must
+    # round-12 session ops: every operator/query added this round must
     # hold a window slot until its first driver row lands (the
     # never-orphaned rule) — this pin exists because a window edit
     # once silently missed while its comment updated, leaving new ops
     # out of the driver's 50 without any test noticing
+    for name in ("curation_lm", "fim_examples", "unigram_tokenize"):
+        assert name in window, name
+    # the one r11 RED row re-runs (failed rows never orphan): the
+    # mm_scene_cuts oracle's HUGEINT seg_idx was fixed this round
+    assert "mm_scene_cuts" in window
+    # round-12 plan: the 9 r11 late-session ops take their FIRST
+    # driver rows, then the pinned r11 queue rotates through verbatim
     for name in (
-        "gopher_rules", "fix_encoding", "stream_gate", "emb_decontam",
-        "gopher_repetition", "c4_clean", "mm_scene_cuts",
-        "soft_dedup", "blocklist_score", "passage_chunks", "oov_rate",
-    ):
-        assert name in window, name
-    # round-11 plan: the pinned r10 queue rotates through verbatim
-    # (the 7 oldest r8-green rows — ann_topk_ivfpq..a_filters plus
-    # a_keep_columns, a_chained, a_derive — yielded their slots to
-    # the session ops and head the r12 queue)
-    for name in ("k_anonymity_report", "dedup_minhash", "hash_split"):
-        assert name in window, name
-    # the r11 window is exactly full (11 session ops + the 39
-    # mandatory r7 rotations), so the late-session ops are locally
-    # gate-verified at three SFs and take their first driver row in
-    # r12 — they must head the queue, ahead of the displaced r8 rows
-    assert list(e.NEXT_WINDOW_QUEUE)[:16] == [
         "token_fertility", "unimax_mix", "code_switch", "source_overlap",
         "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
-        "span_corruption",
-        "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
-        "a_keep_columns", "a_chained", "a_derive"]
+        "span_corruption", "ann_topk_ivfpq", "token_bpe",
+    ):
+        assert name in window, name
+    # the 13 displaced r8-green rows are the entire r13 queue
+    assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
+        "vocab_topk", "row_numbers", "fuzzy_join", "nb_predict"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)
