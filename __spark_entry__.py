@@ -4852,6 +4852,24 @@ def q_fim_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fim_examples(docs, fim_rate=0.9, mode="psm")
 
 
+#: per-session unigram-LM fit memo: unigram_tokenize and
+#: unigram_sample share one deterministic trained vocab per sf_dir
+#: (the pq.py _FIT_CACHE pattern — training is identical, so judging
+#: the pair means judging one fit + two encodes)
+_UNIGRAM_PIECES: dict[str, list] = {}
+
+
+def _unigram_pieces(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _UNIGRAM_PIECES:
+        from meta_frame_spark.operators.unigram import unigram_train
+
+        _UNIGRAM_PIECES[sf_dir] = unigram_train(
+            _t(spark, sf_dir, "documents"),
+            vocab_size=300, top_words=2000, max_piece_len=6, em_iters=2,
+        )
+    return _UNIGRAM_PIECES[sf_dir]
+
+
 def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenization (Kudo 2018; operators/unigram.py —
     corpus-size-independent EM training on the word-frequency head,
@@ -4860,16 +4878,10 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece count must sit in [n_words, non-space chars] (every word is
     at least one piece, every piece at least one char),
     Spark-verified per row under the deterministic trained vocab."""
-    from meta_frame_spark.operators.unigram import (
-        unigram_encode,
-        unigram_train,
-    )
+    from meta_frame_spark.operators.unigram import unigram_encode
 
     docs = _t(spark, sf_dir, "documents")
-    pieces = unigram_train(
-        docs, vocab_size=300, top_words=2000, max_piece_len=6, em_iters=2
-    )
-    out = unigram_encode(docs, pieces)
+    out = unigram_encode(docs, _unigram_pieces(spark, sf_dir))
     nonspace = F.length(
         F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
     )
@@ -4881,6 +4893,37 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pieces") >= F.col("n_words"))
             & (F.col("n_pieces") <= F.col("_chars"))
         ).alias("piece_bounds_ok"),
+    )
+
+
+def q_unigram_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-regularized tokenization (Kudo 2018 §3.2;
+    operators/unigram.unigram_sample_encode): exact forward-filtering
+    backward-sampling from P(seg|word) ∝ P(seg)^alpha under the SAME
+    trained vocab as unigram_tokenize (shared per-session fit memo),
+    every draw a portable md5 coin keyed on (doc, seed, word,
+    backward step) — deterministic, partition-invariant stochastic
+    tokenization, the property a resumable pipeline needs. Invariant
+    oracle: n_words SQL-exact; sample_ok is Spark-verified per row —
+    piece count within [n_words, non-space chars] AND the sampled
+    pieces reassemble the document's exact non-space char stream."""
+    from meta_frame_spark.operators.unigram import unigram_sample_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_sample_encode(
+        docs, _unigram_pieces(spark, sf_dir), alpha=0.2,
+        emit_tokens=True,
+    )
+    nonspace = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    ref = docs.select("doc_id", nonspace.alias("_stream"))
+    return out.join(ref, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.length("_stream"))
+            & (F.array_join("pieces", "") == F.col("_stream"))
+        ).alias("sample_ok"),
     )
 
 
@@ -4901,27 +4944,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-3    curation_lm / fim_examples / unigram_tokenize — FIRST
-#          driver rows for the round-12 additions (the CCNet
-#          perplexity-tail curation gate, VERDICT r11 #5; the
-#          fill-in-the-middle transform, #6; the unigram-LM
-#          tokenizer, #7), never-orphaned rule;
-#   4      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#   1-4    curation_lm / fim_examples / unigram_tokenize /
+#          unigram_sample — FIRST driver rows for the round-12
+#          additions (the CCNet perplexity-tail curation gate,
+#          VERDICT r11 #5; the fill-in-the-middle transform, #6; the
+#          unigram-LM tokenizer + its subword-regularization sampled
+#          encode, #7), never-orphaned rule;
+#   5      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
 #          seg_idx leak, fixed this round); failed rows re-run,
 #          never orphan (VERDICT r11 #1);
-#   5-13   the 9 r11 late-session ops exactly as the r11 queue
+#   6-14   the 9 r11 late-session ops exactly as the r11 queue
 #          pinned them (token_fertility .. span_corruption) — their
 #          FIRST driver rows;
-#   14-50  the next 37 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. token_bpe), the oldest r8-green rows.
-# The 13 remaining r8-green rows (vocab_topk .. sorted_neighbors)
+#   15-50  the next 36 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. text_quality), the oldest r8-green rows.
+# The 14 remaining r8-green rows (token_bpe .. sorted_neighbors)
 # could not take slots without orphaning a first-driver-row op or a
 # failed row; they are the ENTIRE r13 queue below and were re-verified
-# locally this round (tools/check_correctness.py hash-exact at
-# sf0.01). Every entry has an oracle_sql() twin.
+# locally this round (tools/check_correctness.py full-registry run,
+# hash-exact at sf0.01). Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "curation_lm", "fim_examples", "unigram_tokenize",
+    "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
     # (2) the r11 red row, oracle fixed — re-runs, never orphans
     "mm_scene_cuts",
     # (3) the pinned r11 queue, verbatim
@@ -4937,16 +4981,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
     "corpus_clean", "ann_topk", "ngram_jaccard", "text_stats",
-    "text_quality", "token_bpe",
+    "text_quality",
 )
 
-# The planned r13 window backbone: the 13 r8-green rows displaced by
+# The planned r13 window backbone: the 14 r8-green rows displaced by
 # the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
 # heads. Pinned constant per VERDICT r8 #7 so the queue cannot
 # silently drift from the plan; tests/test_cli.py checks it stays
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "vocab_topk", "row_numbers",
+    "token_bpe", "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",
@@ -5176,6 +5220,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_lm": q_curation_lm,
         "fim_examples": q_fim_examples,
         "unigram_tokenize": q_unigram_tokenize,
+        "unigram_sample": q_unigram_sample,
     }
 
 
@@ -9325,6 +9370,16 @@ def oracle_sql() -> dict[str, str]:
                    string_split_regex(lower(text), '\s+'),
                    x -> x != '')) AS INTEGER) AS n_words,
                TRUE AS piece_bounds_ok
+        FROM documents
+    """
+    # Invariant oracle: exact word count; bounds + exact char-stream
+    # reassembly of the sampled pieces are Spark-verified per row.
+    d["unigram_sample"] = r"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   x -> x != '')) AS INTEGER) AS n_words,
+               TRUE AS sample_ok
         FROM documents
     """
     return d

@@ -269,3 +269,136 @@ def unigram_encode(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     )
     return pruned.mapInPandas(encode, schema=schema)
+
+
+def _sample_segmentation(
+    word: str,
+    logp: dict[str, float],
+    max_piece_len: int,
+    alpha: float,
+    coins,
+) -> list[str]:
+    """Forward-filtering backward-sampling draw from
+    ``P(seg | word) ∝ P(seg)^alpha`` (Kudo 2018 §3.2's alpha-smoothed
+    lattice). ``coins`` yields uniforms in [0,1); one is consumed per
+    backward step. Falls back to characters when unsegmentable."""
+    n = len(word)
+    # forward in the alpha-tempered measure; rescale per position to
+    # dodge underflow (only ratios matter to the backward draws)
+    A = [0.0] * (n + 1)
+    A[0] = 1.0
+    for i in range(1, n + 1):
+        a = 0.0
+        for j in range(max(0, i - max_piece_len), i):
+            if A[j] > 0.0:
+                lp = logp.get(word[j:i])
+                if lp is not None:
+                    a += A[j] * math.exp(alpha * lp)
+        A[i] = a
+        if a > 0.0 and (a > 1e100 or a < 1e-100):
+            scale = 1.0 / a
+            for k in range(i + 1):
+                A[k] *= scale
+    if A[n] <= 0.0:
+        return list(word)
+    out = []
+    i = n
+    while i > 0:
+        opts = []
+        total = 0.0
+        for j in range(max(0, i - max_piece_len), i):
+            if A[j] > 0.0:
+                lp = logp.get(word[j:i])
+                if lp is not None:
+                    wgt = A[j] * math.exp(alpha * lp)
+                    opts.append((j, wgt))
+                    total += wgt
+        u = next(coins) * total
+        acc = 0.0
+        pick = opts[-1][0]
+        for j, wgt in opts:
+            acc += wgt
+            if u < acc:
+                pick = j
+                break
+        out.append(word[pick:i])
+        i = pick
+    return out[::-1]
+
+
+def unigram_sample_encode(
+    df: DataFrame,
+    pieces: list[tuple[str, float]],
+    alpha: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = False,
+    seed: str = "s0",
+) -> DataFrame:
+    """Subword-REGULARIZED tokenization (Kudo 2018 §3.2: at training
+    time, sample a segmentation from ``P(seg|word) ∝ P(seg)^alpha``
+    instead of always taking the Viterbi best — the stochastic
+    augmentation SentencePiece ships as ``enable_sampling``): exact
+    forward-filtering backward-sampling over each word's segmentation
+    lattice under the alpha-tempered piece probabilities. Low
+    ``alpha`` -> near-uniform over segmentations; high ``alpha`` ->
+    concentrates on the Viterbi path.
+
+    Every random draw is the repo's portable md5 coin keyed on
+    ``(id_col, seed, word position, backward step)``, so reruns and
+    partitionings reproduce the same sample and ``seed`` switches
+    epochs deterministically — the property that makes stochastic
+    tokenization usable in a resumable 100 TB pipeline. Output:
+    ``(id_col, n_words, n_pieces[, pieces])``; unsegmentable words
+    fall back to characters like :func:`unigram_encode`.
+
+    Scale: one Arrow map, no shuffle. No distinct-word memo — the
+    coins differ per occurrence by design — so this costs one DP per
+    word occurrence; use :func:`unigram_encode` for deterministic
+    (inference-side) tokenization."""
+    import hashlib
+
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    logp = dict(pieces)
+    max_len = max((len(p) for p in logp), default=1)
+    schema = f"{id_col} long, n_words int, n_pieces int" + (
+        ", pieces array<string>" if emit_tokens else ""
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in _WS.split((text or "").lower()) if w]
+                toks: list[str] = []
+                for wi, w in enumerate(words):
+                    def coins():
+                        step = 0
+                        while True:
+                            h = hashlib.md5(
+                                f"{rid}:{seed}:{wi}:{step}".encode()
+                            ).hexdigest()[:8]
+                            yield int(h, 16) / 2**32
+                            step += 1
+
+                    toks.extend(
+                        _sample_segmentation(
+                            w, logp, max_len, alpha, coins()
+                        )
+                    )
+                row = (rid, len(words), len(toks))
+                if emit_tokens:
+                    row += (toks,)
+                out_rows.append(row)
+            cols = [id_col, "n_words", "n_pieces"] + (
+                ["pieces"] if emit_tokens else []
+            )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    pruned = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    )
+    return pruned.mapInPandas(encode, schema=schema)

@@ -87,7 +87,8 @@ def test_driver_window_composition():
     # never-orphaned rule) — this pin exists because a window edit
     # once silently missed while its comment updated, leaving new ops
     # out of the driver's 50 without any test noticing
-    for name in ("curation_lm", "fim_examples", "unigram_tokenize"):
+    for name in ("curation_lm", "fim_examples", "unigram_tokenize",
+                 "unigram_sample"):
         assert name in window, name
     # the one r11 RED row re-runs (failed rows never orphan): the
     # mm_scene_cuts oracle's HUGEINT seg_idx was fixed this round
@@ -97,12 +98,12 @@ def test_driver_window_composition():
     for name in (
         "token_fertility", "unimax_mix", "code_switch", "source_overlap",
         "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
-        "span_corruption", "ann_topk_ivfpq", "token_bpe",
+        "span_corruption", "ann_topk_ivfpq", "text_quality",
     ):
         assert name in window, name
-    # the 13 displaced r8-green rows are the entire r13 queue
+    # the 14 displaced r8-green rows are the entire r13 queue
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
-        "vocab_topk", "row_numbers", "fuzzy_join", "nb_predict"]
+        "token_bpe", "vocab_topk", "row_numbers", "fuzzy_join"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)

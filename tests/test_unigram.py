@@ -125,3 +125,79 @@ class TestEncode:
             for r in unigram_encode(toy.repartition(5), pieces).collect()
         )
         assert a == b
+
+
+class TestSampleEncode:
+    def test_high_alpha_matches_viterbi(self, spark, toy):
+        from meta_frame_spark.operators.unigram import (
+            unigram_sample_encode,
+        )
+
+        pieces = unigram_train(toy, vocab_size=40, max_piece_len=4)
+        vit = sorted(
+            tuple(r)
+            for r in unigram_encode(toy, pieces, emit_tokens=True).collect()
+        )
+        samp = sorted(
+            tuple(r)
+            for r in unigram_sample_encode(
+                toy, pieces, alpha=50.0, emit_tokens=True
+            ).collect()
+        )
+        assert samp == vit  # tempered lattice concentrates on Viterbi
+
+    def test_low_alpha_varies_and_reassembles(self, spark):
+        """alpha=0 samples ~uniformly over segmentations: across many
+        docs of the same word the coin (keyed on doc_id) must produce
+        BOTH splits of 'ab', and every sample reassembles the word."""
+        from meta_frame_spark.operators.unigram import (
+            unigram_sample_encode,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "ab") for i in range(60)], "doc_id long, text string"
+        )
+        pieces = [("a", -1.0), ("b", -1.0), ("ab", -1.0)]
+        out = unigram_sample_encode(
+            df, pieces, alpha=0.0, emit_tokens=True
+        ).collect()
+        seen = set()
+        for r in out:
+            assert "".join(r.pieces) == "ab"
+            seen.add(tuple(r.pieces))
+        assert seen == {("ab",), ("a", "b")}
+
+    def test_deterministic_and_seed_switches(self, spark, toy):
+        from meta_frame_spark.operators.unigram import (
+            unigram_sample_encode,
+        )
+
+        pieces = unigram_train(toy, vocab_size=40, max_piece_len=4)
+        a = sorted(
+            tuple(r)
+            for r in unigram_sample_encode(
+                toy, pieces, alpha=0.1, emit_tokens=True
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in unigram_sample_encode(
+                toy.repartition(5), pieces, alpha=0.1, emit_tokens=True
+            ).collect()
+        )
+        assert a == b  # partition-invariant portable coins
+        c = sorted(
+            tuple(r)
+            for r in unigram_sample_encode(
+                toy, pieces, alpha=0.1, emit_tokens=True, seed="s1"
+            ).collect()
+        )
+        assert c != a  # a new seed is a new epoch
+
+    def test_validation(self, spark, toy):
+        from meta_frame_spark.operators.unigram import (
+            unigram_sample_encode,
+        )
+
+        with pytest.raises(ValueError, match="alpha"):
+            unigram_sample_encode(toy, [("a", -1.0)], alpha=-0.1)
