@@ -1089,6 +1089,80 @@ def main() -> int:
         t, (n, ok_sc) = timed("span_corruption", spanc)
         r["spanc_sec"], r["spanc_rows"], r["spanc_ok"] = t, n, ok_sc
 
+        def lmgate():
+            from meta_frame_spark.plans.curation import run_curation
+
+            dd = docs(d)
+            out = run_curation(
+                dd,
+                {"steps": [{"op": "lm_gate", "top_v": 100,
+                            "max_quantile": 0.8, "score_col": "_lms"}]},
+            ).persist()
+            n = out.count()
+            total = dd.count()
+            bad = out.filter(
+                F.col("_lms").isNull() | F.isnan("_lms")
+            ).count()
+            out.unpersist()
+            # the exact 0.8-percentile gate keeps ~80% at any scale
+            return n, bool(bad == 0 and 0.75 <= n / total <= 0.85)
+        t, (n, ok_lm) = timed("curation_lm", lmgate)
+        r["lmg_sec"], r["lmg_rows"], r["lmg_ok"] = t, n, ok_lm
+
+        def fim():
+            from meta_frame_spark.operators.chunking import fim_examples
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = fim_examples(dd, fim_rate=0.9).persist()
+            n = out.count()
+            apl = out.filter("fim_applied").count()
+            # applied rows: the three slices account for every token
+            bad = out.filter(
+                F.col("fim_applied")
+                & (F.col("prefix_len") + F.col("middle_len")
+                   + F.col("suffix_len") != F.col("n_tokens"))
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0 and 0.85 <= apl / n <= 0.95)
+        t, (n, ok_fm) = timed("fim_examples", fim)
+        r["fim_sec"], r["fim_rows"], r["fim_ok"] = t, n, ok_fm
+
+        def unig():
+            from meta_frame_spark.operators.unigram import (
+                unigram_encode,
+                unigram_sample_encode,
+                unigram_train,
+            )
+
+            dd = docs(d)
+            pieces = unigram_train(
+                dd, vocab_size=300, top_words=2000, max_piece_len=6
+            )
+            chars = dd.select(
+                "doc_id",
+                F.regexp_replace(
+                    F.lower("text"), r"\s+", ""
+                ).alias("_stream"),
+            )
+            vit = unigram_encode(dd, pieces).persist()
+            n = vit.count()
+            bad_v = vit.join(chars, "doc_id").filter(
+                (F.col("n_pieces") < F.col("n_words"))
+                | (F.col("n_pieces") > F.length("_stream"))
+            ).count()
+            vit.unpersist()
+            samp = unigram_sample_encode(
+                dd, pieces, alpha=0.2, emit_tokens=True
+            )
+            # sampled pieces must reassemble the exact char stream
+            bad_s = samp.join(chars, "doc_id").filter(
+                F.array_join("pieces", "") != F.col("_stream")
+            ).count()
+            return n, bool(bad_v == 0), bool(bad_s == 0)
+        t, (n, ok_uv, ok_us) = timed("unigram", unig)
+        r["unig_sec"], r["unig_rows"] = t, n
+        r["unig_ok"], r["usmp_ok"] = ok_uv, ok_us
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1107,7 +1181,7 @@ def main() -> int:
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
-                "ppr", "ict", "spanc"):
+                "ppr", "ict", "spanc", "lmg", "fim", "unig"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1232,6 +1306,17 @@ def main() -> int:
         # and the span/mask accounting holds on every row
         ("span corruption accounting", b["spanc_ok"]
          and b["spanc_rows"] == 10 * a["spanc_rows"]),
+        # round-12: the perplexity gate keeps ~the 0.8 quantile mass
+        # with finite scores at 10x; FIM's three slices account for
+        # every token with the apply coin tracking its 0.9 rate; the
+        # unigram Viterbi bounds and the sampled-encode exact
+        # reassembly hold row-for-row at 10x
+        ("lm_gate keeps ~80%, scores finite", b["lmg_ok"]),
+        ("fim slices account tokens", b["fim_ok"]
+         and b["fim_rows"] == 10 * a["fim_rows"]),
+        ("unigram viterbi bounds", b["unig_ok"]
+         and b["unig_rows"] == 10 * a["unig_rows"]),
+        ("unigram sample reassembles", b["usmp_ok"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
