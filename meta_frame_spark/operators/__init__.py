@@ -65,10 +65,16 @@ from meta_frame_spark.operators.pca import PCAModel, pca_fit, pca_transform
 from meta_frame_spark.operators.pq import ivfpq_topk, pq_encode, pq_fit, pq_topk
 from meta_frame_spark.operators.chunking import (
     chunk_documents,
+    fim_examples,
     ict_pairs,
     span_corruption,
     passage_pairs,
     sentence_passages,
+)
+from meta_frame_spark.operators.unigram import (
+    unigram_encode,
+    unigram_sample_encode,
+    unigram_train,
 )
 from meta_frame_spark.operators.diversify import kcenter_coverage, mmr_select
 from meta_frame_spark.operators.nb import nb_predict, nb_train
@@ -259,6 +265,10 @@ __all__ = [
     "passage_pairs",
     "ict_pairs",
     "span_corruption",
+    "fim_examples",
+    "unigram_train",
+    "unigram_encode",
+    "unigram_sample_encode",
     "winsorize",
     "histogram_fixed",
     "dedup_against",
