@@ -12,6 +12,8 @@ a real cluster unchanged:
       -> exact dedup                       (hash groupBy)
       -> MinHash-LSH near-dedup            (banded candidates + verify)
       -> benchmark decontamination         (hashed-gram broadcast probe)
+      -> perplexity-tail drop              (CCNet lm_gate: self-fit
+                                            unigram LM, quantile cutoff)
       -> span-region cut + re-gate         (boilerplate removed, doc kept;
                                             emptied docs dropped)
       -> deterministic train/val/test split(md5 hash coins)
@@ -89,6 +91,20 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
     benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("text")
     clean = decontaminate(deduped, benchmark, n=13)
     counts["decontaminated"] = clean.count()
+
+    # 3.5 CCNet-style perplexity-tail drop: fit a unigram LM on the
+    # surviving corpus itself and cut the worst-scoring 5% — the
+    # config-declared lm_gate registry step (gibberish and boilerplate
+    # score far from the bulk; runs AFTER dedup like CCNet so dup
+    # mass cannot skew the model)
+    from meta_frame_spark.plans.curation import run_curation
+
+    clean = run_curation(
+        clean,
+        {"steps": [{"op": "lm_gate", "top_v": 5000,
+                    "max_quantile": 0.95}]},
+    )
+    counts["lm_tail"] = clean.count()
 
     # 4. boilerplate: ONE window census yields both the cut and the
     # metadata (regions per doc + duplicated-token mass), then a

@@ -63,7 +63,10 @@ def test_example_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     counts = curate(spark, sf_dir, str(tmp_path / "out"))
     assert counts["raw"] >= counts["quality_lang"] >= counts["exact_dedup"]
     assert counts["exact_dedup"] >= counts["near_dedup"] >= counts["decontaminated"]
-    assert counts["decontaminated"] >= counts["after_span_cut"]
+    assert counts["decontaminated"] >= counts["lm_tail"]
+    assert counts["lm_tail"] >= counts["after_span_cut"]
+    # the 0.95-quantile gate keeps the bulk, never everything-minus-all
+    assert counts["lm_tail"] >= 0.9 * counts["decontaminated"]
     total_out = counts["out_train"] + counts["out_val"] + counts["out_test"]
     assert total_out == counts["after_span_cut"]
     assert counts["out_train"] > 0
