@@ -17,6 +17,7 @@ from meta_frame_spark.sources.sinks import (
     files_for_range,
     iteration_sink,
     morton_code,
+    read_webdataset,
     save_bucketed_table,
     save_data,
     tree_sink,
@@ -24,6 +25,7 @@ from meta_frame_spark.sources.sinks import (
     write_jsonl_shards,
     write_manifest,
     write_range_clustered,
+    write_webdataset_shards,
     write_zordered,
 )
 
@@ -39,12 +41,14 @@ __all__ = [
     "load_union",
     "morton_code",
     "normalize_event_ts",
+    "read_webdataset",
     "save_bucketed_table",
     "save_data",
     "tree_sink",
     "write_compacted",
     "write_jsonl_shards",
     "write_manifest",
+    "write_webdataset_shards",
     "write_range_clustered",
     "write_zordered",
 ]

@@ -345,3 +345,135 @@ def files_for_range(manifest_path: str, col: str, lo, hi) -> list[str]:
                 parse_stored(mx, lo) >= cmp_bound(lo):
             out.append(m["file"])
     return out
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    members: dict[str, str],
+    records_per_shard: int = 10_000,
+    mode: str = "overwrite",
+) -> None:
+    """WebDataset-format tar shards — the interchange layout
+    image/audio/video training loaders stream (public spec:
+    github.com/webdataset/webdataset): each sample is a group of
+    consecutive tar members sharing a basename key
+    (``<key>.jpg``, ``<key>.txt``, ``<key>.json`` ...), shards are
+    plain tar files a loader can read sequentially with zero random
+    I/O — the property that makes the format work from object stores.
+
+    ``members`` maps member EXTENSION -> column name; ``binary``
+    columns are written raw, string columns utf-8. NULL member values
+    are skipped (a sample may lack one modality); NULL keys raise (a
+    keyless sample cannot be grouped by any loader).
+
+    Scale: pure ``foreachPartition`` — each task streams its rows into
+    ``shard-<partition>-<seq>.tar`` files, rolling at
+    ``records_per_shard``, so no driver collect, no global sort, no
+    shuffle beyond what the caller arranged. Repartition upstream to
+    set the shard-count granularity. Writes to a filesystem path
+    visible to every executor (local/NFS/fuse-mounted object store —
+    the standard WebDataset export arrangement; tar is not a Spark
+    datasource, so the distributed-FS writers don't apply)."""
+    import os
+    import shutil
+
+    if not members:
+        raise ValueError("members must map at least one extension")
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"mode must be overwrite|error, got {mode!r}")
+    if os.path.exists(path):
+        if mode == "error":
+            raise FileExistsError(path)
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    exts = sorted(members)
+    cols = [key_col] + [members[e] for e in exts]
+    pruned = df.select(*cols)
+
+    def dump(rows):
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tar = None
+        seq = 0
+        n_in_shard = 0
+
+        def roll():
+            nonlocal tar, seq, n_in_shard
+            if tar is not None:
+                tar.close()
+            tar = tarfile.open(
+                os.path.join(path, f"shard-{pid:05d}-{seq:04d}.tar"),
+                "w",
+            )
+            seq += 1
+            n_in_shard = 0
+
+        for row in rows:
+            key = row[0]
+            if key is None:
+                raise ValueError(
+                    "write_webdataset_shards: NULL sample key"
+                )
+            if tar is None or n_in_shard >= records_per_shard:
+                roll()
+            for ext, val in zip(exts, row[1:]):
+                if val is None:
+                    continue
+                data = val if isinstance(val, (bytes, bytearray)) \
+                    else str(val).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0  # deterministic archives
+                tar.addfile(info, io.BytesIO(bytes(data)))
+            n_in_shard += 1
+        if tar is not None:
+            tar.close()
+
+    pruned.foreachPartition(dump)
+
+
+def read_webdataset(spark, path: str) -> DataFrame:
+    """Read WebDataset tar shards back as one row per member:
+    ``(shard, key, ext, data binary)`` — group by ``key`` downstream
+    to reassemble samples. One Arrow map over ``binaryFile`` rows
+    (each task untars whole shards in memory — tars stream, so this
+    is sequential I/O); no shuffle."""
+
+    def untar(batches):
+        import io
+        import os as _os
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(fpath)
+                with tarfile.open(
+                    fileobj=io.BytesIO(content), mode="r"
+                ) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        out.append((
+                            shard,
+                            stem if dot else m.name,
+                            ext if dot else "",
+                            tf.extractfile(m).read(),
+                        ))
+            yield pd.DataFrame(
+                out, columns=["shard", "key", "ext", "data"]
+            )
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.tar")
+    return files.select("path", "content").mapInPandas(
+        untar, schema="shard string, key string, ext string, data binary"
+    )

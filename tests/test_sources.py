@@ -452,3 +452,78 @@ def test_load_union_schema_evolution(spark, tmp_path):
         load_union(spark, [old, new], allow_missing_columns=False).collect()
     with pytest.raises(ValueError, match="at least one"):
         load_union(spark, [])
+
+
+class TestWebdatasetShards:
+    def test_round_trip_and_rolling(self, spark, tmp_path):
+        """Write -> read round-trip: every member byte-exact, samples
+        grouped by key, shards roll at records_per_shard, a NULL
+        member is skipped (sample keeps its other members)."""
+        from meta_frame_spark.sources.sinks import (
+            read_webdataset,
+            write_webdataset_shards,
+        )
+
+        rows = [
+            (i, f"text {i}", ("payload %d" % i).encode(),
+             None if i == 3 else '{"k": %d}' % i)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, img binary, meta string"
+        ).repartition(2)
+        out = str(tmp_path / "wds")
+        write_webdataset_shards(
+            df, out, "doc_id",
+            {"txt": "text", "img": "img", "json": "meta"},
+            records_per_shard=3,
+        )
+        back = read_webdataset(spark, out).collect()
+        got = {}
+        for r in back:
+            got.setdefault(int(r.key), {})[r.ext] = bytes(r.data)
+        assert set(got) == set(range(10))
+        for i in range(10):
+            assert got[i]["txt"] == f"text {i}".encode()
+            assert got[i]["img"] == b"payload %d" % i
+            if i == 3:
+                assert "json" not in got[i]  # null member skipped
+            else:
+                assert got[i]["json"] == b'{"k": %d}' % i
+        # 10 rows over 2 partitions at 3/shard -> every shard holds
+        # at most 3 samples and at least 4 shards exist
+        import glob
+        import tarfile
+
+        shards = sorted(glob.glob(f"{out}/*.tar"))
+        assert len(shards) >= 4
+        for s in shards:
+            with tarfile.open(s) as tf:
+                keys = {n.rsplit(".", 1)[0] for n in tf.getnames()}
+                assert len(keys) <= 3
+
+    def test_validation_and_modes(self, spark, tmp_path):
+        import pytest
+
+        from meta_frame_spark.sources.sinks import write_webdataset_shards
+
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "b")], "doc_id long, text string"
+        )
+        out = str(tmp_path / "wds2")
+        with pytest.raises(ValueError, match="members"):
+            write_webdataset_shards(df, out, "doc_id", {})
+        with pytest.raises(ValueError, match="mode"):
+            write_webdataset_shards(
+                df, out, "doc_id", {"txt": "text"}, mode="append"
+            )
+        with pytest.raises(Exception, match="NULL sample key"):
+            write_webdataset_shards(df, out, "doc_id", {"txt": "text"})
+        # overwrite replaces; error refuses
+        ok = df.filter("doc_id is not null")
+        write_webdataset_shards(ok, out, "doc_id", {"txt": "text"})
+        write_webdataset_shards(ok, out, "doc_id", {"txt": "text"})
+        with pytest.raises(FileExistsError):
+            write_webdataset_shards(
+                ok, out, "doc_id", {"txt": "text"}, mode="error"
+            )
