@@ -4927,6 +4927,18 @@ def q_unigram_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (operators/profile
+    .corpus_diversity — Li et al. 2016's distinct statistic at corpus
+    grain): in-row n-gram windows, explode, one per-group aggregate;
+    exact COUNT(DISTINCT) so DuckDB replays every count and ratio
+    (full oracle)."""
+    from meta_frame_spark.operators.profile import corpus_diversity
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return corpus_diversity(docs, ns=(1, 2, 3), exact=True)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4944,21 +4956,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-4    curation_lm / fim_examples / unigram_tokenize /
-#          unigram_sample — FIRST driver rows for the round-12
-#          additions (the CCNet perplexity-tail curation gate,
-#          VERDICT r11 #5; the fill-in-the-middle transform, #6; the
-#          unigram-LM tokenizer + its subword-regularization sampled
-#          encode, #7), never-orphaned rule;
-#   5      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#   1-5    curation_lm / fim_examples / unigram_tokenize /
+#          unigram_sample / corpus_diversity — FIRST driver rows for
+#          the round-12 additions (the CCNet perplexity-tail curation
+#          gate, VERDICT r11 #5; the fill-in-the-middle transform,
+#          #6; the unigram-LM tokenizer + its subword-regularization
+#          sampled encode, #7; the distinct-n diversity report),
+#          never-orphaned rule;
+#   6      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
 #          seg_idx leak, fixed this round); failed rows re-run,
 #          never orphan (VERDICT r11 #1);
-#   6-14   the 9 r11 late-session ops exactly as the r11 queue
+#   7-15   the 9 r11 late-session ops exactly as the r11 queue
 #          pinned them (token_fertility .. span_corruption) — their
 #          FIRST driver rows;
-#   15-50  the next 36 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. text_quality), the oldest r8-green rows.
-# The 14 remaining r8-green rows (token_bpe .. sorted_neighbors)
+#   16-50  the next 35 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. text_stats), the oldest r8-green rows.
+# The 15 remaining r8-green rows (text_quality .. sorted_neighbors)
 # could not take slots without orphaning a first-driver-row op or a
 # failed row; they are the ENTIRE r13 queue below and were re-verified
 # locally this round (tools/check_correctness.py full-registry run,
@@ -4966,6 +4979,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
+    "corpus_diversity",
     # (2) the r11 red row, oracle fixed — re-runs, never orphans
     "mm_scene_cuts",
     # (3) the pinned r11 queue, verbatim
@@ -4981,16 +4995,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
     "corpus_clean", "ann_topk", "ngram_jaccard", "text_stats",
-    "text_quality",
 )
 
-# The planned r13 window backbone: the 14 r8-green rows displaced by
+# The planned r13 window backbone: the 15 r8-green rows displaced by
 # the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
 # heads. Pinned constant per VERDICT r8 #7 so the queue cannot
 # silently drift from the plan; tests/test_cli.py checks it stays
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "token_bpe", "vocab_topk", "row_numbers",
+    "text_quality", "token_bpe", "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",
@@ -5221,6 +5234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_examples": q_fim_examples,
         "unigram_tokenize": q_unigram_tokenize,
         "unigram_sample": q_unigram_sample,
+        "corpus_diversity": q_corpus_diversity,
     }
 
 
@@ -9381,5 +9395,29 @@ def oracle_sql() -> dict[str, str]:
                    x -> x != '')) AS INTEGER) AS n_words,
                TRUE AS sample_ok
         FROM documents
+    """
+    # Distinct-n diversity replayed exactly: the in-row n-gram
+    # windows, both counts, and the ratio.
+    d["corpus_diversity"] = r"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(text, '\S+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT source, ns.n,
+                   array_to_string(t[CAST(u.i AS INTEGER):
+                                     CAST(u.i + ns.n - 1 AS INTEGER)],
+                                   ' ') AS gram
+            FROM toks,
+                 (SELECT unnest([1, 2, 3]) AS n) ns,
+                 UNNEST(range(1, greatest(len(t) - ns.n + 1, 0) + 1))
+                     AS u(i)
+        )
+        SELECT source, CAST(n AS INTEGER) AS n,
+               COUNT(*) AS n_grams,
+               COUNT(DISTINCT gram) AS distinct_grams,
+               ROUND(COUNT(DISTINCT gram)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+        FROM g GROUP BY 1, 2
     """
     return d

@@ -568,3 +568,45 @@ class TestFimExamples:
             fim_examples(df, fim_rate=1.5)
         with _pt.raises(ValueError, match="mode"):
             fim_examples(df, mode="pms")
+
+
+class TestCorpusDiversity:
+    def test_hand_counts(self, spark):
+        from meta_frame_spark.operators.profile import corpus_diversity
+
+        df = spark.createDataFrame(
+            [(1, "a", "x y x"), (2, "a", "x y"), (3, "b", "z")],
+            "doc_id long, source string, text string",
+        )
+        out = {(r.source, r.n): r for r in
+               corpus_diversity(df, ns=(1, 2)).collect()}
+        # source a: unigrams x,y,x,x,y -> 5 grams, 2 distinct
+        assert out[("a", 1)].n_grams == 5
+        assert out[("a", 1)].distinct_grams == 2
+        assert out[("a", 1)].distinct_ratio == 0.4
+        # source a bigrams: "x y","y x","x y" -> 3 grams, 2 distinct
+        assert out[("a", 2)].n_grams == 3
+        assert out[("a", 2)].distinct_grams == 2
+        # source b: one unigram; too short for any bigram
+        assert out[("b", 1)].n_grams == 1
+        assert ("b", 2) not in out
+
+    def test_approx_path_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.profile import corpus_diversity
+
+        df = spark.createDataFrame(
+            [(i, "s", f"w{i % 7} common") for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+        exact = {(r.source, r.n): r.distinct_grams for r in
+                 corpus_diversity(df, ns=(1,)).collect()}
+        approx = {(r.source, r.n): r.distinct_grams for r in
+                  corpus_diversity(df, ns=(1,), exact=False).collect()}
+        # HLL at rsd=0.05 on 8 distinct values is exact in practice
+        assert approx[("s", 1)] == exact[("s", 1)] == 8
+        with _pt.raises(ValueError, match="ns"):
+            corpus_diversity(df, ns=())
+        with _pt.raises(ValueError, match=">= 1"):
+            corpus_diversity(df, ns=(0,))
