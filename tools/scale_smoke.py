@@ -1163,6 +1163,24 @@ def main() -> int:
         r["unig_sec"], r["unig_rows"] = t, n
         r["unig_ok"], r["usmp_ok"] = ok_uv, ok_us
 
+        def diversity():
+            from meta_frame_spark.operators.profile import corpus_diversity
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            out = corpus_diversity(dd, ns=(1, 2, 3)).persist()
+            n = out.count()
+            grams = out.agg(F.sum("n_grams")).first()[0]
+            bad = out.filter(
+                (F.col("distinct_ratio") <= 0)
+                | (F.col("distinct_ratio") > 1)
+                | (F.col("distinct_grams") > F.col("n_grams"))
+            ).count()
+            out.unpersist()
+            return (n, grams), bool(bad == 0)
+        t, ((n, grams), ok_dv) = timed("corpus_diversity", diversity)
+        r["dvr_sec"], r["dvr_rows"] = t, n
+        r["dvr_grams"], r["dvr_ok"] = grams, ok_dv
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1181,7 +1199,7 @@ def main() -> int:
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
-                "ppr", "ict", "spanc", "lmg", "fim", "unig"):
+                "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1317,6 +1335,11 @@ def main() -> int:
         ("unigram viterbi bounds", b["unig_ok"]
          and b["unig_rows"] == 10 * a["unig_rows"]),
         ("unigram sample reassembles", b["usmp_ok"]),
+        # diversity: same (source, n) grid at both scales, total gram
+        # mass exactly x10, ratios bounded in (0, 1] everywhere
+        ("diversity grid + gram mass x10", b["dvr_ok"]
+         and b["dvr_rows"] == a["dvr_rows"]
+         and 9.5 <= b["dvr_grams"] / max(a["dvr_grams"], 1) <= 10.5),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
