@@ -185,9 +185,12 @@ def corpus_diversity(
     gibberish. Documents shorter than ``n`` tokens contribute no
     n-grams at that order.
 
-    Scale: the n-grams are built in-row (slice windows over one token
-    array — JVM codegen, the dedup shingle shape) and explode inside
-    the task; the only shuffle is the per-group aggregate.
+    Scale: ALL orders are built in one pass — per row, each order's
+    n-grams are sliced in-row as ``struct(n, gram)`` (the dedup
+    shingle shape), the per-order arrays concat into one array, and a
+    single explode feeds a single ``(group, n)`` aggregate: one
+    corpus scan and one shuffle regardless of ``len(ns)`` (a
+    per-order union would re-scan the corpus per order).
     ``exact=True`` computes exact COUNT(DISTINCT) (a distinct-gram
     shuffle — fine into the low billions of grams, and what the DuckDB
     oracle matches); at 100 TB pass ``exact=False`` for
@@ -206,42 +209,40 @@ def corpus_diversity(
     # binding would silently rebind n to the POSITION index
     def _grams(n: int):
         k = F.size(toks) - F.lit(n - 1)
-        return F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    frames = []
-    for n in ns:
-        grams = _grams(n)
-        exploded = df.select(
-            F.col(group_col), F.explode(grams).alias("_gram")
-        )
-        distinct = (
-            F.count_distinct("_gram")
-            if exact
-            else F.approx_count_distinct("_gram", rsd)
-        )
-        frames.append(
-            exploded.groupBy(group_col).agg(
-                F.count(F.lit(1)).alias("n_grams"),
-                distinct.alias("distinct_grams"),
-            ).select(
-                group_col,
+        win = F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
                 F.lit(n).alias("n"),
-                "n_grams",
-                "distinct_grams",
-                F.round(
-                    F.col("distinct_grams")
-                    / F.col("n_grams").cast("double"),
-                    6,
-                ).alias("distinct_ratio"),
-            )
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        return F.when(k > 0, win).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+
+    all_grams = F.concat(*[_grams(n) for n in sorted(set(ns))])
+    exploded = df.select(
+        F.col(group_col), F.explode(all_grams).alias("_g")
+    ).select(group_col, F.col("_g.n").alias("n"), F.col("_g.gram").alias("_gram"))
+    distinct = (
+        F.count_distinct("_gram")
+        if exact
+        else F.approx_count_distinct("_gram", rsd)
+    )
+    return (
+        exploded.groupBy(group_col, "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            distinct.alias("distinct_grams"),
+        )
+        .select(
+            group_col,
+            "n",
+            "n_grams",
+            "distinct_grams",
+            F.round(
+                F.col("distinct_grams") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+    )
