@@ -4939,6 +4939,34 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(docs, ns=(1, 2, 3), exact=True)
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation metrics (operators/ranking_eval
+    .retrieval_metrics — recall/precision@k, MRR, nDCG per judged
+    query, the TREC/BEIR measurement half of the search/ANN family).
+    Results and graded qrels are staged deterministically from
+    doc_id arithmetic (ranked by the md5 portable coin per query), so
+    DuckDB replays the staging, the ideal-DCG ordering, and every
+    metric exactly (full oracle)."""
+    from meta_frame_spark.operators.ranking_eval import retrieval_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    q = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("query_id")
+    pairs = docs.select("doc_id", q)
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(F.concat_ws(":", "query_id", "doc_id")), F.col("doc_id")
+    )
+    results = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+    qrels = pairs.filter(
+        F.col("doc_id") % 7 == F.col("query_id") % 7
+    ).withColumn(
+        "rel", (F.lit(1) + (F.col("doc_id") % 5 == 0).cast("int"))
+    )
+    return retrieval_metrics(results, qrels, k=20).orderBy("query_id")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4956,22 +4984,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-5    curation_lm / fim_examples / unigram_tokenize /
-#          unigram_sample / corpus_diversity — FIRST driver rows for
-#          the round-12 additions (the CCNet perplexity-tail curation
-#          gate, VERDICT r11 #5; the fill-in-the-middle transform,
-#          #6; the unigram-LM tokenizer + its subword-regularization
-#          sampled encode, #7; the distinct-n diversity report),
-#          never-orphaned rule;
-#   6      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#   1-6    curation_lm / fim_examples / unigram_tokenize /
+#          unigram_sample / corpus_diversity / retrieval_eval —
+#          FIRST driver rows for the round-12 additions (the CCNet
+#          perplexity-tail curation gate, VERDICT r11 #5; the
+#          fill-in-the-middle transform, #6; the unigram-LM tokenizer
+#          + its subword-regularization sampled encode, #7; the
+#          distinct-n diversity report; the TREC-style retrieval
+#          metrics), never-orphaned rule;
+#   7      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
 #          seg_idx leak, fixed this round); failed rows re-run,
 #          never orphan (VERDICT r11 #1);
-#   7-15   the 9 r11 late-session ops exactly as the r11 queue
+#   8-16   the 9 r11 late-session ops exactly as the r11 queue
 #          pinned them (token_fertility .. span_corruption) — their
 #          FIRST driver rows;
-#   16-50  the next 35 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. text_stats), the oldest r8-green rows.
-# The 15 remaining r8-green rows (text_quality .. sorted_neighbors)
+#   17-50  the next 34 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. ngram_jaccard), the oldest r8-green rows.
+# The 16 remaining r8-green rows (text_stats .. sorted_neighbors)
 # could not take slots without orphaning a first-driver-row op or a
 # failed row; they are the ENTIRE r13 queue below and were re-verified
 # locally this round (tools/check_correctness.py full-registry run,
@@ -4979,7 +5008,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
-    "corpus_diversity",
+    "corpus_diversity", "retrieval_eval",
     # (2) the r11 red row, oracle fixed — re-runs, never orphans
     "mm_scene_cuts",
     # (3) the pinned r11 queue, verbatim
@@ -4994,16 +5023,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
-    "corpus_clean", "ann_topk", "ngram_jaccard", "text_stats",
+    "corpus_clean", "ann_topk", "ngram_jaccard",
 )
 
-# The planned r13 window backbone: the 15 r8-green rows displaced by
+# The planned r13 window backbone: the 16 r8-green rows displaced by
 # the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
 # heads. Pinned constant per VERDICT r8 #7 so the queue cannot
 # silently drift from the plan; tests/test_cli.py checks it stays
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "text_quality", "token_bpe", "vocab_topk", "row_numbers",
+    "text_stats", "text_quality", "token_bpe", "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",
@@ -5235,6 +5264,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "unigram_sample": q_unigram_sample,
         "corpus_diversity": q_corpus_diversity,
+        "retrieval_eval": q_retrieval_eval,
     }
 
 
@@ -9395,6 +9425,65 @@ def oracle_sql() -> dict[str, str]:
                    x -> x != '')) AS INTEGER) AS n_words,
                TRUE AS sample_ok
         FROM documents
+    """
+    # Retrieval metrics replayed exactly: the staged md5-ranked
+    # results, the graded residue qrels, the ideal-DCG ordering
+    # (rel desc, doc asc), and every metric.
+    d["retrieval_eval"] = r"""
+        WITH pairs AS (
+            SELECT d.doc_id, q.query_id
+            FROM documents d,
+                 (SELECT unnest(range(0, 10)) AS query_id) q
+        ),
+        results AS (
+            SELECT doc_id, query_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY md5(query_id || ':' || doc_id), doc_id
+                   ) AS rank
+            FROM pairs
+            QUALIFY rank <= 20
+        ),
+        qrels AS (
+            SELECT doc_id, query_id,
+                   1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS rel
+            FROM pairs WHERE doc_id % 7 = query_id % 7
+        ),
+        ideal AS (
+            SELECT query_id, COUNT(*) AS n_rel,
+                   SUM(CASE WHEN irank <= 20
+                            THEN rel / log2(irank + 1)
+                            ELSE 0 END) AS idcg
+            FROM (
+                SELECT query_id, rel,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rel DESC, doc_id ASC
+                       ) AS irank
+                FROM qrels WHERE rel > 0
+            ) GROUP BY 1
+        ),
+        hits AS (
+            SELECT r.query_id,
+                   SUM(CASE WHEN COALESCE(q.rel, 0) > 0
+                            THEN 1 ELSE 0 END) AS n_hits,
+                   MAX(CASE WHEN COALESCE(q.rel, 0) > 0
+                            THEN 1.0 / r.rank ELSE 0.0 END) AS rr,
+                   SUM(COALESCE(q.rel, 0) / log2(r.rank + 1)) AS dcg
+            FROM results r
+            LEFT JOIN qrels q USING (query_id, doc_id)
+            GROUP BY 1
+        )
+        SELECT i.query_id,
+               CAST(i.n_rel AS BIGINT) AS n_rel,
+               CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0)
+                     / CAST(i.n_rel AS DOUBLE), 6) AS recall_at_k,
+               ROUND(COALESCE(h.n_hits, 0) / 20.0, 6) AS precision_at_k,
+               ROUND(COALESCE(h.rr, 0.0), 6) AS reciprocal_rank,
+               ROUND(COALESCE(h.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+        FROM ideal i LEFT JOIN hits h USING (query_id)
+        ORDER BY i.query_id
     """
     # Distinct-n diversity replayed exactly: the in-row n-gram
     # windows, both counts, and the ratio.

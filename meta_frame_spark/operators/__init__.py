@@ -71,6 +71,7 @@ from meta_frame_spark.operators.chunking import (
     passage_pairs,
     sentence_passages,
 )
+from meta_frame_spark.operators.ranking_eval import retrieval_metrics
 from meta_frame_spark.operators.unigram import (
     unigram_encode,
     unigram_sample_encode,
@@ -269,6 +270,7 @@ __all__ = [
     "unigram_train",
     "unigram_encode",
     "unigram_sample_encode",
+    "retrieval_metrics",
     "winsorize",
     "histogram_fixed",
     "dedup_against",

@@ -250,3 +250,65 @@ def test_tfidf_tie_breaks_by_term(spark):
     df = spark.createDataFrame([(1, "zed abc zed abc")], ["doc_id", "text"])
     out = sorted(tfidf_topk_terms(df, k=2).collect(), key=lambda r: r.rank)
     assert [r.term for r in out] == ["abc", "zed"]  # equal score -> term asc
+
+
+class TestRetrievalMetrics:
+    def test_hand_case(self, spark):
+        """recall/precision/MRR/nDCG against hand-computed values on a
+        3-judged-doc query; an unretrieved judged query scores 0; a
+        query with no positive judgments is excluded."""
+        import pytest as _pt
+
+        from meta_frame_spark.operators.ranking_eval import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [(1, "d1", 1), (1, "d9", 2), (1, "d2", 3),
+             (3, "d9", 1),
+             (2, "d1", 1)],
+            "query_id long, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "d1", 2), (1, "d2", 1), (1, "d3", 1),
+             (2, "d7", 0),          # judged but nothing positive
+             (3, "d1", 1)],         # judged, retrieved nothing rel
+            "query_id long, doc_id string, rel int",
+        )
+        out = {r.query_id: r for r in
+               retrieval_metrics(results, qrels, k=3).collect()}
+        assert set(out) == {1, 3}  # query 2 has no positive judgment
+        r1 = out[1]
+        assert (r1.n_rel, r1.n_hits) == (3, 2)
+        assert r1.recall_at_k == _pt.approx(2 / 3, abs=1e-6)
+        assert r1.precision_at_k == _pt.approx(2 / 3, abs=1e-6)
+        assert r1.reciprocal_rank == 1.0
+        import math
+        idcg = 2.0 + 1.0 / math.log2(3) + 1.0 / math.log2(4)
+        dcg = 2.0 + 1.0 / math.log2(4)
+        assert r1.ndcg_at_k == _pt.approx(dcg / idcg, abs=1e-6)
+        r3 = out[3]
+        assert (r3.n_hits, r3.recall_at_k, r3.reciprocal_rank,
+                r3.ndcg_at_k) == (0, 0.0, 0.0, 0.0)
+
+    def test_cutoff_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.ranking_eval import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [(1, "d1", 1), (1, "d2", 2)],
+            "query_id long, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, "d2", 1)], "query_id long, doc_id string, rel int"
+        )
+        # k=1 cuts d2 out of the retrieved set entirely
+        r = retrieval_metrics(results, qrels, k=1).first()
+        assert r.n_hits == 0 and r.ndcg_at_k == 0.0
+        with _pt.raises(ValueError, match="k must be"):
+            retrieval_metrics(results, qrels, k=0)
+        with _pt.raises(ValueError, match="missing column"):
+            retrieval_metrics(results.drop("rank"), qrels)
