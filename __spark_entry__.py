@@ -4967,6 +4967,23 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=20).orderBy("query_id")
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/scoring
+    .kneser_ney_logprob — Kneser & Ney 1995, the KenLM smoothing
+    behind the classic CCNet perplexity filter), self-fit on the
+    corpus: absolute discount 0.75, continuation-probability backoff.
+    Every factor a count ratio — DuckDB refits all four count tables
+    and replays every probability (full oracle)."""
+    from meta_frame_spark.operators.scoring import kneser_ney_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kneser_ney_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -4984,23 +5001,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-6    curation_lm / fim_examples / unigram_tokenize /
-#          unigram_sample / corpus_diversity / retrieval_eval —
-#          FIRST driver rows for the round-12 additions (the CCNet
-#          perplexity-tail curation gate, VERDICT r11 #5; the
-#          fill-in-the-middle transform, #6; the unigram-LM tokenizer
-#          + its subword-regularization sampled encode, #7; the
-#          distinct-n diversity report; the TREC-style retrieval
-#          metrics), never-orphaned rule;
-#   7      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#   1-7    curation_lm / fim_examples / unigram_tokenize /
+#          unigram_sample / corpus_diversity / retrieval_eval /
+#          kneser_ney — FIRST driver rows for the round-12 additions
+#          (the CCNet perplexity-tail curation gate, VERDICT r11 #5;
+#          the fill-in-the-middle transform, #6; the unigram-LM
+#          tokenizer + its subword-regularization sampled encode, #7;
+#          the distinct-n diversity report; the TREC-style retrieval
+#          metrics; interpolated Kneser-Ney scoring), never-orphaned
+#          rule;
+#   8      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
 #          seg_idx leak, fixed this round); failed rows re-run,
 #          never orphan (VERDICT r11 #1);
-#   8-16   the 9 r11 late-session ops exactly as the r11 queue
+#   9-17   the 9 r11 late-session ops exactly as the r11 queue
 #          pinned them (token_fertility .. span_corruption) — their
 #          FIRST driver rows;
-#   17-50  the next 34 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. ngram_jaccard), the oldest r8-green rows.
-# The 16 remaining r8-green rows (text_stats .. sorted_neighbors)
+#   18-50  the next 33 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. ann_topk), the oldest r8-green rows.
+# The 17 remaining r8-green rows (ngram_jaccard .. sorted_neighbors)
 # could not take slots without orphaning a first-driver-row op or a
 # failed row; they are the ENTIRE r13 queue below and were re-verified
 # locally this round (tools/check_correctness.py full-registry run,
@@ -5008,7 +5026,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
-    "corpus_diversity", "retrieval_eval",
+    "corpus_diversity", "retrieval_eval", "kneser_ney",
     # (2) the r11 red row, oracle fixed — re-runs, never orphans
     "mm_scene_cuts",
     # (3) the pinned r11 queue, verbatim
@@ -5023,16 +5041,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
-    "corpus_clean", "ann_topk", "ngram_jaccard",
+    "corpus_clean", "ann_topk",
 )
 
-# The planned r13 window backbone: the 16 r8-green rows displaced by
+# The planned r13 window backbone: the 17 r8-green rows displaced by
 # the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
 # heads. Pinned constant per VERDICT r8 #7 so the queue cannot
 # silently drift from the plan; tests/test_cli.py checks it stays
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "text_stats", "text_quality", "token_bpe", "vocab_topk", "row_numbers",
+    "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
+    "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",
@@ -5265,6 +5284,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_sample": q_unigram_sample,
         "corpus_diversity": q_corpus_diversity,
         "retrieval_eval": q_retrieval_eval,
+        "kneser_ney": q_kneser_ney,
     }
 
 
@@ -9425,6 +9445,46 @@ def oracle_sql() -> dict[str, str]:
                    x -> x != '')) AS INTEGER) AS n_words,
                TRUE AS sample_ok
         FROM documents
+    """
+    # Interpolated Kneser-Ney replayed exactly: all four count tables
+    # (bigram, context totals, follower counts, continuation counts),
+    # the scalar type count, the discounted + interpolated
+    # probability, and the per-doc average.
+    d["kneser_ney"] = r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t[CAST(u.i AS INTEGER)] AS a,
+                   t[CAST(u.i + 1 AS INTEGER)] AS b
+            FROM tok,
+                 UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+        ),
+        cb AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT a, SUM(cab) AS ca, COUNT(*) AS nf
+                FROM cb GROUP BY 1),
+        cont AS (SELECT b, COUNT(*) AS np FROM cb GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM cb),
+        p AS (
+            SELECT g.doc_id,
+                   GREATEST(cb.cab - 0.75, 0) / ctx.ca
+                   + 0.75 * ctx.nf / ctx.ca * (cont.np / tot.nt) AS p
+            FROM bg g
+            JOIN cb USING (a, b)
+            JOIN ctx USING (a)
+            JOIN cont USING (b), tot
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bigrams,
+               s.avg_neg_logprob
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n,
+                   ROUND(AVG(-ln(GREATEST(p, 1e-12))), 6)
+                       AS avg_neg_logprob
+            FROM p GROUP BY 1
+        ) s USING (doc_id)
     """
     # Retrieval metrics replayed exactly: the staged md5-ranked
     # results, the graded residue qrels, the ideal-DCG ordering

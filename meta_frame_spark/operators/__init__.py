@@ -149,6 +149,7 @@ from meta_frame_spark.operators.vocab import (
 from meta_frame_spark.operators.scoring import (
     bigram_logprob,
     bigram_vocab,
+    kneser_ney_logprob,
     score_documents,
     unigram_logprob,
     unigram_vocab,
@@ -271,6 +272,7 @@ __all__ = [
     "unigram_encode",
     "unigram_sample_encode",
     "retrieval_metrics",
+    "kneser_ney_logprob",
     "winsorize",
     "histogram_fixed",
     "dedup_against",

@@ -189,3 +189,87 @@ def bigram_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_neg_logprob",
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    fit: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 — the smoothing KenLM ships, the model behind
+    the classic CCNet perplexity filter):
+
+        P(b|a) = max(c(a,b) - d, 0) / c(a·)
+                 + d * N1+(a,·)/c(a·) * N1+(·,b)/N1+(·,·)
+
+    with absolute discount ``d`` and continuation probability
+    ``N1+(·,b)/N1+(·,·)`` — "how many contexts does b follow"
+    rather than raw frequency, the insight that makes KN beat naive
+    backoff on bursty tokens. A context unseen at fit time backs off
+    to the continuation probability alone; a never-continuing token
+    floors at 1e-12 (cannot occur when scoring the fit corpus
+    itself — the default — so the self-fit path stays exactly
+    oracle-replayable). Returns ``(id_col, n_bigrams,
+    avg_neg_logprob)``; docs with fewer than two tokens emit
+    n_bigrams=0, null score, as :func:`bigram_logprob`.
+
+    Every factor is a ratio of counts, so DuckDB replays the entire
+    model. Scale: the count tables are plain keyed aggregates (never
+    collected; zipf keeps them far under corpus size), scoring is
+    three token-keyed equi-joins + one per-doc aggregate — all
+    hash-shuffles on bounded keys; only the single scalar
+    N1+(·,·) reaches the driver."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    fit = df if fit is None else fit
+
+    def _pairs(frame, with_id):
+        toks = _tokens(text_col)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return ensure_min_partitions(frame).select(
+            *cols, F.explode(pairs).alias("bg")
+        ).select(*([id_col] if with_id else []), "bg.token", "bg.next_token")
+
+    cb = _pairs(fit, False).groupBy("token", "next_token").agg(
+        F.count(F.lit(1)).alias("_cab")
+    )
+    ctx = cb.groupBy("token").agg(
+        F.sum("_cab").alias("_ca"),
+        F.count(F.lit(1)).alias("_n_follow"),
+    )
+    cont = cb.groupBy("next_token").agg(F.count(F.lit(1)).alias("_n_prec"))
+    n_types = cb.count()  # ONE scalar on the driver
+
+    d = F.lit(float(discount))
+    scored = (
+        _pairs(df, True)
+        .join(cb, ["token", "next_token"], "left")
+        .join(ctx, "token", "left")
+        .join(cont, "next_token", "left")
+    )
+    pcont = F.coalesce(F.col("_n_prec"), F.lit(0)) / F.lit(float(n_types))
+    p = F.when(
+        F.col("_ca").isNotNull(),
+        F.greatest(F.coalesce(F.col("_cab"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("_ca")
+        + d * F.col("_n_follow") / F.col("_ca") * pcont,
+    ).otherwise(pcont)
+    nll = -F.log(F.greatest(p, F.lit(1e-12)))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.avg(nll).alias("avg_neg_logprob"),
+    )
+    all_docs = df.select(F.col(id_col)).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )

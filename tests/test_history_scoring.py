@@ -249,3 +249,58 @@ def test_bigram_stupid_backoff_hand_computed(spark):
     # doc 2: (z,q) not in top-2 table -> backoff 0.4 * cnt(q)/9; q is
     # OOV of the top-3 unigram vocab -> floor cnt 1
     assert math.isclose(out[2][1], -math.log(0.4 * (1 / 9)), rel_tol=1e-9)
+
+
+class TestKneserNey:
+    def test_hand_computed_probabilities(self, spark):
+        """Interpolated KN on a 2-doc corpus, every factor checked
+        against the hand-derived count tables (d=0.75): cb(b,a)=2,
+        cb(a,b)=cb(a,c)=1, c(a.)=c(b.)=2, N1+(a,.)=2, N1+(b,.)=1,
+        every continuation count 1 over 3 bigram types."""
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import kneser_ney_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b a"), (3, "x")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in kneser_ney_logprob(df).collect()}
+        # doc2: P(a|b) = (2-.75)/2 + .75*(1/2)*(1/3) = 0.75
+        assert out[2].n_bigrams == 1
+        assert out[2].avg_neg_logprob == _pt.approx(-math.log(0.75), abs=1e-9)
+        # doc1: P(b|a)=P(c|a)=(1-.75)/2 + .75*(2/2)*(1/3)=0.375; P(a|b)=0.75
+        want = -(2 * math.log(0.375) + math.log(0.75)) / 3
+        assert out[1].n_bigrams == 3
+        assert out[1].avg_neg_logprob == _pt.approx(want, abs=1e-9)
+        # single-token doc: no bigrams, null score
+        assert out[3].n_bigrams == 0 and out[3].avg_neg_logprob is None
+        with _pt.raises(ValueError, match="discount"):
+            kneser_ney_logprob(df, discount=1.0)
+
+    def test_separate_fit_backoff_and_floor(self, spark):
+        """Scoring a corpus the model was NOT fit on: an unseen
+        context backs off to the continuation probability; an unseen
+        next-token floors (finite score, never -inf)."""
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import kneser_ney_logprob
+
+        fit = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b a")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [(10, "z a"), (11, "z q")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in
+               kneser_ney_logprob(score, fit=fit).collect()}
+        # context z unseen -> Pcont(a) = 1/3
+        assert out[10].avg_neg_logprob == _pt.approx(
+            -math.log(1 / 3), abs=1e-9)
+        # next-token q never continues anything -> floored, finite
+        assert out[11].avg_neg_logprob == _pt.approx(
+            -math.log(1e-12), abs=1e-6)
