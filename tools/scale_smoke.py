@@ -1181,6 +1181,67 @@ def main() -> int:
         r["dvr_sec"], r["dvr_rows"] = t, n
         r["dvr_grams"], r["dvr_ok"] = grams, ok_dv
 
+        def kn():
+            from meta_frame_spark.operators.scoring import (
+                kneser_ney_logprob,
+            )
+
+            dd = docs(d)
+            out = kneser_ney_logprob(dd).persist()
+            n = out.count()
+            # every multi-token doc scores positive and finite
+            bad = out.filter(
+                (F.col("n_bigrams") > 0)
+                & (
+                    F.col("avg_neg_logprob").isNull()
+                    | (F.col("avg_neg_logprob") <= 0)
+                )
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_kn) = timed("kneser_ney", kn)
+        r["kn_sec"], r["kn_rows"], r["kn_ok"] = t, n, ok_kn
+
+        def reval():
+            from meta_frame_spark.operators.ranking_eval import (
+                retrieval_metrics,
+            )
+
+            dd = docs(d).select("doc_id")
+            q = F.explode(F.sequence(F.lit(0), F.lit(9))).alias(
+                "query_id"
+            )
+            pairs = dd.select("doc_id", q)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("query_id").orderBy(
+                F.md5(F.concat_ws(":", "query_id", "doc_id")),
+                F.col("doc_id"),
+            )
+            res = pairs.withColumn(
+                "rank", F.row_number().over(w)
+            ).filter(F.col("rank") <= 20)
+            qrels = pairs.filter(
+                F.col("doc_id") % 7 == F.col("query_id") % 7
+            ).withColumn(
+                "rel",
+                F.lit(1) + (F.col("doc_id") % 5 == 0).cast("int"),
+            )
+            out = retrieval_metrics(res, qrels, k=20).persist()
+            n = out.count()
+            nrel = out.agg(F.sum("n_rel")).first()[0]
+            bad = out.filter(
+                (F.col("recall_at_k") < 0) | (F.col("recall_at_k") > 1)
+                | (F.col("ndcg_at_k") < 0) | (F.col("ndcg_at_k") > 1)
+                | (F.col("reciprocal_rank") < 0)
+                | (F.col("reciprocal_rank") > 1)
+            ).count()
+            out.unpersist()
+            return (n, nrel), bool(bad == 0 and n == 10)
+        t, ((n, nrel), ok_rv) = timed("retrieval_eval", reval)
+        r["rev_sec"], r["rev_rows"] = t, n
+        r["rev_nrel"], r["rev_ok"] = nrel, ok_rv
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1199,7 +1260,8 @@ def main() -> int:
                 "goph", "fenc", "grep", "c4", "edec", "sgate",
                 "sdd", "blsc", "psg", "oov",
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
-                "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr"):
+                "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
+                "kn", "rev"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1340,6 +1402,14 @@ def main() -> int:
         ("diversity grid + gram mass x10", b["dvr_ok"]
          and b["dvr_rows"] == a["dvr_rows"]
          and 9.5 <= b["dvr_grams"] / max(a["dvr_grams"], 1) <= 10.5),
+        # Kneser-Ney: one row per doc (x10), positive finite scores on
+        # every multi-token doc; retrieval metrics: all 10 judged
+        # queries at both scales, every metric bounded in [0, 1],
+        # judged mass exactly x10
+        ("kneser-ney scores finite, x10", b["kn_ok"]
+         and b["kn_rows"] == 10 * a["kn_rows"]),
+        ("retrieval metrics bounded", b["rev_ok"]
+         and 9.5 <= b["rev_nrel"] / max(a["rev_nrel"], 1) <= 10.5),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
