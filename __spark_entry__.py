@@ -4984,6 +4984,36 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC with average-rank ties (operators/stats.roc_auc —
+    the Mann-Whitney statistic sklearn's roc_auc_score computes), the
+    measurement half of the quality-classifier family. Scores are
+    staged as coarse n_chars buckets (heavy ties exercise the
+    average-rank path) and labels as an md5-coin threshold correlated
+    with length, so DuckDB replays the staging, the distinct-score
+    prefix sum, and the rank formula exactly (full oracle). The
+    engine-side prefix sum is the two-phase ids.running_total — never
+    a single-task global window."""
+    from meta_frame_spark.operators.stats import roc_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("lbl"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    staged = docs.select(
+        F.floor(F.col("n_chars") / 50).cast("long").alias("score"),
+        (u < F.col("n_chars") / 600.0).alias("label"),
+    )
+    return roc_auc(staged, "score", "label")
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------
@@ -5001,24 +5031,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-7    curation_lm / fim_examples / unigram_tokenize /
+#   1-8    curation_lm / fim_examples / unigram_tokenize /
 #          unigram_sample / corpus_diversity / retrieval_eval /
-#          kneser_ney — FIRST driver rows for the round-12 additions
-#          (the CCNet perplexity-tail curation gate, VERDICT r11 #5;
-#          the fill-in-the-middle transform, #6; the unigram-LM
-#          tokenizer + its subword-regularization sampled encode, #7;
-#          the distinct-n diversity report; the TREC-style retrieval
-#          metrics; interpolated Kneser-Ney scoring), never-orphaned
-#          rule;
-#   8      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
+#          kneser_ney / roc_auc — FIRST driver rows for the round-12
+#          additions (the CCNet perplexity-tail curation gate,
+#          VERDICT r11 #5; the fill-in-the-middle transform, #6; the
+#          unigram-LM tokenizer + its subword-regularization sampled
+#          encode, #7; the distinct-n diversity report; the
+#          TREC-style retrieval metrics; interpolated Kneser-Ney
+#          scoring; exact ROC-AUC), never-orphaned rule;
+#   9      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
 #          seg_idx leak, fixed this round); failed rows re-run,
 #          never orphan (VERDICT r11 #1);
-#   9-17   the 9 r11 late-session ops exactly as the r11 queue
+#   10-18  the 9 r11 late-session ops exactly as the r11 queue
 #          pinned them (token_fertility .. span_corruption) — their
 #          FIRST driver rows;
-#   18-50  the next 33 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. ann_topk), the oldest r8-green rows.
-# The 17 remaining r8-green rows (ngram_jaccard .. sorted_neighbors)
+#   19-50  the next 32 entries of the r11 queue verbatim
+#          (ann_topk_ivfpq .. corpus_clean), the oldest r8-green rows.
+# The 18 remaining r8-green rows (ann_topk .. sorted_neighbors)
 # could not take slots without orphaning a first-driver-row op or a
 # failed row; they are the ENTIRE r13 queue below and were re-verified
 # locally this round (tools/check_correctness.py full-registry run,
@@ -5026,7 +5056,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
-    "corpus_diversity", "retrieval_eval", "kneser_ney",
+    "corpus_diversity", "retrieval_eval", "kneser_ney", "roc_auc",
     # (2) the r11 red row, oracle fixed — re-runs, never orphans
     "mm_scene_cuts",
     # (3) the pinned r11 queue, verbatim
@@ -5041,16 +5071,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
     "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
     "pivot", "window_analytics", "topk_per_group", "dedup_exact",
-    "corpus_clean", "ann_topk",
+    "corpus_clean",
 )
 
-# The planned r13 window backbone: the 17 r8-green rows displaced by
+# The planned r13 window backbone: the 18 r8-green rows displaced by
 # the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
 # heads. Pinned constant per VERDICT r8 #7 so the queue cannot
 # silently drift from the plan; tests/test_cli.py checks it stays
 # disjoint from DRIVER_WINDOW, registered, and oracle-backed.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
+    "ann_topk", "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
     "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
@@ -5285,6 +5315,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
+        "roc_auc": q_roc_auc,
     }
 
 
@@ -9445,6 +9476,38 @@ def oracle_sql() -> dict[str, str]:
                    x -> x != '')) AS INTEGER) AS n_words,
                TRUE AS sample_ok
         FROM documents
+    """
+    # Exact ROC-AUC replayed: the staged buckets/coins, the
+    # distinct-score cumulative counts, average-rank ties, and the
+    # Mann-Whitney formula.
+    d["roc_auc"] = r"""
+        WITH staged AS (
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS s,
+                   (('0x' || substr(md5(doc_id || ':lbl'), 1, 8))::BIGINT
+                    / 4294967296.0) < (n_chars / 600.0) AS y
+            FROM documents
+        ),
+        per_score AS (
+            SELECT s, COUNT(*) AS cnt,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+            FROM staged GROUP BY s
+        ),
+        ranked AS (
+            SELECT pos, cnt,
+                   SUM(cnt) OVER (ORDER BY s
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+            FROM per_score
+        ),
+        tot AS (
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+                   SUM(pos * (cum - cnt + (cnt + 1) / 2.0)) AS rank_sum
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                     / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc
+        FROM tot
     """
     # Interpolated Kneser-Ney replayed exactly: all four count tables
     # (bigram, context totals, follower counts, continuation counts),

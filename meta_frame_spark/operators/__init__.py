@@ -176,6 +176,7 @@ from meta_frame_spark.operators.sampling import (
 from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
     calibration_report,
+    roc_auc,
     corr_matrix,
     embedding_drift,
     group_trend,
@@ -273,6 +274,7 @@ __all__ = [
     "unigram_sample_encode",
     "retrieval_metrics",
     "kneser_ney_logprob",
+    "roc_auc",
     "winsorize",
     "histogram_fixed",
     "dedup_against",

@@ -206,3 +206,61 @@ def calibration_report(
     return out.withColumn(
         "gap", rnd(F.abs(F.col("mean_score") - F.col("frac_pos")))
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a boolean label — the
+    measurement half of the quality-classifier family
+    (operators/logreg, nb): one row ``(n_pos, n_neg, auc)`` where
+    ``auc`` is the Mann-Whitney rank statistic with AVERAGE-rank tie
+    handling, exactly what sklearn's ``roc_auc_score`` computes:
+
+        AUC = (sum of positives' average ranks - P(P+1)/2) / (P * N)
+
+    NULL scores or labels are excluded (unjudged rows can't rank).
+
+    Scale: scores collapse to one (score -> count, positives) row per
+    DISTINCT value first (a plain aggregate with map-side combine), so
+    the ranking runs over the distinct-score table; the prefix sum is
+    the distributed two-phase primitive (``ids.running_total`` — never
+    a single-task global window), and only the final 3-value row
+    leaves the cluster."""
+    from meta_frame_spark.operators.ids import running_total
+
+    scored = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per_score = scored.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("_y").cast("long")).alias("_pos"),
+    )
+    cum = running_total(per_score, ["_s"], "_cnt", out_col="_cum")
+    # average rank of every row tied at score s:
+    #   (rank range start + end) / 2 = cum_before + (cnt + 1) / 2
+    avg_rank = (
+        F.col("_cum") - F.col("_cnt") + (F.col("_cnt") + 1) / 2.0
+    )
+    totals = cum.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
+        F.sum(F.col("_pos") * avg_rank).alias("_rank_sum"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("_rank_sum")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )

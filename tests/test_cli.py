@@ -92,7 +92,7 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in ("curation_lm", "fim_examples", "unigram_tokenize",
                  "unigram_sample", "corpus_diversity", "retrieval_eval",
-                 "kneser_ney"):
+                 "kneser_ney", "roc_auc"):
         assert name in window, name
     # the one r11 RED row re-runs (failed rows never orphan): the
     # mm_scene_cuts oracle's HUGEINT seg_idx was fixed this round
@@ -102,12 +102,12 @@ def test_driver_window_composition():
     for name in (
         "token_fertility", "unimax_mix", "code_switch", "source_overlap",
         "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
-        "span_corruption", "ann_topk_ivfpq", "ann_topk",
+        "span_corruption", "ann_topk_ivfpq", "corpus_clean",
     ):
         assert name in window, name
-    # the 17 displaced r8-green rows are the entire r13 queue
+    # the 18 displaced r8-green rows are the entire r13 queue
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
-        "ngram_jaccard", "text_stats", "text_quality", "token_bpe"]
+        "ann_topk", "ngram_jaccard", "text_stats", "text_quality"]
     # the r12 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)

@@ -128,3 +128,43 @@ def test_calibration_report_hand_computed(spark):
         .executedPlan().toString()
     )
     assert "Join" not in plan and "Window" not in plan
+
+
+class TestRocAuc:
+    def test_hand_case_with_ties(self, spark):
+        """Average-rank tie handling: scores [.9,.8,.8,.5,.5,.3] with
+        labels [1,0,1,0,0,1] -> rank sum 11.5, AUC (11.5-6)/9."""
+        import pytest as _pt
+
+        from meta_frame_spark.operators.stats import roc_auc
+
+        df = spark.createDataFrame(
+            [(0.9, True), (0.8, False), (0.8, True),
+             (0.5, False), (0.5, False), (0.3, True)],
+            "s double, y boolean",
+        )
+        r = roc_auc(df, "s", "y").first()
+        assert (r.n_pos, r.n_neg) == (3, 3)
+        assert r.auc == _pt.approx((11.5 - 6) / 9, abs=1e-6)
+
+    def test_edges_and_nulls(self, spark):
+        from meta_frame_spark.operators.stats import roc_auc
+
+        # perfect separation -> 1.0; inverted -> 0.0; nulls excluded
+        df = spark.createDataFrame(
+            [(3.0, True), (2.0, True), (1.0, False),
+             (None, True), (9.0, None)],
+            "s double, y boolean",
+        )
+        assert roc_auc(df, "s", "y").first().auc == 1.0
+        inv = df.selectExpr("s", "NOT y AS y")
+        assert roc_auc(inv, "s", "y").first().auc == 0.0
+
+    def test_partition_invariant(self, spark):
+        from meta_frame_spark.operators.stats import roc_auc
+
+        rows = [(float(i % 17), i % 3 == 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        a = roc_auc(df, "s", "y").first()
+        b = roc_auc(df.repartition(13), "s", "y").first()
+        assert a == b
