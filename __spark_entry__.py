@@ -4939,6 +4939,41 @@ def q_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(docs, ns=(1, 2, 3), exact=True)
 
 
+def q_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB arm of the diversity report (operators/profile
+    .corpus_diversity with ``exact=False``): ``approx_count_distinct``
+    keeps the shuffle HLL-sketch-sized per (source, n) group instead
+    of moving every distinct gram — the exact arm measured ×4.0 at the
+    10× smoke, this one stays ~flat. Invariant oracle (the
+    distinct_sketch precedent): DuckDB recomputes the EXACT distinct
+    counts; the Spark side re-derives the same exact counts plus a
+    verified boolean that the HLL estimate lands within 3×rsd."""
+    from meta_frame_spark.operators.profile import corpus_diversity
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    approx = corpus_diversity(docs, ns=(1, 2, 3), exact=False, rsd=0.02)
+    exact = (
+        corpus_diversity(docs, ns=(1, 2, 3), exact=True)
+        .select(
+            "source", "n", F.col("distinct_grams").alias("exact_distinct")
+        )
+    )
+    return (
+        approx.join(exact, ["source", "n"])
+        .select(
+            "source",
+            "n",
+            "n_grams",
+            "exact_distinct",
+            (
+                F.abs(F.col("distinct_grams") - F.col("exact_distinct"))
+                / F.col("exact_distinct").cast("double")
+                <= 0.06
+            ).alias("err_ok"),
+        )
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation metrics (operators/ranking_eval
     .retrieval_metrics — recall/precision@k, MRR, nDCG per judged
@@ -5313,6 +5348,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": q_unigram_tokenize,
         "unigram_sample": q_unigram_sample,
         "corpus_diversity": q_corpus_diversity,
+        "corpus_diversity_approx": q_corpus_diversity_approx,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
         "roc_auc": q_roc_auc,
@@ -9413,15 +9449,19 @@ def oracle_sql() -> dict[str, str]:
         cut AS (SELECT quantile_cont(s, 0.8) AS c FROM scored)
         SELECT d.doc_id, d.source, ROUND(sc.s, 6) AS lm_score
         FROM documents d JOIN scored sc USING (doc_id), cut
-        WHERE sc.s <= cut.c
+        -- boundary rounded on both sides (mirrors lm_gate: last-ulp
+        -- AVG/ln drift must not flip the doc whose score == cutoff)
+        WHERE ROUND(sc.s, 9) <= ROUND(cut.c, 9)
     """
     # FIM replayed exactly: the apply coin, both uniform cut points
     # over n+1 positions, the three slices, the PSM sentinel layout,
     # and the AR pass-through for the unapplied fraction.
     d["fim_examples"] = r"""
         WITH t AS (
+            -- NULL-id rows drop (engine rule: concat_ws would give
+            -- every null-id row one shared md5 coin stream)
             SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-            FROM documents WHERE text IS NOT NULL
+            FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
         ), b AS (
             SELECT doc_id, toks, len(toks) AS n,
                    (('0x' || substr(md5(doc_id || ':fim'), 1, 8))::BIGINT
@@ -9505,8 +9545,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
         )
         SELECT n_pos, n_neg,
-               ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
-                     / CAST(n_pos * n_neg AS DOUBLE), 6) AS auc
+               -- single-class guard mirrors the engine: NULL, not a
+               -- div-by-zero NaN/Infinity
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                         / CAST(n_pos * n_neg AS DOUBLE), 6)
+               END AS auc
         FROM tot
     """
     # Interpolated Kneser-Ney replayed exactly: all four count tables
@@ -9630,6 +9674,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT gram) AS distinct_grams,
                ROUND(COUNT(DISTINCT gram)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+        FROM g GROUP BY 1, 2
+    """
+    # Invariant oracle for the HLL arm (distinct_sketch precedent):
+    # exact distinct counts recomputed; err_ok is Spark-verified.
+    d["corpus_diversity_approx"] = r"""
+        WITH toks AS (
+            SELECT source, regexp_extract_all(text, '\S+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        g AS (
+            SELECT source, ns.n,
+                   array_to_string(t[CAST(u.i AS INTEGER):
+                                     CAST(u.i + ns.n - 1 AS INTEGER)],
+                                   ' ') AS gram
+            FROM toks,
+                 (SELECT unnest([1, 2, 3]) AS n) ns,
+                 UNNEST(range(1, greatest(len(t) - ns.n + 1, 0) + 1))
+                     AS u(i)
+        )
+        SELECT source, CAST(n AS INTEGER) AS n,
+               COUNT(*) AS n_grams,
+               COUNT(DISTINCT gram) AS exact_distinct,
+               TRUE AS err_ok
         FROM g GROUP BY 1, 2
     """
     return d

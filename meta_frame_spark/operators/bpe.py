@@ -131,9 +131,12 @@ def bpe_encode(
 ) -> DataFrame:
     """Tokenize every document under the learned merges: ``(id_col,
     n_words, n_bpe_tokens[, bpe_tokens])``. One Arrow map with a
-    per-batch distinct-word memo; no shuffle."""
+    per-batch distinct-word memo; no shuffle. The id column keeps its
+    NATIVE type (string ids pass through — no silent cast-to-long
+    NULLs that would vanish in downstream joins)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    schema = f"{id_col} long, n_words int, n_bpe_tokens int" + (
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words int, n_bpe_tokens int" + (
         ", bpe_tokens array<string>" if emit_tokens else ""
     )
 
@@ -161,5 +164,5 @@ def bpe_encode(
             )
             yield pd.DataFrame(out_rows, columns=cols)
 
-    pruned = df.select(F.col(id_col).cast("long").alias(id_col), F.col(text_col))
+    pruned = df.select(F.col(id_col), F.col(text_col))
     return pruned.mapInPandas(encode, schema=schema)

@@ -457,7 +457,11 @@ def fim_examples(
     prefix/middle/suffix are all reachable exactly as in the paper's
     character-level splitting. Output: ``(id_col, fim_applied,
     input_text, n_tokens, prefix_len, middle_len, suffix_len)``
-    (token counts; NULL when not applied). Empty/NULL docs drop.
+    (token counts; NULL when not applied). Empty/NULL docs drop, and
+    so do NULL-``id_col`` rows — ``concat_ws`` skips NULLs, so every
+    null-id row would share one identical md5 coin stream (same
+    apply/cut decisions corpus-wide), which is never what a caller
+    wants; mirror of the ``ict_pairs`` null-id rule.
 
     Note ``input_text`` for the AR fraction is the space-joined token
     stream — whitespace-normalized, like every token-grain op here.
@@ -511,7 +515,7 @@ def fim_examples(
             F.lit(mid_token), F.array_join(F.slice(toks, 1, j), " "),
         )
     null_int = F.lit(None).cast("int")
-    return df.filter(n > 0).select(
+    return df.filter(F.col(id_col).isNotNull() & (n > 0)).select(
         F.col(id_col),
         applied.alias("fim_applied"),
         F.when(applied, fim_text)

@@ -252,15 +252,22 @@ def roc_auc(
         F.sum(F.col("_cnt") - F.col("_pos")).alias("n_neg"),
         F.sum(F.col("_pos") * avg_rank).alias("_rank_sum"),
     )
+    # Single-class input (n_pos or n_neg = 0) has no defined AUC:
+    # Spark double division would yield NaN, and an oracle engine's
+    # div-by-zero convention need not agree — return NULL
+    # deterministically instead.
     return totals.select(
         "n_pos",
         "n_neg",
-        F.round(
-            (
-                F.col("_rank_sum")
-                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
-            )
-            / (F.col("n_pos") * F.col("n_neg")).cast("double"),
-            6,
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (
+                    F.col("_rank_sum")
+                    - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+                )
+                / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ),
         ).alias("auc"),
     )

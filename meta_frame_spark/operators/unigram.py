@@ -234,10 +234,13 @@ def unigram_encode(
     containing characters outside the vocabulary fall back to
     character segmentation for those words (total coverage, like the
     trainer's single-char floor). One Arrow map with a per-batch
-    distinct-word memo; no shuffle."""
+    distinct-word memo; no shuffle. The id column keeps its NATIVE
+    type (string ids pass through untouched — no silent
+    cast-to-long-NULLs that would vanish in downstream joins)."""
     logp = dict(pieces)
     max_len = max((len(p) for p in logp), default=1)
-    schema = f"{id_col} long, n_words int, n_pieces int" + (
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words int, n_pieces int" + (
         ", pieces array<string>" if emit_tokens else ""
     )
 
@@ -265,9 +268,7 @@ def unigram_encode(
             )
             yield pd.DataFrame(out_rows, columns=cols)
 
-    pruned = df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    )
+    pruned = df.select(F.col(id_col), F.col(text_col))
     return pruned.mapInPandas(encode, schema=schema)
 
 
@@ -362,7 +363,10 @@ def unigram_sample_encode(
         raise ValueError(f"alpha must be >= 0, got {alpha}")
     logp = dict(pieces)
     max_len = max((len(p) for p in logp), default=1)
-    schema = f"{id_col} long, n_words int, n_pieces int" + (
+    # native id type — see unigram_encode; the md5 coin formats the id
+    # with f-string, so int-vs-string ids stay distinct AND stable
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words int, n_pieces int" + (
         ", pieces array<string>" if emit_tokens else ""
     )
 
@@ -398,7 +402,5 @@ def unigram_sample_encode(
             )
             yield pd.DataFrame(out_rows, columns=cols)
 
-    pruned = df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    )
+    pruned = df.select(F.col(id_col), F.col(text_col))
     return pruned.mapInPandas(encode, schema=schema)

@@ -511,10 +511,18 @@ def _op_lm_gate(
             else F.percentile_approx(F.col("_lm_score"), q, F.lit(accuracy))
         ).alias("_lm_cut")
     )
+    # Round both sides of the boundary comparison: when
+    # max_quantile*(n-1) lands on an integer index the cutoff EQUALS
+    # one doc's score, and a last-ulp AVG/ln difference between Spark
+    # and an exact-percentile oracle replay could flip that boundary
+    # doc in/out of the kept set. 9 digits is far above double noise
+    # (~1e-16 relative) and far below any real score gap.
     gated = (
         df.join(s, F.col(id_col).eqNullSafe(F.col("_lm_id")))
         .crossJoin(F.broadcast(cut))
-        .filter(F.col("_lm_score") <= F.col("_lm_cut"))
+        .filter(
+            F.round(F.col("_lm_score"), 9) <= F.round(F.col("_lm_cut"), 9)
+        )
     )
     keep = [F.col("_lm_score").alias(score_col)] if score_col else []
     return gated.select(*df.columns, *keep)

@@ -375,7 +375,17 @@ def write_webdataset_shards(
     set the shard-count granularity. Writes to a filesystem path
     visible to every executor (local/NFS/fuse-mounted object store —
     the standard WebDataset export arrangement; tar is not a Spark
-    datasource, so the distributed-FS writers don't apply)."""
+    datasource, so the distributed-FS writers don't apply).
+
+    Task-commit protocol: each attempt streams into attempt-unique
+    temp names (``.inprogress-<taskAttemptId>`` suffix) and renames
+    them to the final ``shard-*.tar`` names only after its whole
+    partition is consumed, so a failed or killed attempt never leaves
+    a partial/stale final shard — only temp files, which the driver
+    sweeps after the job. Speculative duplicate attempts rename
+    identical bytes onto the same final name via atomic
+    ``os.replace`` (same input partition => same deterministic tar),
+    so a loader globbing ``*.tar`` can never observe a torn shard."""
     import os
     import shutil
 
@@ -398,19 +408,22 @@ def write_webdataset_shards(
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         tar = None
         seq = 0
         n_in_shard = 0
+        pending = []  # (temp_path, final_path) renamed on task success
 
         def roll():
             nonlocal tar, seq, n_in_shard
             if tar is not None:
                 tar.close()
-            tar = tarfile.open(
-                os.path.join(path, f"shard-{pid:05d}-{seq:04d}.tar"),
-                "w",
-            )
+            final = os.path.join(path, f"shard-{pid:05d}-{seq:04d}.tar")
+            temp = f"{final}.inprogress-{attempt}"
+            pending.append((temp, final))
+            tar = tarfile.open(temp, "w")
             seq += 1
             n_in_shard = 0
 
@@ -434,8 +447,19 @@ def write_webdataset_shards(
             n_in_shard += 1
         if tar is not None:
             tar.close()
+        # Commit: the whole partition is consumed, so publish the
+        # shards atomically. A duplicate attempt replaces identical
+        # bytes; a failed attempt never reaches this point.
+        for temp, final in pending:
+            os.replace(temp, final)
 
     pruned.foreachPartition(dump)
+    # Sweep temp files left by failed/killed attempts so the
+    # directory holds only committed *.tar shards.
+    import glob as _glob
+
+    for leftover in _glob.glob(os.path.join(path, "*.inprogress-*")):
+        os.remove(leftover)
 
 
 def read_webdataset(spark, path: str) -> DataFrame:

@@ -44,6 +44,19 @@ def test_bpe_encode_counts_and_greedy_priority(spark, tiny):
     assert 1 <= len(toks) <= len("lowest") + 1
 
 
+def test_bpe_encode_keeps_native_id_type(spark, tiny):
+    """String doc ids pass through untouched — no silent
+    cast-to-long NULLs that vanish in downstream joins."""
+    merges = bpe_train(tiny, num_merges=5)
+    named = tiny.selectExpr("concat('doc-', doc_id) AS doc_id", "text")
+    out = bpe_encode(named, merges)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    ids = [r.doc_id for r in out.collect()]
+    assert len(ids) == tiny.count() and all(
+        i is not None and i.startswith("doc-") for i in ids
+    )
+
+
 def test_bpe_encode_emit_tokens_roundtrip(spark, tiny):
     merges = bpe_train(tiny, num_merges=3)
     out = bpe_encode(tiny, merges, emit_tokens=True).collect()

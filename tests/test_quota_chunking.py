@@ -541,6 +541,18 @@ class TestFimExamples:
                 assert r.input_text == expect, (doc_id, mode)
             assert saw_applied and saw_plain
 
+    def test_null_ids_drop(self, spark):
+        """NULL-id rows drop (they would all share ONE md5 coin
+        stream via concat_ws's NULL-skipping) — ict_pairs rule."""
+        from meta_frame_spark.operators.chunking import fim_examples
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (None, "e f g h"), (None, "i j k")],
+            "doc_id long, text string",
+        )
+        got = fim_examples(df, fim_rate=1.0).collect()
+        assert [r.doc_id for r in got] == [1]
+
     def test_spm_layout_and_rate_edges(self, spark):
         from meta_frame_spark.operators.chunking import fim_examples
 

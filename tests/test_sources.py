@@ -501,6 +501,30 @@ class TestWebdatasetShards:
             with tarfile.open(s) as tf:
                 keys = {n.rsplit(".", 1)[0] for n in tf.getnames()}
                 assert len(keys) <= 3
+        # task-commit protocol: only committed *.tar shards remain —
+        # no .inprogress-<attempt> temp files survive the job
+        assert glob.glob(f"{out}/*.inprogress-*") == []
+
+    def test_failed_task_leaves_no_final_shards(self, spark, tmp_path):
+        """A task that dies mid-partition must not publish any final
+        shard (the rename-on-success protocol) — the NULL-key abort
+        fires after the first shard file was already rolling."""
+        import glob
+
+        from meta_frame_spark.sources.sinks import write_webdataset_shards
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "c")],
+            "doc_id long, text string",
+        ).coalesce(1)
+        out = str(tmp_path / "wds_fail")
+        import pytest
+
+        with pytest.raises(Exception, match="NULL sample key"):
+            write_webdataset_shards(
+                df, out, "doc_id", {"txt": "text"}, records_per_shard=1
+            )
+        assert glob.glob(f"{out}/*.tar") == []
 
     def test_validation_and_modes(self, spark, tmp_path):
         import pytest

@@ -168,3 +168,16 @@ class TestRocAuc:
         a = roc_auc(df, "s", "y").first()
         b = roc_auc(df.repartition(13), "s", "y").first()
         assert a == b
+
+    def test_single_class_returns_null_auc(self, spark):
+        """n_pos or n_neg = 0 has no defined AUC: NULL, never NaN."""
+        from meta_frame_spark.operators.stats import roc_auc
+
+        all_pos = spark.createDataFrame(
+            [(1.0, True), (2.0, True)], "s double, y boolean"
+        )
+        r = roc_auc(all_pos, "s", "y").first()
+        assert (r.n_pos, r.n_neg) == (2, 0) and r.auc is None
+        all_neg = all_pos.selectExpr("s", "NOT y AS y")
+        r = roc_auc(all_neg, "s", "y").first()
+        assert (r.n_pos, r.n_neg) == (0, 2) and r.auc is None

@@ -126,6 +126,25 @@ class TestEncode:
         )
         assert a == b
 
+    def test_keeps_native_id_type(self, spark, toy):
+        """String ids pass through untouched (no silent long-cast
+        NULLs); same for the sampled encoder, whose md5 coin keys on
+        the formatted id."""
+        from meta_frame_spark.operators.unigram import (
+            unigram_sample_encode,
+        )
+
+        pieces = unigram_train(toy, vocab_size=40, max_piece_len=4)
+        named = toy.selectExpr("concat('d', doc_id) AS doc_id", "text")
+        for fn in (unigram_encode,
+                   lambda df, p: unigram_sample_encode(df, p, alpha=50.0)):
+            out = fn(named, pieces)
+            assert out.schema["doc_id"].dataType.simpleString() == "string"
+            ids = [r.doc_id for r in out.collect()]
+            assert len(ids) == toy.count() and all(
+                i is not None and i.startswith("d") for i in ids
+            )
+
 
 class TestSampleEncode:
     def test_high_alpha_matches_viterbi(self, spark, toy):
