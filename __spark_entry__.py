@@ -5019,6 +5019,24 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kneser_ney3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney scoring (operators/scoring
+    .kneser_ney3_logprob — Chen & Goodman 1999 §3, the order
+    KenLM/CCNet actually ship), self-fit on the corpus: absolute
+    discount 0.75, the full recursive backoff chain with
+    continuation counts at every lower order, all derived from one
+    trigram count table. DuckDB refits all six count tables and
+    replays every probability (full oracle)."""
+    from meta_frame_spark.operators.scoring import kneser_ney3_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kneser_ney3_logprob(docs)
+    return out.select(
+        "doc_id", "n_trigrams",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    )
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC with average-rank ties (operators/stats.roc_auc —
     the Mann-Whitney statistic sklearn's roc_auc_score computes), the
@@ -5351,6 +5369,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity_approx": q_corpus_diversity_approx,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
+        "kneser_ney3": q_kneser_ney3,
         "roc_auc": q_roc_auc,
     }
 
@@ -9584,6 +9603,58 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id,
                CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bigrams,
+               s.avg_neg_logprob
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n,
+                   ROUND(AVG(-ln(GREATEST(p, 1e-12))), 6)
+                       AS avg_neg_logprob
+            FROM p GROUP BY 1
+        ) s USING (doc_id)
+    """
+    # Trigram KN replayed exactly: all six count tables refit from the
+    # corpus (trigram counts, trigram-context totals/type-counts, the
+    # continuation table N1+(.bc), its per-w2 totals, and the unigram
+    # continuation counts), then the full recursive backoff formula.
+    # Self-fit => every scored trigram exists in every table (inner
+    # joins are exact, like the bigram oracle).
+    d["kneser_ney3"] = r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, t[CAST(u.i AS INTEGER)] AS w1,
+                   t[CAST(u.i + 1 AS INTEGER)] AS w2,
+                   t[CAST(u.i + 2 AS INTEGER)] AS w3
+            FROM tok,
+                 UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+        ),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt3
+               FROM tg GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT w1, w2, SUM(cnt3) AS c12, COUNT(*) AS nf12
+                 FROM c3 GROUP BY 1, 2),
+        mid AS (SELECT w2, w3, COUNT(*) AS n23 FROM c3 GROUP BY 1, 2),
+        ctx2 AS (SELECT w2, SUM(n23) AS n2dot, COUNT(*) AS nf2
+                 FROM mid GROUP BY 1),
+        cont1 AS (SELECT w3, COUNT(*) AS n3 FROM mid GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM mid),
+        p AS (
+            SELECT g.doc_id,
+                   GREATEST(c3.cnt3 - 0.75, 0) / ctx3.c12
+                   + 0.75 * ctx3.nf12 / ctx3.c12 *
+                     (GREATEST(mid.n23 - 0.75, 0) / ctx2.n2dot
+                      + 0.75 * ctx2.nf2 / ctx2.n2dot
+                        * (cont1.n3 / tot.nt)) AS p
+            FROM tg g
+            JOIN c3 USING (w1, w2, w3)
+            JOIN ctx3 USING (w1, w2)
+            JOIN mid USING (w2, w3)
+            JOIN ctx2 USING (w2)
+            JOIN cont1 USING (w3), tot
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n, 0) AS INTEGER) AS n_trigrams,
                s.avg_neg_logprob
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN (

@@ -273,3 +273,119 @@ def kneser_ney_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_neg_logprob",
     )
+
+
+def kneser_ney3_logprob(
+    df: DataFrame,
+    fit: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney scoring (Chen & Goodman 1999
+    §3 — the order KenLM/CCNet actually ship) with the full recursive
+    backoff chain. Highest order uses raw counts, every lower order
+    uses CONTINUATION counts derived from the trigram table:
+
+        P3(c|ab) = max(c(abc)-d, 0)/c(ab·)
+                   + d·N1+(ab·)/c(ab·) · P2(c|b)
+        P2(c|b)  = max(N1+(·bc)-d, 0)/N1+(·b·)
+                   + d·N1+(b··types)/N1+(·b·) · P1(c)
+        P1(c)    = N1+(··c)/N1+(···)
+
+    where N1+(·bc) = |{a : c(abc)>0}|, N1+(·b·) = Σ_c N1+(·bc),
+    N1+(b··types) = |{c : N1+(·bc)>0}|, N1+(··c) = |{b : N1+(·bc)>0}|
+    and N1+(···) = |{(b,c) : N1+(·bc)>0}| — ALL derived from the one
+    trigram count table, so the whole model is a closed family of
+    keyed aggregates over c(abc) and DuckDB replays every factor
+    exactly. An unseen trigram context (a,b) backs off to P2; an
+    unseen bigram context b backs off to P1; a never-continuing word
+    floors at 1e-12 (unreachable on the self-fit path, keeping the
+    default oracle-replayable). Returns ``(id_col, n_trigrams,
+    avg_neg_logprob)``; docs with fewer than three tokens emit
+    n_trigrams=0, null score.
+
+    Scale: identical shape to the bigram order — count tables stay
+    distributed keyed aggregates (zipf-bounded, never collected),
+    scoring is five token-keyed equi-joins + one per-doc aggregate,
+    and only the single scalar N1+(···) reaches the driver."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    fit = df if fit is None else fit
+
+    def _tris(frame, with_id):
+        toks = _tokens(text_col)
+        n = F.size(toks)
+        # when() guards the sequence: start > stop would DESCEND
+        tri = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                    F.element_at(toks, i + 2).alias("w3"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return (
+            ensure_min_partitions(frame)
+            .select(*cols, F.explode(tri).alias("tg"))
+            .select(
+                *([id_col] if with_id else []), "tg.w1", "tg.w2", "tg.w3"
+            )
+        )
+
+    c3 = _tris(fit, False).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_c3")
+    )
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("_c3").alias("_c12"),
+        F.count(F.lit(1)).alias("_nf12"),
+    )
+    # N1+(·bc): distinct left-extensions of each (b,c) — one row per
+    # (w2,w3) over the trigram TYPE table
+    mid = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_n23"))
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("_n23").alias("_n2dot"),
+        F.count(F.lit(1)).alias("_nf2"),
+    )
+    cont1 = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("_n3"))
+    n_types = mid.count()  # N1+(···): ONE scalar on the driver
+
+    d = F.lit(float(discount))
+    scored = (
+        _tris(df, True)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(ctx2, "w2", "left")
+        .join(cont1, "w3", "left")
+    )
+    p1 = F.coalesce(F.col("_n3"), F.lit(0)) / F.lit(float(n_types))
+    p2 = F.when(
+        F.col("_n2dot").isNotNull(),
+        F.greatest(F.coalesce(F.col("_n23"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("_n2dot")
+        + d * F.col("_nf2") / F.col("_n2dot") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("_c12").isNotNull(),
+        F.greatest(F.coalesce(F.col("_c3"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("_c12")
+        + d * F.col("_nf12") / F.col("_c12") * p2,
+    ).otherwise(p2)
+    nll = -F.log(F.greatest(p3, F.lit(1e-12)))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+        F.avg(nll).alias("avg_neg_logprob"),
+    )
+    all_docs = df.select(F.col(id_col)).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        "avg_neg_logprob",
+    )

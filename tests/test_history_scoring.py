@@ -304,3 +304,89 @@ class TestKneserNey:
         # next-token q never continues anything -> floored, finite
         assert out[11].avg_neg_logprob == _pt.approx(
             -math.log(1e-12), abs=1e-6)
+
+
+class TestKneserNey3:
+    def test_hand_computed_probabilities(self, spark):
+        """Trigram interpolated KN on a 2-doc corpus, every factor
+        hand-derived (d=0.75). Count tables: c3(abc)=2, c3(bca)=1,
+        c3(cab)=2, c3(abd)=1; c(ab.)=3 with N1+(ab.)=2, c(bc.)=1,
+        c(ca.)=2; mid table has 4 rows all N1+=1, so every P1=1/4."""
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import kneser_ney3_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b c a b d"), (2, "c a b c"), (3, "a b")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in kneser_ney3_logprob(df).collect()}
+        # P2(c|b)=P2(d|b)=(1-.75)/2+.75*(2/2)*(1/4)=0.3125
+        # P2(a|c)=P2(b|a)=(1-.75)/1+.75*(1/1)*(1/4)=0.4375
+        p3_c_ab = (2 - 0.75) / 3 + 0.75 * 2 / 3 * 0.3125
+        p3_d_ab = (1 - 0.75) / 3 + 0.75 * 2 / 3 * 0.3125
+        p3_a_bc = (1 - 0.75) / 1 + 0.75 * 1 / 1 * 0.4375
+        p3_b_ca = (2 - 0.75) / 2 + 0.75 * 1 / 2 * 0.4375
+        want1 = -(
+            math.log(p3_c_ab) + math.log(p3_a_bc)
+            + math.log(p3_b_ca) + math.log(p3_d_ab)
+        ) / 4
+        assert out[1].n_trigrams == 4
+        assert out[1].avg_neg_logprob == _pt.approx(want1, abs=1e-9)
+        want2 = -(math.log(p3_b_ca) + math.log(p3_c_ab)) / 2
+        assert out[2].n_trigrams == 2
+        assert out[2].avg_neg_logprob == _pt.approx(want2, abs=1e-9)
+        # two-token doc: no trigrams, null score
+        assert out[3].n_trigrams == 0 and out[3].avg_neg_logprob is None
+        with _pt.raises(ValueError, match="discount"):
+            kneser_ney3_logprob(df, discount=0.0)
+
+    def test_backoff_chain_and_floor(self, spark):
+        """All three backoff levels: seen trigram context with unseen
+        continuation -> interpolation weight times P2; unseen trigram
+        AND bigram context -> pure continuation unigram; a word that
+        never continues anything -> floored, finite."""
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import kneser_ney3_logprob
+
+        fit = spark.createDataFrame(
+            [(1, "a b c a b d"), (2, "c a b c")],
+            "doc_id long, text string",
+        )
+        score = spark.createDataFrame(
+            [(10, "a b a"), (11, "z z a"), (12, "z z q")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               kneser_ney3_logprob(score, fit=fit).collect()}
+        # (a,b,a): context (a,b) seen (c=3, N1+=2); (b,a) unseen in
+        # mid -> P2(a|b) = 0 + .75*(2/2)*(1/4) = 0.1875;
+        # P3 = 0 + .75*2/3*0.1875
+        assert out[10].avg_neg_logprob == _pt.approx(
+            -math.log(0.75 * 2 / 3 * 0.1875), abs=1e-9)
+        # (z,z,a): both contexts unseen -> P1(a) = 1/4
+        assert out[11].avg_neg_logprob == _pt.approx(
+            -math.log(0.25), abs=1e-9)
+        # (z,z,q): q never continues -> floor
+        assert out[12].avg_neg_logprob == _pt.approx(
+            -math.log(1e-12), abs=1e-6)
+
+    def test_partition_invariant(self, spark):
+        from meta_frame_spark.operators.scoring import kneser_ney3_logprob
+
+        rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(12)))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, kneser_ney3_logprob(df).collect()))
+        b = sorted(map(tuple,
+                       kneser_ney3_logprob(df.repartition(11)).collect()))
+        import pytest as _pt
+
+        for ra, rb in zip(a, b):
+            assert ra[0] == rb[0] and ra[1] == rb[1]
+            assert ra[2] == _pt.approx(rb[2], abs=1e-12)
