@@ -2062,6 +2062,30 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE, the GPT-2 arrangement (operators/bpe
+    .byte_bpe_train/encode — public bytes_to_unicode alphabet, pieces
+    partition the text, merges over byte units): NO input is ever
+    OOV and decode(encode(x)) == x for arbitrary UTF-8. Invariant
+    oracle: n_bytes is SQL-exact (DuckDB strlen = UTF-8 byte count);
+    round_trip_ok and the byte-count upper bound are Spark-verified
+    per row in the same Arrow pass."""
+    from meta_frame_spark.operators.bpe import byte_bpe_encode, byte_bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges = byte_bpe_train(docs, num_merges=100, top_pieces=5000)
+    out = byte_bpe_encode(docs, merges, verify_round_trip=True)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("round_trip_ok")
+            & (F.col("n_tokens") <= F.col("n_bytes"))
+            & ((F.col("n_tokens") > 0) | (F.col("n_bytes") == 0))
+        ).alias("lossless_ok"),
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff bigram LM scoring (operators/scoring.py —
     Brants et al. 2007): p(b|a) = cnt(a,b)/cnt(a) from the top-200
@@ -5164,6 +5188,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "bigram_lm": q_bigram_lm,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_bytes": q_bpe_bytes,
         "stream_curate": q_stream_curate,
         "dup_span_regions": q_dup_span_regions,
         "lang_margin": q_lang_margin,
@@ -5978,6 +6003,13 @@ def oracle_sql() -> dict[str, str]:
                        x -> x != '')) AS INTEGER) AS n_words,
                    TRUE AS token_bounds_ok
             FROM documents
+        """,
+        # strlen is DuckDB's BYTE length (length() is characters)
+        "bpe_bytes": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS INTEGER) AS n_bytes,
+                   TRUE AS lossless_ok
+            FROM documents WHERE text IS NOT NULL
         """,
         "bigram_lm": """
             WITH tok AS (

@@ -24,6 +24,17 @@ corpus-size-INDEPENDENT:
 
 The end-of-word marker ``</w>`` keeps word boundaries inside the
 symbol space, as in the paper.
+
+Byte-level mode (``byte_bpe_train`` / ``byte_bpe_encode``) is the
+GPT-2 arrangement (Radford et al. 2019; the public
+``bytes_to_unicode`` alphabet from OpenAI's released encoder): text
+splits into pieces that PARTITION the string (``\S+|\s+`` runs, ASCII
+classes), each piece's UTF-8 bytes map 1:1 onto 256 printable unicode
+units, and merges are learned over those units — so NO input is ever
+out-of-vocabulary and ``decode(encode(x)) == x`` for arbitrary UTF-8,
+the loss-proof property real tokenizers need. No ``</w>`` marker:
+pieces include the whitespace runs, so plain concatenation restores
+the exact original text.
 """
 
 from __future__ import annotations
@@ -75,6 +86,15 @@ def bpe_train(
     vocab = {
         tuple(w) + (_EOW,): c for w, c in _word_counts(df, text_col, top_words)
     }
+    return _learn_merges(vocab, num_merges)
+
+
+def _learn_merges(
+    vocab: dict[tuple[str, ...], int], num_merges: int
+) -> list[tuple[str, str]]:
+    """The classic iterative most-frequent-pair loop over a bounded
+    (symbol-tuple -> count) table; deterministic tie-break by
+    lexicographically smallest pair."""
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: Counter = Counter()
@@ -107,8 +127,9 @@ def bpe_train(
     return merges
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    sym = list(word) + [_EOW]
+def _apply_merges(
+    sym: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
     while len(sym) > 1:
         best_rank = None
         best_i = -1
@@ -120,6 +141,10 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
     return sym
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    return _apply_merges(list(word) + [_EOW], ranks)
 
 
 def bpe_encode(
@@ -161,6 +186,156 @@ def bpe_encode(
                 out_rows.append(row)
             cols = [id_col, "n_words", "n_bpe_tokens"] + (
                 ["bpe_tokens"] if emit_tokens else []
+            )
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    pruned = df.select(F.col(id_col), F.col(text_col))
+    return pruned.mapInPandas(encode, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level mode (GPT-2 arrangement)
+# ---------------------------------------------------------------------------
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte<->unicode table (Radford et al. 2019,
+    released encoder): the 188 printable latin-1 bytes map to
+    themselves, the other 68 bytes map to U+0100.. so every byte is a
+    visible, dict-safe character. Bijective by construction."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+#: pieces PARTITION the text: non-whitespace runs and whitespace runs
+#: (ASCII classes, matching the JVM `\S+|\s+` used train-side).
+_PIECE = re.compile(r"[^ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+")
+_PIECE_JVM = r"[^ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+"
+
+
+def _to_units(piece: str) -> str:
+    return "".join(_B2U[b] for b in piece.encode("utf-8"))
+
+
+def byte_bpe_decode(tokens: list[str]) -> str:
+    """Exact inverse of byte-level encoding: concatenate, map each
+    unit back to its byte, UTF-8 decode. Total on any encoder output
+    (every token is a concatenation of alphabet units)."""
+    return bytes(_U2B[u] for u in "".join(tokens)).decode("utf-8")
+
+
+def byte_bpe_encode_text(
+    text: str, ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Pure-Python single-string encoder (the per-row kernel of
+    :func:`byte_bpe_encode`, exposed for property tests): piece split,
+    byte->unit mapping, ranked merges. Never OOV — the alphabet covers
+    all 256 bytes."""
+    out: list[str] = []
+    for piece in _PIECE.findall(text):
+        out.extend(_apply_merges(list(_to_units(piece)), ranks))
+    return out
+
+
+def byte_bpe_train(
+    df: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    top_pieces: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn byte-level merge rules from the corpus. Case and
+    whitespace are PRESERVED (unlike the word-level trainer) — the
+    whole point is losslessness. Same corpus-size-independent shape:
+    one explode + groupBy collapses the corpus to a piece-frequency
+    head (whitespace runs are pieces too), the merge loop runs
+    driver-side over that bounded table."""
+    from meta_frame_spark.operators.skew import ensure_min_partitions
+
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    rows = (
+        ensure_min_partitions(df)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(_PIECE_JVM), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(top_pieces)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = tuple(_to_units(r["w"]))
+        vocab[key] = vocab.get(key, 0) + r["cnt"]
+    return _learn_merges(vocab, num_merges)
+
+
+def byte_bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = False,
+    verify_round_trip: bool = False,
+) -> DataFrame:
+    """Byte-level tokenize every document: ``(id_col, n_bytes,
+    n_tokens[, tokens][, round_trip_ok])``. NULL text encodes as the
+    empty string (0 bytes, 0 tokens). ``verify_round_trip`` decodes
+    each row's tokens back and compares to the exact input — the
+    loss-proof invariant, checked in the same pass. One Arrow map
+    with a per-batch distinct-piece memo; no shuffle; id keeps its
+    native type."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_bytes int, n_tokens int"
+        + (", tokens array<string>" if emit_tokens else "")
+        + (", round_trip_ok boolean" if verify_round_trip else "")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            out_rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                toks: list[str] = []
+                for piece in _PIECE.findall(text):
+                    enc = memo.get(piece)
+                    if enc is None:
+                        enc = _apply_merges(list(_to_units(piece)), ranks)
+                        memo[piece] = enc
+                    toks.extend(enc)
+                row = (rid, len(text.encode("utf-8")), len(toks))
+                if emit_tokens:
+                    row += (toks,)
+                if verify_round_trip:
+                    row += (byte_bpe_decode(toks) == text,)
+                out_rows.append(row)
+            cols = (
+                [id_col, "n_bytes", "n_tokens"]
+                + (["tokens"] if emit_tokens else [])
+                + (["round_trip_ok"] if verify_round_trip else [])
             )
             yield pd.DataFrame(out_rows, columns=cols)
 

@@ -44,6 +44,73 @@ def test_bpe_encode_counts_and_greedy_priority(spark, tiny):
     assert 1 <= len(toks) <= len("lowest") + 1
 
 
+class TestByteBpe:
+    def test_round_trip_property_arbitrary_utf8(self):
+        """decode(encode(x)) == x for ARBITRARY unicode text — the
+        loss-proof property of the 256-byte alphabet (no OOV ever),
+        checked against merges learned from unrelated text."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from meta_frame_spark.operators.bpe import (
+            _learn_merges,
+            _to_units,
+            byte_bpe_decode,
+            byte_bpe_encode_text,
+        )
+
+        vocab = {
+            tuple(_to_units(w)): c
+            for w, c in (("the", 9), (" ", 12), ("thé", 4), ("ab", 7))
+        }
+        ranks = {tuple(p): i
+                 for i, p in enumerate(_learn_merges(vocab, 20))}
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=80))
+        def check(text):
+            toks = byte_bpe_encode_text(text, ranks)
+            assert byte_bpe_decode(toks) == text
+            assert len(toks) <= len(text.encode("utf-8"))
+
+        check()
+
+    def test_alphabet_bijective(self):
+        from meta_frame_spark.operators.bpe import _B2U, _U2B
+
+        assert len(_B2U) == 256 and len(_U2B) == 256
+        assert all(_U2B[_B2U[b]] == b for b in range(256))
+
+    def test_spark_encode_round_trip_and_compression(self, spark):
+        """DataFrame op: tricky inputs (emoji, NBSP, CRLF, mixed
+        case, empty, NULL) all round-trip; learned merges compress
+        the training corpus below its byte count."""
+        from meta_frame_spark.operators.bpe import (
+            byte_bpe_encode,
+            byte_bpe_train,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, "The thé THE the\r\n café 🚀 " * 3)
+             for i in range(6)] + [(6, ""), (7, None)],
+            "doc_id long, text string",
+        )
+        merges = byte_bpe_train(corpus, num_merges=40, top_pieces=100)
+        assert merges and merges == byte_bpe_train(
+            corpus, num_merges=40, top_pieces=100
+        )
+        out = byte_bpe_encode(
+            corpus, merges, emit_tokens=True, verify_round_trip=True
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert all(r.round_trip_ok for r in out)
+        assert by_id[6].n_tokens == 0 and by_id[6].n_bytes == 0
+        assert by_id[7].n_tokens == 0  # NULL encodes as empty
+        r0 = by_id[0]
+        assert 0 < r0.n_tokens < r0.n_bytes  # merges actually fired
+        assert len(r0.tokens) == r0.n_tokens
+
+
 def test_bpe_encode_keeps_native_id_type(spark, tiny):
     """String doc ids pass through untouched — no silent
     cast-to-long NULLs that vanish in downstream joins."""
