@@ -4998,6 +4998,44 @@ def q_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_HEAD = (
+    '<html><head><title>Example</title><style>p{color:red}</style>'
+    '</head><body><div><a href="/">Home</a> <a href="/about">About '
+    'pages</a> <a href="/contact">Contact</a></div>'
+    "<!-- boilerplate comment --><p>"
+)
+_HTML_TAIL = (
+    '</p><p>Read more</p><script>var x = "<p>no</p>";</script>'
+    '<div><a href="#">&copy; 2026 Example Corp &amp; partners '
+    "legal notice</a></div></body></html>"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (functions/web.html_to_text, the
+    jusText-class line classifier, via the html_extract curation
+    step): every document's text is wrapped in a deterministic page
+    template (nav bar, comment, short read-more block, script with a
+    fake tag inside, link-only footer), and the extractor must give
+    back exactly the whitespace-normalized article body — every
+    boilerplate line dropped. DuckDB replays the staging AND the
+    whole extraction chain (tag regexes, entity decode order, line
+    classification) byte-exactly (full oracle)."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_HEAD), F.coalesce("text", F.lit("")),
+            F.lit(_HTML_TAIL),
+        ).alias("html"),
+    )
+    out = run_curation(
+        docs, {"steps": [{"op": "html_extract", "out_col": "text"}]}
+    )
+    return out.select("doc_id", "text")
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation metrics (operators/ranking_eval
     .retrieval_metrics — recall/precision@k, MRR, nDCG per judged
@@ -5392,6 +5430,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_sample": q_unigram_sample,
         "corpus_diversity": q_corpus_diversity,
         "corpus_diversity_approx": q_corpus_diversity_approx,
+        "html_extract": q_html_extract,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
         "kneser_ney3": q_kneser_ney3,
@@ -9779,6 +9818,77 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
         FROM g GROUP BY 1, 2
     """
+    # HTML boilerplate removal replayed byte-exactly: the staging
+    # template, comment/script/style removal, block-tag line breaks,
+    # per-line tag strip + frozen entity-decode order + whitespace
+    # collapse, and the jusText length/link-density line classifier.
+    # Composed via the _cl macro so engine and oracle can't drift on
+    # the clean() definition; e'\n' literals because DuckDB regexp
+    # replacement strings are constants.
+    def _cl(x: str) -> str:
+        # mirrors functions/web._clean_fragment (entity order frozen)
+        return (
+            "trim(regexp_replace(replace(replace(replace(replace("
+            "replace(replace("
+            f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+            ", '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+            "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+            ", '\\s+', ' ', 'g'))"
+        )
+
+    _cl_line = _cl("l")
+    # COALESCE inside too: a line with NO links gives an empty
+    # extract list, and DuckDB array_to_string(empty) is NULL — which
+    # would NULL the whole keep condition and drop every prose line
+    _cl_link = _cl(
+        "COALESCE(array_to_string(regexp_extract_all(l, "
+        "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    )
+    d["html_extract"] = (
+        """
+        WITH staged AS (
+            SELECT doc_id, '"""
+        + _HTML_HEAD
+        + """' || COALESCE(text, '') || '"""
+        + _HTML_TAIL
+        + r"""' AS html
+            FROM documents
+        ),
+        broken AS (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/section|/article|/header|/footer|/blockquote|/pre|/td)[^>]*>',
+                       e'\n', 'g'),
+                     e'\n') AS lines
+            FROM staged
+        )
+        SELECT doc_id,
+               -- COALESCE: DuckDB array_to_string of an EMPTY list is
+               -- NULL (Spark array_join is '') — a doc whose body
+               -- line drops (null/short text) keeps zero lines
+               COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(lines,
+                     l -> length("""
+        + _cl_line
+        + """) >= 25
+                          AND length("""
+        + _cl_link
+        + """) / greatest(length("""
+        + _cl_line
+        + """), 1) <= 0.35),
+                   l -> """
+        + _cl_line
+        + r"""),
+                 e'\n'), '') AS text
+        FROM broken
+    """
+    )
     # Invariant oracle for the HLL arm (distinct_sketch precedent):
     # exact distinct counts recomputed; err_ok is Spark-verified.
     d["corpus_diversity_approx"] = r"""

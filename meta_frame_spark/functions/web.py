@@ -16,7 +16,7 @@ has no string functions at all; north-star web-curation scope.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -139,4 +139,126 @@ def with_url_quality(
         F.when(c.isNotNull(), has_sess).alias("has_session_id"),
         F.when(c.isNotNull(), trap).alias("is_calendar_trap"),
         F.when(c.isNotNull(), ok).alias("url_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (jusText / trafilatura-class heuristics)
+# ---------------------------------------------------------------------------
+
+#: block-level boundaries become line breaks BEFORE tag stripping, so
+#: the line is the classification unit (jusText's "block"); inline
+#: tags (<a>, <b>, <span>...) stay inside their line.
+_BLOCK_BREAK_RE = (
+    r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/section"
+    r"|/article|/header|/footer|/blockquote|/pre|/td)[^>]*>"
+)
+_LINK_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
+_TAG_RE = r"(?s)<[^>]*>"
+
+#: decode order matters and is frozen: &amp; LAST, so a literal
+#: "&amp;lt;" decodes to "&lt;" (the standard single-pass caveat) —
+#: both engines replay the identical chain.
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _clean_fragment(c: Column) -> Column:
+    """Strip remaining (inline) tags, decode the frozen entity set,
+    collapse whitespace."""
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text(
+    html: str | Column,
+    min_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> Column:
+    """Main-content text of an HTML document — the boilerplate-removal
+    step a web pipeline needs BEFORE C4/Gopher quality gates (public
+    jusText [Pomikálek 2011] / trafilatura-class heuristics, frozen
+    thresholds):
+
+    1. comments and ``<script>``/``<style>`` blocks drop wholesale;
+    2. block-level tag boundaries become line breaks, making the LINE
+       the classification unit;
+    3. per line, link density = chars of ``<a>...</a>`` text over all
+       visible chars (computed BEFORE inline-tag stripping);
+    4. a line survives iff it has ``>= min_chars`` visible chars AND
+       link density ``<= max_link_density`` — nav bars, footers, and
+       button rows are short and link-saturated, body prose is
+       neither (jusText's core observation);
+    5. survivors join with ``\\n``.
+
+    Pure codegen expression — map-only, stream-safe, no UDF — and
+    engine-portable: DuckDB spells the identical chain with
+    ``regexp_replace(..., 'g')`` / ``list_filter`` /
+    ``list_transform``, so an oracle can replay it byte-exactly.
+    (Known engine edge: Java ``\\s`` includes VT ``\\x0b``, RE2's does
+    not — irrelevant to real HTML.) NULL html -> NULL."""
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    if not 0.0 <= max_link_density <= 1.0:
+        raise ValueError(
+            f"max_link_density must be in [0, 1], got {max_link_density}"
+        )
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<!--.*?-->", " ")
+    h = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
+    h = F.regexp_replace(h, r"(?is)<style[^>]*>.*?</style>", " ")
+    h = F.regexp_replace(h, _BLOCK_BREAK_RE, "\n")
+    lines = F.split(h, r"\n")
+
+    def _entry(line: Column) -> Column:
+        link_text = _clean_fragment(
+            F.array_join(
+                F.regexp_extract_all(line, F.lit(_LINK_TEXT_RE), F.lit(1)),
+                " ",
+            )
+        )
+        return F.struct(
+            _clean_fragment(line).alias("clean"),
+            F.length(link_text).alias("link_chars"),
+        )
+
+    kept = F.filter(
+        F.transform(lines, _entry),
+        lambda e: (F.length(e["clean"]) >= F.lit(int(min_chars)))
+        & (
+            e["link_chars"].cast("double")
+            / F.greatest(F.length(e["clean"]), F.lit(1)).cast("double")
+            <= F.lit(float(max_link_density))
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda e: e["clean"]), "\n")
+
+
+def with_html_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    min_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> DataFrame:
+    """DataFrame form of :func:`html_to_text` (the ``with_c4_clean``
+    shape): adds ``out_col`` with the extracted main-content text.
+    Map-only; registered as the ``html_extract`` curation step so a
+    config pipeline can run crawl HTML -> boilerplate removal ->
+    c4_gate/gopher gates in one declared chain."""
+    if out_col in df.columns:
+        raise ValueError(
+            f"with_html_text: out_col {out_col!r} collides with an "
+            f"input column"
+        )
+    return df.withColumn(
+        out_col, html_to_text(html_col, min_chars, max_link_density)
     )

@@ -528,6 +528,31 @@ def _op_lm_gate(
     return gated.select(*df.columns, *keep)
 
 
+def _op_html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    min_chars: int = 25,
+    max_link_density: float = 0.35,
+) -> DataFrame:
+    """Boilerplate removal (functions/web.html_to_text — jusText-class
+    line classification): the FIRST content step of a real web
+    pipeline, producing the clean ``text`` the c4_gate/gopher_gate/
+    lm_gate steps downstream consume. Map-only codegen, stream-safe."""
+    from meta_frame_spark.functions.web import with_html_text
+
+    if html_col not in df.columns:
+        raise ConfigError(
+            f"html_extract: no column {html_col!r} in the frame"
+        )
+    try:
+        return with_html_text(
+            df, html_col, out_col, min_chars, max_link_density
+        )
+    except ValueError as e:
+        raise ConfigError(f"html_extract: {e}") from e
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -577,6 +602,7 @@ CURATION_OPS: dict[str, Callable] = {
     "quality_score_gate": _op_quality_score_gate,
     "gopher_gate": _op_gopher_gate,
     "repetition_gate": _op_repetition_gate,
+    "html_extract": _op_html_extract,
     "c4_gate": _op_c4_gate,
     "blocklist_gate": _op_blocklist_gate,
     "url_gate": _op_url_gate,

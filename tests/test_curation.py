@@ -867,3 +867,45 @@ def test_full_web_cleaning_chain_streams(spark, tmp_path):
         output_mode="append")
     got = sorted(r.doc_id for r in drained.collect())
     assert got == kept
+
+
+def test_html_extract_step_chains_into_c4(spark):
+    """The first-mile web chain: raw HTML -> boilerplate removal ->
+    c4_gate, declared as one config pipeline. The nav/footer never
+    reach the gate; the extracted body does."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    html = (
+        '<div><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/b">Contact</a></div>'
+        "<p>This is a full sentence of body prose that survives the "
+        "extraction and ends with a period. Here is another complete "
+        "sentence with plenty of words in it. The third sentence also "
+        "carries enough words to pass. A fourth sentence keeps the "
+        "paragraph going strong today. Finally the fifth sentence "
+        "closes out the sample paragraph nicely.</p>"
+        '<div><a href="#">Footer legal notice terms</a></div>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, '<div><a href="/">Only nav</a></div>')],
+        "doc_id long, html string",
+    )
+    out = run_curation(
+        df,
+        {"steps": [
+            {"op": "html_extract", "out_col": "text"},
+            {"op": "c4_gate"},
+        ]},
+    )
+    rows = out.collect()
+    assert [r.doc_id for r in rows] == [1]
+    assert rows[0].text.startswith("This is a full sentence")
+
+    import pytest
+
+    from meta_frame_spark.config.model import ConfigError
+
+    with pytest.raises(ConfigError, match="html_extract"):
+        run_curation(
+            df, {"steps": [{"op": "html_extract", "html_col": "nope"}]}
+        )

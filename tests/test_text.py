@@ -1114,3 +1114,104 @@ def test_cross_source_overlap_ignores_null_texts(spark):
         "text string, source string",
     )
     assert cross_source_overlap(df).count() == 0
+
+
+class TestHtmlToText:
+    def _df(self, spark, html):
+        return spark.createDataFrame([(1, html)], "doc_id long, html string")
+
+    def test_boilerplate_dropped_prose_kept(self, spark):
+        """Nav (link-saturated), footer, script, style, comments all
+        drop; the long paragraph survives with entities decoded and
+        whitespace collapsed."""
+        from meta_frame_spark.functions.web import html_to_text
+
+        html = (
+            '<html><head><title>T</title><style>p {color: red}</style>'
+            "</head><body>"
+            '<div><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/b">Contact us</a></div>'
+            "<!-- a comment <p>not text</p> -->"
+            "<p>This is the &quot;main&quot; article text &amp; it is "
+            "long\tenough   to keep.</p>"
+            "<p>Short.</p>"
+            "<script>var x = '<p>fake</p>';</script>"
+            '<div><a href="#">&copy; 2026 Example Corp legal notice '
+            "terms privacy</a></div>"
+            "</body></html>"
+        )
+        out = self._df(spark, html).select(
+            html_to_text("html").alias("t")
+        ).first()
+        assert out.t == (
+            'This is the "main" article text & it is long enough to keep.'
+        )
+
+    def test_inline_links_in_prose_survive(self, spark):
+        """Body prose with a FEW inline links stays (link density
+        under the bar); a link-only line of the same length drops."""
+        from meta_frame_spark.functions.web import html_to_text
+
+        prose = (
+            "<p>The quick brown fox jumped over to read "
+            '<a href="/x">one linked article</a> and kept going with '
+            "plenty of surrounding words.</p>"
+            '<p><a href="/1">first long link text here</a> '
+            '<a href="/2">second long link text here</a></p>'
+        )
+        out = self._df(spark, prose).select(
+            html_to_text("html").alias("t")
+        ).first()
+        assert "quick brown fox" in out.t
+        assert "second long link" not in out.t
+
+    def test_block_boundaries_become_lines(self, spark):
+        """</p>/<br>/</li> boundaries split lines, so one short
+        boilerplate block can't ride along with long prose; multiple
+        surviving blocks join with newline."""
+        from meta_frame_spark.functions.web import html_to_text
+
+        html = (
+            "<p>First surviving paragraph with enough characters "
+            "here.</p><p>Buy now!</p><p>Second surviving paragraph "
+            "also has enough characters.</p>"
+        )
+        out = self._df(spark, html).select(
+            html_to_text("html").alias("t")
+        ).first()
+        assert out.t.split("\n") == [
+            "First surviving paragraph with enough characters here.",
+            "Second surviving paragraph also has enough characters.",
+        ]
+
+    def test_null_and_validation(self, spark):
+        import pytest
+
+        from meta_frame_spark.functions.web import (
+            html_to_text,
+            with_html_text,
+        )
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, html string")
+        assert df.select(html_to_text("html").alias("t")).first().t is None
+        with pytest.raises(ValueError, match="min_chars"):
+            html_to_text("html", min_chars=0)
+        with pytest.raises(ValueError, match="max_link_density"):
+            html_to_text("html", max_link_density=1.5)
+        with pytest.raises(ValueError, match="collides"):
+            with_html_text(df.withColumn("text", F.lit("x")))
+
+    def test_map_only_plan(self, spark):
+        """The whole extraction is one codegen projection: no
+        exchange, no join, no UDF in the plan."""
+        from meta_frame_spark.functions.web import with_html_text
+
+        df = spark.createDataFrame(
+            [(1, "<p>some html here</p>")], "doc_id long, html string"
+        )
+        plan = (
+            with_html_text(df)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        for bad in ("Exchange", "Join", "PythonUDF", "BatchEvalPython"):
+            assert bad not in plan, bad
