@@ -5011,6 +5011,42 @@ _HTML_TAIL = (
 )
 
 
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET web-archive round trip (sources/warc.py — ISO 28500 /
+    the Common Crawl WET layout, the first mile of a real 100 TB web
+    pipeline): every document stages as a WET conversion record
+    (deterministic URI, gzip member per record), shards write through
+    the task-commit sink, and the reader's one-Arrow-map-over-
+    binaryFile parse must surface every record byte-exactly. DuckDB
+    replays the logical content — URI construction, UTF-8 byte
+    Content-Length, exact payload text — over the same documents
+    table (full oracle; the WET byte format itself round-trips in
+    tests/test_sources.py)."""
+    import hashlib as _hl
+
+    from meta_frame_spark.sources.warc import read_wet, write_wet_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://example.com/"), F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    stage = "/tmp/mfs_wet_stage_" + _hl.md5(
+        sf_dir.encode("utf-8")
+    ).hexdigest()[:8]
+    write_wet_shards(
+        docs.repartition(8, "url"), stage, "url", "text",
+        records_per_shard=500,
+    )
+    return (
+        read_wet(spark, stage)
+        .filter(F.col("record_type") == "conversion")
+        .select("target_uri", "content_length", "text")
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate removal (functions/web.html_to_text, the
     jusText-class line classifier, via the html_extract curation
@@ -5431,6 +5467,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "corpus_diversity_approx": q_corpus_diversity_approx,
         "html_extract": q_html_extract,
+        "warc_records": q_warc_records,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
         "kneser_ney3": q_kneser_ney3,
@@ -9817,6 +9854,16 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COUNT(DISTINCT gram)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
         FROM g GROUP BY 1, 2
+    """
+    # WET staging replayed logically: URI construction, UTF-8 byte
+    # Content-Length (DuckDB strlen is bytes), exact payload text.
+    d["warc_records"] = r"""
+        SELECT 'http://example.com/' || source || '/'
+                   || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(strlen(COALESCE(text, '')) AS BIGINT)
+                   AS content_length,
+               COALESCE(text, '') AS text
+        FROM documents
     """
     # HTML boilerplate removal replayed byte-exactly: the staging
     # template, comment/script/style removal, block-tag line breaks,
