@@ -5181,62 +5181,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-12 window (VERDICT r11 "Next round" #1/#3):
-#   1-8    curation_lm / fim_examples / unigram_tokenize /
-#          unigram_sample / corpus_diversity / retrieval_eval /
-#          kneser_ney / roc_auc — FIRST driver rows for the round-12
-#          additions (the CCNet perplexity-tail curation gate,
-#          VERDICT r11 #5; the fill-in-the-middle transform, #6; the
-#          unigram-LM tokenizer + its subword-regularization sampled
-#          encode, #7; the distinct-n diversity report; the
-#          TREC-style retrieval metrics; interpolated Kneser-Ney
-#          scoring; exact ROC-AUC), never-orphaned rule;
-#   9      mm_scene_cuts — the one r11 RED row (oracle HUGEINT
-#          seg_idx leak, fixed this round); failed rows re-run,
-#          never orphan (VERDICT r11 #1);
-#   10-18  the 9 r11 late-session ops exactly as the r11 queue
-#          pinned them (token_fertility .. span_corruption) — their
-#          FIRST driver rows;
-#   19-50  the next 32 entries of the r11 queue verbatim
-#          (ann_topk_ivfpq .. corpus_clean), the oldest r8-green rows.
-# The 18 remaining r8-green rows (ann_topk .. sorted_neighbors)
-# could not take slots without orphaning a first-driver-row op or a
-# failed row; they are the ENTIRE r13 queue below and were re-verified
-# locally this round (tools/check_correctness.py full-registry run,
-# hash-exact at sf0.01). Every entry has an oracle_sql() twin.
+# Round-13 window (VERDICT r12 "Next round" #1, #3-#7):
+#   1-5    corpus_diversity_approx / kneser_ney3 / bpe_bytes /
+#          html_extract / warc_records — FIRST driver rows for the
+#          round-13 additions (the HLL arm of the diversity report,
+#          VERDICT r12 #3; trigram Kneser-Ney, #6; byte-level BPE,
+#          #7; HTML boilerplate extraction, #5; the WARC/WET source,
+#          #4), never-orphaned rule;
+#   6-23   the ENTIRE pinned r12 queue verbatim (ann_topk ..
+#          sorted_neighbors) — the 18 rows whose latest driver green
+#          was r8, the round's headline freshness goal (VERDICT r12
+#          #1);
+#   24-50  27 of the 50 r9-green rows: first the ones the r12 verdict
+#          named (dup_spans, mm_frames, lang_id, bigram_lm, the five
+#          stream_* rows, kmeans, pca), then the alphabetical head of
+#          the rest.
+# The remaining 23 r9-green rows are the ENTIRE r14 queue below and
+# were re-verified locally this round (tools/check_correctness.py
+# full-registry run, 217/217 hash-exact at sf0.01). After this window
+# lands, no registered query's latest driver row is older than r9 —
+# the freshness invariant tools/check_correctness.py --staleness now
+# enforces mechanically. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "curation_lm", "fim_examples", "unigram_tokenize", "unigram_sample",
-    "corpus_diversity", "retrieval_eval", "kneser_ney", "roc_auc",
-    # (2) the r11 red row, oracle fixed — re-runs, never orphans
-    "mm_scene_cuts",
-    # (3) the pinned r11 queue, verbatim
-    "token_fertility", "unimax_mix", "code_switch", "source_overlap",
-    "url_quality", "coverage_curve", "passage_pairs", "ict_pairs",
-    "span_corruption",
-    "ann_topk_ivfpq", "bpe_tokenize", "event_ppr", "a_filters",
-    "a_keep_columns", "a_chained", "a_derive",
-    "b_multi_agg", "b_semi_join", "b_anti_join", "bp_nested",
-    "agg_extended", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_salted", "array_agg", "bm25_search", "chunk_dedup",
-    "corpus_diff", "corpus_mix", "stratified_sample", "latest_by_key",
-    "apply_changelog", "redact_pii", "text_repetition", "date_funcs",
-    "pivot", "window_analytics", "topk_per_group", "dedup_exact",
-    "corpus_clean",
-)
-
-# The planned r13 window backbone: the 18 r8-green rows displaced by
-# the r12 session ops + the mm_scene_cuts re-run + the 9 r11 queue
-# heads. Pinned constant per VERDICT r8 #7 so the queue cannot
-# silently drift from the plan; tests/test_cli.py checks it stays
-# disjoint from DRIVER_WINDOW, registered, and oracle-backed.
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "corpus_diversity_approx", "kneser_ney3", "bpe_bytes",
+    "html_extract", "warc_records",
+    # (2) the pinned r12 queue, verbatim — all 18 r8-stale rows
     "ann_topk", "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
     "vocab_topk", "row_numbers",
     "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
     "rrf_quality", "embedding_drift", "weighted_sample_k",
     "stratified_sample_exact", "quantile_match", "readability",
     "sorted_neighbors",
+    # (3a) r9-green rows the r12 verdict named
+    "dup_spans", "mm_frames", "lang_id", "bigram_lm",
+    "stream_curate", "stream_dedup", "stream_hourly", "stream_join",
+    "stream_totals", "kmeans", "pca",
+    # (3b) alphabetical head of the remaining r9-green rows
+    "ann_topk_hamming", "ann_topk_hamming_rescore", "ann_topk_pq",
+    "budget_per_lang", "budget_select", "calibration_report",
+    "count_distinct_skew", "curation_pipeline", "curation_select",
+    "decontaminate", "dedup_incremental", "dedup_keep_best",
+    "doc_chunks", "doc_lm_score", "domain_cap", "dup_graph_stats",
+)
+
+# The planned r14 window backbone: the 23 remaining r9-green rows (the
+# alphabetical tail after the 27 that took r13 slots). Pinned constant
+# per VERDICT r8 #7 so the queue cannot silently drift from the plan;
+# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
+# registered, and oracle-backed, and the --staleness gate checks the
+# union covers every stale row.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "dup_span_regions", "event_paths", "event_transitions",
+    "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
+    "join_salted", "lang_margin", "length_histogram", "mm_audio",
+    "mm_meta", "profile", "quality_deciles", "quantile_gate",
+    "quantile_match_bucketed", "rrf_quality_scaled", "sample_per_group",
+    "score_normalize", "unpivot", "url_canonical", "weighted_sample",
+    "winsorized_lengths",
 )
 
 
