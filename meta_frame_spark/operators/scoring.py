@@ -218,9 +218,10 @@ def kneser_ney_logprob(
 
     Every factor is a ratio of counts, so DuckDB replays the entire
     model. Scale: the count tables are plain keyed aggregates (never
-    collected; zipf keeps them far under corpus size), scoring is
-    three token-keyed equi-joins + one per-doc aggregate — all
-    hash-shuffles on bounded keys; only the single scalar
+    collected; zipf keeps them far under corpus size); the three
+    model factors fold into ONE probability table at distinct-bigram-
+    TYPE grain, so the token-grain document stream crosses exactly one
+    equi-join + one per-doc aggregate; only the single scalar
     N1+(·,·) reaches the driver."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
@@ -249,8 +250,13 @@ def kneser_ney_logprob(
     n_types = cb.count()  # ONE scalar on the driver
 
     d = F.lit(float(discount))
-    scored = (
-        _pairs(df, True)
+    # fold the model into ONE probability per distinct bigram TYPE
+    # the scored corpus actually contains (see kneser_ney3_logprob)
+    need = _pairs(df, False).groupBy("token", "next_token").agg(
+        F.count(F.lit(1)).alias("_drop")
+    ).drop("_drop")
+    typed = (
+        need
         .join(cb, ["token", "next_token"], "left")
         .join(ctx, "token", "left")
         .join(cont, "next_token", "left")
@@ -262,7 +268,9 @@ def kneser_ney_logprob(
         / F.col("_ca")
         + d * F.col("_n_follow") / F.col("_ca") * pcont,
     ).otherwise(pcont)
-    nll = -F.log(F.greatest(p, F.lit(1e-12)))
+    ptable = typed.select("token", "next_token", p.alias("_p"))
+    scored = _pairs(df, True).join(ptable, ["token", "next_token"])
+    nll = -F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
         F.avg(nll).alias("avg_neg_logprob"),
@@ -305,10 +313,15 @@ def kneser_ney3_logprob(
     avg_neg_logprob)``; docs with fewer than three tokens emit
     n_trigrams=0, null score.
 
-    Scale: identical shape to the bigram order — count tables stay
-    distributed keyed aggregates (zipf-bounded, never collected),
-    scoring is five token-keyed equi-joins + one per-doc aggregate,
-    and only the single scalar N1+(···) reaches the driver."""
+    Scale: count tables stay distributed keyed aggregates
+    (zipf-bounded, never collected) and only the single scalar
+    N1+(···) reaches the driver. The five model factors fold into ONE
+    probability table at distinct-trigram-TYPE grain first (all five
+    joins run over type-sized tables), so the token-grain document
+    stream — the only corpus-sized thing here — crosses exactly one
+    equi-join + one per-doc aggregate. At 100 TB the type table is
+    zipf-saturated while the stream keeps growing; joining the stream
+    once instead of five times is the difference that matters."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     fit = df if fit is None else fit
@@ -357,8 +370,14 @@ def kneser_ney3_logprob(
     n_types = mid.count()  # N1+(···): ONE scalar on the driver
 
     d = F.lit(float(discount))
-    scored = (
-        _tris(df, True)
+    # fold the model into ONE probability per distinct trigram TYPE
+    # the scored corpus actually contains — five type-grain joins
+    # instead of five stream-grain ones
+    need = _tris(df, False).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("_drop")
+    ).drop("_drop")
+    typed = (
+        need
         .join(c3, ["w1", "w2", "w3"], "left")
         .join(ctx3, ["w1", "w2"], "left")
         .join(mid, ["w2", "w3"], "left")
@@ -378,7 +397,10 @@ def kneser_ney3_logprob(
         / F.col("_c12")
         + d * F.col("_nf12") / F.col("_c12") * p2,
     ).otherwise(p2)
-    nll = -F.log(F.greatest(p3, F.lit(1e-12)))
+    ptable = typed.select("w1", "w2", "w3", p3.alias("_p"))
+    # every scored type is in ptable by construction -> inner join
+    scored = _tris(df, True).join(ptable, ["w1", "w2", "w3"])
+    nll = -F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_trigrams"),
         F.avg(nll).alias("avg_neg_logprob"),

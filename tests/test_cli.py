@@ -121,6 +121,24 @@ def test_driver_window_composition():
     assert set(e.queries()) == set(e.oracle_sql())
 
 
+def test_example_web_pipeline_runs(spark, sf_dir, tmp_path):
+    """examples/web_pipeline.py: the crawl first mile (HTML -> WET
+    shards -> distributed ingest -> boilerplate extraction -> gates ->
+    lossless byte-BPE accounting) must run end to end with conserved
+    row/byte accounting."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/examples")
+    from web_pipeline import run_web_pipeline
+
+    counts = run_web_pipeline(spark, sf_dir, str(tmp_path / "wet"))
+    assert counts["wet_records"] == counts["input_docs"]
+    assert 0 < counts["after_extract_and_gates"] <= counts["input_docs"]
+    assert counts["tokenized_docs"] == counts["after_extract_and_gates"]
+    # byte-BPE merged something: fewer tokens than bytes
+    assert 0 < counts["total_tokens"] < counts["total_bytes"]
+
+
 def test_driver_evidence_freshness_gate():
     """The staleness invariant, automated (VERDICT r12 #2): parsed
     from the same CORRECTNESS_r*.json files the judge reads — no

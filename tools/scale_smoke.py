@@ -1242,6 +1242,128 @@ def main() -> int:
         r["rev_sec"], r["rev_rows"] = t, n
         r["rev_nrel"], r["rev_ok"] = nrel, ok_rv
 
+        def kn3():
+            from meta_frame_spark.operators.scoring import (
+                kneser_ney3_logprob,
+            )
+
+            dd = docs(d)
+            out = kneser_ney3_logprob(dd).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("n_trigrams") > 0)
+                & (
+                    F.col("avg_neg_logprob").isNull()
+                    | (F.col("avg_neg_logprob") <= 0)
+                )
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_k3) = timed("kneser_ney3", kn3)
+        r["kn3_sec"], r["kn3_rows"], r["kn3_ok"] = t, n, ok_k3
+
+        def bby():
+            from meta_frame_spark.operators.bpe import (
+                byte_bpe_encode,
+                byte_bpe_train,
+            )
+
+            dd = docs(d)
+            merges = byte_bpe_train(dd, num_merges=100, top_pieces=5000)
+            out = byte_bpe_encode(
+                dd, merges, verify_round_trip=True
+            ).persist()
+            n = out.count()
+            bad = out.filter(
+                ~F.col("round_trip_ok")
+                | (F.col("n_tokens") > F.col("n_bytes"))
+            ).count()
+            total_bytes = out.agg(F.sum("n_bytes")).first()[0]
+            out.unpersist()
+            return (n, total_bytes), bool(bad == 0)
+        t, ((n, nbytes), ok_bb) = timed("bpe_bytes", bby)
+        r["bby_sec"], r["bby_rows"] = t, n
+        r["bby_bytes"], r["bby_ok"] = nbytes, ok_bb
+
+        def htx():
+            from meta_frame_spark.functions.web import with_html_text
+
+            dd = docs(d).select(
+                "doc_id",
+                F.concat(
+                    F.lit('<div><a href="/">Home</a> <a href="/a">About'
+                          ' pages</a> <a href="/b">Contact</a></div><p>'),
+                    F.coalesce("text", F.lit("")),
+                    F.lit('</p><p>Read more</p><div><a href="#">&copy; '
+                          "2026 footer legal notice</a></div>"),
+                ).alias("html"),
+            )
+            out = with_html_text(dd).persist()
+            n = out.count()
+            # no tag/boilerplate ever leaks into the extraction
+            bad = out.filter(
+                F.col("text").contains("<")
+                | F.col("text").contains("Read more")
+                | F.col("text").contains("footer legal")
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_ht) = timed("html_extract", htx)
+        r["htx_sec"], r["htx_rows"], r["htx_ok"] = t, n, ok_ht
+
+        def wrc():
+            import hashlib as _hl
+
+            from meta_frame_spark.sources.warc import (
+                read_wet,
+                write_wet_shards,
+            )
+
+            dd = docs(d).select(
+                F.concat(
+                    F.lit("http://example.com/"), F.col("source"),
+                    F.lit("/"), F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "text",
+            )
+            stage = "/tmp/mfs_wet_smoke_" + _hl.md5(
+                d.encode()
+            ).hexdigest()[:8]
+            write_wet_shards(
+                dd.repartition(8, "url"), stage, "url", "text",
+                records_per_shard=2000,
+            )
+            back = read_wet(spark, stage).persist()
+            n = back.count()
+            got_bytes = back.agg(F.sum("content_length")).first()[0]
+            want_bytes = dd.agg(
+                F.sum(F.octet_length(F.coalesce("text", F.lit(""))))
+            ).first()[0]
+            back.unpersist()
+            return (n, got_bytes), bool(got_bytes == want_bytes)
+        t, ((n, wbytes), ok_wr) = timed("warc_records", wrc)
+        r["wrc_sec"], r["wrc_rows"] = t, n
+        r["wrc_bytes"], r["wrc_ok"] = wbytes, ok_wr
+
+        def dva():
+            from meta_frame_spark.operators.profile import corpus_diversity
+
+            dd = docs(d)
+            out = corpus_diversity(
+                dd, ns=(1, 2, 3), exact=False, rsd=0.02
+            ).persist()
+            n = out.count()
+            grams = out.agg(F.sum("n_grams")).first()[0]
+            bad = out.filter(
+                (F.col("distinct_grams") <= 0)
+                | (F.col("distinct_ratio") <= 0)
+            ).count()
+            out.unpersist()
+            return (n, grams), bool(bad == 0)
+        t, ((n, agrams), ok_da) = timed("corpus_diversity_hll", dva)
+        r["dva_sec"], r["dva_rows"] = t, n
+        r["dva_grams"], r["dva_ok"] = agrams, ok_da
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1261,7 +1383,8 @@ def main() -> int:
                 "sdd", "blsc", "psg", "oov",
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
-                "kn", "rev"):
+                "kn", "rev",
+                "kn3", "bby", "htx", "wrc", "dva"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1410,6 +1533,30 @@ def main() -> int:
          and b["kn_rows"] == 10 * a["kn_rows"]),
         ("retrieval metrics bounded", b["rev_ok"]
          and 9.5 <= b["rev_nrel"] / max(a["rev_nrel"], 1) <= 10.5),
+        # round-13: trigram KN scores finite on every doc at 10x;
+        # byte-BPE round-trips EVERY document losslessly with byte
+        # mass exactly x10; the HTML extractor leaks zero boilerplate
+        # at 10x; the WET sink+reader conserve byte-exact payload
+        # mass; the HLL diversity arm keeps the same grid with x10
+        # gram mass (its TIME ratio — vs the exact arm's x4.0 — is
+        # the headline, printed above)
+        ("kneser-ney3 scores finite, x10", b["kn3_ok"]
+         and b["kn3_rows"] == 10 * a["kn3_rows"]),
+        # NOTE: byte mass is NOT x10 — the replica generator SUFFIXES
+        # tokens (see module docstring), so bytes grow ~x15 while
+        # words grow exactly x10. The cross-check is agreement with
+        # the WET path's independently-measured byte mass.
+        ("byte-BPE lossless, rows x10", b["bby_ok"]
+         and b["bby_rows"] == 10 * a["bby_rows"]
+         and b["bby_bytes"] == b["wrc_bytes"]
+         and a["bby_bytes"] == a["wrc_bytes"]),
+        ("html_extract no boilerplate leak", b["htx_ok"]
+         and b["htx_rows"] == 10 * a["htx_rows"]),
+        ("warc payload mass conserved", b["wrc_ok"] and a["wrc_ok"]
+         and b["wrc_rows"] == 10 * a["wrc_rows"]),
+        ("diversity HLL grid + mass x10", b["dva_ok"]
+         and b["dva_rows"] == a["dva_rows"]
+         and 9.5 <= b["dva_grams"] / max(a["dva_grams"], 1) <= 10.5),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
