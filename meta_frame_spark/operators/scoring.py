@@ -239,8 +239,15 @@ def kneser_ney_logprob(
             *cols, F.explode(pairs).alias("bg")
         ).select(*([id_col] if with_id else []), "bg.token", "bg.next_token")
 
-    cb = _pairs(fit, False).groupBy("token", "next_token").agg(
-        F.count(F.lit(1)).alias("_cab")
+    from meta_frame_spark.operators.cache import track
+
+    # persist: the n_types scalar is an action — without it the
+    # corpus scan + bigram aggregate runs once for the scalar and
+    # again inside the returned plan
+    cb = track(
+        _pairs(fit, False).groupBy("token", "next_token").agg(
+            F.count(F.lit(1)).alias("_cab")
+        ).persist()
     )
     ctx = cb.groupBy("token").agg(
         F.sum("_cab").alias("_ca"),
@@ -352,8 +359,16 @@ def kneser_ney3_logprob(
             )
         )
 
-    c3 = _tris(fit, False).groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("_c3")
+    from meta_frame_spark.operators.cache import track
+
+    # persist the two tables everything derives from: the N1+(···)
+    # scalar below is an ACTION, and without the persist the whole
+    # corpus-scan + trigram aggregate would run once for the scalar
+    # and AGAIN inside the returned plan
+    c3 = track(
+        _tris(fit, False).groupBy("w1", "w2", "w3").agg(
+            F.count(F.lit(1)).alias("_c3")
+        ).persist()
     )
     ctx3 = c3.groupBy("w1", "w2").agg(
         F.sum("_c3").alias("_c12"),
@@ -361,7 +376,11 @@ def kneser_ney3_logprob(
     )
     # N1+(·bc): distinct left-extensions of each (b,c) — one row per
     # (w2,w3) over the trigram TYPE table
-    mid = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_n23"))
+    mid = track(
+        c3.groupBy("w2", "w3").agg(
+            F.count(F.lit(1)).alias("_n23")
+        ).persist()
+    )
     ctx2 = mid.groupBy("w2").agg(
         F.sum("_n23").alias("_n2dot"),
         F.count(F.lit(1)).alias("_nf2"),
