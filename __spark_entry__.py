@@ -5117,6 +5117,34 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kneser_ney_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODIFIED Kneser-Ney bigram scoring (operators/scoring
+    .modified_kneser_ney_logprob — Chen & Goodman 1999 §3, the
+    KenLM/SRILM default): three count-class discounts D1/D2/D3+
+    ESTIMATED from the corpus's count-of-counts, per-context
+    interpolation weight from the same table. The model fits on a
+    deterministic 10% slice and scores the WHOLE corpus — the CCNet
+    fit-on-trusted-slice arrangement, which also exercises the
+    backoff path (and keeps count-of-counts non-degenerate at every
+    SF: this synthetic corpus's tiny vocabulary saturates at sf0.1,
+    leaving zero singleton bigrams corpus-wide — the estimator
+    correctly refuses that). Every quantity is a count ratio — DuckDB
+    refits the slice's count table, the count-of-counts, the
+    discounts, and every probability including the unseen-context /
+    unseen-pair backoff (full oracle)."""
+    from meta_frame_spark.operators.scoring import (
+        modified_kneser_ney_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fit = docs.filter(F.col("doc_id") % 10 == 0)
+    out = modified_kneser_ney_logprob(docs, fit=fit)
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    )
+
+
 def q_kneser_ney3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated TRIGRAM Kneser-Ney scoring (operators/scoring
     .kneser_ney3_logprob — Chen & Goodman 1999 §3, the order
@@ -5182,21 +5210,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-13 window (VERDICT r12 "Next round" #1, #3-#7):
-#   1-5    corpus_diversity_approx / kneser_ney3 / bpe_bytes /
-#          html_extract / warc_records — FIRST driver rows for the
-#          round-13 additions (the HLL arm of the diversity report,
-#          VERDICT r12 #3; trigram Kneser-Ney, #6; byte-level BPE,
-#          #7; HTML boilerplate extraction, #5; the WARC/WET source,
-#          #4), never-orphaned rule;
-#   6-23   the ENTIRE pinned r12 queue verbatim (ann_topk ..
+#   1-6    corpus_diversity_approx / kneser_ney3 / kneser_ney_mod /
+#          bpe_bytes / html_extract / warc_records — FIRST driver
+#          rows for the round-13 additions (the HLL arm of the
+#          diversity report, VERDICT r12 #3; trigram Kneser-Ney, #6,
+#          plus the modified-KN three-discount variant; byte-level
+#          BPE, #7; HTML boilerplate extraction, #5; the WARC/WET
+#          source, #4), never-orphaned rule;
+#   7-24   the ENTIRE pinned r12 queue verbatim (ann_topk ..
 #          sorted_neighbors) — the 18 rows whose latest driver green
 #          was r8, the round's headline freshness goal (VERDICT r12
 #          #1);
-#   24-50  27 of the 50 r9-green rows: first the ones the r12 verdict
+#   25-50  26 of the 50 r9-green rows: first the ones the r12 verdict
 #          named (dup_spans, mm_frames, lang_id, bigram_lm, the five
 #          stream_* rows, kmeans, pca), then the alphabetical head of
 #          the rest.
-# The remaining 23 r9-green rows are the ENTIRE r14 queue below and
+# The remaining 24 r9-green rows are the ENTIRE r14 queue below and
 # were re-verified locally this round (tools/check_correctness.py
 # full-registry run, 217/217 hash-exact at sf0.01). After this window
 # lands, no registered query's latest driver row is older than r9 —
@@ -5204,8 +5233,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforces mechanically. Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "corpus_diversity_approx", "kneser_ney3", "bpe_bytes",
-    "html_extract", "warc_records",
+    "corpus_diversity_approx", "kneser_ney3", "kneser_ney_mod",
+    "bpe_bytes", "html_extract", "warc_records",
     # (2) the pinned r12 queue, verbatim — all 18 r8-stale rows
     "ann_topk", "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
     "vocab_topk", "row_numbers",
@@ -5222,11 +5251,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "budget_per_lang", "budget_select", "calibration_report",
     "count_distinct_skew", "curation_pipeline", "curation_select",
     "decontaminate", "dedup_incremental", "dedup_keep_best",
-    "doc_chunks", "doc_lm_score", "domain_cap", "dup_graph_stats",
+    "doc_chunks", "doc_lm_score", "domain_cap",
 )
 
-# The planned r14 window backbone: the 23 remaining r9-green rows (the
-# alphabetical tail after the 27 that took r13 slots). Pinned constant
+# The planned r14 window backbone: the 24 remaining r9-green rows (the
+# alphabetical tail after the 26 that took r13 slots). Pinned constant
 # per VERDICT r8 #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed, and the --staleness gate checks the
@@ -5239,6 +5268,10 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "quantile_match_bucketed", "rrf_quality_scaled", "sample_per_group",
     "score_normalize", "unpivot", "url_canonical", "weighted_sample",
     "winsorized_lengths",
+    # displaced by the late-session kneser_ney_mod slot (new ops take
+    # slots FIRST; an r9-green row yields — still inside the 4-round
+    # staleness budget via this queue)
+    "dup_graph_stats",
 )
 
 
@@ -5473,6 +5506,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
         "kneser_ney3": q_kneser_ney3,
+        "kneser_ney_mod": q_kneser_ney_mod,
         "roc_auc": q_roc_auc,
     }
 
@@ -9710,6 +9744,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN cb USING (a, b)
             JOIN ctx USING (a)
             JOIN cont USING (b), tot
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bigrams,
+               s.avg_neg_logprob
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n,
+                   ROUND(AVG(-ln(GREATEST(p, 1e-12))), 6)
+                       AS avg_neg_logprob
+            FROM p GROUP BY 1
+        ) s USING (doc_id)
+    """
+    # Modified KN replayed exactly: the 10%-slice count table,
+    # count-of-counts, estimated discounts Y/D1/D2/D3+, per-context
+    # class counts, interpolation weight, continuation probabilities,
+    # AND the backoff chain (scored corpus != fit slice, so unseen
+    # contexts and unseen pairs both occur) — all refit in SQL.
+    d["kneser_ney_mod"] = r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, t[CAST(u.i AS INTEGER)] AS a,
+                   t[CAST(u.i + 1 AS INTEGER)] AS b
+            FROM tok,
+                 UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+        ),
+        cb AS (SELECT a, b, COUNT(*) AS cab FROM bg
+               WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+        coc AS (
+            SELECT CAST(SUM(CASE WHEN cab = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n1,
+                   CAST(SUM(CASE WHEN cab = 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n2,
+                   CAST(SUM(CASE WHEN cab = 3 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n3,
+                   CAST(SUM(CASE WHEN cab = 4 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n4,
+                   CAST(COUNT(*) AS DOUBLE) AS nt
+            FROM cb
+        ),
+        dd AS (
+            SELECT 1 - 2 * (n1 / (n1 + 2 * n2)) * n2 / n1 AS d1,
+                   2 - 3 * (n1 / (n1 + 2 * n2)) * n3 / n2 AS d2,
+                   3 - 4 * (n1 / (n1 + 2 * n2)) * n4 / n3 AS d3p,
+                   nt
+            FROM coc
+        ),
+        ctx AS (
+            SELECT a, SUM(cab) AS ca,
+                   SUM(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS k1,
+                   SUM(CASE WHEN cab = 2 THEN 1 ELSE 0 END) AS k2,
+                   SUM(CASE WHEN cab >= 3 THEN 1 ELSE 0 END) AS k3p
+            FROM cb GROUP BY 1
+        ),
+        cont AS (SELECT b, COUNT(*) AS np FROM cb GROUP BY 1),
+        p AS (
+            SELECT g.doc_id,
+                   CASE WHEN ctx.ca IS NOT NULL THEN
+                       CASE WHEN cb.cab IS NOT NULL THEN
+                           GREATEST(cb.cab
+                                    - CASE WHEN cb.cab = 1 THEN dd.d1
+                                           WHEN cb.cab = 2 THEN dd.d2
+                                           ELSE dd.d3p END, 0) / ctx.ca
+                       ELSE 0 END
+                       + (dd.d1 * ctx.k1 + dd.d2 * ctx.k2
+                          + dd.d3p * ctx.k3p) / ctx.ca
+                         * (COALESCE(cont.np, 0) / dd.nt)
+                   ELSE COALESCE(cont.np, 0) / dd.nt END AS p
+            FROM bg g
+            LEFT JOIN cb USING (a, b)
+            LEFT JOIN ctx USING (a)
+            LEFT JOIN cont USING (b), dd
         )
         SELECT d.doc_id,
                CAST(COALESCE(s.n, 0) AS INTEGER) AS n_bigrams,

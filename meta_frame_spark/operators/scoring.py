@@ -430,3 +430,131 @@ def kneser_ney3_logprob(
         F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
         "avg_neg_logprob",
     )
+
+
+def modified_kneser_ney_logprob(
+    df: DataFrame,
+    fit: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MODIFIED Kneser-Ney bigram scoring (Chen & Goodman 1999 §3 —
+    the variant KenLM/SRILM actually default to): instead of one fixed
+    absolute discount, three discounts D1/D2/D3+ chosen by count class
+    and ESTIMATED from the corpus's count-of-counts:
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 - 2·Y·n2/n1,  D2 = 2 - 3·Y·n3/n2,  D3+ = 3 - 4·Y·n4/n3
+
+    where ``n_k`` = number of bigram TYPES seen exactly k times. The
+    per-context interpolation weight keeps the model a proper
+    distribution:
+
+        γ(a) = (D1·N1(a·) + D2·N2(a·) + D3+·N3+(a·)) / c(a·)
+        P(b|a) = max(c(ab) - D(c(ab)), 0)/c(a·) + γ(a)·N1+(·b)/N1+(··)
+
+    Every quantity is a count or a ratio of counts, so DuckDB replays
+    the whole model including the discount estimation. Degenerate
+    corpora where n1, n2 or n3 is zero (no singleton/doubleton/tripleton
+    bigrams — cannot happen on real zipf text) raise rather than divide
+    by zero. Returns ``(id_col, n_bigrams, avg_neg_logprob)`` like the
+    fixed-discount scorer; unseen contexts back off to the continuation
+    probability, never-continuing tokens floor at 1e-12.
+
+    Scale: identical shape to :func:`kneser_ney_logprob` — persisted
+    type-grain count table, count-of-counts is ONE extra 5-value
+    aggregate row on the driver, the token stream crosses one equi-join
+    against the folded type-grain probability table."""
+    from meta_frame_spark.operators.cache import track
+
+    fit = df if fit is None else fit
+
+    def _pairs(frame, with_id):
+        toks = _tokens(text_col)
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("token"), b.alias("next_token")),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return ensure_min_partitions(frame).select(
+            *cols, F.explode(pairs).alias("bg")
+        ).select(*([id_col] if with_id else []), "bg.token", "bg.next_token")
+
+    cb = track(
+        _pairs(fit, False).groupBy("token", "next_token").agg(
+            F.count(F.lit(1)).alias("_cab")
+        ).persist()
+    )
+    # count-of-counts + type total: ONE 5-value row on the driver
+    c = F.col("_cab")
+    stats = cb.agg(
+        F.sum((c == 1).cast("long")).alias("n1"),
+        F.sum((c == 2).cast("long")).alias("n2"),
+        F.sum((c == 3).cast("long")).alias("n3"),
+        F.sum((c == 4).cast("long")).alias("n4"),
+        F.count(F.lit(1)).alias("nt"),
+    ).first()
+    n1, n2, n3, n4, n_types = (
+        stats.n1 or 0, stats.n2 or 0, stats.n3 or 0, stats.n4 or 0,
+        stats.nt,
+    )
+    if n1 == 0 or n2 == 0 or n3 == 0:
+        raise ValueError(
+            "modified_kneser_ney_logprob: degenerate count-of-counts "
+            f"(n1={n1}, n2={n2}, n3={n3}) — corpus too small/uniform "
+            "for discount estimation; use kneser_ney_logprob"
+        )
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = 1.0 - 2.0 * y * n2 / n1
+    d2 = 2.0 - 3.0 * y * n3 / n2
+    d3p = 3.0 - 4.0 * y * n4 / n3
+
+    ctx = cb.groupBy("token").agg(
+        F.sum("_cab").alias("_ca"),
+        F.sum((c == 1).cast("long")).alias("_k1"),
+        F.sum((c == 2).cast("long")).alias("_k2"),
+        F.sum((c >= 3).cast("long")).alias("_k3p"),
+    )
+    cont = cb.groupBy("next_token").agg(F.count(F.lit(1)).alias("_n_prec"))
+
+    # fold into one probability per distinct bigram TYPE of df
+    need = _pairs(df, False).groupBy("token", "next_token").agg(
+        F.count(F.lit(1)).alias("_drop")
+    ).drop("_drop")
+    typed = (
+        need
+        .join(cb, ["token", "next_token"], "left")
+        .join(ctx, "token", "left")
+        .join(cont, "next_token", "left")
+    )
+    disc = (
+        F.when(c == 1, F.lit(d1))
+        .when(c == 2, F.lit(d2))
+        .otherwise(F.lit(d3p))
+    )
+    pcont = F.coalesce(F.col("_n_prec"), F.lit(0)) / F.lit(float(n_types))
+    gamma = (
+        F.lit(d1) * F.col("_k1")
+        + F.lit(d2) * F.col("_k2")
+        + F.lit(d3p) * F.col("_k3p")
+    ) / F.col("_ca")
+    first = F.when(
+        c.isNotNull(), F.greatest(c - disc, F.lit(0.0)) / F.col("_ca")
+    ).otherwise(F.lit(0.0))
+    p = F.when(
+        F.col("_ca").isNotNull(), first + gamma * pcont
+    ).otherwise(pcont)
+    ptable = typed.select("token", "next_token", p.alias("_p"))
+    scored = _pairs(df, True).join(ptable, ["token", "next_token"])
+    nll = -F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.avg(nll).alias("avg_neg_logprob"),
+    )
+    all_docs = df.select(F.col(id_col)).distinct()
+    return all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )

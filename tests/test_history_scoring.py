@@ -390,3 +390,74 @@ class TestKneserNey3:
         for ra, rb in zip(a, b):
             assert ra[0] == rb[0] and ra[1] == rb[1]
             assert ra[2] == _pt.approx(rb[2], abs=1e-12)
+
+
+class TestModifiedKneserNey:
+    def _corpus(self, spark):
+        # bigram counts 4/3/2/1/1 -> n1=2 n2=1 n3=1 n4=1 over 5 types:
+        # Y=0.5, D1=0.5, D2=0.5, D3+=1.0, every Pcont = 1/5
+        rows, i = [], 0
+        for pair, n in (("a b", 4), ("c d", 3), ("e f", 2),
+                        ("g h", 1), ("i j", 1)):
+            for _ in range(n):
+                rows.append((i, pair))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hand_computed_discounts_and_probabilities(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import (
+            modified_kneser_ney_logprob,
+        )
+
+        df = self._corpus(spark)
+        out = {r.doc_id: r for r in
+               modified_kneser_ney_logprob(df).collect()}
+        # P(b|a) = (4-D3+)/4 + (D3+*1)/4 * 1/5 = 0.75 + 0.05
+        assert out[0].avg_neg_logprob == _pt.approx(
+            -math.log(0.8), abs=1e-9)
+        # P(d|c) = (3-1)/3 + (1/3)*0.2
+        assert out[4].avg_neg_logprob == _pt.approx(
+            -math.log(2 / 3 + 0.2 / 3), abs=1e-9)
+        # P(f|e) = (2-D2)/2 + (D2*1)/2 * 0.2 = 0.75 + 0.05
+        assert out[7].avg_neg_logprob == _pt.approx(
+            -math.log(0.8), abs=1e-9)
+        # P(h|g) = (1-D1)/1 + D1 * 0.2 = 0.6
+        assert out[9].avg_neg_logprob == _pt.approx(
+            -math.log(0.6), abs=1e-9)
+        assert all(r.n_bigrams == 1 for r in out.values())
+
+    def test_backoff_and_degenerate_raise(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import (
+            modified_kneser_ney_logprob,
+        )
+
+        fit = self._corpus(spark)
+        score = spark.createDataFrame(
+            [(100, "z b"), (101, "z q"), (102, "a d")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               modified_kneser_ney_logprob(score, fit=fit).collect()}
+        # unseen context -> pure continuation 1/5
+        assert out[100].avg_neg_logprob == _pt.approx(
+            -math.log(0.2), abs=1e-9)
+        # never-continuing token -> floored, finite
+        assert out[101].avg_neg_logprob == _pt.approx(
+            -math.log(1e-12), abs=1e-6)
+        # seen context, unseen pair -> gamma(a) * pcont = 1/4 * 1/5
+        assert out[102].avg_neg_logprob == _pt.approx(
+            -math.log(0.05), abs=1e-9)
+        # degenerate count-of-counts raise (all bigrams count 4)
+        flat = spark.createDataFrame(
+            [(i, "a b") for i in range(4)], "doc_id long, text string"
+        )
+        with _pt.raises(ValueError, match="degenerate"):
+            modified_kneser_ney_logprob(flat)

@@ -1262,6 +1262,28 @@ def main() -> int:
         t, (n, ok_k3) = timed("kneser_ney3", kn3)
         r["kn3_sec"], r["kn3_rows"], r["kn3_ok"] = t, n, ok_k3
 
+        def kmn():
+            from meta_frame_spark.operators.scoring import (
+                modified_kneser_ney_logprob,
+            )
+
+            dd = docs(d)
+            out = modified_kneser_ney_logprob(
+                dd, fit=dd.filter(F.col("doc_id") % 10 == 0)
+            ).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("n_bigrams") > 0)
+                & (
+                    F.col("avg_neg_logprob").isNull()
+                    | (F.col("avg_neg_logprob") <= 0)
+                )
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_km) = timed("kneser_ney_mod", kmn)
+        r["kmn_sec"], r["kmn_rows"], r["kmn_ok"] = t, n, ok_km
+
         def bby():
             from meta_frame_spark.operators.bpe import (
                 byte_bpe_encode,
@@ -1384,7 +1406,7 @@ def main() -> int:
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
-                "kn3", "bby", "htx", "wrc", "dva"):
+                "kn3", "kmn", "bby", "htx", "wrc", "dva"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1542,6 +1564,8 @@ def main() -> int:
         # the headline, printed above)
         ("kneser-ney3 scores finite, x10", b["kn3_ok"]
          and b["kn3_rows"] == 10 * a["kn3_rows"]),
+        ("modified-KN slice-fit scores finite", b["kmn_ok"]
+         and b["kmn_rows"] == 10 * a["kmn_rows"]),
         # NOTE: byte mass is NOT x10 — the replica generator SUFFIXES
         # tokens (see module docstring), so bytes grow ~x15 while
         # words grow exactly x10. The cross-check is agreement with
