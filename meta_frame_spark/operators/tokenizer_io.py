@@ -1,0 +1,62 @@
+"""Persist / reload trained tokenizer models as parquet tables.
+
+A production pipeline fits a tokenizer ONCE (on a trusted slice, at a
+pinned corpus snapshot) and reuses it across every later job — so the
+learned model must survive the session. These helpers store each model
+in ordinary parquet (readable by any engine, versionable next to the
+data) and reload it into the exact Python structure the encoders take:
+
+* BPE merge lists (word-level ``bpe_train`` AND byte-level
+  ``byte_bpe_train`` — a merge list is a merge list): one row per
+  merge, ``(rank, left, right)``; rank preserves priority order.
+* Unigram-LM pieces (``unigram_train``): one row per piece,
+  ``(piece, logp)``.
+
+Round-trip contract: ``load_*(save_*(x)) == x`` exactly — encoders are
+deterministic in their model, so a reloaded model reproduces the same
+tokenization bit-for-bit (pinned by tests).
+
+Scale note: these tables are model-sized (thousands of rows), not
+corpus-sized; the writes coalesce to one file so the artifact is a
+single object a registry can hash/version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def save_merges(
+    spark: SparkSession, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Write a BPE merge list (word- or byte-level) as parquet."""
+    if not merges:
+        raise ValueError("save_merges: empty merge list")
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame(rows, "rank int, left string, right string")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    """Reload a merge list in training order."""
+    rows = spark.read.parquet(path).collect()
+    return [
+        (r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)
+    ]
+
+
+def save_pieces(
+    spark: SparkSession, pieces: list[tuple[str, float]], path: str
+) -> None:
+    """Write a unigram-LM piece table (piece -> log-probability)."""
+    if not pieces:
+        raise ValueError("save_pieces: empty piece table")
+    df = spark.createDataFrame(list(pieces), "piece string, logp double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pieces(spark: SparkSession, path: str) -> list[tuple[str, float]]:
+    """Reload a piece table (order-insensitive for the encoder, but
+    returned sorted by piece for determinism)."""
+    rows = spark.read.parquet(path).collect()
+    return sorted((r.piece, r.logp) for r in rows)

@@ -133,3 +133,69 @@ def test_bpe_encode_emit_tokens_roundtrip(spark, tiny):
             tiny.filter(F.col("doc_id") == r.doc_id).first().text
     with pytest.raises(ValueError):
         bpe_train(tiny, num_merges=0)
+
+
+class TestTokenizerIO:
+    def test_merge_list_round_trip_reproduces_tokenization(
+        self, spark, tiny, tmp_path
+    ):
+        """save -> load gives back the exact merge list, and a fresh
+        encode under the reloaded model is bit-identical — the
+        fit-once / score-many contract. Same for the byte level."""
+        from meta_frame_spark.operators.bpe import (
+            byte_bpe_encode,
+            byte_bpe_train,
+        )
+        from meta_frame_spark.operators.tokenizer_io import (
+            load_merges,
+            save_merges,
+        )
+
+        merges = bpe_train(tiny, num_merges=20)
+        p = str(tmp_path / "merges")
+        save_merges(spark, merges, p)
+        assert load_merges(spark, p) == merges
+        a = sorted(map(tuple, bpe_encode(tiny, merges).collect()))
+        b = sorted(map(tuple,
+                       bpe_encode(tiny, load_merges(spark, p)).collect()))
+        assert a == b
+
+        bmerges = byte_bpe_train(tiny, num_merges=20)
+        pb = str(tmp_path / "bmerges")
+        save_merges(spark, bmerges, pb)
+        assert load_merges(spark, pb) == bmerges
+        ba = sorted(map(tuple, byte_bpe_encode(tiny, bmerges).collect()))
+        bb = sorted(map(tuple, byte_bpe_encode(
+            tiny, load_merges(spark, pb)).collect()))
+        assert ba == bb
+
+    def test_pieces_round_trip(self, spark, tmp_path):
+        import pytest
+
+        from meta_frame_spark.operators.tokenizer_io import (
+            load_pieces,
+            save_merges,
+            save_pieces,
+        )
+        from meta_frame_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "singing ringing winging " * 3) for i in range(8)],
+            "doc_id long, text string",
+        )
+        pieces = unigram_train(docs, vocab_size=30, max_piece_len=4)
+        p = str(tmp_path / "pieces")
+        save_pieces(spark, pieces, p)
+        assert load_pieces(spark, p) == sorted(pieces)
+        a = sorted(map(tuple, unigram_encode(docs, pieces).collect()))
+        b = sorted(map(tuple,
+                       unigram_encode(docs,
+                                      load_pieces(spark, p)).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="empty"):
+            save_pieces(spark, [], str(tmp_path / "x"))
+        with pytest.raises(ValueError, match="empty"):
+            save_merges(spark, [], str(tmp_path / "y"))
