@@ -5018,6 +5018,36 @@ _HTML_TAIL = (
 )
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (operators/profile
+    .with_compression_ratio — the Gopher/Dolma-class heuristic:
+    template floods compress to ~nothing, pre-compressed blobs not at
+    all). Invariant oracle: n_bytes is SQL-exact (DuckDB strlen =
+    UTF-8 bytes); signal_ok is Spark-verified per row — the ratio is
+    exactly zlib_bytes/n_bytes, zlib_bytes sits in (0, n_bytes + 64]
+    (zlib never inflates beyond header+5-bytes-per-16K overhead), and
+    empty/NULL docs carry a NULL signal."""
+    from meta_frame_spark.operators.profile import with_compression_ratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_compression_ratio(docs)
+    nonempty = F.col("n_bytes") > 0
+    ok = F.when(
+        nonempty,
+        F.col("compression_ratio").isNotNull()
+        & (F.col("zlib_bytes") > 0)
+        & (F.col("zlib_bytes") <= F.col("n_bytes") + 64)
+        & (
+            F.abs(
+                F.col("compression_ratio")
+                - F.col("zlib_bytes") / F.col("n_bytes").cast("double")
+            )
+            < 1e-12
+        ),
+    ).otherwise(F.col("compression_ratio").isNull())
+    return out.select("doc_id", "n_bytes", ok.alias("signal_ok"))
+
+
 def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/WET web-archive round trip (sources/warc.py — ISO 28500 /
     the Common Crawl WET layout, the first mile of a real 100 TB web
@@ -5217,22 +5247,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # round" #5).
 #
 # Round-13 window (VERDICT r12 "Next round" #1, #3-#7):
-#   1-6    corpus_diversity_approx / kneser_ney3 / kneser_ney_mod /
-#          bpe_bytes / html_extract / warc_records — FIRST driver
-#          rows for the round-13 additions (the HLL arm of the
-#          diversity report, VERDICT r12 #3; trigram Kneser-Ney, #6,
-#          plus the modified-KN three-discount variant; byte-level
-#          BPE, #7; HTML boilerplate extraction, #5; the WARC/WET
-#          source, #4), never-orphaned rule;
-#   7-24   the ENTIRE pinned r12 queue verbatim (ann_topk ..
+#   1-7    corpus_diversity_approx / kneser_ney3 / kneser_ney_mod /
+#          bpe_bytes / html_extract / warc_records /
+#          compression_signal — FIRST driver rows for the round-13
+#          additions (the HLL arm of the diversity report, VERDICT
+#          r12 #3; trigram Kneser-Ney, #6, plus the modified-KN
+#          three-discount variant; byte-level BPE, #7; HTML
+#          boilerplate extraction, #5; the WARC/WET source, #4; the
+#          zlib compressibility signal), never-orphaned rule;
+#   8-25   the ENTIRE pinned r12 queue verbatim (ann_topk ..
 #          sorted_neighbors) — the 18 rows whose latest driver green
 #          was r8, the round's headline freshness goal (VERDICT r12
 #          #1);
-#   25-50  26 of the 50 r9-green rows: first the ones the r12 verdict
+#   26-50  25 of the 50 r9-green rows: first the ones the r12 verdict
 #          named (dup_spans, mm_frames, lang_id, bigram_lm, the five
 #          stream_* rows, kmeans, pca), then the alphabetical head of
 #          the rest.
-# The remaining 24 r9-green rows are the ENTIRE r14 queue below and
+# The remaining 25 r9-green rows are the ENTIRE r14 queue below and
 # were re-verified locally this round (tools/check_correctness.py
 # full-registry run, 217/217 hash-exact at sf0.01). After this window
 # lands, no registered query's latest driver row is older than r9 —
@@ -5241,7 +5272,7 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW: tuple[str, ...] = (
     # (1) new this round — FIRST driver rows (never-orphaned rule)
     "corpus_diversity_approx", "kneser_ney3", "kneser_ney_mod",
-    "bpe_bytes", "html_extract", "warc_records",
+    "bpe_bytes", "html_extract", "warc_records", "compression_signal",
     # (2) the pinned r12 queue, verbatim — all 18 r8-stale rows
     "ann_topk", "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
     "vocab_topk", "row_numbers",
@@ -5258,11 +5289,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "budget_per_lang", "budget_select", "calibration_report",
     "count_distinct_skew", "curation_pipeline", "curation_select",
     "decontaminate", "dedup_incremental", "dedup_keep_best",
-    "doc_chunks", "doc_lm_score", "domain_cap",
+    "doc_chunks", "doc_lm_score",
 )
 
-# The planned r14 window backbone: the 24 remaining r9-green rows (the
-# alphabetical tail after the 26 that took r13 slots). Pinned constant
+# The planned r14 window backbone: the 25 remaining r9-green rows (the
+# alphabetical tail after the 25 that took r13 slots). Pinned constant
 # per VERDICT r8 #7 so the queue cannot silently drift from the plan;
 # tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
 # registered, and oracle-backed, and the --staleness gate checks the
@@ -5275,10 +5306,10 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "quantile_match_bucketed", "rrf_quality_scaled", "sample_per_group",
     "score_normalize", "unpivot", "url_canonical", "weighted_sample",
     "winsorized_lengths",
-    # displaced by the late-session kneser_ney_mod slot (new ops take
-    # slots FIRST; an r9-green row yields — still inside the 4-round
-    # staleness budget via this queue)
-    "dup_graph_stats",
+    # displaced by the late-session kneser_ney_mod / compression_signal
+    # slots (new ops take slots FIRST; r9-green rows yield — still
+    # inside the 4-round staleness budget via this queue)
+    "dup_graph_stats", "domain_cap",
 )
 
 
@@ -5510,6 +5541,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity_approx": q_corpus_diversity_approx,
         "html_extract": q_html_extract,
         "warc_records": q_warc_records,
+        "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
         "kneser_ney3": q_kneser_ney3,
@@ -9971,6 +10003,14 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COUNT(DISTINCT gram)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
         FROM g GROUP BY 1, 2
+    """
+    # Invariant oracle: exact UTF-8 byte counts; the ratio identity,
+    # zlib bounds, and NULL-signal rule are Spark-verified per row.
+    d["compression_signal"] = r"""
+        SELECT doc_id,
+               CAST(COALESCE(strlen(text), 0) AS INTEGER) AS n_bytes,
+               TRUE AS signal_ok
+        FROM documents
     """
     # WET staging replayed logically: URI construction, UTF-8 byte
     # Content-Length (DuckDB strlen is bytes), exact payload text.

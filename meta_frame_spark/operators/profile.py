@@ -246,3 +246,66 @@ def corpus_diversity(
             ).alias("distinct_ratio"),
         )
     )
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Append the zlib compressibility quality signal — the
+    Gopher/Dolma-class heuristic the distinct-n report complements:
+    near-duplicate boilerplate and template floods compress FAR below
+    natural prose (ratio -> 0.1-0.2), while random noise/base64 blobs
+    refuse to compress (ratio -> ~1.0+); both tails are junk a
+    pretraining corpus wants gated. Adds ``n_bytes`` (UTF-8 bytes,
+    SQL-exact for the oracle), ``zlib_bytes`` and
+    ``compression_ratio`` (= zlib_bytes/n_bytes; NULL for empty/NULL
+    text). ``level`` is frozen at 6 (zlib default) — the RATIO is a
+    heuristic signal, so cross-build zlib drift moves it at the third
+    decimal, never across a sane gate threshold; the oracle therefore
+    pins exact byte counts + bounds, not the ratio value. The ratio is
+    LENGTH-dependent (zlib header/warmup overhead): very short docs
+    can exceed 1.0, long prose lands ~0.2-0.5, so gates should be
+    calibrated per corpus length profile.
+
+    Scale: one Arrow map over whole rows (all columns pass through),
+    no shuffle, no driver traffic — compose with ``filter`` for the
+    two-sided gate."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in [1, 9], got {level}")
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = (
+        f"{fields}, n_bytes int, zlib_bytes int, compression_ratio double"
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            nb, zb, cr = [], [], []
+            for text in pdf[text_col]:
+                data = (text or "").encode("utf-8") \
+                    if isinstance(text, str) or text is None else b""
+                n = len(data)
+                if n == 0:
+                    nb.append(0)
+                    zb.append(None)
+                    cr.append(None)
+                else:
+                    z = len(zlib.compress(data, level))
+                    nb.append(n)
+                    zb.append(z)
+                    cr.append(z / n)
+            out = pdf[names].copy()
+            out["n_bytes"] = pd.array(nb, dtype="Int32")
+            out["zlib_bytes"] = pd.array(zb, dtype="Int32")
+            out["compression_ratio"] = pd.array(cr, dtype="float64")
+            yield out
+
+    return df.mapInPandas(comp, schema=schema)

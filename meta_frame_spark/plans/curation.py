@@ -553,6 +553,41 @@ def _op_html_extract(
         raise ConfigError(f"html_extract: {e}") from e
 
 
+def _op_compression_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_ratio: float = 0.10,
+    max_ratio: float = 1.05,
+    level: int = 6,
+) -> DataFrame:
+    """Two-sided zlib compressibility gate (operators/profile
+    .with_compression_ratio): drop documents that compress too WELL
+    (template floods / repeated boilerplate, ratio below
+    ``min_ratio``) or essentially not at all (pre-compressed blobs
+    and degenerate fragments, ratio above ``max_ratio`` — short docs
+    can exceed 1.0 from zlib header overhead). Defaults are lenient
+    because the ratio is length-dependent; calibrate per corpus.
+    Empty/NULL-text docs drop (no signal). Schema passes through; one
+    Arrow map, stream-safe."""
+    from meta_frame_spark.operators.profile import with_compression_ratio
+
+    if not 0.0 <= min_ratio < max_ratio:
+        raise ConfigError(
+            f"compression_gate: need 0 <= min_ratio < max_ratio, got "
+            f"{min_ratio}, {max_ratio}"
+        )
+    try:
+        scored = with_compression_ratio(df, text_col, level)
+    except ValueError as e:
+        raise ConfigError(f"compression_gate: {e}") from e
+    kept = scored.filter(
+        F.col("compression_ratio").isNotNull()
+        & (F.col("compression_ratio") >= min_ratio)
+        & (F.col("compression_ratio") <= max_ratio)
+    )
+    return kept.select(*df.columns)
+
+
 def _op_cache(df: DataFrame) -> DataFrame:
     """Materialization hint for fan-out points: persist the frame (and
     register it with operators.cache so release_tracked_caches() /
@@ -603,6 +638,7 @@ CURATION_OPS: dict[str, Callable] = {
     "gopher_gate": _op_gopher_gate,
     "repetition_gate": _op_repetition_gate,
     "html_extract": _op_html_extract,
+    "compression_gate": _op_compression_gate,
     "c4_gate": _op_c4_gate,
     "blocklist_gate": _op_blocklist_gate,
     "url_gate": _op_url_gate,

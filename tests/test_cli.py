@@ -92,7 +92,7 @@ def test_driver_window_composition():
     # out of the driver's 50 without any test noticing
     for name in ("corpus_diversity_approx", "kneser_ney3",
                  "kneser_ney_mod", "bpe_bytes", "html_extract",
-                 "warc_records"):
+                 "warc_records", "compression_signal"):
         assert name in window, name
     # round-13 headline (VERDICT r12 #1): the ENTIRE pinned r12 queue
     # — the 18 rows whose latest driver green was r8 — takes slots

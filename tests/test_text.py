@@ -1215,3 +1215,77 @@ class TestHtmlToText:
         )
         for bad in ("Exchange", "Join", "PythonUDF", "BatchEvalPython"):
             assert bad not in plan, bad
+
+
+class TestCompressionRatio:
+    def test_signal_orders_boilerplate_prose_noise(self, spark):
+        """Template flood compresses far below prose; high-entropy
+        noise barely compresses; empty/NULL have no signal."""
+        import random
+
+        rng = random.Random(7)
+        noise = "".join(chr(rng.randint(33, 126)) for _ in range(400))
+        from meta_frame_spark.operators.profile import (
+            with_compression_ratio,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "click here to subscribe now " * 30),
+                (2, "The committee reviewed the quarterly findings and "
+                    "recommended a cautious expansion of the pilot "
+                    "program across the remaining districts next year."),
+                (3, noise),
+                (4, ""),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_compression_ratio(df).collect()}
+        assert out[1].compression_ratio < 0.10
+        assert 0.10 < out[2].compression_ratio < 1.05
+        assert out[3].compression_ratio > 0.85
+        assert out[4].compression_ratio is None and out[4].n_bytes == 0
+        assert out[5].compression_ratio is None
+        # byte accounting exact; all original columns pass through
+        assert out[2].n_bytes == len(out[2].text.encode())
+        assert out[3].zlib_bytes < out[3].n_bytes * 1.2
+        # partition invariance
+        import pytest
+
+        again = {r.doc_id: r for r in
+                 with_compression_ratio(df.repartition(4)).collect()}
+        for k in out:
+            assert again[k].compression_ratio == pytest.approx(
+                out[k].compression_ratio, abs=0
+            ) or (out[k].compression_ratio is None
+                  and again[k].compression_ratio is None)
+        with pytest.raises(ValueError, match="level"):
+            with_compression_ratio(df, level=0)
+
+    def test_compression_gate_drops_both_tails(self, spark):
+        import random
+
+        from meta_frame_spark.config.model import ConfigError
+        from meta_frame_spark.plans.curation import run_curation
+
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam " * 40),
+                (2, "A normal paragraph of varied prose that should "
+                    "survive the two sided compressibility gate easily "
+                    "because natural language sits in the middle band."),
+                (3, "xz"),  # degenerate fragment: header overhead > 1.05
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = run_curation(df, {"steps": [{"op": "compression_gate"}]})
+        assert [r.doc_id for r in out.collect()] == [2]
+        assert out.columns == df.columns
+        import pytest
+
+        with pytest.raises(ConfigError, match="min_ratio"):
+            run_curation(df, {"steps": [
+                {"op": "compression_gate", "min_ratio": 0.9,
+                 "max_ratio": 0.5}]})

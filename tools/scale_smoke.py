@@ -1307,6 +1307,27 @@ def main() -> int:
         r["bby_sec"], r["bby_rows"] = t, n
         r["bby_bytes"], r["bby_ok"] = nbytes, ok_bb
 
+        def cmpz():
+            from meta_frame_spark.operators.profile import (
+                with_compression_ratio,
+            )
+
+            dd = docs(d).select("doc_id", "text")
+            out = with_compression_ratio(dd).persist()
+            n = out.count()
+            bad = out.filter(
+                (F.col("n_bytes") > 0)
+                & (
+                    F.col("compression_ratio").isNull()
+                    | (F.col("zlib_bytes") <= 0)
+                    | (F.col("zlib_bytes") > F.col("n_bytes") + 64)
+                )
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_cz) = timed("compression_signal", cmpz)
+        r["cmpz_sec"], r["cmpz_rows"], r["cmpz_ok"] = t, n, ok_cz
+
         def htx():
             from meta_frame_spark.functions.web import with_html_text
 
@@ -1406,7 +1427,7 @@ def main() -> int:
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
-                "kn3", "kmn", "bby", "htx", "wrc", "dva"):
+                "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1566,6 +1587,8 @@ def main() -> int:
          and b["kn3_rows"] == 10 * a["kn3_rows"]),
         ("modified-KN slice-fit scores finite", b["kmn_ok"]
          and b["kmn_rows"] == 10 * a["kmn_rows"]),
+        ("compression signal bounds hold", b["cmpz_ok"]
+         and b["cmpz_rows"] == 10 * a["cmpz_rows"]),
         # NOTE: byte mass is NOT x10 — the replica generator SUFFIXES
         # tokens (see module docstring), so bytes grow ~x15 while
         # words grow exactly x10. The cross-check is agreement with
