@@ -52,7 +52,13 @@ from meta_frame_spark.operators.similarity import (
     ivf_topk,
     srp_lsh_topk,
 )
-from meta_frame_spark.operators.bpe import bpe_encode, bpe_train
+from meta_frame_spark.operators.bpe import (
+    bpe_encode,
+    bpe_train,
+    byte_bpe_decode,
+    byte_bpe_encode,
+    byte_bpe_train,
+)
 from meta_frame_spark.operators.changelog import apply_changelog, latest_by_key
 from meta_frame_spark.operators.kmeans import KMeansModel, kmeans_assign, kmeans_fit
 from meta_frame_spark.operators.spans import (
@@ -130,7 +136,12 @@ from meta_frame_spark.operators.sketch import (
     theta_sketch,
 )
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
-from meta_frame_spark.operators.profile import histogram_fixed, profile_table
+from meta_frame_spark.operators.profile import (
+    corpus_diversity,
+    histogram_fixed,
+    profile_table,
+    with_compression_ratio,
+)
 from meta_frame_spark.operators.ranking import (
     normalize_scores,
     ntile_buckets,
@@ -149,10 +160,18 @@ from meta_frame_spark.operators.vocab import (
 from meta_frame_spark.operators.scoring import (
     bigram_logprob,
     bigram_vocab,
+    kneser_ney3_logprob,
     kneser_ney_logprob,
+    modified_kneser_ney_logprob,
     score_documents,
     unigram_logprob,
     unigram_vocab,
+)
+from meta_frame_spark.operators.tokenizer_io import (
+    load_merges,
+    load_pieces,
+    save_merges,
+    save_pieces,
 )
 from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_counts
 from meta_frame_spark.operators.search import (
@@ -291,6 +310,17 @@ __all__ = [
     "bigram_logprob",
     "bpe_encode",
     "bpe_train",
+    "byte_bpe_decode",
+    "byte_bpe_encode",
+    "byte_bpe_train",
+    "corpus_diversity",
+    "with_compression_ratio",
+    "kneser_ney3_logprob",
+    "modified_kneser_ney_logprob",
+    "load_merges",
+    "load_pieces",
+    "save_merges",
+    "save_pieces",
     "bigram_vocab",
     "score_documents",
     "snapshot_asof",

@@ -12,6 +12,12 @@ from meta_frame_spark.sources.registry import (
     load_sf_table,
     load_union,
 )
+from meta_frame_spark.sources.warc import (
+    build_wet_record,
+    parse_warc_bytes,
+    read_wet,
+    write_wet_shards,
+)
 from meta_frame_spark.sources.sinks import (
     collect_file_stats,
     files_for_range,
@@ -42,6 +48,10 @@ __all__ = [
     "morton_code",
     "normalize_event_ts",
     "read_webdataset",
+    "build_wet_record",
+    "parse_warc_bytes",
+    "read_wet",
+    "write_wet_shards",
     "save_bucketed_table",
     "save_data",
     "tree_sink",
