@@ -46,7 +46,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # files than cores means the scan can't fill the machine:
         # parquet byte-range splits beyond a row-group boundary come
         # up empty, so a few single-row-group files under-split even
-        # when the planner reports more partitions.
+        # when the planner reports more partitions. The converse
+        # (many small files) needs no probe: Spark's FilePartition
+        # packing shrinks maxSplitBytes to bytesPerCore =
+        # (total + files*openCost)/defaultParallelism, so many small
+        # files already spread across the machine on their own.
         target = spark.sparkContext.defaultParallelism
         if len(df.inputFiles()) < target:
             df = df.repartition(target, F.col("doc_id"))
@@ -5024,8 +5028,10 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     template floods compress to ~nothing, pre-compressed blobs not at
     all). Invariant oracle: n_bytes is SQL-exact (DuckDB strlen =
     UTF-8 bytes); signal_ok is Spark-verified per row — the ratio is
-    exactly zlib_bytes/n_bytes, zlib_bytes sits in (0, n_bytes + 64]
-    (zlib never inflates beyond header+5-bytes-per-16K overhead), and
+    exactly zlib_bytes/n_bytes, zlib_bytes sits in
+    (0, n_bytes + 5*ceil(n_bytes/16384) + 64] (zlib's worst case is
+    ~5 bytes of stored-block framing per 16 KiB plus header/trailer —
+    a CONSTANT slack would go red on a large incompressible doc), and
     empty/NULL docs carry a NULL signal."""
     from meta_frame_spark.operators.profile import with_compression_ratio
 
@@ -5036,7 +5042,12 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         nonempty,
         F.col("compression_ratio").isNotNull()
         & (F.col("zlib_bytes") > 0)
-        & (F.col("zlib_bytes") <= F.col("n_bytes") + 64)
+        & (
+            F.col("zlib_bytes")
+            <= F.col("n_bytes")
+            + 5 * F.ceil(F.col("n_bytes") / 16384)
+            + 64
+        )
         & (
             F.abs(
                 F.col("compression_ratio")

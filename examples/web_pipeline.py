@@ -87,7 +87,7 @@ def run_web_pipeline(
     curated = run_curation(
         records.select(
             F.col("target_uri"), F.col("text").alias("html")
-        ).drop("text"),
+        ),
         {"steps": [
             {"op": "html_extract", "out_col": "text"},
             {"op": "repetition_gate"},

@@ -156,24 +156,16 @@ _BLOCK_BREAK_RE = (
 _LINK_TEXT_RE = r"(?is)<a[^>]*>(.*?)</a>"
 _TAG_RE = r"(?s)<[^>]*>"
 
-#: decode order matters and is frozen: &amp; LAST, so a literal
-#: "&amp;lt;" decodes to "&lt;" (the standard single-pass caveat) —
-#: both engines replay the identical chain.
-_ENTITIES: tuple[tuple[str, str], ...] = (
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&#39;", "'"),
-    ("&amp;", "&"),
-)
-
 
 def _clean_fragment(c: Column) -> Column:
-    """Strip remaining (inline) tags, decode the frozen entity set,
-    collapse whitespace."""
+    """Strip remaining (inline) tags, decode the frozen entity set
+    (:data:`meta_frame_spark.functions.text.HTML_ENTITIES` — ONE
+    shared table, so this chain and strip_html can never drift from
+    each other or from their oracle mirrors), collapse whitespace."""
+    from meta_frame_spark.functions.text import HTML_ENTITIES
+
     c = F.regexp_replace(c, _TAG_RE, " ")
-    for ent, rep in _ENTITIES:
+    for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 

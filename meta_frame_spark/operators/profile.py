@@ -274,6 +274,12 @@ def with_compression_ratio(
     two-sided gate."""
     if not 1 <= level <= 9:
         raise ValueError(f"level must be in [1, 9], got {level}")
+    for added in ("n_bytes", "zlib_bytes", "compression_ratio"):
+        if added in df.columns:
+            raise ValueError(
+                f"with_compression_ratio: output column {added!r} "
+                f"collides with an input column"
+            )
     fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )

@@ -10,7 +10,7 @@ data) and reload it into the exact Python structure the encoders take:
   ``byte_bpe_train`` — a merge list is a merge list): one row per
   merge, ``(rank, left, right)``; rank preserves priority order.
 * Unigram-LM pieces (``unigram_train``): one row per piece,
-  ``(piece, logp)``.
+  ``(rank, piece, logp)``; rank preserves the trainer's order.
 
 Round-trip contract: ``load_*(save_*(x)) == x`` exactly — encoders are
 deterministic in their model, so a reloaded model reproduces the same
@@ -51,12 +51,18 @@ def save_pieces(
     """Write a unigram-LM piece table (piece -> log-probability)."""
     if not pieces:
         raise ValueError("save_pieces: empty piece table")
-    df = spark.createDataFrame(list(pieces), "piece string, logp double")
+    rows = [(i, p, lp) for i, (p, lp) in enumerate(pieces)]
+    df = spark.createDataFrame(
+        rows, "rank int, piece string, logp double"
+    )
     df.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_pieces(spark: SparkSession, path: str) -> list[tuple[str, float]]:
-    """Reload a piece table (order-insensitive for the encoder, but
-    returned sorted by piece for determinism)."""
+    """Reload a piece table in its exact saved order (the encoder is
+    order-insensitive, but the EXACT round trip lets a model registry
+    hash the artifact)."""
     rows = spark.read.parquet(path).collect()
-    return sorted((r.piece, r.logp) for r in rows)
+    return [
+        (r.piece, r.logp) for r in sorted(rows, key=lambda r: r.rank)
+    ]

@@ -161,6 +161,11 @@ def read_wet(spark, path: str, glob: str = "*.warc.wet*") -> DataFrame:
             )
 
     files = spark.read.format("binaryFile").load(f"{path}/{glob}")
+    # exclude attempt-temp leftovers of a FAILED job (the driver sweep
+    # only runs after success): a torn '.inprogress-<attempt>' file
+    # would otherwise parse as silently-partial records (plain layout)
+    # or fail the whole read (gzip layout) — metadata-only filter
+    files = files.filter(~F.col("path").contains(".inprogress-"))
     return files.select("path", "content").mapInPandas(
         untar,
         schema=(

@@ -616,6 +616,27 @@ class TestWetShards:
         assert glob.glob(f"{out}/*.warc.wet.gz") == []
         assert glob.glob(f"{out}/*.warc.wet") == []
 
+    def test_reader_ignores_inprogress_temps(self, spark, tmp_path):
+        """A torn '.inprogress-<attempt>' temp from a FAILED job (the
+        sweep only runs on success) must never be read as data — the
+        reader excludes temps, so committed shards still load."""
+        from meta_frame_spark.sources.warc import (
+            build_wet_record,
+            read_wet,
+            write_wet_shards,
+        )
+
+        out = str(tmp_path / "wet_mixed")
+        write_wet_shards(
+            self._df(spark), out, "url", "text", compress=False
+        )
+        torn = build_wet_record("http://ex.com/torn", b"0123456789")[:-8]
+        (tmp_path / "wet_mixed" /
+         "shard-99999-0000.warc.wet.inprogress-7").write_bytes(torn)
+        got = read_wet(spark, out).collect()
+        assert len(got) == 10
+        assert all("torn" not in r.target_uri for r in got)
+
     def test_torn_shard_fails_loudly(self, tmp_path):
         """A truncated payload or a garbage header must raise, never
         yield silently partial records."""

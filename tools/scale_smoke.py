@@ -1320,7 +1320,12 @@ def main() -> int:
                 & (
                     F.col("compression_ratio").isNull()
                     | (F.col("zlib_bytes") <= 0)
-                    | (F.col("zlib_bytes") > F.col("n_bytes") + 64)
+                    | (
+                        F.col("zlib_bytes")
+                        > F.col("n_bytes")
+                        + 5 * F.ceil(F.col("n_bytes") / 16384)
+                        + 64
+                    )
                 )
             ).count()
             out.unpersist()
