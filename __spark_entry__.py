@@ -52,9 +52,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (total + files*openCost)/defaultParallelism, so many small
         # files already spread across the machine on their own.
         target = spark.sparkContext.defaultParallelism
-        if len(df.inputFiles()) < target:
+        files = df.inputFiles()
+        if len(files) < target and \
+                _splittable_chunks(tuple(files), target) < target:
             df = df.repartition(target, F.col("doc_id"))
     return df
+
+
+def _splittable_chunks(files: tuple[str, ...], cap: int) -> int:
+    """How many non-empty scan splits these parquet files can yield.
+    Parquet parallelizes at ROW-GROUP granularity: a byte-range split
+    containing no row-group midpoint reads nothing, so achievable scan
+    parallelism is sum(num_row_groups) — a single LARGE file with many
+    row groups already fills the machine and must not be repartitioned
+    (that would shuffle the wide text column for nothing, ADVICE r13),
+    while a single-row-group file genuinely under-splits. Footer reads
+    are driver-side metadata only, done once per file list (cached);
+    early-out at ``cap``. Non-local or unreadable layouts return 0 =
+    unknown, keeping the conservative spread."""
+    hit = _SPLITTABLE_CACHE.get(files)
+    if hit is not None:
+        return hit
+    total = 0
+    try:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                total = 0
+                break
+            total += pq.ParquetFile(u.path or f).metadata.num_row_groups
+            if total >= cap:
+                break
+    except Exception:
+        total = 0
+    _SPLITTABLE_CACHE[files] = total
+    return total
+
+
+_SPLITTABLE_CACHE: dict[tuple[str, ...], int] = {}
 
 
 # --------------------------------------------------------------------------
@@ -4982,7 +5021,7 @@ def q_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× smoke, this one stays ~flat. Invariant oracle (the
     distinct_sketch precedent): DuckDB recomputes the EXACT distinct
     counts; the Spark side re-derives the same exact counts plus a
-    verified boolean that the HLL estimate lands within 3×rsd."""
+    verified boolean that the HLL estimate lands within 5×rsd."""
     from meta_frame_spark.operators.profile import corpus_diversity
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -5003,7 +5042,12 @@ def q_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("distinct_grams") - F.col("exact_distinct"))
                 / F.col("exact_distinct").cast("double")
-                <= 0.06
+                # 5×rsd: HLL error is ~Gaussian with σ=rsd, so a 3σ
+                # bound flakes with small but real probability across
+                # hundreds of bench/driver runs (ADVICE r13); 5σ keeps
+                # the invariant meaningful (still rejects a broken
+                # sketch outright) with ~1e-7 false-alarm odds per cell
+                <= 0.10
             ).alias("err_ok"),
         )
     )
@@ -5257,70 +5301,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-13 window (VERDICT r12 "Next round" #1, #3-#7):
-#   1-7    corpus_diversity_approx / kneser_ney3 / kneser_ney_mod /
-#          bpe_bytes / html_extract / warc_records /
-#          compression_signal — FIRST driver rows for the round-13
-#          additions (the HLL arm of the diversity report, VERDICT
-#          r12 #3; trigram Kneser-Ney, #6, plus the modified-KN
-#          three-discount variant; byte-level BPE, #7; HTML
-#          boilerplate extraction, #5; the WARC/WET source, #4; the
-#          zlib compressibility signal), never-orphaned rule;
-#   8-25   the ENTIRE pinned r12 queue verbatim (ann_topk ..
-#          sorted_neighbors) — the 18 rows whose latest driver green
-#          was r8, the round's headline freshness goal (VERDICT r12
-#          #1);
-#   26-50  25 of the 50 r9-green rows: first the ones the r12 verdict
-#          named (dup_spans, mm_frames, lang_id, bigram_lm, the five
-#          stream_* rows, kmeans, pca), then the alphabetical head of
-#          the rest.
-# The remaining 25 r9-green rows are the ENTIRE r14 queue below and
-# were re-verified locally this round (tools/check_correctness.py
-# full-registry run, 217/217 hash-exact at sf0.01). After this window
-# lands, no registered query's latest driver row is older than r9 —
-# the freshness invariant tools/check_correctness.py --staleness now
-# enforces mechanically. Every entry has an oracle_sql() twin.
+# Round-14 window (VERDICT r13 "Next round" #1): the 50 decay-edge
+# rows named by tools/check_correctness.py --staleness at round start.
+#   1-25   the ENTIRE pinned r13 queue verbatim (dup_span_regions ..
+#          domain_cap) — the 25 rows whose latest driver green was r9;
+#          they would cross the 4-round staleness bound once r14
+#          records land, so they hold window slots unconditionally;
+#   26-50  the alphabetical head of the 50 r10-green rows
+#          (a_q1_pricing .. k_anonymity).
+# New r14 operators take slots FIRST as they land (never-orphaned
+# rule) and displace the window's r10 TAIL (never the r9 block) into
+# NEXT_WINDOW_QUEUE. The remaining 25 r10-green rows are the queue
+# below; together window ∪ queue covers every decay-edge row, which
+# tools/check_correctness.py --staleness enforces mechanically.
+# Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (1) new this round — FIRST driver rows (never-orphaned rule)
-    "corpus_diversity_approx", "kneser_ney3", "kneser_ney_mod",
-    "bpe_bytes", "html_extract", "warc_records", "compression_signal",
-    # (2) the pinned r12 queue, verbatim — all 18 r8-stale rows
-    "ann_topk", "ngram_jaccard", "text_stats", "text_quality", "token_bpe",
-    "vocab_topk", "row_numbers",
-    "fuzzy_join", "nb_predict", "dsir_weights", "pmi_collocations",
-    "rrf_quality", "embedding_drift", "weighted_sample_k",
-    "stratified_sample_exact", "quantile_match", "readability",
-    "sorted_neighbors",
-    # (3a) r9-green rows the r12 verdict named
-    "dup_spans", "mm_frames", "lang_id", "bigram_lm",
-    "stream_curate", "stream_dedup", "stream_hourly", "stream_join",
-    "stream_totals", "kmeans", "pca",
-    # (3b) alphabetical head of the remaining r9-green rows
-    "ann_topk_hamming", "ann_topk_hamming_rescore", "ann_topk_pq",
-    "budget_per_lang", "budget_select", "calibration_report",
-    "count_distinct_skew", "curation_pipeline", "curation_select",
-    "decontaminate", "dedup_incremental", "dedup_keep_best",
-    "doc_chunks", "doc_lm_score",
-)
-
-# The planned r14 window backbone: the 25 remaining r9-green rows (the
-# alphabetical tail after the 25 that took r13 slots). Pinned constant
-# per VERDICT r8 #7 so the queue cannot silently drift from the plan;
-# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
-# registered, and oracle-backed, and the --staleness gate checks the
-# union covers every stale row.
-NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
     "join_salted", "lang_margin", "length_histogram", "mm_audio",
     "mm_meta", "profile", "quality_deciles", "quantile_gate",
     "quantile_match_bucketed", "rrf_quality_scaled", "sample_per_group",
     "score_normalize", "unpivot", "url_canonical", "weighted_sample",
-    "winsorized_lengths",
-    # displaced by the late-session kneser_ney_mod / compression_signal
-    # slots (new ops take slots FIRST; r9-green rows yield — still
-    # inside the 4-round staleness budget via this queue)
-    "dup_graph_stats", "domain_cap",
+    "winsorized_lengths", "dup_graph_stats", "domain_cap",
+    # (2) alphabetical head of the 50 r10-green rows
+    "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
+    "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
+    "cms_freq", "containment", "corr_signals", "count_anomalies",
+    "curation_budget", "curation_cleanup", "dedup_safe_split",
+    "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
+    "ewma_hourly", "funnel_latency", "heavy_hitters", "incremental_agg",
+    "join_cardest", "k_anonymity",
+)
+
+# The planned r15 window backbone: the 25 remaining r10-green rows
+# (the alphabetical tail after the 25 that took r14 slots). As new r14
+# operators land they take window slots FIRST and the window's r10
+# TAIL rows (k_anonymity, join_cardest, ...) move here — never the r9
+# block, which has no staleness budget left. Pinned constant per VERDICT
+# r8 #7 so the queue cannot silently drift from the plan;
+# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
+# registered, and oracle-backed, and the --staleness gate checks the
+# union covers every stale row.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    "key_skew", "kll_quantiles", "mm_frame_dedup", "near_dedup_against",
+    "negative_pairs", "novelty_score", "part_pairs",
+    "quality_classifier", "quantile_match_grid", "rolling_distinct",
+    "script_profile", "sentences", "session_pairs", "sketch_rollup",
+    "stream_anomaly", "stream_score", "text_normalize", "tfidf_keywords",
+    "theta_matrix", "theta_overlap", "top_mass", "trend_hourly",
+    "trending_events", "vocab_drift", "zipf_slope",
 )
 
 

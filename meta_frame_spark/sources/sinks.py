@@ -347,6 +347,86 @@ def files_for_range(manifest_path: str, col: str, lo, hi) -> list[str]:
     return out
 
 
+class _PartitionCommit:
+    """Winner-takes-all task-commit handle for shard sinks.
+
+    Executor side of the protocol described in
+    ``write_webdataset_shards``: shards are written under an
+    attempt-unique staging directory; ``commit()`` publishes the WHOLE
+    partition output with one atomic directory rename to the
+    per-partition committed name. When two attempts of the same
+    partition race (speculation, retry-after-slow), the second rename
+    fails (``EEXIST``/``ENOTEMPTY`` — POSIX rename never replaces a
+    non-empty directory) and that attempt discards its staging, so a
+    partition can never publish a mix of two attempts' shard splits
+    even though row order within a shuffled partition is not
+    deterministic across attempts."""
+
+    def __init__(self, out_dir: str, pid: int, attempt: int):
+        import os
+
+        self.out_dir = out_dir
+        self.pid = pid
+        self.staging = os.path.join(
+            out_dir, f".staging-{pid:05d}-{attempt}"
+        )
+        self.committed = os.path.join(out_dir, f".committed-{pid:05d}")
+        self._made = False
+
+    def shard_path(self, seq: int, ext: str) -> str:
+        import os
+
+        if not self._made:
+            os.makedirs(self.staging, exist_ok=True)
+            self._made = True
+        return os.path.join(
+            self.staging, f"shard-{self.pid:05d}-{seq:04d}{ext}"
+        )
+
+    def commit(self) -> None:
+        import os
+        import shutil
+
+        if not self._made:
+            return  # empty partition: nothing staged, nothing to do
+        try:
+            os.rename(self.staging, self.committed)
+        except OSError:
+            # another attempt already committed this partition —
+            # its output is complete (rename happens only after the
+            # full partition is consumed); drop ours
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def _task_commit_context(out_dir: str) -> _PartitionCommit:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return _PartitionCommit(
+        out_dir, ctx.partitionId(), ctx.taskAttemptId()
+    )
+
+
+def _publish_committed(out_dir: str) -> None:
+    """Driver side: after the job succeeds, flatten every
+    ``.committed-*`` partition directory into the final top-level
+    shard names and sweep staging leftovers from failed/killed
+    attempts. Runs single-threaded on the driver after
+    ``foreachPartition`` returns, so there is no rename race here;
+    readers glob only top-level shards, so mid-publish visibility is
+    limited to complete, committed files appearing one by one."""
+    import glob as _glob
+    import os
+    import shutil
+
+    for cdir in sorted(_glob.glob(os.path.join(out_dir, ".committed-*"))):
+        for f in sorted(os.listdir(cdir)):
+            os.replace(os.path.join(cdir, f), os.path.join(out_dir, f))
+        os.rmdir(cdir)
+    for leftover in _glob.glob(os.path.join(out_dir, ".staging-*")):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
 def write_webdataset_shards(
     df: DataFrame,
     path: str,
@@ -377,15 +457,21 @@ def write_webdataset_shards(
     the standard WebDataset export arrangement; tar is not a Spark
     datasource, so the distributed-FS writers don't apply).
 
-    Task-commit protocol: each attempt streams into attempt-unique
-    temp names (``.inprogress-<taskAttemptId>`` suffix) and renames
-    them to the final ``shard-*.tar`` names only after its whole
-    partition is consumed, so a failed or killed attempt never leaves
-    a partial/stale final shard — only temp files, which the driver
-    sweeps after the job. Speculative duplicate attempts rename
-    identical bytes onto the same final name via atomic
-    ``os.replace`` (same input partition => same deterministic tar),
-    so a loader globbing ``*.tar`` can never observe a torn shard."""
+    Task-commit protocol (winner-takes-all, attempt-atomic): each
+    attempt streams its shards into an attempt-unique STAGING
+    DIRECTORY (``.staging-<pid>-<taskAttemptId>/``) and, only after
+    its whole partition is consumed and every tar is closed, renames
+    the directory in ONE atomic ``os.rename`` to the per-partition
+    committed name (``.committed-<pid>``). POSIX rename onto an
+    existing non-empty directory fails, so when speculative/duplicate
+    attempts race, exactly ONE attempt's complete output is published
+    and the losers discard theirs — row order inside a shuffled
+    partition need not be deterministic across attempts (it is not;
+    this is why per-file renames were unsafe: two attempts can split
+    records across shard boundaries differently). The driver flattens
+    the committed directories into the final ``shard-*.tar`` names
+    after the job succeeds, so a loader globbing ``*.tar`` can never
+    observe a torn or mixed-attempt shard."""
     import os
     import shutil
 
@@ -406,24 +492,16 @@ def write_webdataset_shards(
         import io
         import tarfile
 
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        attempt = ctx.taskAttemptId()
+        ctx = _task_commit_context(path)
         tar = None
         seq = 0
         n_in_shard = 0
-        pending = []  # (temp_path, final_path) renamed on task success
 
         def roll():
             nonlocal tar, seq, n_in_shard
             if tar is not None:
                 tar.close()
-            final = os.path.join(path, f"shard-{pid:05d}-{seq:04d}.tar")
-            temp = f"{final}.inprogress-{attempt}"
-            pending.append((temp, final))
-            tar = tarfile.open(temp, "w")
+            tar = tarfile.open(ctx.shard_path(seq, ".tar"), "w")
             seq += 1
             n_in_shard = 0
 
@@ -447,19 +525,10 @@ def write_webdataset_shards(
             n_in_shard += 1
         if tar is not None:
             tar.close()
-        # Commit: the whole partition is consumed, so publish the
-        # shards atomically. A duplicate attempt replaces identical
-        # bytes; a failed attempt never reaches this point.
-        for temp, final in pending:
-            os.replace(temp, final)
+        ctx.commit()
 
     pruned.foreachPartition(dump)
-    # Sweep temp files left by failed/killed attempts so the
-    # directory holds only committed *.tar shards.
-    import glob as _glob
-
-    for leftover in _glob.glob(os.path.join(path, "*.inprogress-*")):
-        os.remove(leftover)
+    _publish_committed(path)
 
 
 def read_webdataset(spark, path: str) -> DataFrame:

@@ -22,9 +22,10 @@ Scale design mirrors ``read_webdataset``/``write_webdataset_shards``
 (sinks.py): the reader is one Arrow map over ``binaryFile`` rows (a
 task inflates + splits whole shards in memory — WET shards are sized
 for exactly this, ~150 MB compressed), no shuffle; the writer is pure
-``foreachPartition`` with the attempt-unique-temp-then-rename task
-commit protocol, so failed or speculative attempts can never publish
-torn shards.
+``foreachPartition`` with the winner-takes-all atomic per-partition
+directory commit (``sinks._PartitionCommit``), so failed, killed, or
+racing speculative attempts can never publish torn or mixed-attempt
+shards.
 """
 
 from __future__ import annotations
@@ -50,6 +51,17 @@ def build_wet_record(
     (``urn:md5:`` over uri+date+payload) so a re-staged shard is
     byte-identical — the property the oracle replay and the sink's
     speculative-attempt safety both rely on."""
+    # WARC headers are CRLF-delimited: a control byte inside an
+    # interpolated value would corrupt record framing for the whole
+    # shard, so reject rather than silently mis-frame (ISO 28500 §5
+    # header values are token/uri text — control chars are never
+    # legitimate here; a crawler seeing one has a mangled URL)
+    for label, value in (("uri", uri), ("date", date)):
+        if any(ord(ch) < 0x20 or ord(ch) == 0x7F for ch in value):
+            raise ValueError(
+                f"build_wet_record: control character in {label}: "
+                f"{value!r:.60}"
+            )
     rid = hashlib.md5(
         uri.encode("utf-8") + b"\x00" + date.encode("ascii")
         + b"\x00" + payload
@@ -192,10 +204,15 @@ def write_wet_shards(
     writes an empty payload; NULL uris raise (a record without a
     target is unaddressable). Same scale/commit contract as
     ``write_webdataset_shards``: pure ``foreachPartition``, shards
-    roll at ``records_per_shard``, attempt-unique temp names renamed
-    only on task success, driver sweeps stale temps."""
+    roll at ``records_per_shard``, winner-takes-all atomic
+    per-partition directory commit (see ``sinks._PartitionCommit`` —
+    duplicate attempts can split records across shard files
+    differently, so only a whole-partition atomic publish is safe),
+    driver flattens committed dirs after job success."""
     import os
     import shutil
+
+    from .sinks import _publish_committed, _task_commit_context
 
     if mode not in ("overwrite", "error"):
         raise ValueError(f"mode must be overwrite|error, got {mode!r}")
@@ -210,24 +227,16 @@ def write_wet_shards(
     def dump(rows):
         import gzip
 
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        attempt = ctx.taskAttemptId()
+        ctx = _task_commit_context(path)
         fh = None
         seq = 0
         n_in_shard = 0
-        pending = []  # (temp, final) renamed on task success
 
         def roll():
             nonlocal fh, seq, n_in_shard
             if fh is not None:
                 fh.close()
-            final = os.path.join(path, f"shard-{pid:05d}-{seq:04d}{ext}")
-            temp = f"{final}.inprogress-{attempt}"
-            pending.append((temp, final))
-            fh = open(temp, "wb")
+            fh = open(ctx.shard_path(seq, ext), "wb")
             seq += 1
             n_in_shard = 0
 
@@ -247,11 +256,7 @@ def write_wet_shards(
             n_in_shard += 1
         if fh is not None:
             fh.close()
-        for temp, final in pending:
-            os.replace(temp, final)
+        ctx.commit()
 
     pruned.foreachPartition(dump)
-    import glob as _glob
-
-    for leftover in _glob.glob(os.path.join(path, "*.inprogress-*")):
-        os.remove(leftover)
+    _publish_committed(path)

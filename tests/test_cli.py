@@ -85,33 +85,31 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-13 session ops: every operator/query added this round must
-    # hold a window slot until its first driver row lands (the
-    # never-orphaned rule) — this pin exists because a window edit
-    # once silently missed while its comment updated, leaving new ops
-    # out of the driver's 50 without any test noticing
-    for name in ("corpus_diversity_approx", "kneser_ney3",
-                 "kneser_ney_mod", "bpe_bytes", "html_extract",
-                 "warc_records", "compression_signal"):
-        assert name in window, name
-    # round-13 headline (VERDICT r12 #1): the ENTIRE pinned r12 queue
-    # — the 18 rows whose latest driver green was r8 — takes slots
+    # round-14 headline (VERDICT r13 #1): the ENTIRE pinned r13 queue
+    # — the 25 rows whose latest driver green was r9, which would
+    # cross the 4-round staleness bound once r14 records land — takes
+    # slots unconditionally; new r14 ops displace the r10 tail, never
+    # these
     for name in (
-        "ann_topk", "ngram_jaccard", "text_stats", "text_quality",
-        "token_bpe", "vocab_topk", "row_numbers", "fuzzy_join",
-        "nb_predict", "dsir_weights", "pmi_collocations", "rrf_quality",
-        "embedding_drift", "weighted_sample_k", "stratified_sample_exact",
-        "quantile_match", "readability", "sorted_neighbors",
+        "dup_span_regions", "event_paths", "event_transitions",
+        "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
+        "join_salted", "lang_margin", "length_histogram", "mm_audio",
+        "mm_meta", "profile", "quality_deciles", "quantile_gate",
+        "quantile_match_bucketed", "rrf_quality_scaled",
+        "sample_per_group", "score_normalize", "unpivot",
+        "url_canonical", "weighted_sample", "winsorized_lengths",
+        "dup_graph_stats", "domain_cap",
     ):
         assert name in window, name
-    # the r9-green rows the r12 verdict named rotate in too
-    for name in ("dup_spans", "mm_frames", "lang_id", "bigram_lm",
-                 "stream_totals", "kmeans", "pca"):
+    # the rest of the window is the alphabetical head of the 50
+    # r10-green decay-edge rows
+    for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
+                 "doremi_mix", "funnel_latency"):
         assert name in window, name
-    # the 23 remaining r9-green rows are the entire r14 queue
+    # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
-        "dup_span_regions", "event_paths", "event_transitions",
-        "expectations"]
+        "key_skew", "kll_quantiles", "mm_frame_dedup",
+        "near_dedup_against"]
     # the r14 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)

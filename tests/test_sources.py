@@ -553,6 +553,99 @@ class TestWebdatasetShards:
             )
 
 
+class TestPartitionCommit:
+    """Winner-takes-all task-commit protocol (ADVICE r13 medium): row
+    order inside a shuffled partition is NOT deterministic across task
+    attempts, so two attempts of the same partition may split records
+    across shard files differently; per-file renames could interleave
+    and publish a mix of both splits. The directory-rename commit must
+    publish exactly ONE attempt's complete output."""
+
+    def _stage(self, out, pid, attempt, files):
+        from meta_frame_spark.sources.sinks import _PartitionCommit
+
+        c = _PartitionCommit(out, pid, attempt)
+        for seq, data in enumerate(files):
+            with open(c.shard_path(seq, ".tar"), "wb") as fh:
+                fh.write(data)
+        return c
+
+    def test_duplicate_attempts_publish_exactly_one_split(self, tmp_path):
+        import glob
+        import os
+
+        from meta_frame_spark.sources.sinks import _publish_committed
+
+        out = str(tmp_path / "race")
+        os.makedirs(out)
+        # attempt 7 splits the partition as 2 files, attempt 9 (same
+        # rows, different arrival order) as 3 — the unsafe interleave
+        # the old per-file protocol allowed
+        a = self._stage(out, 1, 7, [b"A0A0", b"A1"])
+        b = self._stage(out, 1, 9, [b"B0", b"B1", b"B2"])
+        a.commit()
+        b.commit()  # loser: must discard, not mix
+        _publish_committed(out)
+        shards = sorted(glob.glob(f"{out}/shard-*.tar"))
+        datas = [open(s, "rb").read() for s in shards]
+        assert datas == [b"A0A0", b"A1"]  # exactly the winner's split
+        # no staging/committed leftovers
+        assert glob.glob(f"{out}/.staging-*") == []
+        assert glob.glob(f"{out}/.committed-*") == []
+
+    def test_loser_first_winner_dies_then_retry_commits(self, tmp_path):
+        """If a committed attempt's task still FAILS afterwards (e.g.
+        during executor cleanup), Spark retries the task; the retry's
+        commit must lose gracefully and the published output stays the
+        first complete one."""
+        import glob
+        import os
+
+        from meta_frame_spark.sources.sinks import _publish_committed
+
+        out = str(tmp_path / "retry")
+        os.makedirs(out)
+        first = self._stage(out, 0, 3, [b"X"])
+        first.commit()
+        retry = self._stage(out, 0, 4, [b"Y0", b"Y1"])
+        retry.commit()
+        _publish_committed(out)
+        shards = sorted(glob.glob(f"{out}/shard-*.tar"))
+        assert [open(s, "rb").read() for s in shards] == [b"X"]
+
+    def test_empty_partition_commits_nothing(self, tmp_path):
+        import glob
+        import os
+
+        from meta_frame_spark.sources.sinks import (
+            _PartitionCommit,
+            _publish_committed,
+        )
+
+        out = str(tmp_path / "empty")
+        os.makedirs(out)
+        _PartitionCommit(out, 5, 1).commit()
+        _publish_committed(out)
+        assert glob.glob(f"{out}/*") == []
+
+    def test_failed_attempt_staging_swept_on_publish(self, tmp_path):
+        import glob
+        import os
+
+        from meta_frame_spark.sources.sinks import _publish_committed
+
+        out = str(tmp_path / "sweep")
+        os.makedirs(out)
+        self._stage(out, 2, 11, [b"torn"])  # staged, never committed
+        ok = self._stage(out, 3, 12, [b"good"])
+        ok.commit()
+        _publish_committed(out)
+        assert glob.glob(f"{out}/.staging-*") == []
+        shards = glob.glob(f"{out}/shard-*.tar")
+        assert len(shards) == 1
+        assert open(shards[0], "rb").read() == b"good"
+
+
 class TestWetShards:
     def _df(self, spark, n=10):
         return spark.createDataFrame(
@@ -653,6 +746,21 @@ class TestWetShards:
             parse_warc_bytes(rec[:-8])
         with pytest.raises(ValueError, match="version"):
             parse_warc_bytes(b"NOPE/1.0\r\nX: y\r\n\r\n")
+
+    def test_control_chars_in_uri_rejected(self):
+        """A CR/LF (or any control byte) inside an interpolated header
+        value would corrupt CRLF record framing for the whole shard —
+        build_wet_record must reject it loudly."""
+        import pytest
+
+        from meta_frame_spark.sources.warc import build_wet_record
+
+        for bad in ("http://a\r\nWARC-Type: evil", "http://a\x00b",
+                    "http://a\x7fb"):
+            with pytest.raises(ValueError, match="control character"):
+                build_wet_record(bad, b"x")
+        with pytest.raises(ValueError, match="control character"):
+            build_wet_record("http://a", b"x", date="2026\r\n-01-01")
 
     def test_warcinfo_records_tolerated(self, tmp_path):
         """Real Common Crawl shards lead with a warcinfo record; the

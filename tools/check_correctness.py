@@ -79,10 +79,14 @@ def staleness_report(repo_dir: str = "/root/repo") -> dict:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         rounds.append(rnd)
         for q, row in json.load(open(f)).items():
+            # hash_match must be POSITIVELY true: a malformed/partial
+            # record without hash evidence must not refresh freshness
+            # (every green driver row to date carries hash_match=True,
+            # so this is strictness, not a behavior change)
             ok = (
                 row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match") is not False
+                and row.get("hash_match") is True
                 and not row.get("err")
             )
             if ok:
