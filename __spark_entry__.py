@@ -2136,6 +2136,57 @@ def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen id-vocabulary artifact + id-level encoding
+    (operators/vocab_ids.py, VERDICT r13 #5): byte-BPE merges freeze
+    into a ``(id, token, special)`` table with PAD/UNK/BOS/EOS
+    reserved at ids 0-3, the table round-trips through parquet
+    (tokenizer_io.save_vocab/load_vocab — what a training job loads),
+    and every document encodes straight to a framed id sequence.
+    Invariant oracle (bpe_bytes precedent): n_bytes is SQL-exact;
+    ids_ok is the Spark-verified per-row proof that the RELOADED
+    artifact decodes the ids back to the exact input text with
+    correct bos/eos framing (ids == pieces round trip)."""
+    import tempfile
+
+    from meta_frame_spark.operators.bpe import byte_bpe_train
+    from meta_frame_spark.operators.tokenizer_io import (
+        load_vocab,
+        save_vocab,
+    )
+    from meta_frame_spark.operators.vocab_ids import (
+        byte_bpe_vocab,
+        encode_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    merges = byte_bpe_train(docs, num_merges=100, top_pieces=5000)
+    vocab = byte_bpe_vocab(merges)
+    # persistence is part of the contract: encode with the RELOADED
+    # artifact, so the driver row also proves the parquet round trip
+    with tempfile.TemporaryDirectory() as td:
+        save_vocab(spark, vocab, f"{td}/vocab")
+        reloaded = load_vocab(spark, f"{td}/vocab")
+    out = encode_ids(
+        docs, merges, reloaded, bos=True, eos=True,
+        verify_round_trip=True,
+    )
+    n_specials = sum(1 for _, _, sp in reloaded if sp)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        (
+            F.col("ids_round_trip_ok")
+            # framing adds exactly bos+eos on top of <= n_bytes body
+            # tokens (byte-BPE merges only ever shrink)
+            & (F.col("n_ids") <= F.col("n_bytes") + 2)
+            & (F.col("n_ids") >= 2)
+            & F.lit(reloaded == vocab)
+            & F.lit(n_specials == 4)
+        ).alias("ids_ok"),
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff bigram LM scoring (operators/scoring.py —
     Brants et al. 2007): p(b|a) = cnt(a,b)/cnt(a) from the top-200
@@ -5316,6 +5367,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_correctness.py --staleness enforces mechanically.
 # Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # (0) new this round — FIRST driver rows (never-orphaned rule);
+    # each new op displaces one row off the window's r10 TAIL into
+    # NEXT_WINDOW_QUEUE
+    "vocab_ids",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5331,7 +5386,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_budget", "curation_cleanup", "dedup_safe_split",
     "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
     "ewma_hourly", "funnel_latency", "heavy_hitters", "incremental_agg",
-    "join_cardest", "k_anonymity",
+    "join_cardest",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5351,6 +5406,10 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "stream_anomaly", "stream_score", "text_normalize", "tfidf_keywords",
     "theta_matrix", "theta_overlap", "top_mass", "trend_hourly",
     "trending_events", "vocab_drift", "zipf_slope",
+    # displaced from the window's r10 tail by the round-14 new-op
+    # slots (new ops take slots FIRST; r10-green rows yield — still
+    # inside the 4-round staleness budget via this queue)
+    "k_anonymity",
 )
 
 
@@ -5377,6 +5436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_bytes": q_bpe_bytes,
+        "vocab_ids": q_vocab_ids,
         "stream_curate": q_stream_curate,
         "dup_span_regions": q_dup_span_regions,
         "lang_margin": q_lang_margin,
@@ -6201,6 +6261,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    TRUE AS lossless_ok
+            FROM documents WHERE text IS NOT NULL
+        """,
+        # invariant oracle: n_bytes SQL-exact; ids_ok is the
+        # Spark-verified reload-decode-frame proof (see q_vocab_ids)
+        "vocab_ids": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS INTEGER) AS n_bytes,
+                   TRUE AS ids_ok
             FROM documents WHERE text IS NOT NULL
         """,
         "bigram_lm": """

@@ -170,8 +170,15 @@ from meta_frame_spark.operators.scoring import (
 from meta_frame_spark.operators.tokenizer_io import (
     load_merges,
     load_pieces,
+    load_vocab,
     save_merges,
     save_pieces,
+    save_vocab,
+)
+from meta_frame_spark.operators.vocab_ids import (
+    byte_bpe_vocab,
+    encode_ids,
+    unigram_vocab_table,
 )
 from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_counts
 from meta_frame_spark.operators.search import (
@@ -319,8 +326,13 @@ __all__ = [
     "modified_kneser_ney_logprob",
     "load_merges",
     "load_pieces",
+    "load_vocab",
     "save_merges",
     "save_pieces",
+    "save_vocab",
+    "byte_bpe_vocab",
+    "encode_ids",
+    "unigram_vocab_table",
     "bigram_vocab",
     "score_documents",
     "snapshot_asof",

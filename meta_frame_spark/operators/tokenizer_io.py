@@ -11,6 +11,9 @@ data) and reload it into the exact Python structure the encoders take:
   merge, ``(rank, left, right)``; rank preserves priority order.
 * Unigram-LM pieces (``unigram_train``): one row per piece,
   ``(rank, piece, logp)``; rank preserves the trainer's order.
+* Frozen id vocabularies (``vocab_ids.byte_bpe_vocab`` /
+  ``vocab_ids.unigram_vocab_table``): one row per token, ``(id, token,
+  special)``; specials sit at the reserved low ids.
 
 Round-trip contract: ``load_*(save_*(x)) == x`` exactly — encoders are
 deterministic in their model, so a reloaded model reproduces the same
@@ -42,6 +45,32 @@ def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
     rows = spark.read.parquet(path).collect()
     return [
         (r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)
+    ]
+
+
+def save_vocab(
+    spark: SparkSession, vocab: list[tuple[int, str, bool]], path: str
+) -> None:
+    """Write a frozen id vocabulary (``operators/vocab_ids.py`` —
+    ``(id, token, special)`` rows, specials at the reserved low ids)
+    as parquet. This is the artifact the training side consumes:
+    collators read pad from id 0, framing from bos/eos, and the
+    embedding width from ``max(id) + 1``."""
+    if not vocab:
+        raise ValueError("save_vocab: empty vocabulary")
+    df = spark.createDataFrame(
+        list(vocab), "id int, token string, special boolean"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark: SparkSession, path: str) -> list[tuple[int, str, bool]]:
+    """Reload a vocabulary in id order; ``load_vocab(save_vocab(v))
+    == v`` exactly."""
+    rows = spark.read.parquet(path).collect()
+    return [
+        (r.id, r.token, r.special)
+        for r in sorted(rows, key=lambda r: r.id)
     ]
 
 

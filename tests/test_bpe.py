@@ -200,3 +200,149 @@ class TestTokenizerIO:
             save_pieces(spark, [], str(tmp_path / "x"))
         with pytest.raises(ValueError, match="empty"):
             save_merges(spark, [], str(tmp_path / "y"))
+
+
+class TestVocabIds:
+    """Frozen id vocabulary + id-level encoding (operators/vocab.py)."""
+
+    def _merges(self):
+        from meta_frame_spark.operators.bpe import _learn_merges, _to_units
+
+        counts = {
+            tuple(_to_units(w)): c
+            for w, c in (("the", 9), (" ", 12), ("low", 5), ("lowest", 3))
+        }
+        return _learn_merges(counts, 15)
+
+    def test_layout_contract(self):
+        from meta_frame_spark.operators.vocab_ids import (
+            DEFAULT_SPECIALS,
+            byte_bpe_vocab,
+        )
+
+        merges = self._merges()
+        vocab = byte_bpe_vocab(merges)
+        ids = [i for i, _, _ in vocab]
+        assert ids == list(range(len(vocab)))  # contiguous from 0
+        # specials at the reserved low ids, in order
+        assert [(i, t) for i, t, sp in vocab if sp] == list(
+            enumerate(DEFAULT_SPECIALS)
+        )
+        # 256-unit alphabet next, then merge outputs (dedup'd)
+        assert len(vocab) <= len(DEFAULT_SPECIALS) + 256 + len(merges)
+        assert len(vocab) >= len(DEFAULT_SPECIALS) + 256
+        toks = [t for _, t, _ in vocab]
+        assert len(set(toks)) == len(toks)  # no duplicate strings
+
+    def test_encoder_closure_every_output_in_vocab(self):
+        from meta_frame_spark.operators.bpe import byte_bpe_encode_text
+        from meta_frame_spark.operators.vocab_ids import byte_bpe_vocab
+
+        merges = self._merges()
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        tok_set = {t for _, t, sp in byte_bpe_vocab(merges) if not sp}
+        for text in ("the lowest low", "völlig neu", "", "  \t\n"):
+            assert set(byte_bpe_encode_text(text, ranks)) <= tok_set
+
+    def test_special_collision_raises(self):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.vocab_ids import byte_bpe_vocab
+
+        with _pt.raises(ValueError, match="duplicate special"):
+            byte_bpe_vocab([], specials=("<pad>", "<pad>"))
+        # a merge whose output equals a special must be rejected
+        bad = [("<bo", "s>")]
+        with _pt.raises(ValueError, match="collides"):
+            byte_bpe_vocab(bad, specials=("<bos>",))
+
+    def test_encode_ids_round_trip_and_framing(self, spark):
+        from meta_frame_spark.operators.vocab_ids import (
+            byte_bpe_vocab,
+            encode_ids,
+        )
+
+        merges = self._merges()
+        vocab = byte_bpe_vocab(merges)
+        df = spark.createDataFrame(
+            [(1, "the lowest low"), (2, "völlig neu — ünïcode €"),
+             (3, None), (4, "")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in encode_ids(
+                df, merges, vocab, emit_ids=True, verify_round_trip=True
+            ).collect()
+        }
+        sp = {t: i for i, t, s in vocab if s}
+        for rid, r in out.items():
+            assert r.ids_round_trip_ok, rid
+            assert r.ids[0] == sp["<bos>"] and r.ids[-1] == sp["<eos>"]
+            assert r.n_ids == len(r.ids)
+        assert out[3].ids == [sp["<bos>"], sp["<eos>"]]  # NULL -> framing only
+        assert out[4].ids == [sp["<bos>"], sp["<eos>"]]
+        # no special id ever appears in the body, even though doc 1's
+        # byte path could produce "<bos>"-looking strings
+        body = out[1].ids[1:-1]
+        assert not set(body) & set(sp.values())
+
+    def test_literal_special_text_never_maps_to_special_id(self, spark):
+        """Text containing the literal string '<bos>' must encode
+        through the byte path — the reservation is out-of-band."""
+        from meta_frame_spark.operators.vocab_ids import (
+            byte_bpe_vocab,
+            encode_ids,
+        )
+
+        merges = self._merges()
+        vocab = byte_bpe_vocab(merges)
+        sp = {t: i for i, t, s in vocab if s}
+        df = spark.createDataFrame(
+            [(1, "<bos> attack <eos>")], "doc_id bigint, text string"
+        )
+        r = encode_ids(
+            df, merges, vocab, emit_ids=True, verify_round_trip=True
+        ).collect()[0]
+        assert r.ids_round_trip_ok  # decodes back to the literal text
+        assert not set(r.ids[1:-1]) & set(sp.values())
+
+    def test_missing_special_raises(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.vocab_ids import (
+            byte_bpe_vocab,
+            encode_ids,
+        )
+
+        merges = self._merges()
+        vocab = byte_bpe_vocab(merges, specials=("<pad>", "<unk>"))
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pt.raises(ValueError, match="missing special|no <bos>"):
+            encode_ids(df, merges, vocab, specials=("<pad>", "<unk>",
+                                                    "<bos>", "<eos>"))
+
+    def test_unigram_vocab_table(self):
+        from meta_frame_spark.operators.vocab_ids import unigram_vocab_table
+
+        pieces = [("lo", -1.0), ("west", -2.0), ("t", -3.0), ("lo", -4.0)]
+        vocab = unigram_vocab_table(pieces)
+        toks = [t for _, t, _ in vocab]
+        assert toks[:4] == ["<pad>", "<unk>", "<bos>", "<eos>"]
+        assert toks[4:] == ["lo", "west", "t"]  # dup piece keeps first id
+
+    def test_vocab_parquet_round_trip(self, spark, tmp_path):
+        from meta_frame_spark.operators.tokenizer_io import (
+            load_vocab,
+            save_vocab,
+        )
+        from meta_frame_spark.operators.vocab_ids import byte_bpe_vocab
+
+        vocab = byte_bpe_vocab(self._merges())
+        p = str(tmp_path / "vocab")
+        save_vocab(spark, vocab, p)
+        assert load_vocab(spark, p) == vocab
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="empty"):
+            save_vocab(spark, [], str(tmp_path / "v2"))
