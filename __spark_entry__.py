@@ -5215,6 +5215,67 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl first mile END TO END as one driver row
+    (VERDICT r13 #3): page HTML (each document's text in the
+    html_extract template, plus a planted duplicate mirror URL for
+    every 13th doc) -> WET conversion shards through the
+    task-commit sink -> distributed re-ingest -> boilerplate
+    extraction -> Gopher word-count/word-length/alpha gates -> exact
+    dedup on the extracted text (min-URL canonical, so the mirror
+    replicas must all drop). Everything after the shard directory is
+    ONE lazy curation plan. Full DuckDB replay oracle: staging,
+    extraction chain, rounded rule measurements, gate, and the
+    min-url dedup are all recomputed SQL-side; examples/
+    web_pipeline.py runs the same chain plus the JSONL export."""
+    import hashlib as _hl
+
+    from meta_frame_spark.functions.text import tokens as _tokens
+    from meta_frame_spark.plans.curation import run_curation
+    from meta_frame_spark.sources.warc import read_wet, write_wet_shards
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    url = F.concat(
+        F.lit("http://example.com/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL)
+    )
+    pages = docs.select(url.alias("url"), html.alias("html")).unionByName(
+        # mirror/syndication duplicates — same page bytes, longer URL,
+        # so the dedup stage has real work and a deterministic winner
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            F.concat(url, F.lit("/dup")).alias("url"), html.alias("html")
+        )
+    )
+    stage = "/tmp/mfs_crawl_stage_" + _hl.md5(
+        sf_dir.encode("utf-8")
+    ).hexdigest()[:8]
+    write_wet_shards(
+        pages.repartition(8, "url"), stage, "url", "html",
+        records_per_shard=500,
+    )
+    records = (
+        read_wet(spark, stage)
+        .filter(F.col("record_type") == "conversion")
+        .select(F.col("target_uri").alias("url"),
+                F.col("text").alias("html"))
+    )
+    curated = run_curation(
+        records,
+        {"steps": [
+            {"op": "html_extract", "out_col": "text"},
+            {"op": "gopher_gate", "rules": [
+                "r_word_count", "r_mean_word_len", "r_alpha_words"]},
+            {"op": "dedup_exact", "key_cols": ["text"], "id_col": "url"},
+        ]},
+    )
+    return curated.select(
+        "url", "text", F.size(_tokens(F.col("text"))).alias("n_words")
+    )
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval evaluation metrics (operators/ranking_eval
     .retrieval_metrics — recall/precision@k, MRR, nDCG per judged
@@ -5370,7 +5431,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (0) new this round — FIRST driver rows (never-orphaned rule);
     # each new op displaces one row off the window's r10 TAIL into
     # NEXT_WINDOW_QUEUE
-    "vocab_ids",
+    "vocab_ids", "crawl_ingest",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5386,7 +5447,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "curation_budget", "curation_cleanup", "dedup_safe_split",
     "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
     "ewma_hourly", "funnel_latency", "heavy_hitters", "incremental_agg",
-    "join_cardest",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5409,7 +5469,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # displaced from the window's r10 tail by the round-14 new-op
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
-    "k_anonymity",
+    "k_anonymity", "join_cardest",
 )
 
 
@@ -5642,6 +5702,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity_approx": q_corpus_diversity_approx,
         "html_extract": q_html_extract,
         "warc_records": q_warc_records,
+        "crawl_ingest": q_crawl_ingest,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -10200,6 +10261,84 @@ def oracle_sql() -> dict[str, str]:
         + r"""),
                  e'\n'), '') AS text
         FROM broken
+    """
+    )
+    # The crawl first mile replayed end to end: staging (incl. the
+    # %13 mirror duplicates), the WET logical round trip (URI + text
+    # pass-through; byte framing is proven by warc_records and
+    # test_sources), the SAME extraction chain via the shared _cl
+    # macro, the ROUNDED Gopher rule measurements (4dp, matching
+    # functions/text._m), and the min-url exact dedup.
+    _extract_sql = (
+        r"""
+        WITH docs0 AS (
+            SELECT 'http://example.com/' || source || '/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                   text
+            FROM documents WHERE text IS NOT NULL
+        ),
+        staged AS (
+            SELECT url, '"""
+        + _HTML_HEAD + """' || text || '""" + _HTML_TAIL
+        + r"""' AS html FROM docs0
+            UNION ALL
+            SELECT url || '/dup', '"""
+        + _HTML_HEAD + """' || text || '""" + _HTML_TAIL
+        + r"""' FROM docs0
+            WHERE CAST(regexp_extract(url, '(\d+)$', 1) AS BIGINT)
+                      % 13 = 0
+        ),
+        broken AS (
+            SELECT url,
+                   string_split(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/section|/article|/header|/footer|/blockquote|/pre|/td)[^>]*>',
+                       e'\n', 'g'),
+                     e'\n') AS lines
+            FROM staged
+        ),
+        extracted AS (
+            SELECT url,
+                   COALESCE(array_to_string(
+                     list_transform(
+                       list_filter(lines, l -> length("""
+        + _cl_line + """) >= 25
+                            AND length(""" + _cl_link
+        + """) / greatest(length(""" + _cl_line + r"""), 1) <= 0.35),
+                       l -> """ + _cl_line + r"""),
+                     e'\n'), '') AS text
+            FROM broken
+        )
+        """
+    )
+    d["crawl_ingest"] = (
+        _extract_sql
+        + r""",
+        m AS (
+            SELECT url, text,
+                   len(regexp_extract_all(text, '\S+')) AS nw
+            FROM extracted
+        ),
+        gated AS (
+            SELECT url, text, CAST(nw AS INTEGER) AS n_words
+            FROM m
+            WHERE nw BETWEEN 50 AND 100000
+              AND ROUND(COALESCE(
+                    length(regexp_replace(text, '\s', '', 'g'))
+                    / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4)
+                  BETWEEN 3.0 AND 10.0
+              AND ROUND(COALESCE(
+                    len(list_filter(regexp_extract_all(text, '\S+'),
+                        t -> regexp_matches(t, '[A-Za-z]')))
+                    / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) >= 0.8
+        ),
+        keep AS (SELECT text, MIN(url) AS url FROM gated GROUP BY text)
+        SELECT g.url, g.text, g.n_words
+        FROM gated g JOIN keep k ON g.text = k.text AND g.url = k.url
     """
     )
     # Invariant oracle for the HLL arm (distinct_sketch precedent):

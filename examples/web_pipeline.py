@@ -21,12 +21,23 @@ sources into the complete front of that pipeline:
                                              would veto every page — on
                                              real web text swap it in
                                              after html_extract)
+      -> Gopher rule gates + exact dedup    (gopher_gate word-count/
+                                             word-length/alpha rules,
+                                             then min-URL-canonical
+                                             dedup on extracted text —
+                                             mirrors/syndication copies
+                                             collapse here)
       -> byte-level BPE token accounting    (byte_bpe_train/encode:
                                              lossless, nothing OOV)
+      -> JSONL export                       (the interchange format
+                                             training loaders stream)
 
 Every stage after the sink is a lazy DataFrame transform; the WET
-shard directory is the only materialization, exactly where a real
-pipeline would hold its crawl snapshot.
+shard directory and the JSONL export are the only materializations,
+exactly where a real pipeline holds its crawl snapshot and its
+curated output. The driver-verified `crawl_ingest` query replays the
+stage -> extract -> gate -> dedup core of this chain against a full
+DuckDB oracle.
 
 Run:  python examples/web_pipeline.py [sf_dir] [stage_dir]
 Defaults: /root/testdata/sf0.001 -> /tmp/web_pipeline_wet
@@ -83,7 +94,9 @@ def run_web_pipeline(
     )
     counts["wet_records"] = records.count()
 
-    # 3-4. Boilerplate removal + quality gates as ONE declared chain.
+    # 3-4. Boilerplate removal + quality gates + exact dedup as ONE
+    #      declared chain (the same core the crawl_ingest driver row
+    #      replays against DuckDB, plus the learned lm_gate tail).
     curated = run_curation(
         records.select(
             F.col("target_uri"), F.col("text").alias("html")
@@ -91,8 +104,12 @@ def run_web_pipeline(
         {"steps": [
             {"op": "html_extract", "out_col": "text"},
             {"op": "repetition_gate"},
+            {"op": "gopher_gate", "rules": [
+                "r_word_count", "r_mean_word_len", "r_alpha_words"]},
             {"op": "lm_gate", "id_col": "target_uri", "top_v": 100,
              "max_quantile": 0.9},
+            {"op": "dedup_exact", "key_cols": ["text"],
+             "id_col": "target_uri"},
         ]},
     )
     counts["after_extract_and_gates"] = curated.count()
@@ -112,6 +129,16 @@ def run_web_pipeline(
     ).first()
     counts["total_tokens"] = int(agg.tok or 0)
     counts["total_bytes"] = int(agg.byt or 0)
+
+    # 6. Export the curated corpus as JSONL — the interchange format
+    #    training loaders stream. One file per partition, read back
+    #    for conservation proof (nothing dropped or duplicated by the
+    #    export).
+    out_dir = stage_dir.rstrip("/") + "_jsonl"
+    curated.select(
+        F.col("target_uri").alias("url"), "text"
+    ).write.mode("overwrite").json(out_dir)
+    counts["exported_jsonl"] = spark.read.json(out_dir).count()
     return counts
 
 

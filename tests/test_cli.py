@@ -136,6 +136,8 @@ def test_example_web_pipeline_runs(spark, sf_dir, tmp_path):
     assert counts["tokenized_docs"] == counts["after_extract_and_gates"]
     # byte-BPE merged something: fewer tokens than bytes
     assert 0 < counts["total_tokens"] < counts["total_bytes"]
+    # the JSONL export conserves the curated rows exactly
+    assert counts["exported_jsonl"] == counts["after_extract_and_gates"]
 
 
 def test_driver_evidence_freshness_gate():
