@@ -745,3 +745,49 @@ def test_fim_plan_is_map_only(spark, sf_dir):
         plan = _plan(fim_examples(docs, mode=mode))
         for op in ("Exchange", "Join", "Window", "Sort", "Generate"):
             assert op not in plan, op
+
+
+def test_ann_dedup_family_quadratic_guard(spark, sf_dir):
+    """Quadratic-guard regression net (VERDICT r13 #6): EVERY
+    registered ann_topk_*/dedup_*/near-dup query must keep corpus-
+    sized inputs out of n^2 join shapes. CartesianProduct is banned
+    outright. BroadcastNestedLoopJoin appears only where the build
+    side is bounded BY DESIGN — the broadcast query batch of the
+    exact arms (every recall-invariant ANN query recomputes the exact
+    baseline) and 1-row scalar attaches — so each query pins its
+    audited allowance; any NEW nested loop (e.g. a candidates-hook
+    regression that silently falls back to all-pairs) exceeds the pin
+    and fails here before it can ship."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    # audited NLJ allowances: broadcast query-batch joins in the
+    # exact-baseline arms + 1-row scalar attaches (PLANS.md NLJ
+    # column). 0 for every pure dedup path.
+    allowed_nlj = {
+        "ann_topk": 1,
+        "ann_topk_ivf": 4, "ann_topk_ivfpq": 4, "ann_topk_lsh": 4,
+        "ann_topk_pq": 4, "ann_topk_rp": 6,
+        "hard_neg_lsh": 4, "hard_negatives": 1,
+    }
+    qs = e.queries()
+    family = sorted(
+        n for n in qs
+        if n.startswith(("ann_topk", "dedup_"))
+        or n in ("emb_near_dup", "near_dedup_against", "semantic_dedup",
+                 "hard_neg_lsh", "hard_negatives", "emb_decontam")
+    )
+    assert len(family) >= 20  # the net must keep covering the family
+    failures = []
+    for name in family:
+        plan = _plan(qs[name](spark, sf_dir))
+        n_cart = plan.count("CartesianProduct")
+        n_nlj = plan.count("BroadcastNestedLoopJoin")
+        if n_cart or n_nlj > allowed_nlj.get(name, 0):
+            failures.append((name, n_cart, n_nlj))
+    assert not failures, (
+        "quadratic join shapes beyond the audited allowance: "
+        f"{failures}"
+    )
