@@ -5215,6 +5215,70 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink + anchor-text extraction (functions/web.html_links /
+    with_html_links — the crawl-graph primitive: anchor text is a
+    classic relevance/quality signal and hrefs feed link-graph domain
+    scores). Each doc stages a page with a relative next-doc link
+    (nested tag + entity in the anchor), a commented-out ghost link,
+    a scripted link (both must NOT extract), and an absolute mirror
+    link. The oracle is an independent EXPECTATION, not a regex
+    replay: it constructs the exact two link rows per doc from the
+    same arithmetic."""
+    from meta_frame_spark.functions.web import with_html_links
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div><a href="/d/'),
+            (F.col("doc_id") + 1).cast("string"),
+            F.lit('">Next <b>doc</b> &amp; more</a></div>'
+                  '<!-- <a href="/ghost">ghost</a> -->'
+                  '<script>var a = "<a href=\'/js\'>x</a>";</script>'
+                  '<p><a href="https://mirror.example/'),
+            F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit('">Mirror '), F.col("source"), F.lit("</a></p>"),
+        ).alias("html"),
+    )
+    return with_html_links(pages)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek et al. 2020;
+    operators/scoring.ccnet_buckets): stupid-backoff bigram LM scores
+    every document, then per-LANGUAGE equal-frequency tertiles label
+    head (best) / middle / tail — the named public arrangement behind
+    'keep the head, re-crawl the middle, drop the tail'. Ranking
+    orders by the 6dp-ROUNDED score + doc_id so boundary ties are
+    engine-deterministic. Full oracle: DuckDB refits the whole count
+    model, replays every probability, and re-ranks with the same
+    NTILE."""
+    from meta_frame_spark.operators.scoring import (
+        bigram_logprob,
+        bigram_vocab,
+        ccnet_buckets,
+        unigram_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    unigrams, total = unigram_vocab(docs, top_v=100)
+    bigrams = bigram_vocab(docs, top_v=200)
+    scored = (
+        bigram_logprob(docs, bigrams, unigrams, total)
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    out = ccnet_buckets(
+        scored, score_col="avg_neg_logprob", group_cols=["lang"]
+    )
+    return out.select("doc_id", "lang", "avg_neg_logprob", "ppl_bucket")
+
+
 def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CommonCrawl first mile END TO END as one driver row
     (VERDICT r13 #3): page HTML (each document's text in the
@@ -5431,7 +5495,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (0) new this round — FIRST driver rows (never-orphaned rule);
     # each new op displaces one row off the window's r10 TAIL into
     # NEXT_WINDOW_QUEUE
-    "vocab_ids", "crawl_ingest",
+    "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5446,7 +5510,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
     "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
-    "ewma_hourly", "funnel_latency", "heavy_hitters", "incremental_agg",
+    "ewma_hourly", "funnel_latency",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5469,7 +5533,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # displaced from the window's r10 tail by the round-14 new-op
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
-    "k_anonymity", "join_cardest",
+    "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
 )
 
 
@@ -5703,6 +5767,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "warc_records": q_warc_records,
         "crawl_ingest": q_crawl_ingest,
+        "html_links": q_html_links,
+        "ccnet_buckets": q_ccnet_buckets,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -6331,6 +6397,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    TRUE AS ids_ok
             FROM documents WHERE text IS NOT NULL
+        """,
+        # independent EXPECTATION oracle (not a regex replay): the
+        # staging is arithmetic, so the exact link rows are
+        # constructed directly — ghost/scripted links must be absent
+        "html_links": """
+            SELECT doc_id, 1 AS link_rank,
+                   '/d/' || CAST(doc_id + 1 AS VARCHAR) AS href,
+                   'Next doc & more' AS anchor,
+                   FALSE AS is_absolute
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 2,
+                   'https://mirror.example/' || source || '/'
+                       || CAST(doc_id AS VARCHAR),
+                   'Mirror ' || source,
+                   TRUE
+            FROM documents
+        """,
+        # full refit of the stupid-backoff bigram model (the
+        # bigram_lm oracle), then the same per-language NTILE(3) over
+        # the 6dp-rounded score with doc_id tiebreak
+        "ccnet_buckets": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            uni AS (SELECT unnest(t) AS token FROM tok),
+            counts AS (SELECT token, COUNT(*) AS cnt FROM uni GROUP BY token),
+            total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            uvocab AS (SELECT token, cnt FROM counts
+                       ORDER BY cnt DESC, token ASC LIMIT 100),
+            bg AS (
+                SELECT doc_id, t[i] AS token, t[i+1] AS next_token
+                FROM tok,
+                     UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+            ),
+            bcounts AS (SELECT token, next_token, COUNT(*) AS cnt
+                        FROM bg GROUP BY 1, 2),
+            bvocab AS (SELECT token, next_token, cnt FROM bcounts
+                       ORDER BY cnt DESC, token ASC, next_token ASC
+                       LIMIT 200),
+            scored AS (
+                SELECT b.doc_id,
+                       CASE WHEN bv.cnt IS NOT NULL AND ua.cnt IS NOT NULL
+                            THEN bv.cnt / CAST(ua.cnt AS DOUBLE)
+                            ELSE 0.4 * (COALESCE(ub.cnt, 1) / total.total)
+                       END AS p
+                FROM bg b
+                LEFT JOIN bvocab bv USING (token, next_token)
+                LEFT JOIN uvocab ua USING (token)
+                LEFT JOIN uvocab ub ON b.next_token = ub.token, total
+            ),
+            per_doc AS (
+                SELECT doc_id, ROUND(AVG(-ln(p)), 6) AS avg_neg_logprob
+                FROM scored GROUP BY doc_id
+            ),
+            ranked AS (
+                SELECT d.doc_id, d.lang, p.avg_neg_logprob,
+                       NTILE(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY p.avg_neg_logprob ASC, d.doc_id ASC
+                       ) AS nt
+                FROM per_doc p JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, avg_neg_logprob,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM ranked
         """,
         "bigram_lm": """
             WITH tok AS (

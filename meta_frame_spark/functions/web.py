@@ -254,3 +254,67 @@ def with_html_text(
     return df.withColumn(
         out_col, html_to_text(html_col, min_chars, max_link_density)
     )
+
+
+#: href + anchor of an <a> element. Lazy body match; double-quoted
+#: href only (the overwhelmingly dominant form; unquoted/single-quoted
+#: hrefs are link-farm noise a crawl pipeline is happy to skip).
+_A_HREF_RE = r'(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def html_links(html: str | Column) -> Column:
+    """All hyperlinks of an HTML document as
+    ``array<struct<href:string, anchor:string>>`` — the crawl-graph /
+    anchor-text primitive (anchor text is a classic relevance and
+    quality signal: TREC anchor-text runs, and the link graph feeds
+    PageRank-family domain scores).
+
+    Comments and ``<script>``/``<style>`` blocks are dropped FIRST so
+    commented-out or scripted markup never contributes links; anchors
+    are cleaned with the same inline-tag strip + frozen entity decode
+    + whitespace collapse as :func:`html_to_text`
+    (``_clean_fragment``), so ``<a href=x><b>Hi</b> &amp; bye</a>``
+    yields anchor ``'Hi & bye'``.
+
+    Pure codegen expression (two ``regexp_extract_all`` passes zipped
+    positionally — both engines return matches in document order), 
+    map-only, stream-safe; DuckDB replays it with the same pattern
+    and group indexes. NULL html -> NULL."""
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<!--.*?-->", " ")
+    h = F.regexp_replace(h, r"(?is)<script[^>]*>.*?</script>", " ")
+    h = F.regexp_replace(h, r"(?is)<style[^>]*>.*?</style>", " ")
+    hrefs = F.regexp_extract_all(h, F.lit(_A_HREF_RE), F.lit(1))
+    anchors = F.regexp_extract_all(h, F.lit(_A_HREF_RE), F.lit(2))
+    return F.zip_with(
+        hrefs,
+        anchors,
+        lambda u, a: F.struct(
+            u.alias("href"), _clean_fragment(a).alias("anchor")
+        ),
+    )
+
+
+def with_html_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded link table: one row per ``<a href>`` occurrence —
+    ``(id_col, link_rank, href, anchor, is_absolute)``, document
+    order preserved (``link_rank`` from ``posexplode``).
+    ``is_absolute`` marks scheme-qualified targets (``http(s)://``) —
+    the cheap internal/external split before host resolution
+    (``url_host`` / ``canonical_url`` compose downstream). Map-only:
+    explode multiplies rows but shuffles nothing."""
+    pruned = df.select(F.col(id_col), html_links(html_col).alias("_links"))
+    return pruned.select(
+        id_col,
+        F.posexplode("_links").alias("_pos", "_l"),
+    ).select(
+        id_col,
+        (F.col("_pos") + 1).alias("link_rank"),
+        F.col("_l.href").alias("href"),
+        F.col("_l.anchor").alias("anchor"),
+        F.col("_l.href").rlike("^https?://").alias("is_absolute"),
+    )

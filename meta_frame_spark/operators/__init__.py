@@ -158,6 +158,7 @@ from meta_frame_spark.operators.vocab import (
     vocab_topk,
 )
 from meta_frame_spark.operators.scoring import (
+    ccnet_buckets,
     bigram_logprob,
     bigram_vocab,
     kneser_ney3_logprob,
@@ -334,6 +335,7 @@ __all__ = [
     "encode_ids",
     "unigram_vocab_table",
     "bigram_vocab",
+    "ccnet_buckets",
     "score_documents",
     "snapshot_asof",
     "unigram_logprob",

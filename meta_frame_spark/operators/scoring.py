@@ -558,3 +558,44 @@ def modified_kneser_ney_logprob(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_neg_logprob",
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_neg_logprob",
+    group_cols: list[str] | None = None,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    tiebreak: str = "doc_id",
+    out_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): rank
+    documents by LM score WITHIN each group (CCNet buckets per
+    language — a Wikipedia-trained LM's perplexities are only
+    comparable within one language) and label equal-frequency
+    buckets, best (lowest) scores first. ``head`` is what the public
+    pipelines keep outright, ``middle`` is the re-usable band,
+    ``tail`` is the perplexity filter's reject pile.
+
+    Deterministic: ranking orders by ``(score_col, tiebreak)`` so
+    boundary ties can never split differently across reruns or
+    engines — round the score to a fixed precision FIRST if it comes
+    from float aggregation.
+
+    Scale: one shuffle on ``group_cols`` + per-group sort (the
+    partitioned-rank pattern; real corpora spread over many
+    languages). For a single-language 100 TB corpus, precompute
+    boundary scores on a sample and assign map-side instead
+    (``gating.quantile_band_filter`` pattern) — an ungrouped NTILE
+    would sort the corpus in one task."""
+    from meta_frame_spark.operators.ranking import ntile_buckets
+
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 bucket labels, got {labels!r}")
+    bucketed = ntile_buckets(
+        scored, score_col, len(labels), group_cols=group_cols,
+        tiebreak=tiebreak, out_col="_ccnet_ntile",
+    )
+    label_arr = F.array(*[F.lit(lb) for lb in labels])
+    return bucketed.withColumn(
+        out_col, F.element_at(label_arr, F.col("_ccnet_ntile"))
+    ).drop("_ccnet_ntile")

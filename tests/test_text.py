@@ -1289,3 +1289,103 @@ class TestCompressionRatio:
             run_curation(df, {"steps": [
                 {"op": "compression_gate", "min_ratio": 0.9,
                  "max_ratio": 0.5}]})
+
+
+class TestHtmlLinks:
+    """Hyperlink/anchor extraction (functions/web.html_links)."""
+
+    def test_links_extracted_in_document_order(self, spark):
+        from meta_frame_spark.functions.web import with_html_links
+
+        html = (
+            '<p><a href="/one">First</a> then '
+            '<a href="https://ex.com/two"><b>Second</b> &amp; last</a>'
+            "</p>"
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+        rows = with_html_links(df).orderBy("link_rank").collect()
+        assert [(r.link_rank, r.href, r.anchor, r.is_absolute)
+                for r in rows] == [
+            (1, "/one", "First", False),
+            (2, "https://ex.com/two", "Second & last", True),
+        ]
+
+    def test_comment_script_style_links_dropped(self, spark):
+        from meta_frame_spark.functions.web import with_html_links
+
+        html = (
+            '<!-- <a href="/ghost">ghost</a> -->'
+            '<script>var a = "<a href=\'/js\'>x</a>";</script>'
+            '<style>a[href="/css"]{}</style>'
+            '<a href="/real">Real</a>'
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+        rows = with_html_links(df).collect()
+        assert [(r.href, r.anchor) for r in rows] == [("/real", "Real")]
+
+    def test_null_and_linkless_html(self, spark):
+        from meta_frame_spark.functions.web import with_html_links
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "<p>no links here</p>")],
+            "doc_id bigint, html string",
+        )
+        assert with_html_links(df).count() == 0  # explode drops both
+
+    def test_map_only_plan(self, spark):
+        from meta_frame_spark.functions.web import with_html_links
+
+        df = spark.createDataFrame([(1, "<a href=\"/x\">y</a>")],
+                                   "doc_id bigint, html string")
+        plan = with_html_links(df)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # explode shuffles nothing
+
+
+class TestCcnetBuckets:
+    """CCNet head/middle/tail split (operators/scoring.ccnet_buckets)."""
+
+    def test_tertiles_by_score_with_tiebreak(self, spark):
+        from meta_frame_spark.operators.scoring import ccnet_buckets
+
+        rows = [(i, "en", float(i)) for i in range(9)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, s double")
+        out = {r.doc_id: r.ppl_bucket
+               for r in ccnet_buckets(df, score_col="s",
+                                      group_cols=["lang"]).collect()}
+        assert [out[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+    def test_per_group_independence_and_small_groups(self, spark):
+        from meta_frame_spark.operators.scoring import ccnet_buckets
+
+        rows = [(1, "en", 9.0), (2, "en", 1.0), (3, "fr", 5.0),
+                (4, "fr", 4.0), (5, "de", 7.0)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, s double")
+        out = {r.doc_id: r.ppl_bucket
+               for r in ccnet_buckets(df, score_col="s",
+                                      group_cols=["lang"]).collect()}
+        # en: 2 docs -> head/middle; fr: best gets head; de singleton head
+        assert out[2] == "head" and out[1] == "middle"
+        assert out[4] == "head" and out[3] == "middle"
+        assert out[5] == "head"
+
+    def test_ties_break_by_doc_id(self, spark):
+        from meta_frame_spark.operators.scoring import ccnet_buckets
+
+        rows = [(i, "en", 1.0) for i in (3, 1, 2)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string, s double")
+        out = {r.doc_id: r.ppl_bucket
+               for r in ccnet_buckets(df, score_col="s",
+                                      group_cols=["lang"]).collect()}
+        assert out == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_bad_labels_raise(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.scoring import ccnet_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, s double")
+        with _pt.raises(ValueError, match="labels"):
+            ccnet_buckets(df, score_col="s", labels=("only",))

@@ -1412,6 +1412,152 @@ def main() -> int:
         r["dva_sec"], r["dva_rows"] = t, n
         r["dva_grams"], r["dva_ok"] = agrams, ok_da
 
+        def vid():
+            from meta_frame_spark.operators.bpe import byte_bpe_train
+            from meta_frame_spark.operators.vocab_ids import (
+                byte_bpe_vocab,
+                encode_ids,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            merges = byte_bpe_train(dd, num_merges=100, top_pieces=5000)
+            vocab = byte_bpe_vocab(merges)
+            out = encode_ids(
+                dd, merges, vocab, verify_round_trip=True
+            ).persist()
+            n = out.count()
+            bad = out.filter(
+                ~F.col("ids_round_trip_ok")
+                | (F.col("n_ids") > F.col("n_bytes") + 2)
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_vi) = timed("vocab_ids", vid)
+        r["vid_sec"], r["vid_rows"], r["vid_ok"] = t, n, ok_vi
+
+        def cri():
+            import hashlib as _hl
+
+            from meta_frame_spark.plans.curation import run_curation
+            from meta_frame_spark.sources.warc import (
+                read_wet,
+                write_wet_shards,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            url = F.concat(
+                F.lit("http://example.com/"), F.col("source"),
+                F.lit("/"), F.col("doc_id").cast("string"),
+            )
+            html = F.concat(
+                F.lit('<div><a href="/">Home</a> nav bar</div><p>'),
+                F.col("text"),
+                F.lit('</p><div><a href="#">footer legal</a></div>'),
+            )
+            pages = dd.select(
+                url.alias("url"), html.alias("html")
+            ).unionByName(
+                dd.filter(F.col("doc_id") % 13 == 0).select(
+                    F.concat(url, F.lit("/dup")).alias("url"),
+                    html.alias("html"),
+                )
+            )
+            stage = "/tmp/mfs_crawl_smoke_" + _hl.md5(
+                d.encode()
+            ).hexdigest()[:8]
+            write_wet_shards(
+                pages.repartition(8, "url"), stage, "url", "html",
+                records_per_shard=2000,
+            )
+            cur = run_curation(
+                read_wet(spark, stage)
+                .filter(F.col("record_type") == "conversion")
+                .select(F.col("target_uri").alias("url"),
+                        F.col("text").alias("html")),
+                {"steps": [
+                    {"op": "html_extract", "out_col": "text"},
+                    {"op": "gopher_gate", "rules": [
+                        "r_word_count", "r_mean_word_len",
+                        "r_alpha_words"]},
+                    {"op": "dedup_exact", "key_cols": ["text"],
+                     "id_col": "url"},
+                ]},
+            ).persist()
+            n = cur.count()
+            # mirror replicas must all lose to their min-URL original
+            # and no tag may survive extraction
+            bad = cur.filter(
+                F.col("url").endswith("/dup")
+                | F.col("text").contains("<")
+            ).count()
+            cur.unpersist()
+            return n, bool(bad == 0 and n > 0)
+        t, (n, ok_ci) = timed("crawl_ingest", cri)
+        r["cri_sec"], r["cri_rows"], r["cri_ok"] = t, n, ok_ci
+
+        def hlk():
+            from meta_frame_spark.functions.web import with_html_links
+
+            dd = docs(d)
+            pages = dd.select(
+                "doc_id",
+                F.concat(
+                    F.lit('<a href="/d/'),
+                    (F.col("doc_id") + 1).cast("string"),
+                    F.lit('">Next <b>doc</b> &amp; more</a>'
+                          '<!-- <a href="/ghost">g</a> -->'
+                          '<a href="https://m.example/x">Mirror</a>'),
+                ).alias("html"),
+            )
+            out = with_html_links(pages).persist()
+            n = out.count()
+            bad = out.filter(
+                F.col("anchor").contains("<")
+                | (F.col("href") == "/ghost")
+            ).count()
+            n_docs = dd.count()
+            out.unpersist()
+            return n, bool(bad == 0 and n == 2 * n_docs)
+        t, (n, ok_hl) = timed("html_links", hlk)
+        r["hlk_sec"], r["hlk_rows"], r["hlk_ok"] = t, n, ok_hl
+
+        def ccb():
+            from meta_frame_spark.operators.scoring import (
+                bigram_logprob,
+                bigram_vocab,
+                ccnet_buckets,
+                unigram_vocab,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            unigrams, total = unigram_vocab(dd, top_v=100)
+            bigrams = bigram_vocab(dd, top_v=200)
+            scored = (
+                bigram_logprob(dd, bigrams, unigrams, total)
+                .filter(F.col("n_bigrams") > 0)
+                .select(
+                    "doc_id",
+                    F.round("avg_neg_logprob", 6).alias("s"),
+                )
+                .join(dd.select("doc_id", "lang"), "doc_id")
+            )
+            out = ccnet_buckets(
+                scored, score_col="s", group_cols=["lang"]
+            ).persist()
+            n = out.count()
+            # per-language tertiles stay equal-frequency (NTILE
+            # guarantee: bucket sizes within a group differ by <= 1)
+            sizes = (
+                out.groupBy("lang", "ppl_bucket").count()
+                .groupBy("lang")
+                .agg((F.max("count") - F.min("count")).alias("spread"))
+                .agg(F.max("spread")).first()[0]
+            )
+            out.unpersist()
+            return n, bool(sizes is not None and sizes <= 1)
+        t, (n, ok_cb) = timed("ccnet_buckets", ccb)
+        r["ccb_sec"], r["ccb_rows"], r["ccb_ok"] = t, n, ok_cb
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1432,7 +1578,8 @@ def main() -> int:
                 "fert", "umx", "csw", "sovl", "urlq", "ccur",
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
-                "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva"):
+                "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva",
+                "vid", "cri", "hlk", "ccb"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1609,6 +1756,17 @@ def main() -> int:
         ("diversity HLL grid + mass x10", b["dva_ok"]
          and b["dva_rows"] == a["dva_rows"]
          and 9.5 <= b["dva_grams"] / max(a["dva_grams"], 1) <= 10.5),
+        # round-14: the frozen-vocab id encode round-trips EVERY doc
+        # at 10x; the crawl chain drops every mirror replica and
+        # leaks no tag; link extraction yields exactly 2 clean links
+        # per doc; the CCNet split stays equal-frequency per language
+        ("vocab ids round-trip, x10", b["vid_ok"]
+         and b["vid_rows"] == 10 * a["vid_rows"]),
+        ("crawl ingest dedups mirrors", b["cri_ok"] and a["cri_ok"]),
+        ("html links 2/doc, clean", b["hlk_ok"]
+         and b["hlk_rows"] == 10 * a["hlk_rows"]),
+        ("ccnet tertiles balanced", b["ccb_ok"]
+         and b["ccb_rows"] == 10 * a["ccb_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
