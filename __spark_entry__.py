@@ -3434,15 +3434,19 @@ def _pagerank_oracle_sql(
     n_iter: int = 10,
     damping: float = 0.85,
     seeds: list[str] | None = None,
+    edges_with: str | None = None,
 ) -> str:
     """Iteration-unrolled DuckDB twin of q_event_pagerank /
-    q_event_ppr: r0..rN CTEs, each one contribution-join +
-    dangling-mass scalar, mirroring operators/graph.py pagerank
-    exactly — including the teleport column t (uniform 1/n, or the
-    seed-set distribution for personalized PageRank). Standard SQL
-    forbids aggregating over a recursive reference, so the rounds
-    unroll; every CTE is MATERIALIZED (inlining re-evaluates each
-    round's predecessor twice — exponential)."""
+    q_event_ppr / q_link_hostrank: r0..rN CTEs, each one
+    contribution-join + dangling-mass scalar, mirroring
+    operators/graph.py pagerank exactly — including the teleport
+    column t (uniform 1/n, or the seed-set distribution for
+    personalized PageRank). Standard SQL forbids aggregating over a
+    recursive reference, so the rounds unroll; every CTE is
+    MATERIALIZED (inlining re-evaluates each round's predecessor
+    twice — exponential). ``edges_with`` swaps in a caller-supplied
+    leading CTE chain ending in ``edges(src, dst, w)`` (default: the
+    event-transition graph)."""
     if seeds:
         in_list = ", ".join(f"'{s}'" for s in seeds)
         t_expr = (
@@ -3474,8 +3478,7 @@ def _pagerank_oracle_sql(
                 ) s ON n.node = s.node
             )""")
         prev = f"r{i}"
-    return f"""
-        WITH seq AS MATERIALIZED (
+    head = edges_with or """seq AS MATERIALIZED (
             SELECT event_type AS from_event,
                    lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
@@ -3487,7 +3490,9 @@ def _pagerank_oracle_sql(
                    CAST(COUNT(*) AS DOUBLE) AS w
             FROM seq WHERE to_event IS NOT NULL
             GROUP BY 1, 2
-        ),
+        )"""
+    return f"""
+        WITH {head},
         nodes0 AS MATERIALIZED (
             SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes0),
@@ -3521,6 +3526,75 @@ def q_event_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         teleport_to=["purchase"], eps=1e-9,
     )
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_link_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank from EXTRACTED hyperlinks — the crawl-side
+    composition of the round's pieces (functions/web.html_links ->
+    url_host -> operators/graph.pagerank): each doc's page lives at
+    ``<source>.example`` and links to the hub plus the NEXT doc's
+    host, so the host graph (21 nodes at every SF) is pure arithmetic
+    and the domain-authority scores that real pipelines (OPIC,
+    CommonCrawl harmonic-centrality ranks) feed back into crawl
+    scheduling come out of the extractor, not a hand-built edge list.
+    Full oracle: DuckDB constructs the same edges independently
+    (no regex) and replays the 10 damped rounds via the unrolled
+    MATERIALIZED-CTE chain (_pagerank_oracle_sql edges_with=...);
+    same eps early-stop / 6dp contraction argument as
+    q_event_pagerank."""
+    from meta_frame_spark.functions.web import url_host, with_html_links
+    from meta_frame_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("prev_id"),
+        F.col("source").alias("next_source"),
+    )
+    staged = docs.join(nxt, F.col("doc_id") == F.col("prev_id"), "left")
+    pages = staged.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("src_host"),
+        F.concat(
+            F.lit('<p><a href="https://hub.example/start">Hub</a></p>'),
+            F.when(
+                F.col("next_source").isNotNull(),
+                F.concat(
+                    F.lit('<a href="https://'), F.col("next_source"),
+                    F.lit('.example/d/x">Next</a>'),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+    )
+    links = with_html_links(pages.select("doc_id", "html"))
+    edges = (
+        links.join(pages.select("doc_id", "src_host"), "doc_id")
+        .select("src_host", url_host(F.col("href")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(F.col("src_host").alias("src"),
+                F.col("dst_host").alias("dst"), "w")
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="w",
+                  eps=1e-9)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+_LINK_HOSTRANK_EDGES = """hosts AS MATERIALIZED (
+            SELECT doc_id, source || '.example' AS h FROM documents
+        ),
+        links AS MATERIALIZED (
+            SELECT h.h AS src, 'hub.example' AS dst
+            FROM documents d JOIN hosts h USING (doc_id)
+            UNION ALL
+            SELECT h1.h, h2.h
+            FROM documents d
+            JOIN hosts h1 ON h1.doc_id = d.doc_id
+            JOIN hosts h2 ON h2.doc_id = d.doc_id + 1
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM links GROUP BY 1, 2
+        )"""
 
 
 def q_mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5496,6 +5570,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # each new op displaces one row off the window's r10 TAIL into
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
+    "link_hostrank",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5510,7 +5585,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
     "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
-    "ewma_hourly", "funnel_latency",
+    "ewma_hourly",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5534,6 +5609,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
+    "funnel_latency",
 )
 
 
@@ -5769,6 +5845,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_ingest": q_crawl_ingest,
         "html_links": q_html_links,
         "ccnet_buckets": q_ccnet_buckets,
+        "link_hostrank": q_link_hostrank,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -7643,6 +7720,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(x)
         """,
         "event_pagerank": _pagerank_oracle_sql(),
+        "link_hostrank": _pagerank_oracle_sql(
+            edges_with=_LINK_HOSTRANK_EDGES
+        ),
         "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
         "funnel_latency": """
             WITH s1 AS (

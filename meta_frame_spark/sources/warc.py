@@ -173,10 +173,12 @@ def read_wet(spark, path: str, glob: str = "*.warc.wet*") -> DataFrame:
             )
 
     files = spark.read.format("binaryFile").load(f"{path}/{glob}")
-    # exclude attempt-temp leftovers of a FAILED job (the driver sweep
-    # only runs after success): a torn '.inprogress-<attempt>' file
-    # would otherwise parse as silently-partial records (plain layout)
-    # or fail the whole read (gzip layout) — metadata-only filter
+    # staging leftovers of a FAILED job live in dot-prefixed
+    # subdirectories (.staging-*/.committed-*), which the top-level
+    # glob never descends into — nothing torn can match. The filter
+    # below additionally excludes legacy flat '.inprogress-<attempt>'
+    # temps from records written by the pre-r14 per-file protocol;
+    # metadata-only, no payload read
     files = files.filter(~F.col("path").contains(".inprogress-"))
     return files.select("path", "content").mapInPandas(
         untar,

@@ -104,7 +104,7 @@ def test_driver_window_composition():
     # the rest of the window is the alphabetical head of the 50
     # r10-green decay-edge rows
     for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "doremi_mix", "funnel_latency"):
+                 "doremi_mix", "ewma_hourly"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
