@@ -5353,6 +5353,53 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "avg_neg_logprob", "ppl_bucket")
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (functions/web.robots_disallows /
+    apply_robots via the robots_gate curation op — RFC 9309, the
+    filter a crawl must apply before fetching anything): per-host
+    rule bodies carry a decoy ``badbot`` allow-nothing group (must
+    NOT apply), a wildcard group disallowing ``/private/``
+    everywhere, and ``/tmp`` only on even-length hosts; URL paths
+    vary by doc_id arithmetic so every (rule, path) combination is
+    exercised. Rules parse once on the host-sized side and
+    broadcast-join. Independent-expectation oracle (html_links
+    precedent): DuckDB reconstructs the kept set from the same
+    arithmetic — no parser replay, the parser is pinned by unit
+    tests."""
+    from meta_frame_spark.plans.curation import run_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/private/p"),
+                        F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 0,
+              F.concat(F.lit("/tmpfile"),
+                       F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/public/a"),
+                            F.col("doc_id").cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("source"),
+                 F.lit(".example"), path).alias("url"),
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: badbot\nDisallow: /\n\n"
+                  "User-agent: *  # wildcard group\n"
+                  "Disallow: /private/\n"),
+            F.when(F.length("source") % 2 == 0,
+                   F.lit("Disallow: /tmp\n")).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    out = run_curation(
+        urls, {"steps": [{"op": "robots_gate", "robots": robots}]}
+    )
+    return out.select("doc_id", "url")
+
+
 def q_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CommonCrawl first mile END TO END as one driver row
     (VERDICT r13 #3): page HTML (each document's text in the
@@ -5570,7 +5617,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # each new op displaces one row off the window's r10 TAIL into
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
-    "link_hostrank",
+    "link_hostrank", "robots_gate",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5585,7 +5632,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
     "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
-    "ewma_hourly",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5609,7 +5655,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
-    "funnel_latency",
+    "funnel_latency", "ewma_hourly",
 )
 
 
@@ -5846,6 +5892,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "ccnet_buckets": q_ccnet_buckets,
         "link_hostrank": q_link_hostrank,
+        "robots_gate": q_robots_gate,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -6474,6 +6521,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    TRUE AS ids_ok
             FROM documents WHERE text IS NOT NULL
+        """,
+        # independent EXPECTATION oracle: the kept set follows from
+        # the staging arithmetic (the robots PARSER is pinned by unit
+        # tests; here DuckDB reconstructs which URLs survive)
+        "robots_gate": """
+            WITH u AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 3 = 0
+                                THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 0
+                                THEN '/tmpfile' || CAST(doc_id AS VARCHAR)
+                            ELSE '/public/a' || CAST(doc_id AS VARCHAR)
+                       END AS path
+                FROM documents
+            )
+            SELECT doc_id,
+                   'https://' || source || '.example' || path AS url
+            FROM u
+            WHERE path NOT LIKE '/private/%'
+              AND NOT (length(source) % 2 = 0 AND path LIKE '/tmp%')
         """,
         # independent EXPECTATION oracle (not a regex replay): the
         # staging is arithmetic, so the exact link rows are

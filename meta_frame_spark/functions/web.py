@@ -318,3 +318,102 @@ def with_html_links(
         F.col("_l.anchor").alias("anchor"),
         F.col("_l.href").rlike("^https?://").alias("is_absolute"),
     )
+
+
+def robots_disallows(txt: str | Column) -> Column:
+    """Disallow path-prefixes that apply to the wildcard user-agent
+    (``User-agent: *``) of a robots.txt body — the crawl-politeness
+    primitive (public REP spec, RFC 9309): a fetcher must skip URLs
+    whose path starts with any of these prefixes.
+
+    Parsing (pure codegen HOFs, no UDF): comments strip at ``#``,
+    lines trim, directive names match case-insensitively; a
+    ``Disallow`` belongs to the group opened by the most recent
+    ``User-agent`` line (each UA line starts its own group here — the
+    documented simplification vs RFC 9309 §2.2.1's multi-UA groups:
+    a ``Disallow`` following ``User-agent: *`` directly is always
+    honored, which is the overwhelmingly dominant layout); empty
+    ``Disallow:`` values (allow-all) are dropped. Group tracking uses
+    a prefix-count of UA lines per index — O(n^2) per file, and
+    robots bodies are tens of lines, so this stays trivially cheap
+    while remaining a pure expression both engines can run.
+
+    NULL/empty input -> empty list (nothing disallowed)."""
+    t = F.col(txt) if isinstance(txt, str) else txt
+    lines = F.transform(
+        F.split(F.coalesce(t, F.lit("")), r"\n"),
+        lambda l: F.trim(F.regexp_replace(l, r"#.*$", "")),
+    )
+    n = F.size(lines)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def ua_count_at(i):
+        # UA lines among lines[1..i] — the group id of line i
+        return F.size(
+            F.filter(
+                F.slice(lines, F.lit(1), i),
+                lambda l: F.lower(l).rlike(r"^user-agent\s*:"),
+            )
+        )
+
+    star_groups = F.transform(
+        F.filter(
+            idx,
+            lambda i: F.lower(F.element_at(lines, i)).rlike(
+                r"^user-agent\s*:\s*\*\s*$"
+            ),
+        ),
+        ua_count_at,
+    )
+    return F.transform(
+        F.filter(
+            idx,
+            lambda i: F.lower(F.element_at(lines, i)).rlike(
+                r"^disallow\s*:\s*\S"
+            )
+            & F.array_contains(star_groups, ua_count_at(i)),
+        ),
+        lambda i: F.trim(
+            F.regexp_replace(
+                F.element_at(lines, i), r"(?i)^disallow\s*:", ""
+            )
+        ),
+    )
+
+
+def apply_robots(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Drop rows whose URL path is disallowed for ``User-agent: *``
+    by that host's robots.txt. ``robots`` carries one row per host
+    (``host_col``, ``txt_col``); hosts absent from it allow
+    everything (the REP default when no robots.txt exists).
+
+    Scale: the rules side is HOST-count-sized (a crawl of the whole
+    web has ~10^8 hosts; any per-bucket slice is far smaller), so it
+    parses once and broadcast-joins against the corpus on the url
+    host — the fact table never shuffles. Prefix checks are a
+    codegen ``exists`` over the parsed list."""
+    rules = robots.select(
+        F.col(host_col).alias("_rb_host"),
+        robots_disallows(F.col(txt_col)).alias("_rb_prefixes"),
+    )
+    path = F.regexp_extract(F.col(url_col), _URL_PATH_RE, 1)
+    out = df.join(
+        F.broadcast(rules),
+        url_host(F.col(url_col)) == F.col("_rb_host"),
+        "left",
+    )
+    blocked = F.exists(
+        F.coalesce(
+            F.col("_rb_prefixes"), F.array().cast("array<string>")
+        ),
+        lambda p: path.startswith(p),
+    )
+    return out.filter(~blocked).drop("_rb_host", "_rb_prefixes")

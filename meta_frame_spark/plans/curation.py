@@ -290,6 +290,32 @@ def _op_gopher_gate(
     return scored.filter(cond).drop(*added)
 
 
+def _op_robots_gate(
+    df: DataFrame,
+    robots: DataFrame | None = None,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Drop rows whose URL is disallowed for ``User-agent: *`` by the
+    host's robots.txt (functions.web.apply_robots — RFC 9309
+    politeness, the gate a crawl MUST apply before anything else).
+    ``robots`` is one row per host; the host-count-sized rules side
+    parses once and broadcast-joins, so the corpus never shuffles.
+    Stream-safe (stream-static broadcast join)."""
+    if robots is None:
+        raise ConfigError(
+            "robots_gate: a 'robots' DataFrame (host, robots_txt) is "
+            "required"
+        )
+    from meta_frame_spark.functions.web import apply_robots
+
+    return apply_robots(
+        df, robots, url_col=url_col, host_col=host_col,
+        txt_col=txt_col,
+    )
+
+
 def _op_fix_encoding(
     df: DataFrame,
     text_col: str = "text",
@@ -642,6 +668,7 @@ CURATION_OPS: dict[str, Callable] = {
     "c4_gate": _op_c4_gate,
     "blocklist_gate": _op_blocklist_gate,
     "url_gate": _op_url_gate,
+    "robots_gate": _op_robots_gate,
     "soft_dedup": _op_soft_dedup,
     "lm_gate": _op_lm_gate,
     "fix_encoding": _op_fix_encoding,
@@ -688,6 +715,7 @@ _EXTRA_KEYS = {
     "c4_gate": {"text_col", "apply_line_filter"},
     "blocklist_gate": {"text_col", "blocklist", "max_score"},
     "url_gate": {"url_col", "max_len", "max_params", "max_depth"},
+    "robots_gate": {"robots", "url_col", "host_col", "txt_col"},
     "soft_dedup": {"text_col", "id_col", "alpha", "weight_col"},
     "lm_gate": {"text_col", "id_col", "model", "top_v", "max_quantile",
                 "score_col", "exact", "accuracy"},
@@ -764,8 +792,8 @@ def run_curation(df: DataFrame, config: dict) -> DataFrame:
 STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "filter", "normalize", "redact_pii", "entropy_gate", "lang_gate",
     "quality_score_gate", "gopher_gate", "repetition_gate", "c4_gate",
-    "blocklist_gate", "url_gate", "fix_encoding", "select",
-    "derive",
+    "blocklist_gate", "url_gate", "robots_gate", "fix_encoding",
+    "select", "derive",
 })
 
 

@@ -103,8 +103,13 @@ def test_driver_window_composition():
         assert name in window, name
     # the rest of the window is the alphabetical head of the 50
     # r10-green decay-edge rows
+    # round-14 new ops hold slots until their first driver row lands
+    # (never-orphaned rule)
+    for name in ("vocab_ids", "crawl_ingest", "html_links",
+                 "ccnet_buckets", "link_hostrank", "robots_gate"):
+        assert name in window, name
     for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "doremi_mix", "ewma_hourly"):
+                 "doremi_mix", "event_pagerank"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [

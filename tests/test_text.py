@@ -1389,3 +1389,83 @@ class TestCcnetBuckets:
         df = spark.createDataFrame([(1, 1.0)], "doc_id bigint, s double")
         with _pt.raises(ValueError, match="labels"):
             ccnet_buckets(df, score_col="s", labels=("only",))
+
+
+class TestRobots:
+    """robots.txt wildcard-group parsing + URL gate
+    (functions/web.robots_disallows / apply_robots)."""
+
+    def _dis(self, spark, txt):
+        from meta_frame_spark.functions.web import robots_disallows
+
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(robots_disallows("t").alias("d")).first().d
+
+    def test_star_group_parsed(self, spark):
+        txt = (
+            "# our rules\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Disallow: /tmp  # trailing comment\n"
+            "Allow: /tmp/ok\n"
+        )
+        assert self._dis(spark, txt) == ["/private/", "/tmp"]
+
+    def test_other_agent_groups_ignored(self, spark):
+        txt = (
+            "User-agent: badbot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            "Disallow: /x\n"
+            "\n"
+            "User-agent: otherbot\n"
+            "Disallow: /y\n"
+        )
+        assert self._dis(spark, txt) == ["/x"]
+
+    def test_empty_disallow_and_no_star_section(self, spark):
+        # empty Disallow: = allow-all; no * group at all = nothing
+        assert self._dis(spark, "User-agent: *\nDisallow:\n") == []
+        assert self._dis(spark, "User-agent: bot\nDisallow: /\n") == []
+        assert self._dis(spark, None) == []
+        assert self._dis(spark, "") == []
+
+    def test_case_insensitive_directives(self, spark):
+        txt = "USER-AGENT: *\ndisallow: /CaseKept/\n"
+        assert self._dis(spark, txt) == ["/CaseKept/"]
+
+    def test_apply_robots_gate(self, spark):
+        from meta_frame_spark.functions.web import apply_robots
+
+        urls = spark.createDataFrame(
+            [(1, "https://a.example/private/doc"),
+             (2, "https://a.example/public/doc"),
+             (3, "https://b.example/private/doc"),   # host w/o rules
+             (4, "https://a.example/tmpfile"),        # /tmp prefix
+             (5, "https://a.example/ok/tmp")],
+            "doc_id bigint, url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.example",
+              "User-agent: *\nDisallow: /private/\nDisallow: /tmp\n")],
+            "host string, robots_txt string",
+        )
+        kept = sorted(
+            r.doc_id for r in apply_robots(urls, robots).collect()
+        )
+        assert kept == [2, 3, 5]
+
+    def test_rules_side_broadcast(self, spark):
+        from meta_frame_spark.functions.web import apply_robots
+
+        urls = spark.createDataFrame(
+            [(1, "https://a.example/x")], "doc_id bigint, url string"
+        )
+        robots = spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /p\n")],
+            "host string, robots_txt string",
+        )
+        plan = apply_robots(urls, robots)._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -1558,6 +1558,35 @@ def main() -> int:
         t, (n, ok_cb) = timed("ccnet_buckets", ccb)
         r["ccb_sec"], r["ccb_rows"], r["ccb_ok"] = t, n, ok_cb
 
+        def rbg():
+            from meta_frame_spark.functions.web import apply_robots
+
+            dd = docs(d)
+            urls = dd.select(
+                "doc_id",
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example"),
+                    F.when(F.col("doc_id") % 3 == 0,
+                           F.lit("/private/p")).otherwise(F.lit("/a")),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+            )
+            robots = dd.select("source").distinct().select(
+                F.concat(F.col("source"), F.lit(".example"))
+                .alias("host"),
+                F.lit("User-agent: bad\nDisallow: /\n\n"
+                      "User-agent: *\nDisallow: /private/\n")
+                .alias("robots_txt"),
+            )
+            out = apply_robots(urls, robots).persist()
+            n = out.count()
+            bad = out.filter(F.col("url").contains("/private/")).count()
+            out.unpersist()
+            return n, bool(bad == 0 and n > 0)
+        t, (n, ok_rb) = timed("robots_gate", rbg)
+        r["rbg_sec"], r["rbg_rows"], r["rbg_ok"] = t, n, ok_rb
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1579,7 +1608,7 @@ def main() -> int:
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
                 "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva",
-                "vid", "cri", "hlk", "ccb"):
+                "vid", "cri", "hlk", "ccb", "rbg"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1767,6 +1796,8 @@ def main() -> int:
          and b["hlk_rows"] == 10 * a["hlk_rows"]),
         ("ccnet tertiles balanced", b["ccb_ok"]
          and b["ccb_rows"] == 10 * a["ccb_rows"]),
+        ("robots gate blocks disallowed", b["rbg_ok"]
+         and b["rbg_rows"] == 10 * a["rbg_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
