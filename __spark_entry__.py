@@ -2187,6 +2187,35 @@ def q_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization (operators/wordpiece.py — Schuster &
+    Nakajima 2012 / BERT: likelihood-scored merge training, greedy
+    longest-match-first encode with ##-continuations, whole-word
+    [UNK] on dead ends), self-trained on the corpus. Invariant
+    oracle (bpe_bytes precedent): n_words is SQL-exact; pieces_ok is
+    the Spark-verified per-row proof that every non-UNK word's
+    pieces reassemble to the exact word and the piece/UNK counts
+    respect the structural bounds."""
+    from meta_frame_spark.operators.wordpiece import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pieces = wordpiece_train(docs, num_merges=150, top_words=5000)
+    out = wordpiece_encode(docs, pieces, verify_reassembly=True)
+    return out.select(
+        "doc_id",
+        "n_words",
+        (
+            F.col("reassembly_ok")
+            & (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_unk") <= F.col("n_words"))
+            & ((F.col("n_pieces") > 0) | (F.col("n_words") == 0))
+        ).alias("pieces_ok"),
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff bigram LM scoring (operators/scoring.py —
     Brants et al. 2007): p(b|a) = cnt(a,b)/cnt(a) from the top-200
@@ -5617,7 +5646,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # each new op displaces one row off the window's r10 TAIL into
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
-    "link_hostrank", "robots_gate",
+    "link_hostrank", "robots_gate", "wordpiece_tokenize",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5631,7 +5660,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
-    "doremi_mix", "emb_outliers", "epoch_shuffle", "event_pagerank",
+    "doremi_mix", "emb_outliers", "epoch_shuffle",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5655,7 +5684,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
-    "funnel_latency", "ewma_hourly",
+    "funnel_latency", "ewma_hourly", "event_pagerank",
 )
 
 
@@ -5683,6 +5712,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_bytes": q_bpe_bytes,
         "vocab_ids": q_vocab_ids,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "stream_curate": q_stream_curate,
         "dup_span_regions": q_dup_span_regions,
         "lang_margin": q_lang_margin,
@@ -6512,6 +6542,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    TRUE AS lossless_ok
+            FROM documents WHERE text IS NOT NULL
+        """,
+        # invariant oracle: word count SQL-exact (lower + whitespace
+        # split); pieces_ok is the Spark-verified greedy-reassembly
+        # proof (see q_wordpiece_tokenize)
+        "wordpiece_tokenize": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x != '')) AS INTEGER) AS n_words,
+                   TRUE AS pieces_ok
             FROM documents WHERE text IS NOT NULL
         """,
         # invariant oracle: n_bytes SQL-exact; ids_ok is the

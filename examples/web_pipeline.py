@@ -5,7 +5,14 @@
 run starts from crawl archives. This example composes the round-13
 sources into the complete front of that pipeline:
 
-    page HTML (staged here; a crawl's response records in production)
+    crawl frontier URLs
+      -> robots.txt politeness gate         (robots_gate curation op /
+                                             functions/web.apply_robots:
+                                             RFC 9309 wildcard groups,
+                                             host-sized rules broadcast —
+                                             the filter a fetcher applies
+                                             BEFORE requesting anything)
+      -> page HTML (staged here; a crawl's response records in production)
       -> WET conversion shards              (sources/warc.write_wet_shards:
                                              ISO 28500 records, one gzip
                                              member each, task-commit safe)
@@ -65,14 +72,37 @@ def run_web_pipeline(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counts: dict[str, int] = {"input_docs": docs.count()}
 
+    # 0. Politeness first: the frontier is every page URL; the host's
+    #    robots.txt (staged here — fetched once per host in
+    #    production) disallows the /forbidden/ tree, and the fetcher
+    #    must never request what it blocks. Host-sized rules
+    #    broadcast; the frontier never shuffles.
+    frontier = docs.select(
+        "doc_id", "source", "text",
+        F.concat(
+            F.lit("http://example.com/"),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("forbidden/"))
+            .otherwise(F.lit("")),
+            F.col("source"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [("example.com",
+          "User-agent: archiver\nDisallow: /private/\n\n"
+          "User-agent: *\nDisallow: /forbidden/\n")],
+        "host string, robots_txt string",
+    )
+    fetchable = run_curation(
+        frontier, {"steps": [{"op": "robots_gate", "robots": robots}]}
+    )
+    counts["robots_allowed"] = fetchable.count()
+
     # 1. Stage page HTML (in production this is the crawler's output;
     #    here each document's text becomes the article body of a page
     #    with a nav bar, a short teaser block, and a link-only footer).
-    pages = docs.select(
-        F.concat(
-            F.lit("http://example.com/"), F.col("source"), F.lit("/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
+    pages = fetchable.select(
+        "url",
         F.concat(
             F.lit('<div><a href="/">Home</a> <a href="/t">Topics</a> '
                   '<a href="/c">Contact</a></div><p>'),

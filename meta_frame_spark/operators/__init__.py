@@ -181,6 +181,10 @@ from meta_frame_spark.operators.vocab_ids import (
     encode_ids,
     unigram_vocab_table,
 )
+from meta_frame_spark.operators.wordpiece import (
+    wordpiece_encode,
+    wordpiece_train,
+)
 from meta_frame_spark.operators.funnel import cohort_retention, funnel, funnel_counts
 from meta_frame_spark.operators.search import (
     bm25_topk,
@@ -334,6 +338,8 @@ __all__ = [
     "byte_bpe_vocab",
     "encode_ids",
     "unigram_vocab_table",
+    "wordpiece_encode",
+    "wordpiece_train",
     "bigram_vocab",
     "ccnet_buckets",
     "score_documents",

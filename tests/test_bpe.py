@@ -346,3 +346,85 @@ class TestVocabIds:
 
         with _pt.raises(ValueError, match="empty"):
             save_vocab(spark, [], str(tmp_path / "v2"))
+
+
+class TestWordPiece:
+    """WordPiece training + greedy longest-match encode
+    (operators/wordpiece.py)."""
+
+    def test_kernel_greedy_longest_match(self):
+        from meta_frame_spark.operators.wordpiece import (
+            UNK,
+            wordpiece_encode_word,
+        )
+
+        vocab = {"un", "##aff", "##able", "##a", "u", "##n", "hug",
+                 "##ging"}
+        assert wordpiece_encode_word("unaffable", vocab) == [
+            "un", "##aff", "##able"]
+        assert wordpiece_encode_word("hugging", vocab) == [
+            "hug", "##ging"]
+        # dead end mid-word -> whole word UNK (BERT semantics)
+        assert wordpiece_encode_word("unz", vocab) == [UNK]
+        assert wordpiece_encode_word("", vocab) == []
+
+    def test_train_learns_likelihood_merges(self, spark, tiny):
+        from meta_frame_spark.operators.wordpiece import wordpiece_train
+
+        pieces = wordpiece_train(tiny, num_merges=30)
+        assert len(set(pieces)) == len(pieces)  # no dups
+        # every training word must tokenize with zero UNK under its
+        # own vocab (chars all present + merges only add)
+        from meta_frame_spark.operators.wordpiece import (
+            wordpiece_encode_word,
+        )
+
+        vocab = set(pieces)
+        for w in ("low", "lower", "newest", "widest"):
+            enc = wordpiece_encode_word(w, vocab)
+            joined = "".join(p[2:] if p.startswith("##") else p
+                             for p in enc)
+            assert joined == w, (w, enc)
+        # determinism
+        assert pieces == wordpiece_train(tiny, num_merges=30)
+
+    def test_encode_dataframe_counts_and_reassembly(self, spark, tiny):
+        from meta_frame_spark.operators.wordpiece import (
+            wordpiece_encode,
+            wordpiece_train,
+        )
+
+        pieces = wordpiece_train(tiny, num_merges=50)
+        out = wordpiece_encode(
+            tiny, pieces, verify_reassembly=True, emit_pieces=True
+        ).collect()
+        assert len(out) == tiny.count()
+        for r in out:
+            assert r.reassembly_ok
+            assert r.n_words == 1
+            assert r.n_unk == 0
+            assert r.n_pieces == len(r.pieces)
+
+    def test_unseen_chars_become_unk(self, spark, tiny):
+        from meta_frame_spark.operators.wordpiece import (
+            wordpiece_encode,
+            wordpiece_train,
+        )
+
+        pieces = wordpiece_train(tiny, num_merges=10)
+        df = spark.createDataFrame(
+            [(1, "low zzz@#!")], "doc_id bigint, text string"
+        )
+        r = wordpiece_encode(
+            df, pieces, verify_reassembly=True, emit_pieces=True
+        ).collect()[0]
+        assert r.n_words == 2 and r.n_unk == 1
+        assert r.reassembly_ok  # UNK words are exempt by contract
+
+    def test_bad_args(self, spark, tiny):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.wordpiece import wordpiece_train
+
+        with _pt.raises(ValueError, match="num_merges"):
+            wordpiece_train(tiny, num_merges=0)

@@ -106,10 +106,11 @@ def test_driver_window_composition():
     # round-14 new ops hold slots until their first driver row lands
     # (never-orphaned rule)
     for name in ("vocab_ids", "crawl_ingest", "html_links",
-                 "ccnet_buckets", "link_hostrank", "robots_gate"):
+                 "ccnet_buckets", "link_hostrank", "robots_gate",
+                 "wordpiece_tokenize"):
         assert name in window, name
     for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "doremi_mix", "event_pagerank"):
+                 "doremi_mix", "epoch_shuffle"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
@@ -136,7 +137,9 @@ def test_example_web_pipeline_runs(spark, sf_dir, tmp_path):
     from web_pipeline import run_web_pipeline
 
     counts = run_web_pipeline(spark, sf_dir, str(tmp_path / "wet"))
-    assert counts["wet_records"] == counts["input_docs"]
+    # robots gate blocks exactly the /forbidden/ tree (doc_id % 17)
+    assert 0 < counts["robots_allowed"] < counts["input_docs"]
+    assert counts["wet_records"] == counts["robots_allowed"]
     assert 0 < counts["after_extract_and_gates"] <= counts["input_docs"]
     assert counts["tokenized_docs"] == counts["after_extract_and_gates"]
     # byte-BPE merged something: fewer tokens than bytes

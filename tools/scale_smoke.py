@@ -1587,6 +1587,27 @@ def main() -> int:
         t, (n, ok_rb) = timed("robots_gate", rbg)
         r["rbg_sec"], r["rbg_rows"], r["rbg_ok"] = t, n, ok_rb
 
+        def wpc():
+            from meta_frame_spark.operators.wordpiece import (
+                wordpiece_encode,
+                wordpiece_train,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            pieces = wordpiece_train(dd, num_merges=150, top_words=5000)
+            out = wordpiece_encode(
+                dd, pieces, verify_reassembly=True
+            ).persist()
+            n = out.count()
+            bad = out.filter(
+                ~F.col("reassembly_ok")
+                | (F.col("n_pieces") < F.col("n_words"))
+            ).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_wp) = timed("wordpiece", wpc)
+        r["wpc_sec"], r["wpc_rows"], r["wpc_ok"] = t, n, ok_wp
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1608,7 +1629,7 @@ def main() -> int:
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
                 "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva",
-                "vid", "cri", "hlk", "ccb", "rbg"):
+                "vid", "cri", "hlk", "ccb", "rbg", "wpc"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1798,6 +1819,8 @@ def main() -> int:
          and b["ccb_rows"] == 10 * a["ccb_rows"]),
         ("robots gate blocks disallowed", b["rbg_ok"]
          and b["rbg_rows"] == 10 * a["rbg_rows"]),
+        ("wordpiece reassembles, x10", b["wpc_ok"]
+         and b["wpc_rows"] == 10 * a["wpc_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
