@@ -650,6 +650,16 @@ def test_every_stream_safe_op_runs_on_a_real_stream(spark, tmp_path):
         # at text still exercises compile + drain (no scheme -> zero
         # params/depth -> every row passes)
         "url_gate": {"url_col": "text"},
+        # stream-static broadcast join: rules parse on the static
+        # side; text has no scheme -> url_host NULL -> join misses ->
+        # nothing blocked, but the compile + drain path is real
+        "robots_gate": {
+            "robots": spark.createDataFrame(
+                [("h.example", "User-agent: *\nDisallow: /x\n")],
+                "host string, robots_txt string",
+            ),
+            "url_col": "text",
+        },
     }
     for i, op in enumerate(sorted(STREAM_SAFE_OPS)):
         cfg = {"steps": [{"op": op, **minimal_kwargs.get(op, {})}]}
