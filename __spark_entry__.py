@@ -2083,6 +2083,49 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl content chain on Structured Streaming: pages arrive
+    through the file source, HTML boilerplate extraction
+    (html_extract — newly stream-safe, map-only codegen) and the
+    Gopher word-count/word-length/alpha gates run per micro-batch as
+    ONE declared run_curation_stream chain, and a complete-mode
+    per-source aggregation keeps the survivor accounting. A drained
+    stream equals the batch form, so the oracle replays staging,
+    extraction (shared clean macro), the 4dp-rounded rules, and the
+    rollup — the continuous-ingest twin of crawl_ingest (dedup stays
+    batch-side: exact dedup is stateful and belongs to the compaction
+    pass, not the ingest stream)."""
+    from meta_frame_spark.plans.curation import run_curation_stream
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    docs_batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    pages = stream.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.concat(
+            F.lit(_HTML_HEAD), F.col("text"), F.lit(_HTML_TAIL)
+        ).alias("html"),
+    )
+    cur = run_curation_stream(
+        pages,
+        {"steps": [
+            {"op": "html_extract", "out_col": "text"},
+            {"op": "gopher_gate", "rules": [
+                "r_word_count", "r_mean_word_len", "r_alpha_words"]},
+        ]},
+    )
+    counts = cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return run_to_memory(
+        counts, "mem_stream_crawl", output_mode="complete",
+        state_partitions=8,
+    )
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-BPE tokenization (operators/bpe.py — corpus-size-
     independent training on the word-frequency head, Arrow encode with
@@ -5647,6 +5690,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
+    "stream_crawl",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5660,7 +5704,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
-    "doremi_mix", "emb_outliers", "epoch_shuffle",
+    "doremi_mix", "emb_outliers",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5684,7 +5728,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # slots (new ops take slots FIRST; r10-green rows yield — still
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
-    "funnel_latency", "ewma_hourly", "event_pagerank",
+    "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
 )
 
 
@@ -5923,6 +5967,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "link_hostrank": q_link_hostrank,
         "robots_gate": q_robots_gate,
+        "stream_crawl": q_stream_crawl,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -10661,6 +10706,61 @@ def oracle_sql() -> dict[str, str]:
         keep AS (SELECT text, MIN(url) AS url FROM gated GROUP BY text)
         SELECT g.url, g.text, g.n_words
         FROM gated g JOIN keep k ON g.text = k.text AND g.url = k.url
+    """
+    )
+    # The streaming crawl chain drained == batch: staging, the shared
+    # clean-macro extraction, the 4dp Gopher rules, and the
+    # per-source survivor rollup all replay (stream_curate precedent)
+    d["stream_crawl"] = (
+        r"""
+        WITH staged AS (
+            SELECT source, '"""
+        + _HTML_HEAD + """' || text || '""" + _HTML_TAIL
+        + r"""' AS html
+            FROM documents WHERE text IS NOT NULL
+        ),
+        broken AS (
+            SELECT source,
+                   string_split(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(html,
+                         '(?is)<!--.*?-->', ' ', 'g'),
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                       '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/section|/article|/header|/footer|/blockquote|/pre|/td)[^>]*>',
+                       e'\n', 'g'),
+                     e'\n') AS lines
+            FROM staged
+        ),
+        extracted AS (
+            SELECT source,
+                   COALESCE(array_to_string(
+                     list_transform(
+                       list_filter(lines, l -> length("""
+        + _cl_line + """) >= 25
+                            AND length(""" + _cl_link
+        + """) / greatest(length(""" + _cl_line + r"""), 1) <= 0.35),
+                       l -> """ + _cl_line + r"""),
+                     e'\n'), '') AS text
+            FROM broken
+        ),
+        m AS (
+            SELECT source, text,
+                   len(regexp_extract_all(text, '\S+')) AS nw
+            FROM extracted
+        )
+        SELECT source, COUNT(*) AS n_docs
+        FROM m
+        WHERE nw BETWEEN 50 AND 100000
+          AND ROUND(COALESCE(
+                length(regexp_replace(text, '\s', '', 'g'))
+                / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4)
+              BETWEEN 3.0 AND 10.0
+          AND ROUND(COALESCE(
+                len(list_filter(regexp_extract_all(text, '\S+'),
+                    t -> regexp_matches(t, '[A-Za-z]')))
+                / CAST(nullif(nw, 0) AS DOUBLE), 0.0), 4) >= 0.8
+        GROUP BY source
     """
     )
     # Invariant oracle for the HLL arm (distinct_sketch precedent):

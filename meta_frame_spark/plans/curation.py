@@ -794,6 +794,8 @@ STREAM_SAFE_OPS: frozenset[str] = frozenset({
     "quality_score_gate", "gopher_gate", "repetition_gate", "c4_gate",
     "blocklist_gate", "url_gate", "robots_gate", "fix_encoding",
     "select", "derive",
+    # map-only Arrow/codegen steps — stateless per micro-batch
+    "html_extract", "compression_gate",
 })
 
 

@@ -660,6 +660,9 @@ def test_every_stream_safe_op_runs_on_a_real_stream(spark, tmp_path):
             ),
             "url_col": "text",
         },
+        # the sweep frame's content lives in 'text'; extract into a
+        # fresh column (out_col collision fails loudly by design)
+        "html_extract": {"html_col": "text", "out_col": "extracted"},
     }
     for i, op in enumerate(sorted(STREAM_SAFE_OPS)):
         cfg = {"steps": [{"op": op, **minimal_kwargs.get(op, {})}]}
