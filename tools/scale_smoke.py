@@ -1817,8 +1817,12 @@ def main() -> int:
          and b["hlk_rows"] == 10 * a["hlk_rows"]),
         ("ccnet tertiles balanced", b["ccb_ok"]
          and b["ccb_rows"] == 10 * a["ccb_rows"]),
+        # rows are NOT exactly x10: the replica id offset (1e8 ≡ 1
+        # mod 3) rotates which ids hit the %3 block per replica, so
+        # each replica keeps 3333 or 3334 — bound the drift by one
+        # row per replica
         ("robots gate blocks disallowed", b["rbg_ok"]
-         and b["rbg_rows"] == 10 * a["rbg_rows"]),
+         and abs(b["rbg_rows"] - 10 * a["rbg_rows"]) <= 10),
         ("wordpiece reassembles, x10", b["wpc_ok"]
          and b["wpc_rows"] == 10 * a["wpc_rows"]),
     ):
