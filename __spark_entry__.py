@@ -5729,6 +5729,27 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
+    # the 49 r11-green rows reach the decay edge the moment the
+    # driver's r14 records land (newest becomes 14); planning them
+    # here NOW keeps the freshness gate green across the round
+    # boundary instead of red-flagging the start of r15. r15's
+    # mandatory window = the 33 r10 rows above (5 rounds stale by
+    # then) + new r15 ops; the alphabetical head of these r11 rows
+    # fills the rest, tail stays queued.
+    "a_cascade", "agg_approx", "ann_topk_ivf", "ann_topk_lsh",
+    "b_join_tree", "b_q3_shipping", "blocklist_score", "bp_grandchild",
+    "c4_clean", "cohort_retention", "corpus_mix_temperature",
+    "dedup_minhash", "dedup_simhash", "distinct_sketch",
+    "dup_cluster_sizes", "emb_decontam", "emb_near_dup", "event_funnel",
+    "events_asof", "events_enriched", "events_hourly",
+    "events_interval", "events_json", "events_sessions",
+    "events_sliding", "fix_encoding", "gopher_repetition",
+    "gopher_rules", "hard_negatives", "hash_split", "int8_quantize",
+    "int8_topk", "k_anonymity_report", "kcenter_coverage",
+    "label_centroids", "mm_phash", "mm_pixel_stats", "mmr_select",
+    "oov_rate", "pack_sequences", "passage_chunks", "rolling_1h",
+    "scd2_versions", "semantic_dedup", "sessionize", "set_ops",
+    "soft_dedup", "split_leakage", "stream_gate",
 )
 
 
