@@ -428,3 +428,36 @@ class TestWordPiece:
 
         with _pt.raises(ValueError, match="num_merges"):
             wordpiece_train(tiny, num_merges=0)
+
+
+def test_encode_ids_round_trip_property_arbitrary_utf8(spark):
+    """Id-layer twin of the byte-BPE loss-proof: for ARBITRARY unicode
+    text, encode_ids' framed id sequence decodes back exactly through
+    the inverse vocab — exercised through a real Spark frame in one
+    batch (the per-string kernel is deterministic, so one mapInPandas
+    pass over hypothesis-style adversarial rows covers the property
+    without per-example Spark jobs)."""
+    from meta_frame_spark.operators.bpe import _learn_merges, _to_units
+    from meta_frame_spark.operators.vocab_ids import (
+        byte_bpe_vocab,
+        encode_ids,
+    )
+
+    counts = {
+        tuple(_to_units(w)): c
+        for w, c in (("the", 9), (" ", 12), ("thé", 4), ("ab", 7))
+    }
+    merges = _learn_merges(counts, 20)
+    vocab = byte_bpe_vocab(merges)
+    rows = [
+        (0, ""), (1, " "), (2, "\t\n\r"), (3, "the the ab"),
+        (4, "thé ünïcode € 漢字 🙂"), (5, "a" * 500),
+        (6, "<bos><eos><pad><unk>"), (7, "\x00\x7f\x80ÿ mixed"),
+        (8, "zero​width and comb́ining"),
+        (9, "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral 𐍈"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = encode_ids(df, merges, vocab, verify_round_trip=True).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r.ids_round_trip_ok, r.doc_id
