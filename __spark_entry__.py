@@ -5561,6 +5561,33 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(results, qrels, k=20).orderBy("query_id")
 
 
+def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 generation-overlap metrics (operators/ranking_eval
+    .rouge_n_scores — Lin 2004, multiset-clipped counts, map-only
+    codegen HOFs): each document is its own reference and the
+    candidate is the extractive compression that drops every third
+    token, so precision must be exactly 1.0 at order 1 (every kept
+    token comes from the reference) while recall measures the cut.
+    Full oracle: DuckDB replays the staging index filter, both
+    n-gram chains, the clipped-overlap sums, and every rounded
+    score."""
+    from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    cand = F.array_join(
+        F.filter(toks, lambda x, i: i % 3 != 2), " "
+    )
+    staged = docs.select(
+        "doc_id", cand.alias("cand"), F.col("text").alias("ref")
+    )
+    out = rouge_n_scores(staged, "cand", "ref", ns=(1, 2))
+    return out.select(
+        "doc_id", "rouge1_p", "rouge1_r", "rouge1_f",
+        "rouge2_p", "rouge2_r", "rouge2_f",
+    )
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (operators/scoring
     .kneser_ney_logprob — Kneser & Ney 1995, the KenLM smoothing
@@ -5690,7 +5717,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
-    "stream_crawl",
+    "stream_crawl", "rouge_eval",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5704,7 +5731,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
     "cms_freq", "containment", "corr_signals", "count_anomalies",
     "curation_budget", "curation_cleanup", "dedup_safe_split",
-    "doremi_mix", "emb_outliers",
+    "doremi_mix",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5729,6 +5756,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
+    "emb_outliers",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -5989,6 +6017,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hostrank": q_link_hostrank,
         "robots_gate": q_robots_gate,
         "stream_crawl": q_stream_crawl,
+        "rouge_eval": q_rouge_eval,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -6628,6 +6657,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strlen(text) AS INTEGER) AS n_bytes,
                    TRUE AS ids_ok
             FROM documents WHERE text IS NOT NULL
+        """,
+        # full replay: staging index filter, n-gram chains, clipped
+        # multiset overlaps, and every rounded ROUGE score
+        "rouge_eval": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS rt
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pairs AS (
+                SELECT doc_id, rt,
+                       list_transform(
+                           list_filter(range(1, len(rt) + 1),
+                                       i -> i % 3 != 0),
+                           i -> rt[i]) AS ct
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, ct AS c1, rt AS r1,
+                       CASE WHEN len(ct) >= 2 THEN list_transform(
+                           range(1, len(ct)),
+                           i -> ct[i] || ' ' || ct[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS c2,
+                       CASE WHEN len(rt) >= 2 THEN list_transform(
+                           range(1, len(rt)),
+                           i -> rt[i] || ' ' || rt[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS r2
+                FROM pairs
+            ),
+            d1 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c1, x -> x = u.gr)),
+                                 len(list_filter(r1, x -> x = u.gr))))
+                           AS clip
+                FROM g, UNNEST(list_distinct(c1)) AS u(gr)
+                GROUP BY doc_id
+            ),
+            d2 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c2, x -> x = u.gr)),
+                                 len(list_filter(r2, x -> x = u.gr))))
+                           AS clip
+                FROM g, UNNEST(list_distinct(c2)) AS u(gr)
+                GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT g.doc_id,
+                       CASE WHEN len(c1) > 0 THEN ROUND(
+                           COALESCE(d1.clip, 0) / CAST(len(c1) AS DOUBLE), 6)
+                       ELSE 0.0 END AS rouge1_p,
+                       CASE WHEN len(r1) > 0 THEN ROUND(
+                           COALESCE(d1.clip, 0) / CAST(len(r1) AS DOUBLE), 6)
+                       ELSE 0.0 END AS rouge1_r,
+                       CASE WHEN len(c2) > 0 THEN ROUND(
+                           COALESCE(d2.clip, 0) / CAST(len(c2) AS DOUBLE), 6)
+                       ELSE 0.0 END AS rouge2_p,
+                       CASE WHEN len(r2) > 0 THEN ROUND(
+                           COALESCE(d2.clip, 0) / CAST(len(r2) AS DOUBLE), 6)
+                       ELSE 0.0 END AS rouge2_r
+                FROM g
+                LEFT JOIN d1 ON g.doc_id = d1.doc_id
+                LEFT JOIN d2 ON g.doc_id = d2.doc_id
+            )
+            SELECT doc_id, rouge1_p, rouge1_r,
+                   CASE WHEN rouge1_p + rouge1_r > 0 THEN ROUND(
+                       2 * rouge1_p * rouge1_r / (rouge1_p + rouge1_r), 6)
+                   ELSE 0.0 END AS rouge1_f,
+                   rouge2_p, rouge2_r,
+                   CASE WHEN rouge2_p + rouge2_r > 0 THEN ROUND(
+                       2 * rouge2_p * rouge2_r / (rouge2_p + rouge2_r), 6)
+                   ELSE 0.0 END AS rouge2_f
+            FROM scored
         """,
         # independent EXPECTATION oracle: the kept set follows from
         # the staging arithmetic (the robots PARSER is pinned by unit

@@ -77,7 +77,10 @@ from meta_frame_spark.operators.chunking import (
     passage_pairs,
     sentence_passages,
 )
-from meta_frame_spark.operators.ranking_eval import retrieval_metrics
+from meta_frame_spark.operators.ranking_eval import (
+    retrieval_metrics,
+    rouge_n_scores,
+)
 from meta_frame_spark.operators.unigram import (
     unigram_encode,
     unigram_sample_encode,
@@ -338,6 +341,7 @@ __all__ = [
     "byte_bpe_vocab",
     "encode_ids",
     "unigram_vocab_table",
+    "rouge_n_scores",
     "wordpiece_encode",
     "wordpiece_train",
     "bigram_vocab",

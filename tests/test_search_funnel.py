@@ -312,3 +312,74 @@ class TestRetrievalMetrics:
             retrieval_metrics(results, qrels, k=0)
         with _pt.raises(ValueError, match="missing column"):
             retrieval_metrics(results.drop("rank"), qrels)
+
+
+class TestRougeN:
+    """ROUGE-N overlap metric (operators/ranking_eval.rouge_n_scores)."""
+
+    def test_hand_computed_scores(self, spark):
+        from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat", "the cat sat on the mat"),
+             (2, "a b a", "a a c"),
+             (3, "xyz", "completely different words")],
+            "pair_id bigint, cand string, ref string",
+        )
+        out = {r.pair_id: r for r in rouge_n_scores(
+            df, "cand", "ref", ns=(1, 2)).collect()}
+        # pair 1: cand grams {the,cat,sat} all in ref -> p=1, r=3/6
+        assert out[1].rouge1_p == 1.0
+        assert out[1].rouge1_r == 0.5
+        # bigrams: "the cat","cat sat" both in ref -> p=1, r=2/5
+        assert out[2].rouge1_p == round(2/3, 6)  # clip: a->min(2,2)=2, b->0
+        assert out[2].rouge1_r == round(2/3, 6)
+        assert out[3].rouge1_p == 0.0 and out[3].rouge1_f == 0.0
+        assert out[1].rouge2_p == 1.0
+        assert out[1].rouge2_r == 0.4
+
+    def test_multiset_clipping(self, spark):
+        from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+        # candidate repeats 'a' 4x but ref has it twice: clip to 2
+        df = spark.createDataFrame(
+            [(1, "a a a a", "a a b")], "pair_id bigint, cand string, ref string"
+        )
+        r = rouge_n_scores(df, "cand", "ref", ns=(1,)).collect()[0]
+        assert r.rouge1_p == 0.5   # 2/4
+        assert r.rouge1_r == round(2/3, 6)
+
+    def test_empty_sides_score_zero(self, spark):
+        from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+        df = spark.createDataFrame(
+            [(1, "", "some ref"), (2, "some cand", ""), (3, "", "")],
+            "pair_id bigint, cand string, ref string",
+        )
+        for r in rouge_n_scores(df, "cand", "ref", ns=(1, 2)).collect():
+            assert r.rouge1_p == 0.0 and r.rouge1_r == 0.0
+            assert r.rouge1_f == 0.0 and r.rouge2_f == 0.0
+
+    def test_short_text_bigram_guard_and_f1_identity(self, spark):
+        from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+        df = spark.createDataFrame(
+            [(1, "word", "word")], "pair_id bigint, cand string, ref string"
+        )
+        r = rouge_n_scores(df, "cand", "ref", ns=(1, 2)).collect()[0]
+        assert r.rouge1_f == 1.0
+        assert r.rouge2_f == 0.0  # no bigrams on either side
+
+    def test_map_only_plan_and_validation(self, spark):
+        import pytest as _pt
+
+        from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+
+        df = spark.createDataFrame(
+            [(1, "a", "a")], "pair_id bigint, cand string, ref string"
+        )
+        plan = rouge_n_scores(df, "cand", "ref")._jdf.queryExecution()\
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        with _pt.raises(ValueError, match="ns"):
+            rouge_n_scores(df, "cand", "ref", ns=())

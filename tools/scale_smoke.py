@@ -1608,6 +1608,31 @@ def main() -> int:
         t, (n, ok_wp) = timed("wordpiece", wpc)
         r["wpc_sec"], r["wpc_rows"], r["wpc_ok"] = t, n, ok_wp
 
+        def rge():
+            from meta_frame_spark.operators.ranking_eval import (
+                rouge_n_scores,
+            )
+
+            dd = docs(d).filter(F.col("text").isNotNull())
+            toks = F.regexp_extract_all(
+                F.col("text"), F.lit(r"\S+"), F.lit(0))
+            staged = dd.select(
+                "doc_id",
+                F.array_join(
+                    F.filter(toks, lambda x, i: i % 3 != 2), " "
+                ).alias("cand"),
+                F.col("text").alias("ref"),
+            )
+            out = rouge_n_scores(staged, "cand", "ref", ns=(1,)).persist()
+            n = out.count()
+            # the extractive compression keeps only reference tokens,
+            # so order-1 precision is exactly 1.0 on every row
+            bad = out.filter(F.col("rouge1_p") < 1.0).count()
+            out.unpersist()
+            return n, bool(bad == 0)
+        t, (n, ok_rg) = timed("rouge_eval", rge)
+        r["rge_sec"], r["rge_rows"], r["rge_ok"] = t, n, ok_rg
+
         spark.catalog.clearCache()
         report[tag] = r
 
@@ -1629,7 +1654,7 @@ def main() -> int:
                 "ppr", "ict", "spanc", "lmg", "fim", "unig", "dvr",
                 "kn", "rev",
                 "kn3", "kmn", "bby", "cmpz", "htx", "wrc", "dva",
-                "vid", "cri", "hlk", "ccb", "rbg", "wpc"):
+                "vid", "cri", "hlk", "ccb", "rbg", "wpc", "rge"):
         g = b[f"{key}_sec"] / max(a[f"{key}_sec"], 1e-9)
         print(f"{key:24s} time x{g:.1f}")
     # continuation-op invariants at the 10x scale
@@ -1825,6 +1850,8 @@ def main() -> int:
          and abs(b["rbg_rows"] - 10 * a["rbg_rows"]) <= 10),
         ("wordpiece reassembles, x10", b["wpc_ok"]
          and b["wpc_rows"] == 10 * a["wpc_rows"]),
+        ("rouge compression p=1, x10", b["rge_ok"]
+         and b["rge_rows"] == 10 * a["rge_rows"]),
     ):
         ok &= bool(cond)
         print(f"{name:24s} {'OK' if cond else 'FAIL'}")
