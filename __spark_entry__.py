@@ -5588,6 +5588,55 @@ def q_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence BLEU-4 generation metric (operators/ranking_eval
+    .bleu_scores — Papineni et al. 2002, unsmoothed, map-only codegen
+    HOFs): the candidate drops every 7th token from the reference, so
+    order-1 precision is exactly 1.0 (every kept token is from the
+    reference), higher orders dip where n-grams cross a deletion seam,
+    and the brevity penalty prices the ~1/7 length cut. Full oracle:
+    DuckDB replays the staging deletion, all four clipped precisions,
+    the rounded brevity penalty, and the geometric mean."""
+    from meta_frame_spark.operators.ranking_eval import bleu_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    cand = F.array_join(F.filter(toks, lambda x, i: (i + 1) % 7 != 0), " ")
+    staged = docs.select(
+        "doc_id", cand.alias("cand"), F.col("text").alias("ref")
+    )
+    out = bleu_scores(staged, "cand", "ref", max_n=4)
+    return out.select(
+        "doc_id", "bleu_p1", "bleu_p2", "bleu_p3", "bleu_p4",
+        "brevity_penalty", "bleu",
+    )
+
+
+def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF character-n-gram F2 (operators/ranking_eval.chrf_scores —
+    Popović 2015, orders 1-6, whitespace stripped): the candidate is a
+    leetspeak corruption (e->3, o->0) of the reference, so every gram
+    touching a corrupted char mismatches while the rest align. Unlike
+    the ROUGE/BLEU per-row HOFs this runs the SCALE shape — grams
+    explode to (doc, order, gram) rows, count with map-side partials,
+    and the sides meet in ONE equi-join (linear in corpus bytes, the
+    plan that survives long rows). Full oracle: DuckDB replays the
+    corruption, the explode-count-join, and every rounded score."""
+    from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cand = F.replace(
+        F.replace(F.col("text"), F.lit("e"), F.lit("3")),
+        F.lit("o"), F.lit("0"),
+    )
+    staged = docs.select(
+        "doc_id", cand.alias("cand"), F.col("text").alias("ref")
+    )
+    return chrf_scores(staged, "doc_id", "cand", "ref", max_n=6).orderBy(
+        "doc_id"
+    )
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (operators/scoring
     .kneser_ney_logprob — Kneser & Ney 1995, the KenLM smoothing
@@ -5717,7 +5766,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # NEXT_WINDOW_QUEUE
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
-    "stream_crawl", "rouge_eval",
+    "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5730,8 +5779,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
     "cms_freq", "containment", "corr_signals", "count_anomalies",
-    "curation_budget", "curation_cleanup", "dedup_safe_split",
-    "doremi_mix",
+    "curation_budget", "curation_cleanup",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5756,7 +5804,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # inside the 4-round staleness budget via this queue)
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
-    "emb_outliers",
+    "emb_outliers", "doremi_mix", "dedup_safe_split",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6018,6 +6066,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "stream_crawl": q_stream_crawl,
         "rouge_eval": q_rouge_eval,
+        "bleu_eval": q_bleu_eval,
+        "chrf_eval": q_chrf_eval,
         "compression_signal": q_compression_signal,
         "retrieval_eval": q_retrieval_eval,
         "kneser_ney": q_kneser_ney,
@@ -6729,6 +6779,178 @@ def oracle_sql() -> dict[str, str]:
                        2 * rouge2_p * rouge2_r / (rouge2_p + rouge2_r), 6)
                    ELSE 0.0 END AS rouge2_f
             FROM scored
+        """,
+        # full replay: every-7th-token deletion, four clipped
+        # precisions, rounded brevity penalty, geometric mean
+        "bleu_eval": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\S+') AS rt
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pairs AS (
+                SELECT doc_id, rt,
+                       list_transform(
+                           list_filter(range(1, len(rt) + 1),
+                                       i -> i % 7 != 0),
+                           i -> rt[i]) AS ct
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, ct AS c1,
+                       CASE WHEN len(ct) >= 2 THEN list_transform(
+                           range(1, len(ct)),
+                           i -> ct[i] || ' ' || ct[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS c2,
+                       CASE WHEN len(ct) >= 3 THEN list_transform(
+                           range(1, len(ct) - 1),
+                           i -> ct[i] || ' ' || ct[i + 1] || ' ' || ct[i + 2])
+                       ELSE CAST([] AS VARCHAR[]) END AS c3,
+                       CASE WHEN len(ct) >= 4 THEN list_transform(
+                           range(1, len(ct) - 2),
+                           i -> ct[i] || ' ' || ct[i + 1] || ' ' ||
+                                ct[i + 2] || ' ' || ct[i + 3])
+                       ELSE CAST([] AS VARCHAR[]) END AS c4,
+                       rt AS r1,
+                       CASE WHEN len(rt) >= 2 THEN list_transform(
+                           range(1, len(rt)),
+                           i -> rt[i] || ' ' || rt[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS r2,
+                       CASE WHEN len(rt) >= 3 THEN list_transform(
+                           range(1, len(rt) - 1),
+                           i -> rt[i] || ' ' || rt[i + 1] || ' ' || rt[i + 2])
+                       ELSE CAST([] AS VARCHAR[]) END AS r3,
+                       CASE WHEN len(rt) >= 4 THEN list_transform(
+                           range(1, len(rt) - 2),
+                           i -> rt[i] || ' ' || rt[i + 1] || ' ' ||
+                                rt[i + 2] || ' ' || rt[i + 3])
+                       ELSE CAST([] AS VARCHAR[]) END AS r4
+                FROM pairs
+            ),
+            d1 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c1, x -> x = u.gr)),
+                                 len(list_filter(r1, x -> x = u.gr)))) AS clip
+                FROM g, UNNEST(list_distinct(c1)) AS u(gr) GROUP BY doc_id
+            ),
+            d2 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c2, x -> x = u.gr)),
+                                 len(list_filter(r2, x -> x = u.gr)))) AS clip
+                FROM g, UNNEST(list_distinct(c2)) AS u(gr) GROUP BY doc_id
+            ),
+            d3 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c3, x -> x = u.gr)),
+                                 len(list_filter(r3, x -> x = u.gr)))) AS clip
+                FROM g, UNNEST(list_distinct(c3)) AS u(gr) GROUP BY doc_id
+            ),
+            d4 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c4, x -> x = u.gr)),
+                                 len(list_filter(r4, x -> x = u.gr)))) AS clip
+                FROM g, UNNEST(list_distinct(c4)) AS u(gr) GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT g.doc_id,
+                       CASE WHEN len(c1) > 0 THEN ROUND(
+                           COALESCE(d1.clip, 0) / CAST(len(c1) AS DOUBLE), 6)
+                       ELSE 0.0 END AS bleu_p1,
+                       CASE WHEN len(c2) > 0 THEN ROUND(
+                           COALESCE(d2.clip, 0) / CAST(len(c2) AS DOUBLE), 6)
+                       ELSE 0.0 END AS bleu_p2,
+                       CASE WHEN len(c3) > 0 THEN ROUND(
+                           COALESCE(d3.clip, 0) / CAST(len(c3) AS DOUBLE), 6)
+                       ELSE 0.0 END AS bleu_p3,
+                       CASE WHEN len(c4) > 0 THEN ROUND(
+                           COALESCE(d4.clip, 0) / CAST(len(c4) AS DOUBLE), 6)
+                       ELSE 0.0 END AS bleu_p4,
+                       CASE WHEN len(c1) >= len(r1) THEN 1.0
+                            WHEN len(c1) > 0 THEN ROUND(EXP(
+                                1 - len(r1) / CAST(len(c1) AS DOUBLE)), 6)
+                            ELSE 0.0 END AS brevity_penalty
+                FROM g
+                LEFT JOIN d1 ON g.doc_id = d1.doc_id
+                LEFT JOIN d2 ON g.doc_id = d2.doc_id
+                LEFT JOIN d3 ON g.doc_id = d3.doc_id
+                LEFT JOIN d4 ON g.doc_id = d4.doc_id
+            )
+            SELECT doc_id, bleu_p1, bleu_p2, bleu_p3, bleu_p4,
+                   brevity_penalty,
+                   CASE WHEN bleu_p1 * bleu_p2 * bleu_p3 * bleu_p4 > 0
+                        THEN ROUND(brevity_penalty * POWER(
+                            bleu_p1 * bleu_p2 * bleu_p3 * bleu_p4, 0.25), 6)
+                   ELSE 0.0 END AS bleu
+            FROM scored
+        """,
+        # full replay of the SCALE shape: leetspeak corruption, char
+        # grams exploded to (doc, order, gram) counts, one full join,
+        # per-order ratios averaged over all 6 orders
+        "chrf_eval": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(lower(replace(replace(text, 'e', '3'),
+                                                    'o', '0')),
+                                      '\s+', '', 'g') AS c,
+                       regexp_replace(lower(text), '\s+', '', 'g') AS r
+                FROM documents WHERE text IS NOT NULL
+            ),
+            orders AS (SELECT unnest(range(1, 7)) AS n),
+            cg AS (
+                SELECT doc_id, n, g, COUNT(*) AS cc
+                FROM (
+                    SELECT b.doc_id, o.n,
+                           unnest(list_transform(
+                               range(1, length(b.c) - o.n + 2),
+                               i -> substr(b.c, CAST(i AS INT),
+                                           CAST(o.n AS INT)))) AS g
+                    FROM base b, orders o WHERE length(b.c) >= o.n
+                ) GROUP BY doc_id, n, g
+            ),
+            rg AS (
+                SELECT doc_id, n, g, COUNT(*) AS rc
+                FROM (
+                    SELECT b.doc_id, o.n,
+                           unnest(list_transform(
+                               range(1, length(b.r) - o.n + 2),
+                               i -> substr(b.r, CAST(i AS INT),
+                                           CAST(o.n AS INT)))) AS g
+                    FROM base b, orders o WHERE length(b.r) >= o.n
+                ) GROUP BY doc_id, n, g
+            ),
+            j AS (
+                SELECT COALESCE(cg.doc_id, rg.doc_id) AS doc_id,
+                       COALESCE(cg.n, rg.n) AS n,
+                       SUM(LEAST(COALESCE(cc, 0), COALESCE(rc, 0))) AS clip,
+                       SUM(COALESCE(cc, 0)) AS ct,
+                       SUM(COALESCE(rc, 0)) AS rt
+                FROM cg FULL JOIN rg
+                  ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g
+                GROUP BY 1, 2
+            ),
+            po AS (
+                SELECT doc_id,
+                       CASE WHEN ct > 0 THEN clip / CAST(ct AS DOUBLE)
+                            ELSE 0.0 END AS p,
+                       CASE WHEN rt > 0 THEN clip / CAST(rt AS DOUBLE)
+                            ELSE 0.0 END AS r
+                FROM j
+            ),
+            ag AS (
+                SELECT doc_id, ROUND(SUM(p) / 6.0, 6) AS chrf_p,
+                       ROUND(SUM(r) / 6.0, 6) AS chrf_r
+                FROM po GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   COALESCE(chrf_p, 0.0) AS chrf_p,
+                   COALESCE(chrf_r, 0.0) AS chrf_r,
+                   CASE WHEN 4 * COALESCE(chrf_p, 0.0)
+                             + COALESCE(chrf_r, 0.0) > 0
+                        THEN ROUND(5 * chrf_p * chrf_r
+                                   / (4 * chrf_p + chrf_r), 6)
+                   ELSE 0.0 END AS chrf
+            FROM base b LEFT JOIN ag USING (doc_id)
+            ORDER BY b.doc_id
         """,
         # independent EXPECTATION oracle: the kept set follows from
         # the staging arithmetic (the robots PARSER is pinned by unit

@@ -78,6 +78,8 @@ from meta_frame_spark.operators.chunking import (
     sentence_passages,
 )
 from meta_frame_spark.operators.ranking_eval import (
+    bleu_scores,
+    chrf_scores,
     retrieval_metrics,
     rouge_n_scores,
 )
@@ -341,6 +343,8 @@ __all__ = [
     "byte_bpe_vocab",
     "encode_ids",
     "unigram_vocab_table",
+    "bleu_scores",
+    "chrf_scores",
     "rouge_n_scores",
     "wordpiece_encode",
     "wordpiece_train",

@@ -125,6 +125,244 @@ def retrieval_metrics(
     )
 
 
+def _word_grams(col: str, n: int, lowercase: bool):
+    """Whitespace-token n-gram array for ``col`` (empty array when the
+    text has fewer than ``n`` tokens — never NULL, so downstream
+    ``size``/``aggregate`` arithmetic stays total)."""
+    text = F.col(col)
+    if lowercase:
+        text = F.lower(text)
+    toks = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    built = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.when(F.size(toks) >= n, built).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _clipped_overlap(cand_grams, ref_grams):
+    """Multiset-clipped overlap: sum over distinct candidate grams of
+    min(count in candidate, count in reference) — the shared core of
+    ROUGE-N and BLEU modified precision. Pure codegen HOFs; per-row
+    cost O(distinct_c x len) inside one task."""
+    return F.aggregate(
+        F.array_distinct(cand_grams),
+        F.lit(0),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(cand_grams, lambda x: x == g)),
+            F.size(F.filter(ref_grams, lambda x: x == g)),
+        ),
+    )
+
+
+def bleu_scores(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+    lowercase: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-row sentence BLEU (Papineni et al. 2002) of a candidate
+    against a single reference: appends ``bleu_p{1..max_n}`` (modified
+    = clipped n-gram precisions, rounded), ``brevity_penalty``, and
+    ``bleu`` = BP x geometric mean of the precisions.
+
+    No smoothing (the original corpus-BLEU definition): if any order's
+    precision is 0 — including an empty candidate — ``bleu`` is 0.
+    Pairs where smoothing matters should score at a lower ``max_n``.
+    Brevity penalty = 1 when the candidate is at least reference
+    length, else exp(1 - ref_len/cand_len) over order-1 token counts.
+
+    Scale: like ``rouge_n_scores`` this is MAP-ONLY — codegen
+    higher-order functions over token n-gram arrays, no shuffle, no
+    UDF, stream-safe; engine-portable (DuckDB replays every score in
+    the driver oracle). Per-row cost is O(distinct_c x len_c) per
+    order — fine for document/sentence-sized rows; for very long rows
+    prefer the explode-and-count shape (see ``chrf_scores``)."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    for col in (cand_col, ref_col):
+        if col not in df.columns:
+            raise ValueError(f"bleu_scores: missing column {col!r}")
+
+    out = df
+    prec_cols = []
+    for n in range(1, max_n + 1):
+        cg = _word_grams(cand_col, n, lowercase)
+        rg = _word_grams(ref_col, n, lowercase)
+        out = out.withColumn(f"_cg{n}", cg).withColumn(f"_rg{n}", rg)
+        cgc = F.col(f"_cg{n}")
+        clip = _clipped_overlap(cgc, F.col(f"_rg{n}"))
+        p = F.when(
+            F.size(cgc) > 0, clip / F.size(cgc).cast("double")
+        ).otherwise(F.lit(0.0))
+        out = out.withColumn(f"bleu_p{n}", F.round(p, round_to))
+        prec_cols.append(F.col(f"bleu_p{n}"))
+
+    c_len = F.size(F.col("_cg1")).cast("double")
+    r_len = F.size(F.col("_rg1")).cast("double")
+    bp = F.when(c_len >= r_len, F.lit(1.0)).when(
+        c_len > 0, F.exp(F.lit(1.0) - r_len / c_len)
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("brevity_penalty", F.round(bp, round_to))
+
+    prod = prec_cols[0]
+    for p in prec_cols[1:]:
+        prod = prod * p
+    bleu = F.when(
+        prod > 0,
+        F.col("brevity_penalty")
+        * F.pow(prod, F.lit(1.0 / max_n)),
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn("bleu", F.round(bleu, round_to))
+    for n in range(1, max_n + 1):
+        out = out.drop(f"_cg{n}", f"_rg{n}")
+    return out
+
+
+def chrf_scores(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+    lowercase: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-row chrF (Popović 2015): character n-gram F-beta between a
+    candidate and a reference — ``(id_col, chrf_p, chrf_r, chrf)``.
+    ``chrf_p``/``chrf_r`` are the arithmetic means over orders
+    ``1..max_n`` of the clipped char-n-gram precision/recall
+    (whitespace stripped first, the chrF convention); ``chrf`` is
+    their F-beta (beta=2 weights recall, the published default). An
+    order where a side has no grams scores 0 for that side's ratio —
+    every id yields exactly one output row.
+
+    Scale design — deliberately NOT the per-row HOF shape of
+    ``rouge_n_scores``/``bleu_scores``: char grams at orders 1..6 are
+    ~6x text bytes per side, so a per-row clipped-overlap scan is
+    quadratic in row length. Here grams EXPLODE to (id, n, gram) rows,
+    count with map-side partial aggregation, and the two sides meet in
+    one (id, n, gram) equi-join — linear in corpus size, one shuffle
+    key family, no UDF. This is the shape that survives long rows and
+    100 TB; the same explode-count-join SQL replays in DuckDB."""
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    if beta <= 0:
+        raise ValueError(f"beta must be > 0, got {beta}")
+    for col in (cand_col, ref_col):
+        if col not in df.columns:
+            raise ValueError(f"chrf_scores: missing column {col!r}")
+
+    def stripped(col: str):
+        text = F.col(col)
+        if lowercase:
+            text = F.lower(text)
+        return F.regexp_replace(text, r"\s+", "")
+
+    base = df.select(
+        F.col(id_col),
+        stripped(cand_col).alias("_c"),
+        stripped(ref_col).alias("_r"),
+    )
+
+    def gram_rows(side_col: str, out_name: str):
+        # one array of (n, gram) structs across ALL orders, exploded
+        # once — a single pass over the text per side
+        s = F.col(side_col)
+
+        # single-parameter lambda via a factory: a second Python
+        # parameter would be bound by Spark as the HOF's INDEX
+        # variable, silently shadowing the captured order
+        def order_lambda(n: int):
+            return lambda i: F.struct(
+                F.lit(n).alias("n"),
+                s.substr(i, F.lit(n)).alias("gram"),
+            )
+
+        per_order = [
+            F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                    order_lambda(n),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<n:int,gram:string>>")
+            )
+            for n in range(1, max_n + 1)
+        ]
+        return (
+            base.select(F.col(id_col), F.explode(F.flatten(F.array(*per_order))).alias("_g"))
+            .select(F.col(id_col), F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+            .groupBy(id_col, "n", "gram")
+            .agg(F.count(F.lit(1)).alias(out_name))
+        )
+
+    cand_counts = gram_rows("_c", "_cc")
+    ref_counts = gram_rows("_r", "_rc")
+
+    per_order = (
+        cand_counts.join(ref_counts, [id_col, "n", "gram"], "full_outer")
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum(
+                F.least(
+                    F.coalesce("_cc", F.lit(0)), F.coalesce("_rc", F.lit(0))
+                )
+            ).alias("_clip"),
+            F.sum(F.coalesce("_cc", F.lit(0))).alias("_ct"),
+            F.sum(F.coalesce("_rc", F.lit(0))).alias("_rt"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_ct") > 0, F.col("_clip") / F.col("_ct").cast("double")
+            ).otherwise(F.lit(0.0)).alias("_p"),
+            F.when(
+                F.col("_rt") > 0, F.col("_clip") / F.col("_rt").cast("double")
+            ).otherwise(F.lit(0.0)).alias("_r"),
+        )
+    )
+
+    # spine over every (id, order): orders absent from the join (both
+    # sides gram-less) contribute 0 to the means, and fully-empty ids
+    # still emit a row
+    b2 = beta * beta
+    agg = per_order.groupBy(id_col).agg(
+        F.sum("_p").alias("_sp"), F.sum("_r").alias("_sr")
+    )
+    out = (
+        base.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.coalesce(F.col("_sp"), F.lit(0.0)) / F.lit(float(max_n)),
+                round_to,
+            ).alias("chrf_p"),
+            F.round(
+                F.coalesce(F.col("_sr"), F.lit(0.0)) / F.lit(float(max_n)),
+                round_to,
+            ).alias("chrf_r"),
+        )
+    )
+    fscore = F.when(
+        (b2 * F.col("chrf_p") + F.col("chrf_r")) > 0,
+        (1 + b2)
+        * F.col("chrf_p")
+        * F.col("chrf_r")
+        / (b2 * F.col("chrf_p") + F.col("chrf_r")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("chrf", F.round(fscore, round_to))
+
+
 def rouge_n_scores(
     df: DataFrame,
     cand_col: str,
@@ -155,36 +393,13 @@ def rouge_n_scores(
     if not ns or any(n < 1 for n in ns):
         raise ValueError(f"ns must be positive n-gram orders, got {ns}")
 
-    def grams(col: str, n: int):
-        text = F.col(col)
-        if lowercase:
-            text = F.lower(text)
-        toks = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
-        if n == 1:
-            return toks
-        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-        built = F.transform(
-            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
-        )
-        return F.when(F.size(toks) >= n, built).otherwise(
-            F.array().cast("array<string>")
-        )
-
     out = df
     for n in ns:
-        cg = grams(cand_col, n)
-        rg = grams(ref_col, n)
+        cg = _word_grams(cand_col, n, lowercase)
+        rg = _word_grams(ref_col, n, lowercase)
         out = out.withColumn(f"_cg{n}", cg).withColumn(f"_rg{n}", rg)
         cgc, rgc = F.col(f"_cg{n}"), F.col(f"_rg{n}")
-        clip = F.aggregate(
-            F.array_distinct(cgc),
-            F.lit(0),
-            lambda acc, g: acc + F.least(
-                F.size(F.filter(cgc, lambda x: x == g)),
-                F.size(F.filter(rgc, lambda x: x == g)),
-            ),
-        )
-        out = out.withColumn("_clip", clip)
+        out = out.withColumn("_clip", _clipped_overlap(cgc, rgc))
         p = F.when(
             F.size(cgc) > 0, F.col("_clip") / F.size(cgc).cast("double")
         ).otherwise(F.lit(0.0))

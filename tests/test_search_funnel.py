@@ -383,3 +383,130 @@ class TestRougeN:
         assert "Exchange" not in plan
         with _pt.raises(ValueError, match="ns"):
             rouge_n_scores(df, "cand", "ref", ns=())
+
+
+class TestBleu:
+    """Sentence BLEU (operators/ranking_eval.bleu_scores)."""
+
+    def test_hand_computed_bleu2(self, spark):
+        import math
+        from meta_frame_spark.operators.ranking_eval import bleu_scores
+
+        df = spark.createDataFrame(
+            [(1, "the cat the cat", "the cat sat on the mat")],
+            "pair_id bigint, cand string, ref string",
+        )
+        r = bleu_scores(df, "cand", "ref", max_n=2).collect()[0]
+        # 1-grams: clip the->2, cat->1 = 3 of 4; 2-grams: "the cat" 1 of 3
+        assert r.bleu_p1 == 0.75
+        assert r.bleu_p2 == round(1 / 3, 6)
+        # BP: cand 4 tokens vs ref 6 -> exp(1 - 6/4), rounded first
+        bp = round(math.exp(1 - 6 / 4), 6)
+        assert r.brevity_penalty == bp
+        assert r.bleu == round(bp * (0.75 * round(1 / 3, 6)) ** 0.5, 6)
+
+    def test_perfect_and_zero(self, spark):
+        from meta_frame_spark.operators.ranking_eval import bleu_scores
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "a b c d"),     # identical -> 1.0
+             (2, "x y z w", "a b c d"),     # no overlap -> 0
+             (3, "", "a b"),                # empty cand -> 0, bp 0
+             (4, "a b c d e", "a b c")],    # longer cand -> bp 1
+            "pair_id bigint, cand string, ref string",
+        )
+        out = {r.pair_id: r for r in
+               bleu_scores(df, "cand", "ref", max_n=2).collect()}
+        assert out[1].bleu == 1.0 and out[1].brevity_penalty == 1.0
+        assert out[2].bleu == 0.0 and out[2].bleu_p1 == 0.0
+        assert out[3].bleu == 0.0 and out[3].brevity_penalty == 0.0
+        assert out[4].brevity_penalty == 1.0
+
+    def test_zero_higher_order_kills_score(self, spark):
+        from meta_frame_spark.operators.ranking_eval import bleu_scores
+
+        # every unigram matches but no bigram does -> unsmoothed BLEU-2 = 0
+        df = spark.createDataFrame(
+            [(1, "c b a", "a b c")], "pair_id bigint, cand string, ref string"
+        )
+        r = bleu_scores(df, "cand", "ref", max_n=2).collect()[0]
+        assert r.bleu_p1 == 1.0 and r.bleu_p2 == 0.0 and r.bleu == 0.0
+
+    def test_map_only_plan_and_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.ranking_eval import bleu_scores
+
+        df = spark.createDataFrame(
+            [(1, "a", "a")], "pair_id bigint, cand string, ref string"
+        )
+        plan = bleu_scores(df, "cand", "ref")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        with _pt.raises(ValueError, match="max_n"):
+            bleu_scores(df, "cand", "ref", max_n=0)
+        with _pt.raises(ValueError, match="missing column"):
+            bleu_scores(df, "nope", "ref")
+
+
+class TestChrf:
+    """chrF char-n-gram F-beta (operators/ranking_eval.chrf_scores)."""
+
+    def test_hand_computed(self, spark):
+        from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+        df = spark.createDataFrame(
+            [(1, "ab", "abcd"), (2, "abab", "abab")],
+            "doc_id bigint, cand string, ref string",
+        )
+        out = {r.doc_id: r for r in
+               chrf_scores(df, "doc_id", "cand", "ref", max_n=2).collect()}
+        # id 1, n=1: clip 2 of cand 2 / ref 4; n=2: "ab" 1 of 1 / 3
+        assert out[1].chrf_p == 1.0
+        assert out[1].chrf_r == round((0.5 + 1 / 3) / 2, 6)
+        p, r = 1.0, round((0.5 + 1 / 3) / 2, 6)
+        assert out[1].chrf == round(5 * p * r / (4 * p + r), 6)
+        assert out[2].chrf == 1.0
+
+    def test_whitespace_stripped(self, spark):
+        from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+        df = spark.createDataFrame(
+            [(1, "a  b\tc", "abc")], "doc_id bigint, cand string, ref string"
+        )
+        r = chrf_scores(df, "doc_id", "cand", "ref", max_n=3).collect()[0]
+        assert r.chrf == 1.0
+
+    def test_empty_sides_emit_zero_rows(self, spark):
+        from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+        df = spark.createDataFrame(
+            [(1, "", "abc"), (2, "abc", ""), (3, "", "")],
+            "doc_id bigint, cand string, ref string",
+        )
+        out = {r.doc_id: r for r in
+               chrf_scores(df, "doc_id", "cand", "ref", max_n=2).collect()}
+        assert len(out) == 3
+        for r in out.values():
+            assert r.chrf_p == 0.0 and r.chrf_r == 0.0 and r.chrf == 0.0
+
+    def test_short_rows_missing_orders_average_as_zero(self, spark):
+        from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+        # 2-char text has no 3-grams: order 3 contributes 0 to the mean
+        df = spark.createDataFrame(
+            [(1, "ab", "ab")], "doc_id bigint, cand string, ref string"
+        )
+        r = chrf_scores(df, "doc_id", "cand", "ref", max_n=3).collect()[0]
+        assert r.chrf_p == round(2 / 3, 6) and r.chrf_r == round(2 / 3, 6)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.ranking_eval import chrf_scores
+
+        df = spark.createDataFrame(
+            [(1, "a", "a")], "doc_id bigint, cand string, ref string"
+        )
+        with _pt.raises(ValueError, match="max_n"):
+            chrf_scores(df, "doc_id", "cand", "ref", max_n=0)
+        with _pt.raises(ValueError, match="beta"):
+            chrf_scores(df, "doc_id", "cand", "ref", beta=0)
