@@ -3863,6 +3863,46 @@ def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(docs, ["source", "lang"], k=5)
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group l-diversity audit (operators/privacy.py
+    l_diversity_report — Machanavajjhala et al. 2007): quasi =
+    (c_mktsegment, c_nationkey), sensitive = the 2000-wide acctbal
+    bucket; both distinct-l and entropy-l verdicts at l=3. Two stacked
+    hash aggregations, nothing collected. Full oracle: DuckDB refits
+    the (quasi, sensitive) cell counts and replays the closed-form
+    entropy ln(n) - sum(c ln c)/n and both thresholds."""
+    from meta_frame_spark.operators.privacy import l_diversity_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+    )
+    return l_diversity_report(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_bucket", l=3
+    )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group t-closeness audit (operators/privacy.py
+    t_closeness_report — Li, Li & Venkatasubramanian 2007): same quasi
+    and sensitive bucketing as l_diversity; for categorical values
+    under equal ground distance the paper's EMD reduces exactly to
+    total variation, so every distance is a replayable count ratio.
+    The (group x value) spine is model-table-sized (125 x 6 here;
+    |groups| x |values| always) — never corpus-sized. Full oracle:
+    DuckDB rebuilds the global distribution, the spine, and every
+    rounded distance/verdict."""
+    from meta_frame_spark.operators.privacy import t_closeness_report
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+    )
+    return t_closeness_report(
+        cust, ["c_mktsegment", "c_nationkey"], "bal_bucket", t=0.3
+    )
+
+
 def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization audit (operators/quantize.py
     int8_reconstruction_stats — pure JVM transform/aggregate HOFs,
@@ -5767,6 +5807,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
+    "l_diversity", "t_closeness",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5779,7 +5820,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
     "cms_freq", "containment", "corr_signals", "count_anomalies",
-    "curation_budget", "curation_cleanup",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5805,6 +5845,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
     "emb_outliers", "doremi_mix", "dedup_safe_split",
+    "curation_cleanup", "curation_budget",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -5903,6 +5944,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "top_mass": q_top_mass,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "k_anonymity_report": q_k_anonymity_report,
         "int8_quantize": q_int8_quantize,
         "int8_topk": q_int8_topk,
@@ -8875,6 +8918,67 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0
                          / SUM(n), 6) AS suppressed_frac
             FROM g
+        """,
+        # full replay: (quasi, sensitive) cell refit, closed-form
+        # entropy ln(n) - sum(c ln c)/n, both l=3 verdicts
+        "l_diversity": """
+            WITH cell AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+                       COUNT(*) AS c
+                FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_sensitive,
+                   ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c * LN(CAST(c AS DOUBLE)))
+                           / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+                   COUNT(*) >= 3 AS distinct_ok,
+                   ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c * LN(CAST(c AS DOUBLE)))
+                           / CAST(SUM(c) AS DOUBLE), 6) >= 1.098612
+                       AS entropy_ok
+            FROM cell GROUP BY 1, 2
+        """,
+        # full replay: global sensitive distribution, (group x value)
+        # spine, total-variation distance (= categorical EMD), verdict
+        "t_closeness": """
+            WITH cell AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+                       COUNT(*) AS c
+                FROM customer GROUP BY 1, 2, 3
+            ),
+            grp AS (
+                SELECT c_mktsegment, c_nationkey,
+                       CAST(SUM(c) AS BIGINT) AS n_rows
+                FROM cell GROUP BY 1, 2
+            ),
+            gl AS (
+                SELECT CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+                       COUNT(*) AS g
+                FROM customer GROUP BY 1
+            ),
+            globp AS (
+                SELECT bal_bucket,
+                       g / CAST((SELECT SUM(g) FROM gl) AS DOUBLE) AS q
+                FROM gl
+            ),
+            j AS (
+                SELECT s.c_mktsegment, s.c_nationkey, s.n_rows, s.q,
+                       COALESCE(cell.c, 0)
+                           / CAST(s.n_rows AS DOUBLE) AS p
+                FROM (SELECT * FROM grp CROSS JOIN globp) s
+                LEFT JOIN cell
+                  ON s.c_mktsegment = cell.c_mktsegment
+                 AND s.c_nationkey = cell.c_nationkey
+                 AND s.bal_bucket = cell.bal_bucket
+            )
+            SELECT c_mktsegment, c_nationkey, n_rows,
+                   ROUND(SUM(ABS(p - q)) / 2, 6) AS distance,
+                   ROUND(SUM(ABS(p - q)) / 2, 6) <= 0.3 AS close_ok
+            FROM j GROUP BY 1, 2, 3
         """,
         "int8_quantize": """
             WITH q AS (

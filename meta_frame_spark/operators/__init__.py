@@ -99,6 +99,8 @@ from meta_frame_spark.operators.logreg import (
 from meta_frame_spark.operators.privacy import (
     k_anonymity_filter,
     k_anonymity_report,
+    l_diversity_report,
+    t_closeness_report,
 )
 from meta_frame_spark.operators.quantize import (
     int8_dequantize,
@@ -384,6 +386,8 @@ __all__ = [
     "ivf_topk",
     "k_anonymity_filter",
     "k_anonymity_report",
+    "l_diversity_report",
+    "t_closeness_report",
     "kcenter_coverage",
     "mmr_select",
     "nb_predict",

@@ -1,11 +1,16 @@
-"""K-anonymity checks for quasi-identifier columns.
+"""K-anonymity / l-diversity / t-closeness checks for quasi-identifiers.
 
 Not in the reference (no privacy surface); a training-data pipeline
 that exports user-derived corpora needs a release gate: a row is
 k-anonymous w.r.t. a set of quasi-identifier columns when at least
 ``k`` rows share its full quasi-identifier tuple (Sweeney 2002, public
 technique). Rows in smaller groups are re-identifiable and get
-suppressed before release.
+suppressed before release. K-anonymity alone leaks when a qualifying
+group is homogeneous in the SENSITIVE attribute — l-diversity
+(Machanavajjhala et al. 2007) requires each group to hold at least
+``l`` well-represented sensitive values, and t-closeness (Li, Li &
+Venkatasubramanian 2007) bounds how far a group's sensitive
+distribution may drift from the table-wide one.
 
 Scale design: one hashed groupBy on the quasi columns with map-side
 partial counts (the group frame is |distinct tuples|, orders of
@@ -16,7 +21,7 @@ fact rows never shuffle for the report; nothing is collected.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -77,4 +82,128 @@ def k_anonymity_report(
         F.round(F.col("suppressed_rows") / F.col("n_rows"), 6).alias(
             "suppressed_frac"
         ),
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741 - the metric's published name
+) -> DataFrame:
+    """Per-quasi-group l-diversity audit (Machanavajjhala et al. 2007):
+    ``(*quasi_cols, n_rows, n_sensitive, entropy, distinct_ok,
+    entropy_ok)`` — ``distinct_ok`` is distinct l-diversity
+    (>= l distinct sensitive values in the group), ``entropy_ok`` is
+    entropy l-diversity (Shannon entropy of the group's sensitive
+    distribution >= ln(l), the stricter published variant). NULL
+    sensitive values form their own category (groupBy semantics) —
+    a column of NULLs is a homogeneity leak like any other.
+
+    Scale design: two stacked hash aggregations — (quasi, sensitive)
+    counts first (map-side partials absorb the fact rows), then one
+    group-level pass; both outputs are distinct-tuple-sized, the fact
+    rows shuffle once on the (quasi, sensitive) key, nothing is
+    collected."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    if not quasi_cols:
+        raise ValueError("l_diversity needs at least one quasi-identifier column")
+    import math
+
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = F.sum("_c")
+    # entropy of the in-group sensitive distribution: since
+    # sum(c * ln c) and n * ln n aggregate independently,
+    # H = ln(n) - sum(c ln c)/n needs no second pass over p_i
+    ent = F.log(tot.cast("double")) - F.sum(
+        F.col("_c") * F.log(F.col("_c").cast("double"))
+    ) / tot
+    return (
+        cell.groupBy(*quasi_cols)
+        .agg(
+            tot.cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+            F.round(ent, 6).alias("entropy"),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_sensitive",
+            "entropy",
+            (F.col("n_sensitive") >= l).alias("distinct_ok"),
+            (F.col("entropy") >= F.lit(round(math.log(l), 6))).alias(
+                "entropy_ok"
+            ),
+        )
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """Per-quasi-group t-closeness audit for a CATEGORICAL sensitive
+    attribute (Li, Li & Venkatasubramanian 2007): ``(*quasi_cols,
+    n_rows, distance, close_ok)`` where ``distance`` is the total
+    variation distance between the group's sensitive distribution and
+    the table-wide one — for categorical attributes under the
+    equal-ground-distance metric, the Earth Mover's Distance of the
+    paper reduces exactly to total variation (half the L1 gap).
+    Sensitive values absent from a group contribute their full global
+    mass to the gap.
+
+    Scale design: the global distribution is a |values|-sized frame
+    broadcast into a (group x value) spine built from the two
+    aggregate tables — the spine is |groups| x |values| rows (model
+    table sized, never corpus sized); fact rows shuffle once."""
+    if not 0 < t <= 1:
+        raise ValueError(f"t must be in (0, 1], got {t}")
+    if not quasi_cols:
+        raise ValueError("t_closeness needs at least one quasi-identifier column")
+
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    groups = cell.groupBy(*quasi_cols).agg(
+        F.sum("_c").cast("long").alias("n_rows")
+    )
+    # whole-frame window over the |values|-sized aggregate (never the
+    # fact rows) — the total lands on each value without a collect
+    n_total = F.sum("_g").over(Window.partitionBy())
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .select(
+            sensitive_col,
+            (F.col("_g") / n_total.cast("double")).alias("_q"),
+        )
+    )
+    # (group x value) spine: absent cells get p = 0, so |p - q| = q
+    spine = groups.crossJoin(F.broadcast(glob))
+    joined = spine.join(cell, [*quasi_cols, sensitive_col], "left").select(
+        *quasi_cols,
+        "n_rows",
+        "_q",
+        (
+            F.coalesce(F.col("_c"), F.lit(0)) / F.col("n_rows").cast("double")
+        ).alias("_p"),
+    )
+    return (
+        joined.groupBy(*quasi_cols, "n_rows")
+        .agg(
+            F.round(F.sum(F.abs(F.col("_p") - F.col("_q"))) / 2, 6).alias(
+                "distance"
+            )
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "distance",
+            (F.col("distance") <= t).alias("close_ok"),
+        )
     )

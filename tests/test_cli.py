@@ -108,10 +108,10 @@ def test_driver_window_composition():
     for name in ("vocab_ids", "crawl_ingest", "html_links",
                  "ccnet_buckets", "link_hostrank", "robots_gate",
                  "wordpiece_tokenize", "stream_crawl", "rouge_eval",
-                 "bleu_eval", "chrf_eval"):
+                 "bleu_eval", "chrf_eval", "l_diversity", "t_closeness"):
         assert name in window, name
     for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "curation_cleanup"):
+                 "count_anomalies"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [

@@ -66,3 +66,82 @@ def test_validation(spark):
 def test_k1_is_identity(spark):
     df = _df(spark)
     assert k_anonymity_filter(df, ["zip", "age"], k=1).count() == df.count()
+
+
+def test_l_diversity_hand_case(spark):
+    import math
+
+    from meta_frame_spark.operators.privacy import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+         ("b", "x"), ("b", "x"), ("b", "x")],
+        "qid string, sens string",
+    )
+    out = {r.qid: r for r in
+           l_diversity_report(df, ["qid"], "sens", l=2).collect()}
+    # group a: 2 values, entropy ln 2 — passes both at l=2
+    assert out["a"].n_rows == 4 and out["a"].n_sensitive == 2
+    assert out["a"].entropy == round(math.log(2), 6)
+    assert out["a"].distinct_ok and out["a"].entropy_ok
+    # group b: homogeneous — entropy 0, fails both
+    assert out["b"].n_sensitive == 1 and out["b"].entropy == 0.0
+    assert not out["b"].distinct_ok and not out["b"].entropy_ok
+
+
+def test_l_diversity_null_sensitive_is_a_category(spark):
+    from meta_frame_spark.operators.privacy import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", None)], "qid string, sens string"
+    )
+    r = l_diversity_report(df, ["qid"], "sens", l=2).collect()[0]
+    assert r.n_sensitive == 2 and r.distinct_ok
+
+
+def test_t_closeness_hand_case(spark):
+    from meta_frame_spark.operators.privacy import t_closeness_report
+
+    # global: x 3/4, y 1/4; both groups sit at TV distance 0.25
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x")],
+        "qid string, sens string",
+    )
+    out = {r.qid: r for r in
+           t_closeness_report(df, ["qid"], "sens", t=0.3).collect()}
+    assert out["a"].distance == 0.25 and out["a"].close_ok
+    assert out["b"].distance == 0.25 and out["b"].close_ok
+    tight = {r.qid: r for r in
+             t_closeness_report(df, ["qid"], "sens", t=0.2).collect()}
+    assert not tight["a"].close_ok and not tight["b"].close_ok
+
+
+def test_t_closeness_absent_value_counts_full_mass(spark):
+    from meta_frame_spark.operators.privacy import t_closeness_report
+
+    # group b never sees y: |1 - 5/6| + |0 - 1/6| = 1/3 -> distance 1/6
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"),
+         ("b", "x"), ("b", "x")],
+        "qid string, sens string",
+    )
+    out = {r.qid: r for r in
+           t_closeness_report(df, ["qid"], "sens", t=0.5).collect()}
+    assert out["b"].distance == round(1 / 6, 6)
+
+
+def test_l_diversity_and_t_closeness_validation(spark):
+    from meta_frame_spark.operators.privacy import (
+        l_diversity_report,
+        t_closeness_report,
+    )
+
+    df = spark.createDataFrame([("a", "x")], "qid string, sens string")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, [], "sens")
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["qid"], "sens", l=0)
+    with pytest.raises(ValueError):
+        t_closeness_report(df, ["qid"], "sens", t=0.0)
+    with pytest.raises(ValueError):
+        t_closeness_report(df, [], "sens")
