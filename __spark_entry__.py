@@ -5740,6 +5740,53 @@ def q_kneser_ney3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PR/ROC staging: the deterministic md5-uniform label used
+    by roc_auc, so AUC / AP / the curve are comparable metrics over
+    the same synthetic classifier."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("lbl"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return docs.select(
+        F.floor(F.col("n_chars") / 50).cast("long").alias("score"),
+        (u < F.col("n_chars") / 600.0).alias("label"),
+    )
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve (operators/stats
+    .precision_recall_curve — sklearn convention, tie rows grouped at
+    distinct thresholds): same staged labels as roc_auc, so the two
+    metrics describe one classifier. Distinct-score collapse + the
+    two-phase prefix sum; the curve frame never exceeds the distinct
+    score count. Full oracle: DuckDB replays the staging and the
+    descending cumulative sums."""
+    from meta_frame_spark.operators.stats import precision_recall_curve
+
+    return precision_recall_curve(
+        _pr_staged(spark, sf_dir), "score", "label"
+    )
+
+
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (operators/stats.average_precision
+    — the sklearn step definition sum(dRecall x precision)): one row
+    over the roc_auc staging. AP weights ranking quality by where the
+    positives land — the complement to AUC for skewed quality
+    classes. Full oracle: DuckDB replays the weighted sum."""
+    from meta_frame_spark.operators.stats import average_precision
+
+    return average_precision(_pr_staged(spark, sf_dir), "score", "label")
+
+
 def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC with average-rank ties (operators/stats.roc_auc —
     the Mann-Whitney statistic sklearn's roc_auc_score computes), the
@@ -5752,22 +5799,7 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single-task global window."""
     from meta_frame_spark.operators.stats import roc_auc
 
-    docs = _t(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("lbl"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("double")
-        / F.lit(float(2**32))
-    )
-    staged = docs.select(
-        F.floor(F.col("n_chars") / 50).cast("long").alias("score"),
-        (u < F.col("n_chars") / 600.0).alias("label"),
-    )
-    return roc_auc(staged, "score", "label")
+    return roc_auc(_pr_staged(spark, sf_dir), "score", "label")
 
 
 # --------------------------------------------------------------------------
@@ -5807,7 +5839,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
-    "l_diversity", "t_closeness",
+    "l_diversity", "t_closeness", "pr_curve", "average_precision",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5819,7 +5851,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (2) alphabetical head of the 50 r10-green rows
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
     "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
-    "cms_freq", "containment", "corr_signals", "count_anomalies",
+    "cms_freq", "containment",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5845,7 +5877,8 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
     "emb_outliers", "doremi_mix", "dedup_safe_split",
-    "curation_cleanup", "curation_budget",
+    "curation_cleanup", "curation_budget", "count_anomalies",
+    "corr_signals",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6117,6 +6150,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney3": q_kneser_ney3,
         "kneser_ney_mod": q_kneser_ney_mod,
         "roc_auc": q_roc_auc,
+        "pr_curve": q_pr_curve,
+        "average_precision": q_average_precision,
     }
 
 
@@ -10738,6 +10773,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
                          / CAST(n_pos * n_neg AS DOUBLE), 6)
                END AS auc
+        FROM tot
+    """
+    # PR family over the SAME staging as roc_auc: descending
+    # cumulative predicted/true-positive sums at distinct thresholds
+    _PR_CTES = r"""
+        WITH staged AS (
+            SELECT CAST(floor(n_chars / 50) AS BIGINT) AS s,
+                   (('0x' || substr(md5(doc_id || ':lbl'), 1, 8))::BIGINT
+                    / 4294967296.0) < (n_chars / 600.0) AS y
+            FROM documents
+        ),
+        per_score AS (
+            SELECT s, COUNT(*) AS cnt,
+                   SUM(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+            FROM staged GROUP BY s
+        ),
+        ranked AS (
+            SELECT s, pos, cnt,
+                   SUM(cnt) OVER (ORDER BY s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS pred,
+                   SUM(pos) OVER (ORDER BY s DESC
+                                  ROWS UNBOUNDED PRECEDING) AS tp
+            FROM per_score
+        ),
+        tot AS (SELECT SUM(pos) AS np, SUM(cnt - pos) AS nn
+                FROM per_score)
+    """
+    d["pr_curve"] = _PR_CTES + r"""
+        SELECT s AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(pred - tp AS BIGINT) AS fp,
+               ROUND(tp / CAST(pred AS DOUBLE), 6) AS "precision",
+               CASE WHEN np > 0 THEN
+                   ROUND(tp / CAST(np AS DOUBLE), 6)
+               END AS recall
+        FROM ranked, tot
+    """
+    d["average_precision"] = _PR_CTES + r"""
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               CASE WHEN np > 0 THEN
+                   ROUND((SELECT SUM(pos * (tp / CAST(pred AS DOUBLE)))
+                          FROM ranked) / CAST(np AS DOUBLE), 6)
+               END AS average_precision
         FROM tot
     """
     # Interpolated Kneser-Ney replayed exactly: all four count tables

@@ -213,7 +213,9 @@ from meta_frame_spark.operators.sampling import (
 )
 from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
+    average_precision,
     calibration_report,
+    precision_recall_curve,
     roc_auc,
     corr_matrix,
     embedding_drift,
@@ -312,6 +314,8 @@ __all__ = [
     "unigram_sample_encode",
     "retrieval_metrics",
     "kneser_ney_logprob",
+    "average_precision",
+    "precision_recall_curve",
     "roc_auc",
     "winsorize",
     "histogram_fixed",

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -270,4 +270,92 @@ def roc_auc(
                 6,
             ),
         ).alias("auc"),
+    )
+
+
+def _pr_cumulative(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Shared PR staging: distinct-score counts with descending-order
+    cumulative predicted/true-positive totals — ``(_s, _cnt, _pos,
+    _pred, _tp)``. Scores must be numeric (the descending order is a
+    negated range sort). The frame is DISTINCT-SCORE-sized from the
+    first aggregate on, so the two prefix-sum passes are
+    model-table-priced, never corpus-priced."""
+    from meta_frame_spark.operators.ids import running_total
+
+    scored = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    per_score = scored.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.col("_y").cast("long")).alias("_pos"),
+    ).withColumn("_ord", -F.col("_s").cast("double"))
+    cum = running_total(per_score, ["_ord"], "_cnt", out_col="_pred")
+    return running_total(cum, ["_ord"], "_pos", out_col="_tp")
+
+
+def precision_recall_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The exact precision-recall curve of a numeric score against a
+    boolean label: one row per DISTINCT score value ``(threshold, tp,
+    fp, precision, recall)``, where rows scoring >= threshold are
+    predicted positive (the sklearn ``precision_recall_curve``
+    convention, tie rows grouped). ``recall`` is NULL when the input
+    has no positives (undefined, not 0). NULL scores/labels are
+    excluded.
+
+    Scale: identical shape to :func:`roc_auc` — one hash aggregate
+    collapses the corpus to distinct scores (map-side combine), then
+    the distributed two-phase prefix sum (``ids.running_total``)
+    orders them descending; no corpus-sized window, nothing
+    collected."""
+    cum = _pr_cumulative(df, score_col, label_col)
+    n_pos = F.sum("_pos").over(Window.partitionBy())
+    return cum.select(
+        F.col("_s").alias("threshold"),
+        F.col("_tp").cast("long").alias("tp"),
+        (F.col("_pred") - F.col("_tp")).cast("long").alias("fp"),
+        F.round(F.col("_tp") / F.col("_pred"), 6).alias("precision"),
+        F.when(
+            n_pos > 0, F.round(F.col("_tp") / n_pos.cast("double"), 6)
+        ).alias("recall"),
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact average precision (PR-AUC by the step-interpolation-free
+    definition sklearn's ``average_precision_score`` uses): one row
+    ``(n_pos, n_neg, average_precision)`` with
+
+        AP = sum over distinct thresholds of (dRecall x precision)
+           = sum(pos_at_s * (tp_s / pred_s)) / n_pos
+
+    NULL when the input has no positive rows (recall undefined).
+    Complements :func:`roc_auc`: AUC is threshold-free ranking
+    quality, AP weights the ranking by where the positives actually
+    land — the metric that moves when a quality classifier's top
+    decile goes bad. Same distributed shape as roc_auc (distinct-score
+    collapse + two-phase prefix sum)."""
+    cum = _pr_cumulative(df, score_col, label_col)
+    totals = cum.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("_pos") * (F.col("_tp") / F.col("_pred"))).alias("_w"),
+    )
+    return totals.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("_w") / F.col("n_pos").cast("double"), 6),
+        ).alias("average_precision"),
     )

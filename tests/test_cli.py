@@ -108,10 +108,11 @@ def test_driver_window_composition():
     for name in ("vocab_ids", "crawl_ingest", "html_links",
                  "ccnet_buckets", "link_hostrank", "robots_gate",
                  "wordpiece_tokenize", "stream_crawl", "rouge_eval",
-                 "bleu_eval", "chrf_eval", "l_diversity", "t_closeness"):
+                 "bleu_eval", "chrf_eval", "l_diversity", "t_closeness",
+                 "pr_curve", "average_precision"):
         assert name in window, name
     for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "count_anomalies"):
+                 "containment"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [

@@ -181,3 +181,80 @@ class TestRocAuc:
         all_neg = all_pos.selectExpr("s", "NOT y AS y")
         r = roc_auc(all_neg, "s", "y").first()
         assert (r.n_pos, r.n_neg) == (0, 2) and r.auc is None
+
+
+class TestPrecisionRecall:
+    """PR curve + average precision (operators/stats)."""
+
+    def test_hand_computed_curve_and_ap(self, spark):
+        from meta_frame_spark.operators.stats import (
+            average_precision,
+            precision_recall_curve,
+        )
+
+        df = spark.createDataFrame(
+            [(0.8, True), (0.6, False), (0.4, True), (0.2, False)],
+            "s double, y boolean",
+        )
+        curve = {r.threshold: r for r in
+                 precision_recall_curve(df, "s", "y").collect()}
+        assert curve[0.8].tp == 1 and curve[0.8].fp == 0
+        assert curve[0.8].precision == 1.0 and curve[0.8].recall == 0.5
+        assert curve[0.6].precision == 0.5 and curve[0.6].recall == 0.5
+        assert curve[0.4].precision == round(2 / 3, 6)
+        assert curve[0.4].recall == 1.0
+        assert curve[0.2].tp == 2 and curve[0.2].fp == 2
+        # AP = 0.5*1 + 0.5*(2/3) — the sklearn value for this input
+        ap = average_precision(df, "s", "y").first()
+        assert (ap.n_pos, ap.n_neg) == (2, 2)
+        assert ap.average_precision == round(0.5 + 1 / 3, 6)
+
+    def test_tied_scores_group_at_one_threshold(self, spark):
+        from meta_frame_spark.operators.stats import (
+            average_precision,
+            precision_recall_curve,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, True), (1.0, False), (0.0, True)], "s double, y boolean"
+        )
+        curve = {r.threshold: r for r in
+                 precision_recall_curve(df, "s", "y").collect()}
+        assert len(curve) == 2
+        assert curve[1.0].tp == 1 and curve[1.0].fp == 1
+        assert curve[0.0].precision == round(2 / 3, 6)
+        ap = average_precision(df, "s", "y").first()
+        assert ap.average_precision == round(0.5 * 0.5 + 0.5 * 2 / 3, 6)
+
+    def test_no_positives_yields_null(self, spark):
+        from meta_frame_spark.operators.stats import (
+            average_precision,
+            precision_recall_curve,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, False), (0.5, False)], "s double, y boolean"
+        )
+        ap = average_precision(df, "s", "y").first()
+        assert ap.n_pos == 0 and ap.average_precision is None
+        for r in precision_recall_curve(df, "s", "y").collect():
+            assert r.recall is None and r.precision == 0.0
+
+    def test_all_positives_ap_is_one(self, spark):
+        from meta_frame_spark.operators.stats import average_precision
+
+        df = spark.createDataFrame(
+            [(1.0, True), (0.5, True)], "s double, y boolean"
+        )
+        ap = average_precision(df, "s", "y").first()
+        assert ap.n_neg == 0 and ap.average_precision == 1.0
+
+    def test_null_rows_excluded(self, spark):
+        from meta_frame_spark.operators.stats import average_precision
+
+        df = spark.createDataFrame(
+            [(1.0, True), (None, True), (0.5, None)],
+            "s double, y boolean",
+        )
+        ap = average_precision(df, "s", "y").first()
+        assert (ap.n_pos, ap.n_neg) == (1, 0)
