@@ -5740,6 +5740,50 @@ def q_kneser_ney3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census (operators/stats
+    .mad_outliers_report — Iglewicz & Hoaglin modified z-score,
+    |x - med| > 3.5 x 1.4826 x MAD): lineitem extended prices per
+    (returnflag, linestatus). Exact medians (group-sortable at test
+    SFs; exact=False flips to the percentile_approx sketch at 100 TB).
+    Full oracle: DuckDB quantile_cont replays both medians, the
+    threshold, and the census."""
+    from meta_frame_spark.operators.stats import mad_outliers_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mad_outliers_report(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], k=3.5
+    )
+
+
+def q_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity probe via pairwise self-BLEU-2 (operators/
+    ranking_eval.self_bleu_probe — Zhu et al. 2018, Texygen; high
+    self-BLEU = templated/mode-collapsed text): a DETERMINISTIC
+    60-doc md5-ordered sample, all 3540 ordered pairs scored with
+    unsmoothed BLEU-2, per-doc means. The quadratic stays inside the
+    fixed sample (broadcast s x s) — probe cost is sample-chosen,
+    corpus-independent. Full oracle: DuckDB replays the sample
+    selection, every pairwise BLEU, and the means."""
+    from meta_frame_spark.operators.ranking_eval import self_bleu_probe
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return self_bleu_probe(docs, "doc_id", "text", sample_size=60, max_n=2)
+
+
+def q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row source-concentration report (operators/profile
+    .corpus_concentration): Gini over sorted source counts, closed-
+    form entropy, top-source share — the mixing diagnostic a corpus
+    release report leads with. The rank window runs on the |sources|-
+    sized aggregate only. Full oracle: DuckDB replays the sorted-
+    counts Gini decomposition and both ratios."""
+    from meta_frame_spark.operators.profile import corpus_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_concentration(docs, "source")
+
+
 def _pr_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared PR/ROC staging: the deterministic md5-uniform label used
     by roc_auc, so AUC / AP / the curve are comparable metrics over
@@ -5840,6 +5884,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "link_hostrank", "robots_gate", "wordpiece_tokenize",
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
+    "mad_outliers", "self_bleu", "corpus_concentration",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5850,8 +5895,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
-    "b_q4_priority", "bloom_decontam", "bucket_spine", "char_entropy",
-    "cms_freq", "containment",
+    "b_q4_priority", "bloom_decontam", "bucket_spine",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5878,7 +5922,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
     "emb_outliers", "doremi_mix", "dedup_safe_split",
     "curation_cleanup", "curation_budget", "count_anomalies",
-    "corr_signals",
+    "corr_signals", "containment", "cms_freq", "char_entropy",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6152,6 +6196,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "pr_curve": q_pr_curve,
         "average_precision": q_average_precision,
+        "mad_outliers": q_mad_outliers,
+        "self_bleu": q_self_bleu,
+        "corpus_concentration": q_corpus_concentration,
     }
 
 
@@ -10818,6 +10865,130 @@ def oracle_sql() -> dict[str, str]:
                           FROM ranked) / CAST(np AS DOUBLE), 6)
                END AS average_precision
         FROM tot
+    """
+    # full replay: both quantile_cont medians, the modified z-score
+    # threshold, the MAD=0 degenerate rule, and the census
+    d["mad_outliers"] = r"""
+        WITH med AS (
+            SELECT l_returnflag, l_linestatus,
+                   quantile_cont(l_extendedprice, 0.5) AS med
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        dev AS (
+            SELECT l.l_returnflag, l.l_linestatus,
+                   l.l_extendedprice AS v, m.med,
+                   ABS(l.l_extendedprice - m.med) AS d
+            FROM lineitem l
+            JOIN med m USING (l_returnflag, l_linestatus)
+            WHERE l.l_extendedprice IS NOT NULL
+        ),
+        mad AS (
+            SELECT l_returnflag, l_linestatus,
+                   quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY 1, 2
+        )
+        SELECT dev.l_returnflag, dev.l_linestatus,
+               COUNT(*) AS n,
+               ROUND(ANY_VALUE(dev.med), 6) AS median,
+               ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+               CAST(SUM(CASE WHEN (CASE WHEN mad.mad > 0
+                        THEN dev.d > 3.5 * 1.4826 * mad.mad
+                        ELSE dev.v != dev.med END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(SUM(CASE WHEN (CASE WHEN mad.mad > 0
+                         THEN dev.d > 3.5 * 1.4826 * mad.mad
+                         ELSE dev.v != dev.med END)
+                     THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_frac
+        FROM dev JOIN mad USING (l_returnflag, l_linestatus)
+        GROUP BY 1, 2
+    """
+    # full replay: deterministic md5 sample, every pairwise BLEU-2
+    # (clip CTEs per order), per-doc means
+    d["self_bleu"] = r"""
+        WITH samp AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ORDER BY md5(doc_id || ':sb') LIMIT 60
+        ),
+        pairs AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb,
+                   regexp_extract_all(lower(a.text), '\S+') AS ct,
+                   regexp_extract_all(lower(b.text), '\S+') AS rt
+            FROM samp a, samp b WHERE a.doc_id != b.doc_id
+        ),
+        g AS (
+            SELECT ida, idb, ct AS c1, rt AS r1,
+                   CASE WHEN len(ct) >= 2 THEN list_transform(
+                       range(1, len(ct)),
+                       i -> ct[i] || ' ' || ct[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS c2,
+                   CASE WHEN len(rt) >= 2 THEN list_transform(
+                       range(1, len(rt)),
+                       i -> rt[i] || ' ' || rt[i + 1])
+                   ELSE CAST([] AS VARCHAR[]) END AS r2
+            FROM pairs
+        ),
+        d1 AS (
+            SELECT ida, idb,
+                   SUM(LEAST(len(list_filter(c1, x -> x = u.gr)),
+                             len(list_filter(r1, x -> x = u.gr)))) AS clip
+            FROM g, UNNEST(list_distinct(c1)) AS u(gr) GROUP BY ida, idb
+        ),
+        d2 AS (
+            SELECT ida, idb,
+                   SUM(LEAST(len(list_filter(c2, x -> x = u.gr)),
+                             len(list_filter(r2, x -> x = u.gr)))) AS clip
+            FROM g, UNNEST(list_distinct(c2)) AS u(gr) GROUP BY ida, idb
+        ),
+        scored AS (
+            SELECT g.ida,
+                   CASE WHEN len(c1) > 0 THEN ROUND(
+                       COALESCE(d1.clip, 0) / CAST(len(c1) AS DOUBLE), 6)
+                   ELSE 0.0 END AS p1,
+                   CASE WHEN len(c2) > 0 THEN ROUND(
+                       COALESCE(d2.clip, 0) / CAST(len(c2) AS DOUBLE), 6)
+                   ELSE 0.0 END AS p2,
+                   CASE WHEN len(c1) >= len(r1) THEN 1.0
+                        WHEN len(c1) > 0 THEN ROUND(EXP(
+                            1 - len(r1) / CAST(len(c1) AS DOUBLE)), 6)
+                        ELSE 0.0 END AS bp
+            FROM g
+            LEFT JOIN d1 ON g.ida = d1.ida AND g.idb = d1.idb
+            LEFT JOIN d2 ON g.ida = d2.ida AND g.idb = d2.idb
+        )
+        SELECT ida AS doc_id, COUNT(*) AS n_refs,
+               ROUND(AVG(CASE WHEN p1 * p2 > 0 THEN
+                   ROUND(bp * POWER(p1 * p2, 0.5), 6)
+                   ELSE 0.0 END), 6) AS self_bleu
+        FROM scored GROUP BY 1
+    """
+    # full replay: sorted-counts Gini decomposition
+    # 2*sum(i*c) - (n+1)*total over the group-sized frame
+    d["corpus_concentration"] = r"""
+        WITH c AS (
+            SELECT source AS g, COUNT(*) AS c FROM documents GROUP BY 1
+        ),
+        r AS (
+            SELECT g, c,
+                   ROW_NUMBER() OVER (ORDER BY c ASC, g ASC) AS i
+            FROM c
+        ),
+        p AS (
+            SELECT COUNT(*) AS n_groups,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   SUM(i * c) AS ic,
+                   SUM(c * LN(CAST(c AS DOUBLE))) AS clc,
+                   MAX(c) AS top
+            FROM r
+        )
+        SELECT n_groups, n_rows,
+               ROUND((2 * ic - (n_groups + 1) * n_rows)
+                     / CAST(n_groups * n_rows AS DOUBLE), 6) AS gini,
+               ROUND(LN(CAST(n_rows AS DOUBLE)) - clc / n_rows, 6)
+                   AS entropy,
+               ROUND(top / CAST(n_rows AS DOUBLE), 6) AS top_share
+        FROM p
     """
     # Interpolated Kneser-Ney replayed exactly: all four count tables
     # (bigram, context totals, follower counts, continuation counts),

@@ -82,6 +82,7 @@ from meta_frame_spark.operators.ranking_eval import (
     chrf_scores,
     retrieval_metrics,
     rouge_n_scores,
+    self_bleu_probe,
 )
 from meta_frame_spark.operators.unigram import (
     unigram_encode,
@@ -144,6 +145,7 @@ from meta_frame_spark.operators.sketch import (
 )
 from meta_frame_spark.operators.packing import pack_sequences, pack_stats
 from meta_frame_spark.operators.profile import (
+    corpus_concentration,
     corpus_diversity,
     histogram_fixed,
     profile_table,
@@ -215,6 +217,7 @@ from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
     average_precision,
     calibration_report,
+    mad_outliers_report,
     precision_recall_curve,
     roc_auc,
     corr_matrix,
@@ -315,6 +318,7 @@ __all__ = [
     "retrieval_metrics",
     "kneser_ney_logprob",
     "average_precision",
+    "mad_outliers_report",
     "precision_recall_curve",
     "roc_auc",
     "winsorize",
@@ -336,6 +340,7 @@ __all__ = [
     "byte_bpe_decode",
     "byte_bpe_encode",
     "byte_bpe_train",
+    "corpus_concentration",
     "corpus_diversity",
     "with_compression_ratio",
     "kneser_ney3_logprob",
@@ -352,6 +357,7 @@ __all__ = [
     "bleu_scores",
     "chrf_scores",
     "rouge_n_scores",
+    "self_bleu_probe",
     "wordpiece_encode",
     "wordpiece_train",
     "bigram_vocab",

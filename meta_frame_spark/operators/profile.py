@@ -315,3 +315,56 @@ def with_compression_ratio(
             yield out
 
     return df.mapInPandas(comp, schema=schema)
+
+
+def corpus_concentration(
+    df: DataFrame,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row concentration report over a categorical column (the
+    mixing diagnostic a release report leads with — is the corpus
+    dominated by one source/domain/language?): ``(n_groups, n_rows,
+    gini, entropy, top_share)``. ``gini`` uses the sorted-counts form
+    G = sum((2i - n - 1) * c_i) / (n * total) with a deterministic
+    (count, value) tie order; ``entropy`` is the closed form
+    ln(total) - sum(c ln c)/total in nats; ``top_share`` is the
+    largest group's mass fraction.
+
+    Scale: one hash aggregate collapses the corpus to |groups| rows
+    (map-side partials); the rank window and final fold run on that
+    group-sized frame only — the whole-frame window is deliberate and
+    safe because nothing corpus-sized enters it."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.orderBy(F.col("_c").asc(), F.col("_g").asc())
+    ranked = counts.withColumn("_i", F.row_number().over(w))
+    # sum((2i - n - 1) c) decomposes to 2*sum(i*c) - (n+1)*sum(c), so
+    # one aggregate pass collects every component
+    parts = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.sum(F.col("_i") * F.col("_c")).alias("_ic"),
+        F.sum(F.col("_c") * F.log(F.col("_c").cast("double"))).alias("_clc"),
+        F.max("_c").alias("_top"),
+    )
+    return parts.select(
+        "n_groups",
+        "n_rows",
+        F.round(
+            (2 * F.col("_ic") - (F.col("n_groups") + 1) * F.col("n_rows"))
+            / (F.col("n_groups") * F.col("n_rows")).cast("double"),
+            round_to,
+        ).alias("gini"),
+        F.round(
+            F.log(F.col("n_rows").cast("double"))
+            - F.col("_clc") / F.col("n_rows"),
+            round_to,
+        ).alias("entropy"),
+        F.round(
+            F.col("_top") / F.col("n_rows").cast("double"), round_to
+        ).alias("top_share"),
+    )

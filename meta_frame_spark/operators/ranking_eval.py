@@ -418,3 +418,54 @@ def rouge_n_scores(
         out = out.withColumn(f"rouge{n}_f", F.round(f1, round_to))
         out = out.drop(f"_cg{n}", f"_rg{n}", "_clip")
     return out
+
+
+def self_bleu_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_size: int = 60,
+    max_n: int = 2,
+    lowercase: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus diversity probe via pairwise self-BLEU (Zhu et al. 2018,
+    Texygen — high self-BLEU = mode collapse / templated text): draw a
+    DETERMINISTIC sample (lowest md5(id) order, reproducible across
+    engines and partitionings), score every ordered pair (cand, ref)
+    of distinct sampled docs with unsmoothed BLEU, and return per-doc
+    means ``(id_col, n_refs, self_bleu)``. This is the pairwise-mean
+    variant (each reference scored separately, then averaged) — not
+    multi-reference clipping.
+
+    Scale: the quadratic stays INSIDE the fixed sample — the corpus is
+    touched once by a top-``sample_size`` selection (TakeOrdered, no
+    full sort), then the s x s cross join is s^2 rows with the sample
+    broadcast, independent of corpus size. The probe cost is chosen by
+    ``sample_size``, never by the data."""
+    if sample_size < 2:
+        raise ValueError(f"sample_size must be >= 2, got {sample_size}")
+    sample = (
+        df.select(
+            F.col(id_col), F.col(text_col),
+            F.md5(F.concat_ws(":", F.col(id_col), F.lit("sb"))).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .drop("_h")
+    )
+    a = sample.select(
+        F.col(id_col).alias("_ida"), F.col(text_col).alias("_cand")
+    )
+    b = sample.select(
+        F.col(id_col).alias("_idb"), F.col(text_col).alias("_ref")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("_ida") != F.col("_idb"))
+    scored = bleu_scores(
+        pairs, "_cand", "_ref", max_n=max_n,
+        lowercase=lowercase, round_to=round_to,
+    )
+    return scored.groupBy(F.col("_ida").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.round(F.avg("bleu"), round_to).alias("self_bleu"),
+    )

@@ -510,3 +510,54 @@ class TestChrf:
             chrf_scores(df, "doc_id", "cand", "ref", max_n=0)
         with _pt.raises(ValueError, match="beta"):
             chrf_scores(df, "doc_id", "cand", "ref", beta=0)
+
+
+class TestSelfBleu:
+    """Pairwise self-BLEU diversity probe (ranking_eval.self_bleu_probe)."""
+
+    def test_identical_docs_score_one(self, spark):
+        from meta_frame_spark.operators.ranking_eval import self_bleu_probe
+
+        df = spark.createDataFrame(
+            [(i, "the same exact text every time") for i in range(4)],
+            "doc_id bigint, text string",
+        )
+        out = self_bleu_probe(df, "doc_id", "text", sample_size=4).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.n_refs == 3 and r.self_bleu == 1.0
+
+    def test_disjoint_docs_score_zero(self, spark):
+        from meta_frame_spark.operators.ranking_eval import self_bleu_probe
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+             (3, "eta theta iota")],
+            "doc_id bigint, text string",
+        )
+        for r in self_bleu_probe(df, "doc_id", "text",
+                                 sample_size=3).collect():
+            assert r.self_bleu == 0.0
+
+    def test_sample_bound_and_determinism(self, spark):
+        from meta_frame_spark.operators.ranking_eval import self_bleu_probe
+
+        df = spark.createDataFrame(
+            [(i, f"doc number {i} talks about topic {i % 3}")
+             for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        a = self_bleu_probe(df, "doc_id", "text", sample_size=5)
+        b = self_bleu_probe(df.repartition(7), "doc_id", "text",
+                            sample_size=5)
+        assert a.count() == 5
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect()))
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.ranking_eval import self_bleu_probe
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pt.raises(ValueError, match="sample_size"):
+            self_bleu_probe(df, "doc_id", "text", sample_size=1)

@@ -413,3 +413,25 @@ def test_stratified_sample_exact_counts_nesting_and_overrides(spark):
 
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample_exact(df, "g", 1.5, "id")
+
+
+def test_corpus_concentration_hand_cases(spark):
+    import math
+
+    from meta_frame_spark.operators.profile import corpus_concentration
+
+    # four equal groups: gini 0, entropy ln 4, top share 1/4
+    eq = spark.createDataFrame(
+        [(s,) for s in ["a", "b", "c", "d"]], "src string"
+    )
+    r = corpus_concentration(eq, "src").collect()[0]
+    assert r.n_groups == 4 and r.n_rows == 4
+    assert r.gini == 0.0 and r.entropy == round(math.log(4), 6)
+    assert r.top_share == 0.25
+    # counts [1, 3]: gini (2*7 - 3*4)/(2*4) = 0.25, top share 0.75
+    sk = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("b",)], "src string"
+    )
+    r = corpus_concentration(sk, "src").collect()[0]
+    assert r.gini == 0.25 and r.top_share == 0.75
+    assert r.entropy == round(math.log(4) - 3 * math.log(3) / 4, 6)

@@ -258,3 +258,46 @@ class TestPrecisionRecall:
         )
         ap = average_precision(df, "s", "y").first()
         assert (ap.n_pos, ap.n_neg) == (1, 0)
+
+
+class TestMadOutliers:
+    """Robust MAD outlier census (operators/stats.mad_outliers_report)."""
+
+    def test_hand_computed_groups(self, spark):
+        from meta_frame_spark.operators.stats import mad_outliers_report
+
+        rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]
+        rows += [("b", v) for v in [1.0, 1.0, 1.0, 1.0, 100.0]]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r.g: r for r in
+               mad_outliers_report(df, "v", ["g"], k=3.5).collect()}
+        # a: med 3, deviations [2,1,0,1,97], MAD 1 -> only 100 exceeds
+        # 3.5 * 1.4826
+        assert out["a"].median == 3.0 and out["a"].mad == 1.0
+        assert out["a"].n_outliers == 1 and out["a"].n == 5
+        assert out["a"].outlier_frac == 0.2
+        # b: MAD 0 (majority identical) -> degenerate rule x != median
+        assert out["b"].mad == 0.0 and out["b"].n_outliers == 1
+
+    def test_nulls_excluded_and_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.stats import mad_outliers_report
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 2.0)], "g string, v double"
+        )
+        r = mad_outliers_report(df, "v", ["g"]).collect()[0]
+        assert r.n == 2
+        with _pt.raises(ValueError):
+            mad_outliers_report(df, "v", [])
+        with _pt.raises(ValueError):
+            mad_outliers_report(df, "v", ["g"], k=0)
+
+    def test_approx_mode_runs(self, spark):
+        from meta_frame_spark.operators.stats import mad_outliers_report
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(100)], "g string, v double"
+        )
+        r = mad_outliers_report(df, "v", ["g"], exact=False).collect()[0]
+        assert r.n == 100 and r.median is not None
