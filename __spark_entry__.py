@@ -5740,6 +5740,35 @@ def q_kneser_ney3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row ECE/MCE/Brier scorecard (operators/stats
+    .calibration_summary — Naeini et al. 2015 bin-mass-weighted gaps
+    + Brier MSE): staged so the score IS the true label probability
+    (label = md5-uniform < n_chars/600, score = n_chars/600), making
+    the classifier calibrated by construction — ECE measures pure
+    binomial noise, a regression canary for the binning. One grouped
+    aggregate + a 10-row fold. Full oracle: DuckDB replays bins, both
+    gaps, and the Brier sum."""
+    from meta_frame_spark.operators.stats import calibration_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("lbl"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    staged = docs.select(
+        (F.col("n_chars") / 600.0).alias("score"),
+        (u < F.col("n_chars") / 600.0).alias("label"),
+    )
+    return calibration_summary(staged, "score", "label", n_bins=10)
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census (operators/stats
     .mad_outliers_report — Iglewicz & Hoaglin modified z-score,
@@ -5885,6 +5914,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
     "mad_outliers", "self_bleu", "corpus_concentration",
+    "calibration_summary",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5895,7 +5925,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
-    "b_q4_priority", "bloom_decontam", "bucket_spine",
+    "b_q4_priority", "bloom_decontam",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5923,6 +5953,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "emb_outliers", "doremi_mix", "dedup_safe_split",
     "curation_cleanup", "curation_budget", "count_anomalies",
     "corr_signals", "containment", "cms_freq", "char_entropy",
+    "bucket_spine",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6199,6 +6230,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "self_bleu": q_self_bleu,
         "corpus_concentration": q_corpus_concentration,
+        "calibration_summary": q_calibration_summary,
     }
 
 
@@ -10865,6 +10897,31 @@ def oracle_sql() -> dict[str, str]:
                           FROM ranked) / CAST(np AS DOUBLE), 6)
                END AS average_precision
         FROM tot
+    """
+    # full replay: md5-uniform label, equal-width bins, ECE/MCE gaps,
+    # Brier partial sums
+    d["calibration_summary"] = r"""
+        WITH staged AS (
+            SELECT n_chars / 600.0 AS s,
+                   CASE WHEN (('0x' || substr(md5(doc_id || ':lbl'), 1, 8))
+                              ::BIGINT / 4294967296.0)
+                             < (n_chars / 600.0)
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ),
+        per_bin AS (
+            SELECT CAST(LEAST(FLOOR(s * 10), 9) AS INT) + 1 AS b,
+                   COUNT(*) AS n, SUM(s) AS ss, SUM(y) AS sy,
+                   SUM((s - y) * (s - y)) AS sq
+            FROM staged WHERE s IS NOT NULL AND y IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               ROUND(SUM(ABS(ss / n - sy / n) * n)
+                     / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+               ROUND(MAX(ABS(ss / n - sy / n)), 6) AS mce,
+               ROUND(SUM(sq) / CAST(SUM(n) AS DOUBLE), 6) AS brier
+        FROM per_bin
     """
     # full replay: both quantile_cont medians, the modified z-score
     # threshold, the MAD=0 degenerate rule, and the census

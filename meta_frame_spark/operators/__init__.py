@@ -217,6 +217,7 @@ from meta_frame_spark.operators.ids import assign_row_numbers, running_total
 from meta_frame_spark.operators.stats import (
     average_precision,
     calibration_report,
+    calibration_summary,
     mad_outliers_report,
     precision_recall_curve,
     roc_auc,
@@ -391,6 +392,7 @@ __all__ = [
     "running_total",
     "assign_row_numbers",
     "calibration_report",
+    "calibration_summary",
     "int8_reconstruction_stats",
     "int8_topk",
     "ivf_topk",

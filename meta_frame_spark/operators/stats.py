@@ -423,3 +423,55 @@ def mad_outliers_report(
             6,
         ).alias("outlier_frac"),
     )
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row calibration scorecard for a probabilistic score in
+    [0, 1] against a binary label: ``(n, ece, mce, brier)`` — expected
+    calibration error (Naeini et al. 2015: bin-mass-weighted
+    |mean_score - frac_pos| over the same equal-width bins as
+    :func:`calibration_report`), maximum calibration error (the worst
+    occupied bin), and the Brier score (mean squared error of the
+    probability). The summary :func:`calibration_report` readers
+    compute by hand — here as one number a release gate can threshold.
+
+    Scale: one map-side-combined groupBy on the bin key carrying the
+    Brier partial sums, then a <= n_bins-row fold; no window, no join,
+    nothing collected."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = (
+        F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+        + F.lit(1)
+    )
+    per_bin = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(s).alias("_ss"),
+            F.sum(y).alias("_sy"),
+            F.sum((s - y) * (s - y)).alias("_sq"),
+        )
+    )
+    gap = F.abs(F.col("_ss") / F.col("_n") - F.col("_sy") / F.col("_n"))
+    totals = per_bin.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum(gap * F.col("_n")).alias("_wgap"),
+        F.max(gap).alias("_mce"),
+        F.sum("_sq").alias("_sqt"),
+    )
+    return totals.select(
+        "n",
+        F.round(F.col("_wgap") / F.col("n"), round_to).alias("ece"),
+        F.round(F.col("_mce"), round_to).alias("mce"),
+        F.round(F.col("_sqt") / F.col("n"), round_to).alias("brier"),
+    )

@@ -110,10 +110,11 @@ def test_driver_window_composition():
                  "wordpiece_tokenize", "stream_crawl", "rouge_eval",
                  "bleu_eval", "chrf_eval", "l_diversity", "t_closeness",
                  "pr_curve", "average_precision", "mad_outliers",
-                 "self_bleu", "corpus_concentration"):
+                 "self_bleu", "corpus_concentration",
+                 "calibration_summary"):
         assert name in window, name
-    for name in ("a_q1_pricing", "ann_topk_rp", "bloom_decontam",
-                 "bucket_spine"):
+    for name in ("a_q1_pricing", "ann_topk_rp", "b_q4_priority",
+                 "bloom_decontam"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [

@@ -301,3 +301,42 @@ class TestMadOutliers:
         )
         r = mad_outliers_report(df, "v", ["g"], exact=False).collect()[0]
         assert r.n == 100 and r.median is not None
+
+
+class TestCalibrationSummary:
+    """One-row ECE/MCE/Brier scorecard (stats.calibration_summary)."""
+
+    def test_hand_computed(self, spark):
+        from meta_frame_spark.operators.stats import calibration_summary
+
+        # two occupied bins (n_bins=2): bin 1 scores .2/.4 labels 0/1,
+        # bin 2 scores .8/.8 labels 1/1
+        df = spark.createDataFrame(
+            [(0.2, 0), (0.4, 1), (0.8, 1), (0.8, 1)],
+            "s double, y int",
+        )
+        r = calibration_summary(df, "s", "y", n_bins=2).first()
+        # bin1 gap |.3-.5|=.2, bin2 gap |.8-1|=.2 -> ece .2, mce .2
+        assert r.n == 4 and r.ece == 0.2 and r.mce == 0.2
+        brier = (0.2**2 + 0.6**2 + 0.2**2 + 0.2**2) / 4
+        assert r.brier == round(brier, 6)
+
+    def test_perfectly_calibrated_perfect_scores(self, spark):
+        from meta_frame_spark.operators.stats import calibration_summary
+
+        df = spark.createDataFrame(
+            [(0.0, 0), (1.0, 1)], "s double, y int"
+        )
+        r = calibration_summary(df, "s", "y", n_bins=4).first()
+        assert r.ece == 0.0 and r.mce == 0.0 and r.brier == 0.0
+
+    def test_nulls_excluded_and_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.stats import calibration_summary
+
+        df = spark.createDataFrame(
+            [(0.5, 1), (None, 0), (0.5, None)], "s double, y int"
+        )
+        assert calibration_summary(df, "s", "y").first().n == 1
+        with _pt.raises(ValueError):
+            calibration_summary(df, "s", "y", n_bins=0)
