@@ -3600,6 +3600,49 @@ def q_event_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004) — the classic
+    composition: adjacent kept-word pairs (lowercase ``[a-z]{3,}``
+    tokens, window 2) become a SYMMETRIC weighted co-occurrence graph,
+    and operators/graph.pagerank runs the damped walk over it; top 20
+    words by ROUNDED rank (node tie-break) so the selected set is
+    engine-stable. The node frame is VOCABULARY-sized, never
+    corpus-sized — the corpus is absorbed by one pair-count aggregate;
+    add a min-count edge floor for open-web vocabularies. Full oracle:
+    DuckDB builds the same edges and replays all 10 damped rounds via
+    the unrolled MATERIALIZED-CTE chain (_pagerank_oracle_sql);
+    eps=1e-9 early-stop is 6dp-invisible by the contraction bound."""
+    from meta_frame_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]{3,}"), F.lit(0))
+    staged = docs.select(toks.alias("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
+    pairs = staged.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("a"),
+                    F.element_at(F.col("t"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = sym.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10, weight_col="w", eps=1e-9)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 def q_link_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph PageRank from EXTRACTED hyperlinks — the crawl-side
     composition of the round's pieces (functions/web.html_links ->
@@ -3650,6 +3693,24 @@ def q_link_hostrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   eps=1e-9)
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
+
+_TEXTRANK_EDGES = r"""tok AS MATERIALIZED (
+            SELECT regexp_extract_all(lower(text), '[a-z]{3,}') AS t
+            FROM documents WHERE text IS NOT NULL
+        ),
+        pair AS MATERIALIZED (
+            SELECT t[CAST(u.i AS INTEGER)] AS a,
+                   t[CAST(u.i + 1 AS INTEGER)] AS b
+            FROM tok,
+                 UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+                SELECT a AS src, b AS dst FROM pair
+                UNION ALL
+                SELECT b AS src, a AS dst FROM pair
+            ) GROUP BY 1, 2
+        )"""
 
 _LINK_HOSTRANK_EDGES = """hosts AS MATERIALIZED (
             SELECT doc_id, source || '.example' AS h FROM documents
@@ -5914,7 +5975,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
     "mad_outliers", "self_bleu", "corpus_concentration",
-    "calibration_summary",
+    "calibration_summary", "textrank",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5925,7 +5986,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
-    "b_q4_priority", "bloom_decontam",
+    "b_q4_priority",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -5953,7 +6014,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "emb_outliers", "doremi_mix", "dedup_safe_split",
     "curation_cleanup", "curation_budget", "count_anomalies",
     "corr_signals", "containment", "cms_freq", "char_entropy",
-    "bucket_spine",
+    "bucket_spine", "bloom_decontam",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6231,6 +6292,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_bleu": q_self_bleu,
         "corpus_concentration": q_corpus_concentration,
         "calibration_summary": q_calibration_summary,
+        "textrank": q_textrank,
     }
 
 
@@ -8378,6 +8440,13 @@ def oracle_sql() -> dict[str, str]:
             edges_with=_LINK_HOSTRANK_EDGES
         ),
         "event_ppr": _pagerank_oracle_sql(seeds=["purchase"]),
+        # TextRank: the generated chain ends in all-node ranks; wrap
+        # for the engine-stable top-20 (ROUNDED rank desc, node asc)
+        "textrank": (
+            "SELECT node, rank FROM ("
+            + _pagerank_oracle_sql(edges_with=_TEXTRANK_EDGES)
+            + ") ORDER BY rank DESC, node ASC LIMIT 20"
+        ),
         "funnel_latency": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t1 FROM events
