@@ -5830,6 +5830,21 @@ def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_summary(staged, "score", "label", n_bins=10)
 
 
+def q_categorical_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-redundancy audit (operators/stats
+    .categorical_association): MI / NMI / Cramér's V between lang and
+    source — does one field already determine the other before a
+    release stratifies on both? Chi-square uses the zero-cell-free
+    identity n*(sum p_xy^2/(p_x p_y) - 1), so the observed cell table
+    is all that exists; every frame after the first aggregate is
+    category-sized. Full oracle: DuckDB replays cells, marginals,
+    both entropies, and every ratio."""
+    from meta_frame_spark.operators.stats import categorical_association
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorical_association(docs, "lang", "source")
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier census (operators/stats
     .mad_outliers_report — Iglewicz & Hoaglin modified z-score,
@@ -5976,7 +5991,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
     "mad_outliers", "self_bleu", "corpus_concentration",
-    "calibration_summary", "textrank",
+    "calibration_summary", "textrank", "categorical_association",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -5987,7 +6002,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
     "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
-    "b_q4_priority",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -6015,7 +6029,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "emb_outliers", "doremi_mix", "dedup_safe_split",
     "curation_cleanup", "curation_budget", "count_anomalies",
     "corr_signals", "containment", "cms_freq", "char_entropy",
-    "bucket_spine", "bloom_decontam",
+    "bucket_spine", "bloom_decontam", "b_q4_priority",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6294,6 +6308,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_concentration": q_corpus_concentration,
         "calibration_summary": q_calibration_summary,
         "textrank": q_textrank,
+        "categorical_association": q_categorical_association,
     }
 
 
@@ -10967,6 +10982,53 @@ def oracle_sql() -> dict[str, str]:
                           FROM ranked) / CAST(np AS DOUBLE), 6)
                END AS average_precision
         FROM tot
+    """
+    # full replay: observed contingency cells, marginals, both
+    # closed-form entropies, MI terms, and the zero-cell-free chi2
+    d["categorical_association"] = r"""
+        WITH base AS (
+            SELECT lang AS a, source AS b FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        cell AS (SELECT a, b, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, SUM(c) AS ca FROM cell GROUP BY 1),
+        mb AS (SELECT b, SUM(c) AS cb FROM cell GROUP BY 1),
+        nn AS (SELECT SUM(c) AS n FROM cell),
+        terms AS (
+            SELECT (cell.c / CAST(nn.n AS DOUBLE))
+                       * LN(cell.c * nn.n
+                            / CAST(ma.ca * mb.cb AS DOUBLE)) AS mi_term,
+                   cell.c * cell.c
+                       / CAST(ma.ca * mb.cb AS DOUBLE) AS chi_term
+            FROM cell
+            JOIN ma ON cell.a = ma.a
+            JOIN mb ON cell.b = mb.b
+            CROSS JOIN nn
+        ),
+        ents AS (
+            SELECT
+                (SELECT LN(CAST(SUM(ca) AS DOUBLE))
+                        - SUM(ca * LN(CAST(ca AS DOUBLE)))
+                          / CAST(SUM(ca) AS DOUBLE) FROM ma) AS ha,
+                (SELECT LN(CAST(SUM(cb) AS DOUBLE))
+                        - SUM(cb * LN(CAST(cb AS DOUBLE)))
+                          / CAST(SUM(cb) AS DOUBLE) FROM mb) AS hb,
+                (SELECT COUNT(*) FROM ma) AS ra,
+                (SELECT COUNT(*) FROM mb) AS rb
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               ROUND(t.mi, 6) AS mi,
+               CASE WHEN ents.ha > 0 AND ents.hb > 0 THEN
+                   ROUND(t.mi / SQRT(ents.ha * ents.hb), 6)
+               END AS nmi,
+               CASE WHEN LEAST(ents.ra, ents.rb) >= 2 THEN
+                   ROUND(SQRT(GREATEST((t.chi_ratio - 1) * nn.n, 0.0)
+                              / CAST(nn.n * (LEAST(ents.ra, ents.rb) - 1)
+                                     AS DOUBLE)), 6)
+               END AS cramers_v
+        FROM (SELECT SUM(mi_term) AS mi, SUM(chi_term) AS chi_ratio
+              FROM terms) t
+        CROSS JOIN nn CROSS JOIN ents
     """
     # full replay: md5-uniform label, equal-width bins, ECE/MCE gaps,
     # Brier partial sums

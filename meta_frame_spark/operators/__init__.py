@@ -218,6 +218,7 @@ from meta_frame_spark.operators.stats import (
     average_precision,
     calibration_report,
     calibration_summary,
+    categorical_association,
     mad_outliers_report,
     precision_recall_curve,
     roc_auc,
@@ -393,6 +394,7 @@ __all__ = [
     "assign_row_numbers",
     "calibration_report",
     "calibration_summary",
+    "categorical_association",
     "int8_reconstruction_stats",
     "int8_topk",
     "ivf_topk",

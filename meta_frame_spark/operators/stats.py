@@ -475,3 +475,97 @@ def calibration_summary(
         F.round(F.col("_mce"), round_to).alias("mce"),
         F.round(F.col("_sqt") / F.col("n"), round_to).alias("brier"),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row association scorecard between two categorical columns:
+    ``(n, mi, nmi, cramers_v)`` — mutual information in nats,
+    normalized MI (MI / sqrt(H_a * H_b), NULL when either marginal
+    entropy is 0), and Cramér's V via the zero-cell-free identity
+    chi2 = n * (sum over OBSERVED cells of p_xy^2/(p_x p_y) - 1)
+    (absent cells contribute nothing to sum o^2/e, so the full-grid
+    chi-square needs no grid materialization). V is NULL when either
+    side has a single category (undefined). Rows with a NULL on
+    either side are excluded — this scores association between
+    observed pairs. The audit for redundant metadata (does `source`
+    already determine `lang`?) before a release stratifies on both.
+
+    Scale: one hash aggregate collapses the corpus to the observed
+    contingency cells; marginals re-aggregate that cell table and
+    broadcast back; every downstream frame is category-sized. The
+    whole-frame total window runs on the cell table only."""
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    cell = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    ma = cell.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    mb = cell.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    j = cell.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b")
+    tot = F.sum("_c").over(Window.partitionBy())
+    terms = j.select(
+        "_c", "_ca", "_cb", tot.alias("_n"),
+        (
+            (F.col("_c") / tot)
+            * F.log(
+                F.col("_c") * tot
+                / (F.col("_ca") * F.col("_cb")).cast("double")
+            )
+        ).alias("_mi_term"),
+        (
+            F.col("_c") * F.col("_c")
+            / (F.col("_ca") * F.col("_cb")).cast("double")
+        ).alias("_chi_term"),
+    )
+    folded = terms.agg(
+        F.first("_n").cast("long").alias("n"),
+        F.sum("_mi_term").alias("_mi"),
+        F.sum("_chi_term").alias("_chi_ratio"),
+    )
+
+    def entropy(marg: DataFrame, cnt_col: str):
+        t = F.sum(cnt_col)
+        return marg.agg(
+            (
+                F.log(t.cast("double"))
+                - F.sum(
+                    F.col(cnt_col) * F.log(F.col(cnt_col).cast("double"))
+                ) / t
+            ).alias("_h"),
+            F.count(F.lit(1)).alias("_dim"),
+        )
+
+    ha = entropy(ma, "_ca").select(
+        F.col("_h").alias("_ha"), F.col("_dim").alias("_ra")
+    )
+    hb = entropy(mb, "_cb").select(
+        F.col("_h").alias("_hb"), F.col("_dim").alias("_rb")
+    )
+    out = folded.crossJoin(ha).crossJoin(hb)
+    chi2 = (F.col("_chi_ratio") - 1) * F.col("n")
+    mindim = F.least(F.col("_ra"), F.col("_rb"))
+    return out.select(
+        "n",
+        F.round(F.col("_mi"), round_to).alias("mi"),
+        F.when(
+            (F.col("_ha") > 0) & (F.col("_hb") > 0),
+            F.round(
+                F.col("_mi") / F.sqrt(F.col("_ha") * F.col("_hb")),
+                round_to,
+            ),
+        ).alias("nmi"),
+        F.when(
+            mindim >= 2,
+            F.round(
+                F.sqrt(
+                    F.greatest(chi2, F.lit(0.0))
+                    / (F.col("n") * (mindim - 1)).cast("double")
+                ),
+                round_to,
+            ),
+        ).alias("cramers_v"),
+    )

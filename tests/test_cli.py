@@ -111,10 +111,11 @@ def test_driver_window_composition():
                  "bleu_eval", "chrf_eval", "l_diversity", "t_closeness",
                  "pr_curve", "average_precision", "mad_outliers",
                  "self_bleu", "corpus_concentration",
-                 "calibration_summary", "textrank"):
+                 "calibration_summary", "textrank",
+                 "categorical_association"):
         assert name in window, name
     for name in ("a_q1_pricing", "a_q6_revenue", "ann_topk_rp",
-                 "b_q10_returns", "b_q4_priority"):
+                 "b_q10_returns"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [

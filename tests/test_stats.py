@@ -340,3 +340,50 @@ class TestCalibrationSummary:
         assert calibration_summary(df, "s", "y").first().n == 1
         with _pt.raises(ValueError):
             calibration_summary(df, "s", "y", n_bins=0)
+
+
+class TestCategoricalAssociation:
+    """MI / NMI / Cramér's V (stats.categorical_association)."""
+
+    def test_perfect_dependence(self, spark):
+        import math
+
+        from meta_frame_spark.operators.stats import categorical_association
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "x"), ("y", "y"), ("y", "y")],
+            "a string, b string",
+        )
+        r = categorical_association(df, "a", "b").first()
+        assert r.n == 4
+        assert r.mi == round(math.log(2), 6)
+        assert r.nmi == 1.0 and r.cramers_v == 1.0
+
+    def test_independence(self, spark):
+        from meta_frame_spark.operators.stats import categorical_association
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")],
+            "a string, b string",
+        )
+        r = categorical_association(df, "a", "b").first()
+        assert r.mi == 0.0 and r.nmi == 0.0 and r.cramers_v == 0.0
+
+    def test_degenerate_sides_yield_null(self, spark):
+        from meta_frame_spark.operators.stats import categorical_association
+
+        df = spark.createDataFrame(
+            [("x", "p"), ("x", "q")], "a string, b string"
+        )
+        r = categorical_association(df, "a", "b").first()
+        assert r.mi == 0.0
+        assert r.nmi is None and r.cramers_v is None
+
+    def test_nulls_excluded(self, spark):
+        from meta_frame_spark.operators.stats import categorical_association
+
+        df = spark.createDataFrame(
+            [("x", "p"), (None, "q"), ("y", None), ("y", "q")],
+            "a string, b string",
+        )
+        assert categorical_association(df, "a", "b").first().n == 2
