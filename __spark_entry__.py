@@ -5970,13 +5970,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-14 window (VERDICT r13 "Next round" #1): the 50 decay-edge
 # rows named by tools/check_correctness.py --staleness at round start,
 # minus the r10 tail displaced by new r14 operators.
-#   (0)    the 20 NEW r14 queries (never-orphaned rule: a query with
+#   (0)    the 21 NEW r14 queries (never-orphaned rule: a query with
 #          no driver row yet always holds a window slot);
 #   (1)    the ENTIRE pinned r13 queue verbatim (dup_span_regions ..
 #          domain_cap) — the 25 rows whose latest driver green was
 #          r9; they would cross the 4-round staleness bound once r14
 #          records land, so they hold slots unconditionally;
-#   (2)    the alphabetical head of the 50 r10-green rows — 5 slots
+#   (2)    the alphabetical head of the 50 r10-green rows — 4 slots
 #          remain after the new-op displacements (each lands the
 #          displaced row in NEXT_WINDOW_QUEUE, never dropping it).
 # Together window ∪ queue covers every decay-edge row, which

@@ -402,10 +402,8 @@ def mad_outliers_report(
     med_tbl = base.groupBy(*group_cols).agg(med(F.col("_v")).alias("_med"))
     with_med = base.join(F.broadcast(med_tbl), group_cols)
     dev = with_med.withColumn("_d", F.abs(F.col("_v") - F.col("_med")))
-    mad_tbl = dev.groupBy(*group_cols).agg(
-        med(F.col("_d")).alias("_mad"), F.first("_med").alias("_med2")
-    )
-    flagged = dev.join(F.broadcast(mad_tbl.drop("_med2")), group_cols).withColumn(
+    mad_tbl = dev.groupBy(*group_cols).agg(med(F.col("_d")).alias("_mad"))
+    flagged = dev.join(F.broadcast(mad_tbl), group_cols).withColumn(
         "_out",
         F.when(
             F.col("_mad") > 0,

@@ -791,3 +791,38 @@ def test_ann_dedup_family_quadratic_guard(spark, sf_dir):
         "quadratic join shapes beyond the audited allowance: "
         f"{failures}"
     )
+
+
+def test_r14_eval_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-14 eval/audit family: the generation
+    metrics stay shuffle-free per row (bleu map-only; chrf's only
+    joins are the (id, n, gram) equi-join — no nested loop); the
+    self-BLEU probe's quadratic is EXACTLY one BroadcastNestedLoopJoin
+    over the bounded 60-row sample (its audited allowance — anything
+    more means the sample bound broke); the one-row audits never
+    cartesian."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    # bleu_eval: map-only after the loader (no joins at all)
+    plan = _plan(qs["bleu_eval"](spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # chrf_eval: equi-join only
+    plan = _plan(qs["chrf_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # self_bleu: the bounded-sample cross join is the single audited
+    # nested loop; the corpus side must not appear in it
+    plan = _plan(qs["self_bleu"](spark, sf_dir))
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # one-row audits: no quadratic shapes anywhere
+    for name in ("l_diversity", "t_closeness", "calibration_summary",
+                 "categorical_association", "mad_outliers",
+                 "corpus_concentration", "pr_curve",
+                 "average_precision"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
