@@ -438,11 +438,17 @@ def self_bleu_probe(
     variant (each reference scored separately, then averaged) — not
     multi-reference clipping.
 
-    Scale: the quadratic stays INSIDE the fixed sample — the corpus is
-    touched once by a top-``sample_size`` selection (TakeOrdered, no
-    full sort), then the s x s cross join is s^2 rows with the sample
-    broadcast, independent of corpus size. The probe cost is chosen by
-    ``sample_size``, never by the data."""
+    Scale: the corpus is touched once by a top-``sample_size``
+    selection (TakeOrdered, no full sort); inside the sample the
+    pairwise clipped overlaps run as an INVERTED-INDEX self-join —
+    per-doc (order, gram) counts joined on the gram key, so only
+    co-occurring grams ever pair up and the arithmetic per pair is a
+    grouped sum of ``least(count_a, count_b)``, never a per-row
+    array scan. Same numbers as scoring each pair with
+    :func:`bleu_scores` (identical clip/rounding arithmetic), but
+    the codegen stays small and the cost scales with vocabulary
+    overlap rather than s^2 x len^2 — the shape that still works at
+    sample_size=10_000."""
     if sample_size < 2:
         raise ValueError(f"sample_size must be >= 2, got {sample_size}")
     sample = (
@@ -454,18 +460,106 @@ def self_bleu_probe(
         .limit(sample_size)
         .drop("_h")
     )
-    a = sample.select(
-        F.col(id_col).alias("_ida"), F.col(text_col).alias("_cand")
+
+    # per-doc (order, gram) counts — one explode pass over all orders
+    order_arrays = []
+    for n in range(1, max_n + 1):
+        grams = _word_grams(text_col, n, lowercase)
+
+        def tag(order: int):
+            return lambda g: F.struct(
+                F.lit(order).alias("n"), g.alias("gram")
+            )
+
+        order_arrays.append(F.transform(grams, tag(n)))
+    docgram = (
+        sample.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.flatten(F.array(*order_arrays))).alias("_g"),
+        )
+        .select("_id", F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram"))
+        .groupBy("_id", "_n", "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
-    b = sample.select(
-        F.col(id_col).alias("_idb"), F.col(text_col).alias("_ref")
+    lens = docgram.groupBy("_id", "_n").agg(F.sum("_c").alias("_len"))
+
+    # inverted-index clip: only co-occurring grams pair up
+    ga = docgram.select(
+        F.col("_id").alias("_ida"), "_n", "_gram", F.col("_c").alias("_caa")
     )
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("_ida") != F.col("_idb"))
-    scored = bleu_scores(
-        pairs, "_cand", "_ref", max_n=max_n,
-        lowercase=lowercase, round_to=round_to,
+    gb = docgram.select(
+        F.col("_id").alias("_idb"), "_n", "_gram", F.col("_c").alias("_cbb")
+    )
+    clip = (
+        ga.join(gb, ["_n", "_gram"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .groupBy("_ida", "_idb", "_n")
+        .agg(F.sum(F.least("_caa", "_cbb")).alias("_clip"))
+    )
+
+    # full (pair x order) spine so gram-less orders score p = 0
+    ids = sample.select(F.col(id_col).alias("_id"))
+    order_col = F.explode(
+        F.array(*[F.lit(n) for n in range(1, max_n + 1)])
+    )
+    spine = (
+        ids.select(F.col("_id").alias("_ida"))
+        .crossJoin(ids.select(F.col("_id").alias("_idb")))
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb", order_col.alias("_n"))
+    )
+    la = lens.select(
+        F.col("_id").alias("_ida"), "_n", F.col("_len").alias("_la")
+    )
+    lb = lens.select(
+        F.col("_id").alias("_idb"), "_n", F.col("_len").alias("_lb")
+    )
+    joined = (
+        spine.join(la, ["_ida", "_n"], "left")
+        .join(lb, ["_idb", "_n"], "left")
+        .join(clip, ["_ida", "_idb", "_n"], "left")
+        .select(
+            "_ida", "_idb", "_n",
+            F.coalesce("_la", F.lit(0)).alias("_la"),
+            F.coalesce("_lb", F.lit(0)).alias("_lb"),
+            F.coalesce("_clip", F.lit(0)).alias("_clip"),
+        )
+    )
+    p = F.when(
+        F.col("_la") > 0,
+        F.round(F.col("_clip") / F.col("_la").cast("double"), round_to),
+    ).otherwise(F.lit(0.0))
+    wide = joined.withColumn("_p", p).groupBy("_ida", "_idb").agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_p"))).alias(f"_p{n}")
+            for n in range(1, max_n + 1)
+        ],
+        F.max(F.when(F.col("_n") == 1, F.col("_la"))).alias("_clen"),
+        F.max(F.when(F.col("_n") == 1, F.col("_lb"))).alias("_rlen"),
+    )
+    bp = F.when(
+        F.col("_clen") >= F.col("_rlen"), F.lit(1.0)
+    ).when(
+        F.col("_clen") > 0,
+        F.round(
+            F.exp(
+                F.lit(1.0)
+                - F.col("_rlen") / F.col("_clen").cast("double")
+            ),
+            round_to,
+        ),
+    ).otherwise(F.lit(0.0))
+    prod = F.col("_p1")
+    for n in range(2, max_n + 1):
+        prod = prod * F.col(f"_p{n}")
+    scored = wide.withColumn("_bp", bp).withColumn(
+        "_bleu",
+        F.when(
+            prod > 0,
+            F.round(F.col("_bp") * F.pow(prod, F.lit(1.0 / max_n)), round_to),
+        ).otherwise(F.lit(0.0)),
     )
     return scored.groupBy(F.col("_ida").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_refs"),
-        F.round(F.avg("bleu"), round_to).alias("self_bleu"),
+        F.round(F.avg("_bleu"), round_to).alias("self_bleu"),
     )
