@@ -5830,6 +5830,20 @@ def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_summary(staged, "score", "label", n_bins=10)
 
 
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyword phrases (operators/rake.py — Rose et
+    al. 2010, the phrase-level companion to textrank): gaps-and-islands
+    phrase extraction (running stopword count windowed PER DOC), word
+    deg/freq scores, phrase-score sums, engine-stable top-15 on
+    rounded score. Every frame after the token explode is phrase- or
+    vocabulary-sized. Full oracle: DuckDB replays the islands, both
+    score tables, and the selection."""
+    from meta_frame_spark.operators.rake import rake_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", top_k=15)
+
+
 def q_categorical_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-redundancy audit (operators/stats
     .categorical_association): MI / NMI / Cramér's V between lang and
@@ -5992,6 +6006,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
     "mad_outliers", "self_bleu", "corpus_concentration",
     "calibration_summary", "textrank", "categorical_association",
+    "rake_keywords",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -6001,7 +6016,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "score_normalize", "unpivot", "url_canonical", "weighted_sample",
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
-    "a_q1_pricing", "a_q6_revenue", "ann_topk_rp", "b_q10_returns",
+    "a_q1_pricing", "a_q6_revenue", "ann_topk_rp",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -6029,7 +6044,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "emb_outliers", "doremi_mix", "dedup_safe_split",
     "curation_cleanup", "curation_budget", "count_anomalies",
     "corr_signals", "containment", "cms_freq", "char_entropy",
-    "bucket_spine", "bloom_decontam", "b_q4_priority",
+    "bucket_spine", "bloom_decontam", "b_q4_priority", "b_q10_returns",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6309,6 +6324,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_summary": q_calibration_summary,
         "textrank": q_textrank,
         "categorical_association": q_categorical_association,
+        "rake_keywords": q_rake_keywords,
     }
 
 
@@ -10982,6 +10998,54 @@ def oracle_sql() -> dict[str, str]:
                           FROM ranked) / CAST(np AS DOUBLE), 6)
                END AS average_precision
         FROM tot
+    """
+    # full replay: gaps-and-islands phrases (running stopword count),
+    # word deg/freq scores, phrase-score sums, engine-stable top-15
+    d["rake_keywords"] = r"""
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id,
+                   t[CAST(u.i AS INTEGER)] AS w, u.i AS pos,
+                   t[CAST(u.i AS INTEGER)] IN
+                       ('the','a','of','and','to','in','is','it',
+                        'that','for') AS stop
+            FROM tok,
+                 UNNEST(range(1, greatest(len(t), 0) + 1)) AS u(i)
+        ),
+        grp AS (
+            SELECT doc_id, w, pos, stop,
+                   SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM pos
+        ),
+        phrase AS (
+            SELECT doc_id, g,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   COUNT(*) AS plen
+            FROM grp WHERE NOT stop GROUP BY doc_id, g
+            HAVING COUNT(*) <= 4
+        ),
+        wsc AS (
+            SELECT u.w AS w,
+                   SUM(plen) / CAST(COUNT(*) AS DOUBLE) AS wscore
+            FROM phrase, UNNEST(string_split(phrase, ' ')) AS u(w)
+            GROUP BY 1
+        ),
+        dp AS (SELECT phrase, COUNT(*) AS freq FROM phrase GROUP BY 1),
+        member AS (
+            SELECT dp.phrase, dp.freq, u.w
+            FROM dp, UNNEST(string_split(dp.phrase, ' ')) AS u(w)
+        ),
+        sc AS (
+            SELECT m.phrase, m.freq, ROUND(SUM(w2.wscore), 6) AS score
+            FROM member m JOIN wsc w2 ON m.w = w2.w
+            GROUP BY 1, 2
+        )
+        SELECT phrase, freq, score FROM sc
+        ORDER BY score DESC, phrase ASC LIMIT 15
     """
     # full replay: observed contingency cells, marginals, both
     # closed-form entropies, MI terms, and the zero-cell-free chi2

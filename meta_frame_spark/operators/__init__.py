@@ -38,6 +38,7 @@ from meta_frame_spark.operators.dedup import (
     simhash_dup_groups,
     soft_dedup_weights,
 )
+from meta_frame_spark.operators.rake import rake_keywords
 from meta_frame_spark.operators.ranking import (
     cube_aggregate,
     rollup_aggregate,
@@ -151,6 +152,7 @@ from meta_frame_spark.operators.profile import (
     profile_table,
     with_compression_ratio,
 )
+from meta_frame_spark.operators.rake import rake_keywords
 from meta_frame_spark.operators.ranking import (
     normalize_scores,
     ntile_buckets,
@@ -359,6 +361,7 @@ __all__ = [
     "bleu_scores",
     "chrf_scores",
     "rouge_n_scores",
+    "rake_keywords",
     "self_bleu_probe",
     "wordpiece_encode",
     "wordpiece_train",

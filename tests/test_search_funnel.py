@@ -561,3 +561,61 @@ class TestSelfBleu:
         df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
         with _pt.raises(ValueError, match="sample_size"):
             self_bleu_probe(df, "doc_id", "text", sample_size=1)
+
+
+class TestRake:
+    """RAKE keyword phrases (operators/rake.rake_keywords)."""
+
+    def test_hand_computed_scores(self, spark):
+        from meta_frame_spark.operators.rake import rake_keywords
+
+        df = spark.createDataFrame(
+            [(1, "The quick brown fox and the lazy dog."),
+             (2, "a lazy dog")],
+            "doc_id bigint, text string",
+        )
+        out = {r.phrase: r for r in rake_keywords(df, "text").collect()}
+        # deg/freq: each of quick/brown/fox scores 3 -> phrase 9;
+        # lazy/dog appear twice in 2-word phrases -> 2 each -> 4
+        assert out["quick brown fox"].score == 9.0
+        assert out["quick brown fox"].freq == 1
+        assert out["lazy dog"].score == 4.0 and out["lazy dog"].freq == 2
+
+    def test_phrase_cap_and_punctuation_split(self, spark):
+        from meta_frame_spark.operators.rake import rake_keywords
+
+        # 5 content words in a run: dropped by the max_phrase_len cap;
+        # punctuation does NOT split (only stopwords do) per the
+        # [a-z]+ tokenization — "red, green" stays one phrase
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "red, green")],
+            "doc_id bigint, text string",
+        )
+        out = {r.phrase: r for r in
+               rake_keywords(df, "text", max_phrase_len=4).collect()}
+        assert "alpha beta gamma delta epsilon" not in out
+        assert out["red green"].freq == 1
+
+    def test_stopword_only_and_empty_docs(self, spark):
+        from meta_frame_spark.operators.rake import rake_keywords
+
+        df = spark.createDataFrame(
+            [(1, "the of and"), (2, ""), (3, None), (4, "solo")],
+            "doc_id bigint, text string",
+        )
+        out = rake_keywords(df, "text").collect()
+        assert [r.phrase for r in out] == ["solo"]
+        assert out[0].score == 1.0
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from meta_frame_spark.operators.rake import rake_keywords
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        with _pt.raises(ValueError):
+            rake_keywords(df, "text", top_k=0)
+        with _pt.raises(ValueError):
+            rake_keywords(df, "text", stopwords=[])
+        with _pt.raises(ValueError):
+            rake_keywords(df, "text", max_phrase_len=0)
