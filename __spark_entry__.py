@@ -5738,6 +5738,39 @@ def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation metrics on Structured Streaming: the rouge_eval
+    compression pairs flow through the file source, rouge_n_scores
+    runs MAP-ONLY per micro-batch (the stream-safety the operator's
+    docstring claims, demonstrated), and a complete-mode per-source
+    aggregation keeps the running quality account — the shape of a
+    live distillation/summarization eval. A drained stream equals the
+    batch form, so DuckDB replays the per-row scores and the rollup
+    (full oracle)."""
+    from meta_frame_spark.operators.ranking_eval import rouge_n_scores
+    from meta_frame_spark.streaming.ops import run_to_memory
+
+    docs_batch = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .parquet(_stream_dir(sf_dir, "documents"))
+    )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    cand = F.array_join(F.filter(toks, lambda x, i: i % 3 != 2), " ")
+    staged = stream.filter(F.col("text").isNotNull()).select(
+        "source", cand.alias("cand"), F.col("text").alias("ref")
+    )
+    scored = rouge_n_scores(staged, "cand", "ref", ns=(1, 2))
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("rouge1_f"), 6).alias("avg_rouge1_f"),
+        F.round(F.avg("rouge2_f"), 6).alias("avg_rouge2_f"),
+    )
+    return run_to_memory(agg, "stream_rouge_q", output_mode="complete").orderBy(
+        "source"
+    )
+
+
 def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (operators/scoring
     .kneser_ney_logprob — Kneser & Ney 1995, the KenLM smoothing
@@ -6006,7 +6039,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "l_diversity", "t_closeness", "pr_curve", "average_precision",
     "mad_outliers", "self_bleu", "corpus_concentration",
     "calibration_summary", "textrank", "categorical_association",
-    "rake_keywords",
+    "rake_keywords", "stream_rouge",
     # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
     "dup_span_regions", "event_paths", "event_transitions",
     "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
@@ -6016,7 +6049,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "score_normalize", "unpivot", "url_canonical", "weighted_sample",
     "winsorized_lengths", "dup_graph_stats", "domain_cap",
     # (2) alphabetical head of the 50 r10-green rows
-    "a_q1_pricing", "a_q6_revenue", "ann_topk_rp",
+    "a_q1_pricing", "a_q6_revenue",
 )
 
 # The planned r15 window backbone: the 25 remaining r10-green rows
@@ -6045,6 +6078,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "curation_cleanup", "curation_budget", "count_anomalies",
     "corr_signals", "containment", "cms_freq", "char_entropy",
     "bucket_spine", "bloom_decontam", "b_q4_priority", "b_q10_returns",
+    "ann_topk_rp",
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
@@ -6325,6 +6359,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "categorical_association": q_categorical_association,
         "rake_keywords": q_rake_keywords,
+        "stream_rouge": q_stream_rouge,
     }
 
 
@@ -7030,6 +7065,83 @@ def oracle_sql() -> dict[str, str]:
                        2 * rouge2_p * rouge2_r / (rouge2_p + rouge2_r), 6)
                    ELSE 0.0 END AS rouge2_f
             FROM scored
+        """,
+        # drained stream == batch: the rouge_eval per-row chain with
+        # source carried through, then the complete-mode rollup
+        "stream_rouge": r"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '\S+') AS rt
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pairs AS (
+                SELECT doc_id, source, rt,
+                       list_transform(
+                           list_filter(range(1, len(rt) + 1),
+                                       i -> i % 3 != 0),
+                           i -> rt[i]) AS ct
+                FROM base
+            ),
+            g AS (
+                SELECT doc_id, source, ct AS c1, rt AS r1,
+                       CASE WHEN len(ct) >= 2 THEN list_transform(
+                           range(1, len(ct)),
+                           i -> ct[i] || ' ' || ct[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS c2,
+                       CASE WHEN len(rt) >= 2 THEN list_transform(
+                           range(1, len(rt)),
+                           i -> rt[i] || ' ' || rt[i + 1])
+                       ELSE CAST([] AS VARCHAR[]) END AS r2
+                FROM pairs
+            ),
+            d1 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c1, x -> x = u.gr)),
+                                 len(list_filter(r1, x -> x = u.gr))))
+                           AS clip
+                FROM g, UNNEST(list_distinct(c1)) AS u(gr)
+                GROUP BY doc_id
+            ),
+            d2 AS (
+                SELECT doc_id,
+                       SUM(LEAST(len(list_filter(c2, x -> x = u.gr)),
+                                 len(list_filter(r2, x -> x = u.gr))))
+                           AS clip
+                FROM g, UNNEST(list_distinct(c2)) AS u(gr)
+                GROUP BY doc_id
+            ),
+            scored AS (
+                SELECT g.source,
+                       CASE WHEN len(c1) > 0 THEN ROUND(
+                           COALESCE(d1.clip, 0) / CAST(len(c1) AS DOUBLE), 6)
+                       ELSE 0.0 END AS p1,
+                       CASE WHEN len(r1) > 0 THEN ROUND(
+                           COALESCE(d1.clip, 0) / CAST(len(r1) AS DOUBLE), 6)
+                       ELSE 0.0 END AS r1s,
+                       CASE WHEN len(c2) > 0 THEN ROUND(
+                           COALESCE(d2.clip, 0) / CAST(len(c2) AS DOUBLE), 6)
+                       ELSE 0.0 END AS p2,
+                       CASE WHEN len(r2) > 0 THEN ROUND(
+                           COALESCE(d2.clip, 0) / CAST(len(r2) AS DOUBLE), 6)
+                       ELSE 0.0 END AS r2s
+                FROM g
+                LEFT JOIN d1 ON g.doc_id = d1.doc_id
+                LEFT JOIN d2 ON g.doc_id = d2.doc_id
+            ),
+            f AS (
+                SELECT source,
+                       CASE WHEN p1 + r1s > 0 THEN ROUND(
+                           2 * p1 * r1s / (p1 + r1s), 6)
+                       ELSE 0.0 END AS f1,
+                       CASE WHEN p2 + r2s > 0 THEN ROUND(
+                           2 * p2 * r2s / (p2 + r2s), 6)
+                       ELSE 0.0 END AS f2
+                FROM scored
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(f1), 6) AS avg_rouge1_f,
+                   ROUND(AVG(f2), 6) AS avg_rouge2_f
+            FROM f GROUP BY source ORDER BY source
         """,
         # full replay: every-7th-token deletion, four clipped
         # precisions, rounded brevity penalty, geometric mean

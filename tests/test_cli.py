@@ -112,9 +112,10 @@ def test_driver_window_composition():
                  "pr_curve", "average_precision", "mad_outliers",
                  "self_bleu", "corpus_concentration",
                  "calibration_summary", "textrank",
-                 "categorical_association", "rake_keywords"):
+                 "categorical_association", "rake_keywords",
+                 "stream_rouge"):
         assert name in window, name
-    for name in ("a_q1_pricing", "a_q6_revenue", "ann_topk_rp"):
+    for name in ("a_q1_pricing", "a_q6_revenue"):
         assert name in window, name
     # the r15 queue backbone is the alphabetical r10 tail
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
