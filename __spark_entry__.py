@@ -6054,15 +6054,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "a_q1_pricing", "a_q6_revenue",
 )
 
-# The planned r15 window backbone: the 25 remaining r10-green rows
-# (the alphabetical tail after the 25 that took r14 slots). As new r14
-# operators land they take window slots FIRST and the window's r10
-# TAIL rows (k_anonymity, join_cardest, ...) move here — never the r9
-# block, which has no staleness budget left. Pinned constant per VERDICT
-# r8 #7 so the queue cannot silently drift from the plan;
-# tests/test_cli.py checks it stays disjoint from DRIVER_WINDOW,
-# registered, and oracle-backed, and the --staleness gate checks the
-# union covers every stale row.
+# The planned r15 window backbone. Pinned constant per VERDICT r8 #7
+# so the queue cannot silently drift from the plan; tests/test_cli.py
+# checks it stays disjoint from DRIVER_WINDOW, registered, and
+# oracle-backed, and the --staleness gate checks the union covers
+# every stale row.
+#
+# CAPACITY NOTE FOR r15+ (structural, do the math before adding
+# queries): the registry now holds 247 queries across five ~50-row
+# freshness tiers (r10:48, r11:49, r12:50, r13:50, r14:50) against a
+# 50-slot driver window and a 4-round staleness bound — the rotation
+# is at capacity. Each round's window MUST be the tier that is 4
+# rounds old (r15 -> the 48 r10 rows below; r16 -> the 49 r11 rows;
+# ...), leaving only (50 - tier size) slots for NEW queries: ~2 in
+# r15, ~1 in r16, ~0 after. Future rounds therefore shift from
+# breadth to depth (perf, scale hardening, examples, robustness) —
+# a new query beyond the free slots would orphan a tier row past the
+# bound, and the in-suite gate will say so. A mid-round local
+# full-registry run (the per-round receipt) keeps correctness
+# evidence fresh for every queued row regardless.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "key_skew", "kll_quantiles", "mm_frame_dedup", "near_dedup_against",
     "negative_pairs", "novelty_score", "part_pairs",
@@ -6084,10 +6094,10 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     # the 49 r11-green rows reach the decay edge the moment the
     # driver's r14 records land (newest becomes 14); planning them
     # here NOW keeps the freshness gate green across the round
-    # boundary instead of red-flagging the start of r15. r15's
-    # mandatory window = the 33 r10 rows above (5 rounds stale by
-    # then) + new r15 ops; the alphabetical head of these r11 rows
-    # fills the rest, tail stays queued.
+    # boundary instead of red-flagging the start of r15. Per the
+    # capacity note above, r15's window is FORCED to the 48 r10 rows
+    # listed before this block (+ at most 2 new r15 queries); these
+    # r11 rows stay queued and become r16's forced window.
     "a_cascade", "agg_approx", "ann_topk_ivf", "ann_topk_lsh",
     "b_join_tree", "b_q3_shipping", "blocklist_score", "bp_grandchild",
     "c4_clean", "cohort_retention", "corpus_mix_temperature",
