@@ -331,3 +331,30 @@ def test_example_plan_mixture_runs(spark, sf_dir):
     a = {r.doc_id for r in out["mixed"].select("doc_id").collect()}
     b = {r.doc_id for r in again["mixed"].select("doc_id").collect()}
     assert a == b
+
+
+def test_example_eval_report_runs(spark, sf_dir):
+    """examples/eval_report.py: the eval + release scorecard must run
+    end to end and honor the invariants its staging guarantees."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/examples")
+    from eval_report import run_eval_report
+
+    r = run_eval_report(spark, sf_dir)
+    # deletion staging: candidate is a subset of the reference, so
+    # ROUGE-1 F sits strictly between 0 and 1 and BLEU is bounded by
+    # the brevity-penalized geometric mean
+    assert 0.0 < r["avg_rouge1_f"] < 1.0
+    assert 0.0 <= r["avg_bleu"] < 1.0
+    assert 0.0 < r["avg_chrf"] <= 1.0
+    # the staged classifier ranks by the true probability: AUC and AP
+    # must beat chance decisively; the score IS the probability, so
+    # ECE stays small (binomial noise only)
+    assert r["auc"] > 0.7 and r["average_precision"] > 0.7
+    assert r["ece"] < 0.1
+    assert 0.0 <= r["source_gini"] < 1.0
+    assert 0.0 < r["top_source_share"] <= 1.0
+    assert r["kanon_suppressed_frac"] < 1.0
+    assert 0.0 <= r["ldiv_groups_ok_frac"] <= 1.0
+    assert 0.0 <= r["tclose_groups_ok_frac"] <= 1.0
