@@ -5718,11 +5718,12 @@ def q_chrf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Popović 2015, orders 1-6, whitespace stripped): the candidate is a
     leetspeak corruption (e->3, o->0) of the reference, so every gram
     touching a corrupted char mismatches while the rest align. Unlike
-    the ROUGE/BLEU per-row HOFs this runs the SCALE shape — grams
-    explode to (doc, order, gram) rows, count with map-side partials,
-    and the sides meet in ONE equi-join (linear in corpus bytes, the
-    plan that survives long rows). Full oracle: DuckDB replays the
-    corruption, the explode-count-join, and every rounded score."""
+    the ROUGE/BLEU per-row HOFs this runs the SCALE shape — both
+    sides' grams explode in ONE corpus pass to (doc, order, side,
+    gram) rows, count with map-side partials, and the sides meet in a
+    grouped conditional aggregate (linear in corpus bytes, no join,
+    the plan that survives long rows). Full oracle: DuckDB replays
+    the corruption, the explode-count chain, and every score."""
     from meta_frame_spark.operators.ranking_eval import chrf_scores
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())

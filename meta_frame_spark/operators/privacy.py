@@ -172,12 +172,13 @@ def t_closeness_report(
     groups = cell.groupBy(*quasi_cols).agg(
         F.sum("_c").cast("long").alias("n_rows")
     )
-    # whole-frame window over the |values|-sized aggregate (never the
-    # fact rows) — the total lands on each value without a collect
+    # the global distribution re-aggregates the CELL table (never a
+    # second scan of the fact rows); the whole-frame window runs on
+    # the |values|-sized aggregate only
     n_total = F.sum("_g").over(Window.partitionBy())
     glob = (
-        df.groupBy(sensitive_col)
-        .agg(F.count(F.lit(1)).alias("_g"))
+        cell.groupBy(sensitive_col)
+        .agg(F.sum("_c").alias("_g"))
         .select(
             sensitive_col,
             (F.col("_g") / n_total.cast("double")).alias("_q"),

@@ -247,11 +247,12 @@ def chrf_scores(
     Scale design — deliberately NOT the per-row HOF shape of
     ``rouge_n_scores``/``bleu_scores``: char grams at orders 1..6 are
     ~6x text bytes per side, so a per-row clipped-overlap scan is
-    quadratic in row length. Here grams EXPLODE to (id, n, gram) rows,
-    count with map-side partial aggregation, and the two sides meet in
-    one (id, n, gram) equi-join — linear in corpus size, one shuffle
-    key family, no UDF. This is the shape that survives long rows and
-    100 TB; the same explode-count-join SQL replays in DuckDB."""
+    quadratic in row length. Here BOTH sides' grams explode in ONE
+    corpus pass to (id, n, side, gram) rows, count with map-side
+    partial aggregation, and the sides meet in a grouped CONDITIONAL
+    aggregate on (id, n, gram) — linear in corpus size, one shuffle
+    key family, no join, no UDF. This is the shape that survives long
+    rows and 100 TB; the same explode-count SQL replays in DuckDB."""
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
     if beta <= 0:
@@ -272,9 +273,11 @@ def chrf_scores(
         stripped(ref_col).alias("_r"),
     )
 
-    def gram_rows(side_col: str, out_name: str):
-        # one array of (n, gram) structs across ALL orders, exploded
-        # once — a single pass over the text per side
+    def side_structs(side_col: str, tag: int):
+        # one array of (n, side, gram) structs across ALL orders —
+        # both sides explode in the SAME pass, so the corpus is
+        # scanned once and the two sides meet in a grouped
+        # conditional aggregate instead of a join
         s = F.col(side_col)
 
         # single-parameter lambda via a factory: a second Python
@@ -283,10 +286,11 @@ def chrf_scores(
         def order_lambda(n: int):
             return lambda i: F.struct(
                 F.lit(n).alias("n"),
+                F.lit(tag).alias("side"),
                 s.substr(i, F.lit(n)).alias("gram"),
             )
 
-        per_order = [
+        return [
             F.when(
                 F.length(s) >= n,
                 F.transform(
@@ -294,31 +298,39 @@ def chrf_scores(
                     order_lambda(n),
                 ),
             ).otherwise(
-                F.array().cast("array<struct<n:int,gram:string>>")
+                F.array().cast("array<struct<n:int,side:int,gram:string>>")
             )
             for n in range(1, max_n + 1)
         ]
-        return (
-            base.select(F.col(id_col), F.explode(F.flatten(F.array(*per_order))).alias("_g"))
-            .select(F.col(id_col), F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
-            .groupBy(id_col, "n", "gram")
-            .agg(F.count(F.lit(1)).alias(out_name))
-        )
 
-    cand_counts = gram_rows("_c", "_cc")
-    ref_counts = gram_rows("_r", "_rc")
+    counts = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.flatten(
+                    F.array(*side_structs("_c", 0), *side_structs("_r", 1))
+                )
+            ).alias("_g"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_g.n").alias("n"),
+            F.col("_g.side").alias("side"),
+            F.col("_g.gram").alias("gram"),
+        )
+        .groupBy(id_col, "n", "gram")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_cc"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_rc"),
+        )
+    )
 
     per_order = (
-        cand_counts.join(ref_counts, [id_col, "n", "gram"], "full_outer")
-        .groupBy(id_col, "n")
+        counts.groupBy(id_col, "n")
         .agg(
-            F.sum(
-                F.least(
-                    F.coalesce("_cc", F.lit(0)), F.coalesce("_rc", F.lit(0))
-                )
-            ).alias("_clip"),
-            F.sum(F.coalesce("_cc", F.lit(0))).alias("_ct"),
-            F.sum(F.coalesce("_rc", F.lit(0))).alias("_rt"),
+            F.sum(F.least("_cc", "_rc")).alias("_clip"),
+            F.sum("_cc").alias("_ct"),
+            F.sum("_rc").alias("_rt"),
         )
         .select(
             F.col(id_col),
