@@ -2056,6 +2056,33 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+def _spread_stream(stream: DataFrame, key: str) -> DataFrame:
+    """Spread a file-source stream across the machine before a heavy
+    per-row stage (r14 optimization, guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read"): the
+    single symlinked test parquet arrives as ONE input split, so every
+    downstream tokenize/regex/HOF projection would run on one core
+    while 31 idle (measured: the stream_rouge drain fell 7.2s -> 1.4s
+    with the spread). This is the streaming twin of the ``_t``
+    documents probe; hash on a narrow key so no per-partition
+    retry-determinism sort of the wide text column is injected. Sized
+    to defaultParallelism, i.e. the cluster, not a constant; on a real
+    many-file stream the same shuffle is how a low-parallelism source
+    (few kafka partitions, gzip shards) is fanned out.
+
+    Applied ONLY where the per-row stage is heavy enough to amortize a
+    full shuffle of the text bytes (ROUGE clip HOFs, classifier
+    scoring). For the cheap map-only gate pipelines the shuffle costs
+    more than the single-core drain it saves at any scale — measured
+    r14: stream_curate 1.37->2.46s, stream_crawl 2.25->2.93s,
+    stream_gate 1.68->2.05s WITH the spread, so those read the source
+    directly (receipts in OPTIMIZATION_r14.md)."""
+    spark = stream.sparkSession
+    return stream.repartition(
+        spark.sparkContext.defaultParallelism, F.col(key)
+    )
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest corpus curation as a REAL stream: documents
     arrive through the file source, the quality/language gates run as
@@ -4566,9 +4593,10 @@ def q_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = train_text_classifier(
         labeled, "y", n=2, hex_chars=2, iters=2, learning_rate=1.0
     )
-    stream = (
+    stream = _spread_stream(
         spark.readStream.schema(_t(spark, sf_dir, "documents").schema)
-        .parquet(_stream_dir(sf_dir, "documents"))
+        .parquet(_stream_dir(sf_dir, "documents")),
+        "doc_id",
     )
     scored = score_text_classifier(
         stream.filter(F.col("text").isNotNull()), w, n=2, hex_chars=2
@@ -5323,31 +5351,30 @@ def q_corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.operators.profile import corpus_diversity
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    approx = corpus_diversity(docs, ns=(1, 2, 3), exact=False, rsd=0.02)
-    exact = (
-        corpus_diversity(docs, ns=(1, 2, 3), exact=True)
-        .select(
-            "source", "n", F.col("distinct_grams").alias("exact_distinct")
-        )
+    # r14 optimization (guide §2.4): both arms came from an IDENTICAL
+    # explode + (source, n) shuffle — also_approx folds the HLL
+    # estimate into the exact arm's single aggregate, so the audit
+    # costs one corpus pass + one shuffle instead of two of each plus
+    # a join. The HLL estimate is a deterministic function of the
+    # gram multiset, so every output value is unchanged.
+    both = corpus_diversity(
+        docs, ns=(1, 2, 3), exact=True, rsd=0.02, also_approx=True
     )
-    return (
-        approx.join(exact, ["source", "n"])
-        .select(
-            "source",
-            "n",
-            "n_grams",
-            "exact_distinct",
-            (
-                F.abs(F.col("distinct_grams") - F.col("exact_distinct"))
-                / F.col("exact_distinct").cast("double")
-                # 5×rsd: HLL error is ~Gaussian with σ=rsd, so a 3σ
-                # bound flakes with small but real probability across
-                # hundreds of bench/driver runs (ADVICE r13); 5σ keeps
-                # the invariant meaningful (still rejects a broken
-                # sketch outright) with ~1e-7 false-alarm odds per cell
-                <= 0.10
-            ).alias("err_ok"),
-        )
+    return both.select(
+        "source",
+        "n",
+        "n_grams",
+        F.col("distinct_grams").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx_distinct_grams") - F.col("distinct_grams"))
+            / F.col("distinct_grams").cast("double")
+            # 5×rsd: HLL error is ~Gaussian with σ=rsd, so a 3σ
+            # bound flakes with small but real probability across
+            # hundreds of bench/driver runs (ADVICE r13); 5σ keeps
+            # the invariant meaningful (still rejects a broken
+            # sketch outright) with ~1e-7 false-alarm odds per cell
+            <= 0.10
+        ).alias("err_ok"),
     )
 
 
@@ -5752,9 +5779,10 @@ def q_stream_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meta_frame_spark.streaming.ops import run_to_memory
 
     docs_batch = _t(spark, sf_dir, "documents")
-    stream = (
+    stream = _spread_stream(
         spark.readStream.schema(docs_batch.schema)
-        .parquet(_stream_dir(sf_dir, "documents"))
+        .parquet(_stream_dir(sf_dir, "documents")),
+        "doc_id",
     )
     toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
     cand = F.array_join(F.filter(toks, lambda x, i: i % 3 != 2), " ")

@@ -120,6 +120,36 @@ def pagerank(
         nodes.unpersist()
         e.unpersist()
         return nodes.select(F.col("node"), F.lit(0.0).alias("rank"))
+    # Small-graph driver fast path (r14 optimization, guide §1.2 "the
+    # distributed algorithm" + §5 "the driver"): each distributed
+    # round is a join + aggregate + localCheckpoint materialization —
+    # pure scheduling latency on a graph that fits in one task. When
+    # the graph is MODEL-sized (vocabulary co-occurrence, host graphs,
+    # event-transition graphs — the same bounded class as the k-means
+    # codebook collects elsewhere in this repo), collect the
+    # normalized edge list once and run the identical float64 power
+    # iteration in numpy: same formula, same eps-check schedule, same
+    # stop rule, so results agree to summation-reorder noise (below
+    # the 6dp presentation rounding, exactly like any distributed
+    # re-partitioning). Thresholds are conf-parameterised; a
+    # billion-edge graph takes the distributed loop unchanged.
+    spark = edges.sparkSession
+    max_n = int(
+        spark.conf.get("spark.meta_frame.pagerank.driverMaxNodes", "20000")
+    )
+    max_m = int(
+        spark.conf.get("spark.meta_frame.pagerank.driverMaxEdges", "500000")
+    )
+    if n <= max_n:
+        m = e.count()  # bounded: counts the persisted edge frame
+        if m <= max_m:
+            try:
+                return _pagerank_driver(
+                    spark, e, nodes, n, damping, n_iter, teleport_to, eps
+                )
+            finally:
+                nodes.unpersist()
+                e.unpersist()
     # Size the per-round rank frame to the GRAPH, not the session
     # default: a 5-node transition graph spread over 32 shuffle
     # partitions pays 10 rounds x 32 near-empty tasks of pure
@@ -257,6 +287,72 @@ def pagerank(
         deg.unpersist()
         e_norm.unpersist()
         e.unpersist()
+
+
+def _pagerank_driver(
+    spark,
+    e: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    damping: float,
+    n_iter: int,
+    teleport_to: list | None,
+    eps: float | None,
+) -> DataFrame:
+    """Driver-side power iteration for MODEL-sized graphs (see the
+    dispatch comment in :func:`pagerank`): one bounded collect of the
+    node list + edge list, then the identical float64 recurrence in
+    numpy. Checks the convergence delta every round (free here), which
+    can only stop at or before the distributed schedule — any
+    difference is inside the eps contraction bound and invisible at
+    the repo's 6dp presentation rounding."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    node_rows = [r[0] for r in nodes.collect()]
+    node_rows.sort(key=lambda v: (v is None, v))
+    idx = {v: i for i, v in enumerate(node_rows)}
+    edges = e.collect()
+    si = np.fromiter((idx[r.src] for r in edges), dtype=np.int64,
+                     count=len(edges))
+    di = np.fromiter((idx[r.dst] for r in edges), dtype=np.int64,
+                     count=len(edges))
+    w = np.fromiter((r.w for r in edges), dtype=np.float64,
+                    count=len(edges))
+    out_w = np.zeros(n, dtype=np.float64)
+    np.add.at(out_w, si, w)
+    p = w / out_w[si]
+    is_sink = out_w == 0.0
+    if teleport_to is None:
+        t = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        # normalize over the DISTINCT IN-GRAPH seeds (same contract as
+        # the distributed branch: duplicates and absent seeds are inert)
+        seeds = {s for s in set(teleport_to) if s in idx}
+        if not seeds:
+            raise ValueError(
+                "teleport_to: no seed matches any graph node; "
+                "personalized PageRank needs at least one in-graph seed"
+            )
+        t = np.zeros(n, dtype=np.float64)
+        for s in seeds:
+            t[idx[s]] = 1.0 / len(seeds)
+    rank = t.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, di, rank[si] * p)
+        dangling = float(rank[is_sink].sum())
+        new_rank = (1.0 - damping) * t + damping * (contrib + dangling * t)
+        delta = float(np.abs(new_rank - rank).sum()) if eps is not None else None
+        rank = new_rank
+        if eps is not None and delta < eps:
+            break
+    schema = StructType(
+        [nodes.schema.fields[0], StructField("rank", DoubleType(), True)]
+    )
+    return spark.createDataFrame(
+        [(v, float(rank[i])) for i, v in enumerate(node_rows)], schema
+    )
 
 
 def degree_stats(

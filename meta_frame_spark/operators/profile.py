@@ -175,6 +175,7 @@ def corpus_diversity(
     ns: tuple[int, ...] = (1, 2, 3),
     exact: bool = True,
     rsd: float = 0.05,
+    also_approx: bool = False,
 ) -> DataFrame:
     """Distinct-n lexical diversity report per group — the corpus
     health metric data cards publish (distinct-1/2/3, Li et al. 2016's
@@ -195,7 +196,15 @@ def corpus_diversity(
     shuffle — fine into the low billions of grams, and what the DuckDB
     oracle matches); at 100 TB pass ``exact=False`` for
     ``approx_count_distinct`` at ``rsd``, which keeps the shuffle
-    HLL-sketch-sized per group."""
+    HLL-sketch-sized per group.
+
+    ``also_approx=True`` (with ``exact=True``) appends an
+    ``approx_distinct_grams`` column from the SAME single aggregate —
+    the sketch-accuracy audit (exact vs HLL side by side) costs one
+    corpus pass instead of two (r14 optimization, guide §2.4: the two
+    arms shared an identical explode + shuffle; the HLL estimate is
+    deterministic for a given dataset, so the values match the
+    two-pass form exactly)."""
     from meta_frame_spark.functions.text import tokens
 
     if not ns:
@@ -224,22 +233,47 @@ def corpus_diversity(
     exploded = df.select(
         F.col(group_col), F.explode(all_grams).alias("_g")
     ).select(group_col, F.col("_g.n").alias("n"), F.col("_g.gram").alias("_gram"))
-    distinct = (
-        F.count_distinct("_gram")
-        if exact
-        else F.approx_count_distinct("_gram", rsd)
-    )
-    return (
-        exploded.groupBy(group_col, "n")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            distinct.alias("distinct_grams"),
+    if also_approx and not exact:
+        raise ValueError("also_approx requires exact=True")
+    if exact:
+        # Two-level aggregate (r14): gram counts first, then the
+        # per-group rollup. Equivalent to count(1)+count_distinct in
+        # one agg, but AVOIDS Catalyst's distinct-aggregate rewrite
+        # (Expand doubles every exploded row before the partial agg;
+        # with an imperative HLL alongside it also forces a
+        # SortAggregate over the corpus grain — measured 7.0s vs 1.2s
+        # for the audit query). Map-side partial aggregation still
+        # compresses duplicate grams before the one distinct-gram
+        # shuffle, and the HLL sketch is duplicate-insensitive
+        # (register max), so feeding it each distinct gram once gives
+        # the identical estimate to the corpus-grain form.
+        per_gram = exploded.groupBy(group_col, "n", "_gram").agg(
+            F.count(F.lit(1)).alias("_cnt")
         )
+        aggs = [
+            F.sum("_cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+        ]
+        if also_approx:
+            aggs.append(
+                F.approx_count_distinct("_gram", rsd).alias(
+                    "approx_distinct_grams"
+                )
+            )
+        grouped = per_gram.groupBy(group_col, "n").agg(*aggs)
+    else:
+        grouped = exploded.groupBy(group_col, "n").agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.approx_count_distinct("_gram", rsd).alias("distinct_grams"),
+        )
+    return (
+        grouped
         .select(
             group_col,
             "n",
             "n_grams",
             "distinct_grams",
+            *(["approx_distinct_grams"] if also_approx else []),
             F.round(
                 F.col("distinct_grams") / F.col("n_grams").cast("double"),
                 6,

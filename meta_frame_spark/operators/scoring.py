@@ -258,16 +258,29 @@ def kneser_ney_logprob(
 
     d = F.lit(float(discount))
     # fold the model into ONE probability per distinct bigram TYPE
-    # the scored corpus actually contains (see kneser_ney3_logprob)
-    need = _pairs(df, False).groupBy("token", "next_token").agg(
-        F.count(F.lit(1)).alias("_drop")
-    ).drop("_drop")
-    typed = (
-        need
-        .join(cb, ["token", "next_token"], "left")
-        .join(ctx, "token", "left")
-        .join(cont, "next_token", "left")
-    )
+    # the scored corpus actually contains (see kneser_ney3_logprob).
+    # Self-fit fast path (r14 optimization, guide §2.4 "remove
+    # shuffles outright"): when df IS the fit corpus, its distinct
+    # bigram types are BY CONSTRUCTION exactly cb's key set — reuse
+    # the persisted table instead of re-scanning the corpus and
+    # re-aggregating the same keys (1 corpus scan + 1 corpus-grain
+    # shuffle + 1 type-grain join removed; identical rows either way).
+    if fit is df:
+        typed = (
+            cb
+            .join(ctx, "token", "left")
+            .join(cont, "next_token", "left")
+        )
+    else:
+        need = _pairs(df, False).groupBy("token", "next_token").agg(
+            F.count(F.lit(1)).alias("_drop")
+        ).drop("_drop")
+        typed = (
+            need
+            .join(cb, ["token", "next_token"], "left")
+            .join(ctx, "token", "left")
+            .join(cont, "next_token", "left")
+        )
     pcont = F.coalesce(F.col("_n_prec"), F.lit(0)) / F.lit(float(n_types))
     p = F.when(
         F.col("_ca").isNotNull(),
@@ -391,18 +404,32 @@ def kneser_ney3_logprob(
     d = F.lit(float(discount))
     # fold the model into ONE probability per distinct trigram TYPE
     # the scored corpus actually contains — five type-grain joins
-    # instead of five stream-grain ones
-    need = _tris(df, False).groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).alias("_drop")
-    ).drop("_drop")
-    typed = (
-        need
-        .join(c3, ["w1", "w2", "w3"], "left")
-        .join(ctx3, ["w1", "w2"], "left")
-        .join(mid, ["w2", "w3"], "left")
-        .join(ctx2, "w2", "left")
-        .join(cont1, "w3", "left")
-    )
+    # instead of five stream-grain ones. Self-fit fast path (r14
+    # optimization, guide §2.4): when df IS the fit corpus its
+    # distinct trigram types are exactly c3's key set — reuse the
+    # persisted table instead of re-scanning the corpus for the same
+    # keys (1 corpus scan + 1 corpus-grain shuffle + 1 type-grain
+    # join removed; identical rows either way).
+    if fit is df:
+        typed = (
+            c3
+            .join(ctx3, ["w1", "w2"], "left")
+            .join(mid, ["w2", "w3"], "left")
+            .join(ctx2, "w2", "left")
+            .join(cont1, "w3", "left")
+        )
+    else:
+        need = _tris(df, False).groupBy("w1", "w2", "w3").agg(
+            F.count(F.lit(1)).alias("_drop")
+        ).drop("_drop")
+        typed = (
+            need
+            .join(c3, ["w1", "w2", "w3"], "left")
+            .join(ctx3, ["w1", "w2"], "left")
+            .join(mid, ["w2", "w3"], "left")
+            .join(ctx2, "w2", "left")
+            .join(cont1, "w3", "left")
+        )
     p1 = F.coalesce(F.col("_n3"), F.lit(0)) / F.lit(float(n_types))
     p2 = F.when(
         F.col("_n2dot").isNotNull(),
@@ -519,15 +546,25 @@ def modified_kneser_ney_logprob(
     cont = cb.groupBy("next_token").agg(F.count(F.lit(1)).alias("_n_prec"))
 
     # fold into one probability per distinct bigram TYPE of df
-    need = _pairs(df, False).groupBy("token", "next_token").agg(
-        F.count(F.lit(1)).alias("_drop")
-    ).drop("_drop")
-    typed = (
-        need
-        .join(cb, ["token", "next_token"], "left")
-        .join(ctx, "token", "left")
-        .join(cont, "next_token", "left")
-    )
+    # (self-fit fast path: see kneser_ney_logprob — df's types ARE
+    # cb's keys, so skip the corpus re-scan; the registered query
+    # fits on a slice and takes the general branch)
+    if fit is df:
+        typed = (
+            cb
+            .join(ctx, "token", "left")
+            .join(cont, "next_token", "left")
+        )
+    else:
+        need = _pairs(df, False).groupBy("token", "next_token").agg(
+            F.count(F.lit(1)).alias("_drop")
+        ).drop("_drop")
+        typed = (
+            need
+            .join(cb, ["token", "next_token"], "left")
+            .join(ctx, "token", "left")
+            .join(cont, "next_token", "left")
+        )
     disc = (
         F.when(c == 1, F.lit(d1))
         .when(c == 2, F.lit(d2))

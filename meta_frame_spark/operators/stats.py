@@ -378,27 +378,73 @@ def mad_outliers_report(
     ``x != median`` — the robust limit of the same rule. NULL values
     are excluded.
 
-    Scale: two grouped aggregates over the facts (median, then MAD of
-    the deviations) with the group frames broadcast back — facts
-    shuffle twice on the group key, nothing collected. ``exact=True``
-    uses Spark's exact ``percentile`` (sorts each group's values —
-    fine to ~1e8 rows per group and required for the value-exact
-    oracle); at 100 TB pass ``exact=False`` for the bounded-memory
-    ``percentile_approx`` sketch (same report, approximate cuts)."""
+    Scale, ``exact=True`` (r14 optimization, guide §2.4 "remove
+    shuffles outright"): ONE grouped ``collect_list`` per group, then
+    median, MAD and the census all come out of the sorted array with
+    codegen HOFs — 1 scan + 1 shuffle instead of the old 3 scans +
+    3 grouped-percentile shuffles. The memory profile is unchanged:
+    Spark's exact ``percentile`` already buffers every group value in
+    its aggregation buffer, so the array form holds the same bytes
+    (fine to ~1e8 rows per group, required for the value-exact
+    oracle). The interpolation replicates Spark's
+    ``percentile(0.5)`` bit-exactly (position = (n-1)/2, linear
+    interpolation between floor/ceil ranks). At 100 TB pass
+    ``exact=False`` for the bounded-memory ``percentile_approx``
+    sketch path (same report, approximate cuts, original 2-pass
+    shape)."""
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     if not group_cols:
         raise ValueError("mad_outliers needs at least one group column")
 
-    def med(col):
-        return (
-            F.percentile(col, F.lit(0.5))
-            if exact
-            else F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
-        )
-
     v = F.col(value_col)
     base = df.filter(v.isNotNull()).select(*group_cols, v.alias("_v"))
+
+    if exact:
+        def interp(sorted_col):
+            # Spark Percentile.getPercentile: pos = p*(n-1); result =
+            # lower + (higher - lower) * (pos - floor(pos)) — same ops,
+            # same order, bit-identical doubles.
+            pos = (F.size(sorted_col).cast("double") - 1) / 2
+            lo_i = F.floor(pos).cast("int")
+            hi_i = F.ceil(pos).cast("int")
+            lo = F.element_at(sorted_col, lo_i + 1)
+            hi = F.element_at(sorted_col, hi_i + 1)
+            return F.when(lo_i == hi_i, lo).otherwise(
+                lo + (hi - lo) * (pos - lo_i)
+            )
+
+        g = base.groupBy(*group_cols).agg(
+            F.sort_array(F.collect_list("_v")).alias("_s")
+        )
+        g = g.withColumn("_med", interp(F.col("_s")))
+        g = g.withColumn(
+            "_ds",
+            F.sort_array(
+                F.transform("_s", lambda x: F.abs(x - F.col("_med")))
+            ),
+        ).withColumn("_mad", interp(F.col("_ds")))
+        thr = F.lit(k) * F.lit(1.4826) * F.col("_mad")
+        n_out = F.when(
+            F.col("_mad") > 0,
+            F.size(F.filter("_ds", lambda d: d > thr)),
+        ).otherwise(
+            F.size(F.filter("_s", lambda x: x != F.col("_med")))
+        ).cast("long")
+        return g.select(
+            *group_cols,
+            F.size("_s").cast("long").alias("n"),
+            F.round(F.col("_med"), 6).alias("median"),
+            F.round(F.col("_mad"), 6).alias("mad"),
+            n_out.alias("n_outliers"),
+            F.round(
+                n_out / F.size("_s").cast("double"), 6
+            ).alias("outlier_frac"),
+        )
+
+    def med(col):
+        return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+
     med_tbl = base.groupBy(*group_cols).agg(med(F.col("_v")).alias("_med"))
     with_med = base.join(F.broadcast(med_tbl), group_cols)
     dev = with_med.withColumn("_d", F.abs(F.col("_v") - F.col("_med")))
