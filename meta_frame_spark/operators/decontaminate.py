@@ -176,6 +176,7 @@ def embedding_contamination(
     planes_per_band: int = 6,
     num_bands: int = 32,
     seed: int = 42,
+    max_exact_bench: int = 100_000,
 ) -> DataFrame:
     """Per-corpus-row contamination report against an eval set in
     EMBEDDING space (VERDICT r10 "Next round" #8): ``(id_col,
@@ -185,23 +186,37 @@ def embedding_contamination(
     paraphrased eval question shares no 13-gram but sits at
     cosine ~1 of its source).
 
-    Scale design: vectors are NORMALIZED map-side FIRST (SRP sign
-    bits are invariant under positive scaling, so buckets are
-    unchanged and each candidate pair costs ONE dot instead of a dot
-    plus two norms), then both sides bucketize with the SAME SRP
-    hyperplanes (similarity._srp_planes — one Arrow matmul per side);
-    candidates come from an equi-join on (band, bucket) with the
-    benchmark side BROADCAST (an eval set is small by definition), so
-    the corpus never shuffles. The single exchange is the
-    per-corpus-id aggregate, bounded by candidate count. The 6-plane
-    default is the high-threshold trade (the 0.4-threshold near-dup
-    query uses 2): bucket space 64 cuts random-pair collisions ~16x
-    vs 2 planes, while a true pair AT cos 0.9 still bands with
+    Scale design, exact arm (benchmark row count <= ``max_exact_bench``
+    — the common case; an eval set is small by definition): the
+    normalized benchmark matrix ships to every task as a closure
+    (nb x dim float64, ~50 MB at the 100k default cap) and ONE Arrow
+    ``mapInPandas`` over the corpus scores each batch against ALL
+    benchmark vectors in a single BLAS matmul — recall exactly 1.0 by
+    construction, zero joins, zero shuffles, O(N·nb·dim) flops that
+    BLAS sustains at memory bandwidth. This replaced the SRP-LSH
+    candidate join on the 6-plane/32-band default after measurement:
+    with 64 buckets per band a random corpus row collides with
+    ~nb/64 benchmark rows in EVERY band, so expected candidate pairs
+    are ~N·nb/2 — HALF of all-pairs — and each collision paid an
+    interpreted ``zip_with``+``aggregate`` dot (HOFs are
+    CodegenFallback), strictly more work than one exact matmul.
+
+    LSH arm (benchmark larger than ``max_exact_bench``): vectors are
+    NORMALIZED map-side FIRST (SRP sign bits are invariant under
+    positive scaling, so buckets are unchanged and each candidate
+    pair costs ONE dot instead of a dot plus two norms), then both
+    sides bucketize with the SAME SRP hyperplanes
+    (similarity._srp_planes — one Arrow matmul per side); candidates
+    come from an equi-join on (band, bucket) with the benchmark side
+    BROADCAST, so the corpus never shuffles. The single exchange is
+    the per-corpus-id aggregate, bounded by candidate count. The
+    6-plane default is the high-threshold trade (the 0.4-threshold
+    near-dup query uses 2): a true pair AT cos 0.9 bands with
     p = (1 - acos(.9)/pi)^6 ~ 0.395, miss prob (1-.395)^32 ~ 1e-7.
     Exact copies of a benchmark vector collide in EVERY band
     regardless, so planted contaminants cannot be missed. Zero-norm
-    vectors drop at normalization (their cosine is 0 by convention —
-    below any sane threshold)."""
+    vectors drop at normalization on BOTH arms (their cosine is 0 by
+    convention — below any sane threshold)."""
     from meta_frame_spark.operators.similarity import _bucketize, _srp_planes
 
     def _unit(df: DataFrame) -> DataFrame:
@@ -216,6 +231,73 @@ def embedding_contamination(
                 nrm > 0, F.transform(v, lambda x: x / nrm)
             ).alias(vec_col),
         ).filter(F.col(vec_col).isNotNull())
+
+    if max_exact_bench > 0:
+        bench_rows = (
+            benchmark.select(id_col, vec_col)
+            .limit(max_exact_bench + 1)
+            .collect()
+        )
+        if len(bench_rows) <= max_exact_bench:
+            import numpy as np
+            import pandas as pd
+
+            vecs = []
+            for r in bench_rows:
+                v = r[1]
+                if v is None or len(v) != dim:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                n = float(np.linalg.norm(a))
+                if n > 0:
+                    vecs.append(a / n)
+            bmat_t = (
+                np.stack(vecs).T if vecs else np.zeros((dim, 0))
+            )  # (dim, nb)
+
+            def _score(batches):
+                for pdf in batches:
+                    vs = pdf[vec_col]
+                    valid = [
+                        i for i, v in enumerate(vs)
+                        if v is not None and len(v) == dim
+                    ]
+                    if not valid or bmat_t.shape[1] == 0:
+                        continue
+                    X = np.stack(
+                        [np.asarray(vs.iloc[i], dtype=np.float64)
+                         for i in valid]
+                    )
+                    nrm = np.linalg.norm(X, axis=1)
+                    ok = nrm > 0
+                    if not ok.any():
+                        continue
+                    S = (X[ok] / nrm[ok, None]) @ bmat_t  # (nx, nb)
+                    hit = S >= threshold
+                    nh = hit.sum(1)
+                    any_hit = nh > 0
+                    if not any_hit.any():
+                        continue
+                    idx = np.asarray(valid)[ok][any_hit]
+                    yield pd.DataFrame({
+                        "_id": pdf[id_col].iloc[idx].values,
+                        "n_bench_hits": nh[any_hit].astype(np.int64),
+                        "_mc": np.where(hit, S, -np.inf).max(1)[any_hit],
+                    })
+
+            id_type = corpus.schema[id_col].dataType.simpleString()
+            return (
+                corpus.select(id_col, vec_col)
+                .mapInPandas(
+                    _score,
+                    f"_id {id_type}, n_bench_hits long, _mc double",
+                )
+                .select(
+                    F.col("_id").alias(id_col),
+                    "n_bench_hits",
+                    F.round("_mc", 4).alias("max_cosine"),
+                )
+            )
 
     planes = _srp_planes(dim, planes_per_band * num_bands, seed)
     cb = _bucketize(_unit(corpus), id_col, vec_col, planes,

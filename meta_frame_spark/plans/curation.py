@@ -615,15 +615,31 @@ def _op_compression_gate(
 
 
 def _op_cache(df: DataFrame) -> DataFrame:
-    """Materialization hint for fan-out points: persist the frame (and
-    register it with operators.cache so release_tracked_caches() /
-    the bench's clearCache() reclaim it). Without it, every downstream
-    step that references the flowing frame twice — a quantile gate's
-    stats aggregate + data side, quantile_match's reference + count —
-    re-derives the whole upstream plan per reference."""
+    """Materialization hint for fan-out points. Without it, every
+    downstream step that references the flowing frame twice — a
+    quantile gate's stats aggregate + data side, quantile_match's
+    reference + count — re-derives the whole upstream plan per
+    reference.
+
+    Lazy ``localCheckpoint`` rather than ``persist`` (guide §3.3/§5
+    "materialising an intermediate truncates the plan"): a persisted
+    frame still carries its full logical lineage, so each of the
+    ~10 downstream actions of a selection pipeline re-analyzed and
+    re-optimized a plan that embeds the DSIR scorer and every prior
+    gate — measured as the dominant driver-side cost of
+    ``curation_select`` (hundreds of KB of plan per action). The
+    checkpoint truncates the lineage to an RDD leaf, so downstream
+    analysis is over a two-node plan; the data itself is identical
+    and still computed from the inputs on every run (eager=False:
+    materialization happens at the first consuming action). Trade,
+    documented: checkpointed partitions are not fault-tolerant to
+    executor loss (they re-materialize the whole pipeline on a
+    lost-partition retry at worst) and are released by the context
+    cleaner when the plan is dropped rather than by
+    release_tracked_caches()."""
     from meta_frame_spark.operators.cache import track
 
-    return track(df.persist())
+    return track(df.localCheckpoint(eager=False))
 
 
 def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:

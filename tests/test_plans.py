@@ -548,19 +548,28 @@ def test_fix_encoding_plan_is_map_only(spark, sf_dir):
 
 
 def test_embedding_contamination_broadcasts_benchmark(spark, sf_dir):
-    """Candidates come from a broadcast equi-join on (band, bucket);
-    the corpus side must never shuffle into a sort-merge join or a
-    cartesian product."""
+    """Exact arm (small benchmark): ONE Arrow map over the corpus —
+    no join, no exchange at all. LSH arm (benchmark over the exact
+    cap): candidates come from a broadcast equi-join on (band,
+    bucket); the corpus side must never shuffle into a sort-merge
+    join or a cartesian product."""
     from meta_frame_spark.operators.decontaminate import (
         embedding_contamination,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    plan = _plan(embedding_contamination(
-        emb, emb.filter("vec_id % 37 = 0"), threshold=0.9))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    bench = emb.filter("vec_id % 37 = 0")
+
+    exact = _plan(embedding_contamination(emb, bench, threshold=0.9))
+    assert "MapInPandas" in exact
+    for op in ("Join", "Exchange", "CartesianProduct"):
+        assert op not in exact, op
+
+    lsh = _plan(embedding_contamination(
+        emb, bench, threshold=0.9, max_exact_bench=0))
+    assert "BroadcastHashJoin" in lsh
+    assert "CartesianProduct" not in lsh
+    assert "SortMergeJoin" not in lsh
 
 
 def test_repetition_rules_plan_is_map_only(spark, sf_dir):
