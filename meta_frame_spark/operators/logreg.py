@@ -94,7 +94,10 @@ def train_text_classifier(
 
     Per iteration: one map-only scan of the persisted bucket arrays
     for the logits, ONE aggregate for the bias gradient fused with a
-    <= V-row groupBy for the weight gradient. Everything the driver
+    <= V-row groupBy for the weight gradient. The row count N (the
+    gradient scale) rides on the bias row of round 1's collect — no
+    separate count() job, and round 1 needs no N up front because the
+    update applies AFTER the gradients land. Everything the driver
     ever holds is V + 1 doubles and the row count.
     """
     if iters < 1:
@@ -111,9 +114,7 @@ def train_text_classifier(
         .select(y.alias("_y"), _bucket_array(text_col, n, hex_chars).alias("_ba"))
         .persist()
     )
-    n_rows = doc_arr.count()
-    if n_rows == 0:
-        raise ValueError("train_text_classifier: no non-null-text rows")
+    n_rows = None
     weights = [0.0] * (v + 1)
     for _ in range(iters):
         resid = (
@@ -129,14 +130,25 @@ def train_text_classifier(
         # both collapse map-side, and the union keeps it one action.
         grad_rows = (
             scored.select(F.explode("_ba").alias("_b"), "_r")
-            .groupBy("_b").agg(F.sum("_r").alias("_g"))
+            .groupBy("_b").agg(
+                F.sum("_r").alias("_g"), F.count(F.lit(1)).alias("_n")
+            )
             .unionByName(
                 scored.agg(
-                    F.lit(-1).alias("_b"), F.sum("_r").alias("_g")
+                    F.lit(-1).alias("_b"), F.sum("_r").alias("_g"),
+                    F.count(F.lit(1)).alias("_n"),
                 )
             )
             .collect()
         )  # bounded: <= V + 1 rows
+        if n_rows is None:
+            n_rows = next(
+                int(row._n) for row in grad_rows if row._b == -1
+            )
+            if n_rows == 0:
+                raise ValueError(
+                    "train_text_classifier: no non-null-text rows"
+                )
         step = learning_rate / n_rows
         for row in grad_rows:
             idx = 0 if row._b == -1 else row._b + 1

@@ -144,19 +144,90 @@ def _word_grams(col: str, n: int, lowercase: bool):
     )
 
 
-def _clipped_overlap(cand_grams, ref_grams):
-    """Multiset-clipped overlap: sum over distinct candidate grams of
-    min(count in candidate, count in reference) — the shared core of
-    ROUGE-N and BLEU modified precision. Pure codegen HOFs; per-row
-    cost O(distinct_c x len) inside one task."""
-    return F.aggregate(
-        F.array_distinct(cand_grams),
-        F.lit(0),
-        lambda acc, g: acc + F.least(
-            F.size(F.filter(cand_grams, lambda x: x == g)),
-            F.size(F.filter(ref_grams, lambda x: x == g)),
-        ),
+def _clip_counts_map(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    orders: tuple[int, ...],
+    lowercase: bool,
+) -> DataFrame:
+    """All integer sufficient statistics of ROUGE-N / BLEU in ONE
+    Arrow map: the input columns plus ``_ct{n}`` / ``_rt{n}`` (n-gram
+    totals per side, floored at 0) and ``_clip{n}`` (multiset-clipped
+    overlap) for every requested order.
+
+    Tokenization stays in JVM expressions (``\\S+`` extraction +
+    lower), so gram identity is exactly the engine's and the DuckDB
+    replay's; the per-row clipped counting runs as hash-map counts in
+    the Python worker — O(len) per order instead of the
+    O(distinct_c x len) rescan of the expression form, which profiled
+    as the whole cost of the BLEU/ROUGE queries. Only INTEGERS cross
+    back, so every downstream precision/recall/F/BP double is computed
+    by the same JVM expressions as before — bit-identical scores.
+    Map-only and stateless, so it compiles onto streaming frames
+    unchanged (the stream_rouge path)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    staged = df.select(
+        "*",
+        _word_grams(cand_col, 1, lowercase).alias("_tc"),
+        _word_grams(ref_col, 1, lowercase).alias("_tr"),
     )
+    cols = [f.name for f in df.schema.fields]
+    extra = []
+    for n in orders:
+        extra += [
+            StructField(f"_ct{n}", IntegerType()),
+            StructField(f"_rt{n}", IntegerType()),
+            StructField(f"_clip{n}", IntegerType()),
+        ]
+    schema = StructType(list(df.schema.fields) + extra)
+    ordl = tuple(orders)
+
+    def _counts(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            m = len(pdf)
+            stats = {n: np.zeros((3, m), dtype=np.int32) for n in ordl}
+            for i, (tc, tr) in enumerate(zip(pdf["_tc"], pdf["_tr"])):
+                tc = [] if tc is None else list(tc)
+                tr = [] if tr is None else list(tr)
+                for n in ordl:
+                    ct = len(tc) - n + 1
+                    rt = len(tr) - n + 1
+                    ct = ct if ct > 0 else 0
+                    rt = rt if rt > 0 else 0
+                    clip = 0
+                    if ct > 0 and rt > 0:
+                        if n == 1:
+                            cc = Counter(tc)
+                            rc = Counter(tr)
+                        else:
+                            cc = Counter(
+                                tuple(tc[j:j + n]) for j in range(ct)
+                            )
+                            rc = Counter(
+                                tuple(tr[j:j + n]) for j in range(rt)
+                            )
+                        clip = sum(
+                            min(v, rc[g])
+                            for g, v in cc.items() if g in rc
+                        )
+                    s = stats[n]
+                    s[0, i] = ct
+                    s[1, i] = rt
+                    s[2, i] = clip
+            out = pdf[cols].copy()
+            for n in ordl:
+                s = stats[n]
+                out[f"_ct{n}"] = s[0]
+                out[f"_rt{n}"] = s[1]
+                out[f"_clip{n}"] = s[2]
+            yield out
+
+    return staged.mapInPandas(_counts, schema)
 
 
 def bleu_scores(
@@ -178,34 +249,33 @@ def bleu_scores(
     Brevity penalty = 1 when the candidate is at least reference
     length, else exp(1 - ref_len/cand_len) over order-1 token counts.
 
-    Scale: like ``rouge_n_scores`` this is MAP-ONLY — codegen
-    higher-order functions over token n-gram arrays, no shuffle, no
-    UDF, stream-safe; engine-portable (DuckDB replays every score in
-    the driver oracle). Per-row cost is O(distinct_c x len_c) per
-    order — fine for document/sentence-sized rows; for very long rows
-    prefer the explode-and-count shape (see ``chrf_scores``)."""
+    Scale: like ``rouge_n_scores`` this is MAP-ONLY and stream-safe —
+    integer gram statistics from one Arrow map
+    (:func:`_clip_counts_map`), every double computed by JVM
+    expressions from those integers, so DuckDB replays every score in
+    the driver oracle. (The n=1 gram total is floored at 0 where the
+    old ``size(NULL array)`` was -1; both values take identical
+    branches in every consuming expression — ``> 0`` / ``>=`` tests
+    with a non-negative other side — so scores are unchanged.)"""
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
     for col in (cand_col, ref_col):
         if col not in df.columns:
             raise ValueError(f"bleu_scores: missing column {col!r}")
 
-    out = df
+    orders = tuple(range(1, max_n + 1))
+    out = _clip_counts_map(df, cand_col, ref_col, orders, lowercase)
     prec_cols = []
-    for n in range(1, max_n + 1):
-        cg = _word_grams(cand_col, n, lowercase)
-        rg = _word_grams(ref_col, n, lowercase)
-        out = out.withColumn(f"_cg{n}", cg).withColumn(f"_rg{n}", rg)
-        cgc = F.col(f"_cg{n}")
-        clip = _clipped_overlap(cgc, F.col(f"_rg{n}"))
+    for n in orders:
         p = F.when(
-            F.size(cgc) > 0, clip / F.size(cgc).cast("double")
+            F.col(f"_ct{n}") > 0,
+            F.col(f"_clip{n}") / F.col(f"_ct{n}").cast("double"),
         ).otherwise(F.lit(0.0))
         out = out.withColumn(f"bleu_p{n}", F.round(p, round_to))
         prec_cols.append(F.col(f"bleu_p{n}"))
 
-    c_len = F.size(F.col("_cg1")).cast("double")
-    r_len = F.size(F.col("_rg1")).cast("double")
+    c_len = F.col("_ct1").cast("double")
+    r_len = F.col("_rt1").cast("double")
     bp = F.when(c_len >= r_len, F.lit(1.0)).when(
         c_len > 0, F.exp(F.lit(1.0) - r_len / c_len)
     ).otherwise(F.lit(0.0))
@@ -220,8 +290,8 @@ def bleu_scores(
         * F.pow(prod, F.lit(1.0 / max_n)),
     ).otherwise(F.lit(0.0))
     out = out.withColumn("bleu", F.round(bleu, round_to))
-    for n in range(1, max_n + 1):
-        out = out.drop(f"_cg{n}", f"_rg{n}")
+    for n in orders:
+        out = out.drop(f"_ct{n}", f"_rt{n}", f"_clip{n}")
     return out
 
 
@@ -374,26 +444,27 @@ def rouge_n_scores(
     0 by convention (not NULL — a pair with an empty side is a real
     0-overlap observation).
 
-    Scale: pure codegen higher-order functions over whitespace-token
-    n-gram arrays — MAP-ONLY, no shuffle, no UDF, stream-safe. The
-    per-row clipped sum is O(distinct_c × len_c) comparisons inside
-    one task; engine-portable (DuckDB spells the identical chain, so
-    a full oracle replays every score)."""
+    Scale: MAP-ONLY and stream-safe — integer gram statistics from
+    one Arrow map (:func:`_clip_counts_map`, hash-map counting,
+    O(len) per order instead of the O(distinct_c × len_c) rescans of
+    the expression form), every precision/recall/F double computed by
+    JVM expressions from those integers; engine-portable (DuckDB
+    spells the identical chain, so a full oracle replays every
+    score). The n=1 gram total is floored at 0 where ``size(NULL
+    array)`` was -1 — identical branches either way (see
+    ``bleu_scores``)."""
     if not ns or any(n < 1 for n in ns):
         raise ValueError(f"ns must be positive n-gram orders, got {ns}")
 
-    out = df
+    out = _clip_counts_map(df, cand_col, ref_col, tuple(ns), lowercase)
     for n in ns:
-        cg = _word_grams(cand_col, n, lowercase)
-        rg = _word_grams(ref_col, n, lowercase)
-        out = out.withColumn(f"_cg{n}", cg).withColumn(f"_rg{n}", rg)
-        cgc, rgc = F.col(f"_cg{n}"), F.col(f"_rg{n}")
-        out = out.withColumn("_clip", _clipped_overlap(cgc, rgc))
         p = F.when(
-            F.size(cgc) > 0, F.col("_clip") / F.size(cgc).cast("double")
+            F.col(f"_ct{n}") > 0,
+            F.col(f"_clip{n}") / F.col(f"_ct{n}").cast("double"),
         ).otherwise(F.lit(0.0))
         r = F.when(
-            F.size(rgc) > 0, F.col("_clip") / F.size(rgc).cast("double")
+            F.col(f"_rt{n}") > 0,
+            F.col(f"_clip{n}") / F.col(f"_rt{n}").cast("double"),
         ).otherwise(F.lit(0.0))
         out = (
             out.withColumn(f"rouge{n}_p", F.round(p, round_to))
@@ -405,7 +476,7 @@ def rouge_n_scores(
             / (F.col(f"rouge{n}_p") + F.col(f"rouge{n}_r")),
         ).otherwise(F.lit(0.0))
         out = out.withColumn(f"rouge{n}_f", F.round(f1, round_to))
-        out = out.drop(f"_cg{n}", f"_rg{n}", "_clip")
+        out = out.drop(f"_ct{n}", f"_rt{n}", f"_clip{n}")
     return out
 
 
