@@ -6047,42 +6047,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotation plan and the pin can never diverge (VERDICT r6 "Next
 # round" #5).
 #
-# Round-14 window (VERDICT r13 "Next round" #1): the 50 decay-edge
-# rows named by tools/check_correctness.py --staleness at round start,
-# minus the r10 tail displaced by new r14 operators.
-#   (0)    the 21 NEW r14 queries (never-orphaned rule: a query with
-#          no driver row yet always holds a window slot);
-#   (1)    the ENTIRE pinned r13 queue verbatim (dup_span_regions ..
-#          domain_cap) — the 25 rows whose latest driver green was
-#          r9; they would cross the 4-round staleness bound once r14
-#          records land, so they hold slots unconditionally;
-#   (2)    the alphabetical head of the 50 r10-green rows — 4 slots
-#          remain after the new-op displacements (each lands the
-#          displaced row in NEXT_WINDOW_QUEUE, never dropping it).
+# Round-15 window (VERDICT r14 "Next round" #9 and the capacity note
+# below): the rotation is at capacity, so this window is FORCED to be
+# the decay-edge tier — the 48 rows whose latest driver green is r10
+# (they sit at staleness 4 with the r14 records in the tree and would
+# cross the bound when r15 records land). r15 is an optimization
+# round and adds NO new queries, so the 2 free slots go to the
+# alphabetical head of the 49 r11-green rows (r16's forced window),
+# getting ahead of next round's capacity squeeze.
 # Together window ∪ queue covers every decay-edge row, which
 # tools/check_correctness.py --staleness enforces mechanically.
 # Every entry has an oracle_sql() twin.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # (0) new this round — FIRST driver rows (never-orphaned rule);
-    # each new op displaces one row off the window's r10 TAIL into
-    # NEXT_WINDOW_QUEUE
-    "vocab_ids", "crawl_ingest", "html_links", "ccnet_buckets",
-    "link_hostrank", "robots_gate", "wordpiece_tokenize",
-    "stream_crawl", "rouge_eval", "bleu_eval", "chrf_eval",
-    "l_diversity", "t_closeness", "pr_curve", "average_precision",
-    "mad_outliers", "self_bleu", "corpus_concentration",
-    "calibration_summary", "textrank", "categorical_association",
-    "rake_keywords", "stream_rouge",
-    # (1) the pinned r13 queue, verbatim — all 25 r9-green rows
-    "dup_span_regions", "event_paths", "event_transitions",
-    "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
-    "join_salted", "lang_margin", "length_histogram", "mm_audio",
-    "mm_meta", "profile", "quality_deciles", "quantile_gate",
-    "quantile_match_bucketed", "rrf_quality_scaled", "sample_per_group",
-    "score_normalize", "unpivot", "url_canonical", "weighted_sample",
-    "winsorized_lengths", "dup_graph_stats", "domain_cap",
-    # (2) alphabetical head of the 50 r10-green rows
-    "a_q1_pricing", "a_q6_revenue",
+    # (1) the pinned r14 queue backbone, verbatim — the r10-green
+    # alphabetical tail (25 rows)
+    "key_skew", "kll_quantiles", "mm_frame_dedup", "near_dedup_against",
+    "negative_pairs", "novelty_score", "part_pairs",
+    "quality_classifier", "quantile_match_grid", "rolling_distinct",
+    "script_profile", "sentences", "session_pairs", "sketch_rollup",
+    "stream_anomaly", "stream_score", "text_normalize", "tfidf_keywords",
+    "theta_matrix", "theta_overlap", "top_mass", "trend_hourly",
+    "trending_events", "vocab_drift", "zipf_slope",
+    # (2) the 23 r10-green rows displaced from the r14 window by that
+    # round's new ops — queued then, due now
+    "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
+    "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
+    "emb_outliers", "doremi_mix", "dedup_safe_split",
+    "curation_cleanup", "curation_budget", "count_anomalies",
+    "corr_signals", "containment", "cms_freq", "char_entropy",
+    "bucket_spine", "bloom_decontam", "b_q4_priority", "b_q10_returns",
+    "ann_topk_rp",
+    # (3) alphabetical head of the 49 r11-green rows (no new r15
+    # queries — optimization round)
+    "a_cascade", "agg_approx",
 )
 
 # The planned r15 window backbone. Pinned constant per VERDICT r8 #7
@@ -6105,31 +6102,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # full-registry run (the per-round receipt) keeps correctness
 # evidence fresh for every queued row regardless.
 NEXT_WINDOW_QUEUE: tuple[str, ...] = (
-    "key_skew", "kll_quantiles", "mm_frame_dedup", "near_dedup_against",
-    "negative_pairs", "novelty_score", "part_pairs",
-    "quality_classifier", "quantile_match_grid", "rolling_distinct",
-    "script_profile", "sentences", "session_pairs", "sketch_rollup",
-    "stream_anomaly", "stream_score", "text_normalize", "tfidf_keywords",
-    "theta_matrix", "theta_overlap", "top_mass", "trend_hourly",
-    "trending_events", "vocab_drift", "zipf_slope",
-    # displaced from the window's r10 tail by the round-14 new-op
-    # slots (new ops take slots FIRST; r10-green rows yield — still
-    # inside the 4-round staleness budget via this queue)
-    "k_anonymity", "join_cardest", "incremental_agg", "heavy_hitters",
-    "funnel_latency", "ewma_hourly", "event_pagerank", "epoch_shuffle",
-    "emb_outliers", "doremi_mix", "dedup_safe_split",
-    "curation_cleanup", "curation_budget", "count_anomalies",
-    "corr_signals", "containment", "cms_freq", "char_entropy",
-    "bucket_spine", "bloom_decontam", "b_q4_priority", "b_q10_returns",
-    "ann_topk_rp",
-    # the 49 r11-green rows reach the decay edge the moment the
-    # driver's r14 records land (newest becomes 14); planning them
-    # here NOW keeps the freshness gate green across the round
-    # boundary instead of red-flagging the start of r15. Per the
-    # capacity note above, r15's window is FORCED to the 48 r10 rows
-    # listed before this block (+ at most 2 new r15 queries); these
-    # r11 rows stay queued and become r16's forced window.
-    "a_cascade", "agg_approx", "ann_topk_ivf", "ann_topk_lsh",
+    # the 49 r11-green rows minus the two already promoted into the
+    # r15 window head — they reach the decay edge the moment the
+    # driver's r15 records land (newest becomes 15), so they are
+    # r16's forced window. Planning them here NOW keeps the freshness
+    # gate green across the round boundary instead of red-flagging
+    # the start of r16.
+    "ann_topk_ivf", "ann_topk_lsh",
     "b_join_tree", "b_q3_shipping", "blocklist_score", "bp_grandchild",
     "c4_clean", "cohort_retention", "corpus_mix_temperature",
     "dedup_minhash", "dedup_simhash", "distinct_sketch",

@@ -201,21 +201,68 @@ def main() -> None:
         for idx in range(a_idx, b_idx)
     }
     suspects = [all_queries[i][0] for i in sorted(dirty)]
-    # Whole-record contention flag: per-query reruns can rescue a few
-    # poisoned entries, but when a third of the suite sits in dirty
-    # probe windows the slot itself is stolen (three r8 attempts show
-    # the shape: probes 0.3-0.6 vs 0.2 clean across the whole run,
-    # untouched code +15-40%) and the TOTAL is an upper bound, not a
-    # measurement. Mark the record so a reader never compares its
-    # total against a clean one. The two-record protocol in
-    # BASELINE.md says which record to judge in that case.
-    record_contended = len(suspects) > len(all_queries) // 3
+    # Adaptive rerun budget (VERDICT r14 "Next round" #2): the r14
+    # driver record had 160/247 queries in dirty probe windows but only
+    # a fixed top-20 rerun budget, so the record could not self-heal
+    # and the whole round's PERF was noise. Self-healing, in order:
+    #
+    # 1. REFERENCE RESOLUTION (free): external contention can only ADD
+    #    time to a CPU-bound noop sink, so a dirty-bracketed value at
+    #    or below the committed clean record's value for the same query
+    #    (same sf, non-contended record) cannot be hiding inflation —
+    #    it is an upper bound that already beats the clean reference.
+    #    Those suspects resolve without a rerun.
+    # 2. ADAPTIVE RERUNS: every remaining suspect is rerun (not just
+    #    the top 20), prioritized by deviation from the clean reference
+    #    (unknown-reference queries first — nothing vouches for them),
+    #    under a wall-clock budget; reruns stop early when the slot is
+    #    persistently stolen (8 consecutive dirty probes — no clean
+    #    bracket is obtainable, burning budget is pointless).
+    # 3. The whole-record flag is recomputed AFTER healing: the record
+    #    is contended only if >10 entries never got a clean bracket or
+    #    reference resolution. (The old flag was computed BEFORE the
+    #    reruns from the raw suspect count, so a healable record stayed
+    #    marked junk.)
+    here = os.path.dirname(os.path.abspath(__file__))
+    ref: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            _rec = json.load(f)
+        if (
+            abs(float(_rec.get("sf", -1.0)) - sf) < 1e-9
+            and not _rec.get("probe", {}).get("record_contended", True)
+        ):
+            ref = {k: float(v) for k, v in _rec.get("queries", {}).items()}
+    except Exception:
+        ref = {}
+    RERUN_BUDGET_SEC = 120.0  # hard cap on total rerun wall time
+    MAX_CONTENDED = 10        # record flag threshold after healing
+    resolved_ref = [
+        n for n in suspects if n in ref and per_query[n] <= ref[n]
+    ]
+    pending = [n for n in suspects if n not in set(resolved_ref)]
+    # priority: unknown-reference first, then worst deviation from the
+    # clean reference (most-inflated entries poison comparisons most)
+    pending.sort(
+        key=lambda n: (
+            -(per_query[n] / ref[n]) if n in ref else float("-inf"),
+            -per_query[n],
+        )
+    )
     reran: dict[str, list[float]] = {}
     contended: list[str] = []
-    if suspects:
+    if pending:
         by_name = dict(all_queries)
         pre = probe_end  # last measured probe state
-        for name in sorted(suspects, key=lambda n: -per_query[n])[:20]:
+        rerun_t0 = time.perf_counter()
+        consecutive_dirty = 0
+        for name in pending:
+            if (
+                time.perf_counter() - rerun_t0 > RERUN_BUDGET_SEC
+                or consecutive_dirty >= 8
+            ):
+                contended.append(name)  # budget/slot exhausted, unhealed
+                continue
             first = per_query[name]
             attempts = []
             got_clean = False
@@ -226,14 +273,20 @@ def main() -> None:
                 clean = (pre <= 1.5 * PROBE_CLEAN_SEC
                          and post <= 1.5 * PROBE_CLEAN_SEC)
                 pre = post
+                consecutive_dirty = 0 if clean else consecutive_dirty + 1
                 if clean:
                     got_clean = True
                     if val <= first:
                         break
             per_query[name] = min([first, *attempts])
-            if not got_clean:
+            # a rerun attempt at/below the clean reference resolves the
+            # same way a clean bracket does (rule 1 above)
+            if not got_clean and not (
+                name in ref and per_query[name] <= ref[name]
+            ):
                 contended.append(name)
             reran[name] = [first, *attempts]
+    record_contended = len(contended) > MAX_CONTENDED
     try:
         load_1m = round(os.getloadavg()[0], 1)
     except OSError:
@@ -255,6 +308,9 @@ def main() -> None:
             # clean-bracketed rerun, or min + a `contended` entry when
             # no attempt got a clean bracket
             "suspect_reruns": reran,
+            # suspects resolved without a rerun: dirty-bracketed value
+            # at/below the committed clean record (see rule 1 above)
+            "resolved_by_reference": resolved_ref,
             "contended": contended,
             "record_contended": record_contended,
         },
@@ -266,7 +322,6 @@ def main() -> None:
     # overwrite the clean record in the working tree — a recurring
     # commit hazard three rounds running (VERDICT r10 "Next round"
     # #1); tools/check_bench_record.py is the backstop check.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
         json.dump(payload, f, indent=1)
     if abs(sf - 0.1) < 1e-9 and not record_contended:
@@ -307,7 +362,11 @@ def main() -> None:
         "max_interleaved": max(p[1] for p in probes),
         "n_suspect": len(suspects),
         "n_reran": len(reran),
-        "contended": contended,
+        "n_resolved_ref": len(resolved_ref),
+        # bounded: the full list lives in BENCH_FULL/LAST.json and the
+        # record flag already says whether the tail matters
+        "n_contended": len(contended),
+        "contended": contended[:MAX_CONTENDED],
         "record_contended": record_contended,
     }
 

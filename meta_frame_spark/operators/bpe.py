@@ -1,4 +1,4 @@
-"""Trainable byte-pair-encoding tokenizer: train on the corpus, encode
+r"""Trainable byte-pair-encoding tokenizer: train on the corpus, encode
 the corpus.
 
 Not in the reference (no text surface); `functions.text.bpe_tokens` is

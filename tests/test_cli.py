@@ -85,43 +85,38 @@ def test_driver_window_composition():
     window = list(e.queries())[:50]
     assert window == list(e.DRIVER_WINDOW)
     assert len(set(window)) == 50
-    # round-14 headline (VERDICT r13 #1): the ENTIRE pinned r13 queue
-    # — the 25 rows whose latest driver green was r9, which would
-    # cross the 4-round staleness bound once r14 records land — takes
-    # slots unconditionally; new r14 ops displace the r10 tail, never
-    # these
+    # round-15 headline (VERDICT r14 #9): the window is FORCED to the
+    # 48 rows whose latest driver green is r10 — the entire pinned r14
+    # queue backbone (25 rows) plus the 23 r10-green rows the r14
+    # new-op slots displaced; no new r15 queries (optimization round)
     for name in (
-        "dup_span_regions", "event_paths", "event_transitions",
-        "expectations", "fingerprint", "group_quantiles", "hard_neg_lsh",
-        "join_salted", "lang_margin", "length_histogram", "mm_audio",
-        "mm_meta", "profile", "quality_deciles", "quantile_gate",
-        "quantile_match_bucketed", "rrf_quality_scaled",
-        "sample_per_group", "score_normalize", "unpivot",
-        "url_canonical", "weighted_sample", "winsorized_lengths",
-        "dup_graph_stats", "domain_cap",
+        "key_skew", "kll_quantiles", "mm_frame_dedup",
+        "near_dedup_against", "negative_pairs", "novelty_score",
+        "part_pairs", "quality_classifier", "quantile_match_grid",
+        "rolling_distinct", "script_profile", "sentences",
+        "session_pairs", "sketch_rollup", "stream_anomaly",
+        "stream_score", "text_normalize", "tfidf_keywords",
+        "theta_matrix", "theta_overlap", "top_mass", "trend_hourly",
+        "trending_events", "vocab_drift", "zipf_slope",
     ):
         assert name in window, name
-    # the rest of the window is the alphabetical head of the 50
-    # r10-green decay-edge rows
-    # round-14 new ops hold slots until their first driver row lands
-    # (never-orphaned rule)
-    for name in ("vocab_ids", "crawl_ingest", "html_links",
-                 "ccnet_buckets", "link_hostrank", "robots_gate",
-                 "wordpiece_tokenize", "stream_crawl", "rouge_eval",
-                 "bleu_eval", "chrf_eval", "l_diversity", "t_closeness",
-                 "pr_curve", "average_precision", "mad_outliers",
-                 "self_bleu", "corpus_concentration",
-                 "calibration_summary", "textrank",
-                 "categorical_association", "rake_keywords",
-                 "stream_rouge"):
+    for name in (
+        "k_anonymity", "join_cardest", "incremental_agg",
+        "heavy_hitters", "funnel_latency", "ewma_hourly",
+        "event_pagerank", "epoch_shuffle", "emb_outliers", "doremi_mix",
+        "dedup_safe_split", "curation_cleanup", "curation_budget",
+        "count_anomalies", "corr_signals", "containment", "cms_freq",
+        "char_entropy", "bucket_spine", "bloom_decontam",
+        "b_q4_priority", "b_q10_returns", "ann_topk_rp",
+    ):
         assert name in window, name
-    for name in ("a_q1_pricing", "a_q6_revenue"):
+    # the 2 free slots: alphabetical head of the 49 r11-green rows
+    for name in ("a_cascade", "agg_approx"):
         assert name in window, name
-    # the r15 queue backbone is the alphabetical r10 tail
+    # the r16 queue backbone is the remaining r11 tier
     assert list(e.NEXT_WINDOW_QUEUE)[:4] == [
-        "key_skew", "kll_quantiles", "mm_frame_dedup",
-        "near_dedup_against"]
-    # the r14 queue is a real plan: registered, oracle-backed, and
+        "ann_topk_ivf", "ann_topk_lsh", "b_join_tree", "b_q3_shipping"]
+    # the r15 queue is a real plan: registered, oracle-backed, and
     # disjoint from the current window (VERDICT r8 #7)
     queue = list(e.NEXT_WINDOW_QUEUE)
     assert len(set(queue)) == len(queue)
