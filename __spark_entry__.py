@@ -2106,7 +2106,9 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count("text")).alias("total_tokens"),
     )
     return run_to_memory(
-        counts, "mem_stream_curate", output_mode="complete", state_partitions=8
+        # per-source rollup = ~20 state rows at ANY corpus size (sizing
+        # note in run_to_memory's docstring; r15 A/B: 1.56 -> 1.48s)
+        counts, "mem_stream_curate", output_mode="complete", state_partitions=1
     )
 
 
@@ -2149,7 +2151,9 @@ def q_stream_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(
         counts, "mem_stream_crawl", output_mode="complete",
-        state_partitions=8,
+        # per-source rollup = ~20 state rows at ANY corpus size (sizing
+        # note in run_to_memory's docstring; r15 A/B: 2.31 -> 2.26s)
+        state_partitions=1,
     )
 
 
@@ -2510,7 +2514,10 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     out = run_to_memory(
         hourly_event_counts(stream), "mem_stream_hourly", output_mode="complete",
-        state_partitions=8,
+        # ~3,600 (window x type) state rows: one state partition holds
+        # them trivially; each extra partition is pure store-init +
+        # commit overhead (r15 A/B receipt: 0.93 -> 0.75s at sp=1)
+        state_partitions=1,
     )
     return out.select(
         F.date_trunc("hour", "hour").alias("hour"), "event_type",
@@ -2533,8 +2540,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_event_stream(spark, _stream_dir(sf_dir, "events"))
     deduped = dedup_events(stream, keys=["user_id", "event_type"])
+    # no_data_batches=False (r15): dropDuplicatesWithinWatermark emits
+    # each first occurrence IN the batch that carries it; the trailing
+    # empty batch only evicts expired state and re-commits every state
+    # store to emit zero rows — output-identical without it (oracle
+    # pins drained == DISTINCT)
     out = run_to_memory(deduped, "mem_stream_dedup", output_mode="append",
-                        state_partitions=8)
+                        state_partitions=8, no_data_batches=False)
     return out.select("user_id", "event_type")
 
 
@@ -2560,8 +2572,14 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     joined = interval_join(purchases, views, by=["user_id"], lookback="1 hour")
+    # no_data_batches=False (r15): an INNER interval join emits every
+    # match in the batch where both sides are present; the trailing
+    # empty batch exists for left-outer finals and state eviction only,
+    # yet re-runs the whole 4-store-per-partition join pipeline to emit
+    # zero rows (profiled: 1.5s of the query's 2.9s wall). Drained
+    # output is identical (same oracle as q_events_interval).
     out = run_to_memory(joined, "mem_stream_join", output_mode="append",
-                        state_partitions=8)
+                        state_partitions=8, no_data_batches=False)
     return out.groupBy("event_id").agg(
         F.count(F.lit(1)).alias("n_views"),
         F.round(F.max("r_value"), 2).alias("max_view_value"),
@@ -4794,7 +4812,10 @@ def q_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(
         counts, "mem_stream_gate", output_mode="complete",
-        state_partitions=8,
+        # per-source rollup = ~20 state rows at ANY corpus size; size
+        # state partitions to the state, not the cluster (r15 A/B
+        # receipt: 2.17 -> 1.90s at sp=1)
+        state_partitions=1,
     )
 
 

@@ -114,6 +114,38 @@ def train_text_classifier(
         .select(y.alias("_y"), _bucket_array(text_col, n, hex_chars).alias("_ba"))
         .persist()
     )
+    # Small-corpus driver fast path (r15 optimization, guide §1.2 "the
+    # distributed algorithm" + §5 "the driver" — the _pagerank_driver
+    # pattern): each distributed GD round is a cached scan + explode +
+    # groupBy + collect, i.e. one full Spark job of scheduling latency
+    # per iteration for a model whose sufficient statistics (the
+    # per-doc bucket arrays) fit in one task when the labeled exemplar
+    # set is MODEL-sized — which a quality-classifier training set is
+    # by construction (CCNet/GPT-3 train on a bounded exemplar corpus,
+    # not the pool). Collect the bucket arrays ONCE (bounded by the
+    # conf'd doc cap — the dup_clusters limit-collect shape, and the
+    # limit scan warms the persist the distributed loop reuses if the
+    # cap is exceeded) and run the identical float64 full-batch GD in
+    # numpy: same update rule, same N scaling, same iteration count;
+    # per-doc logits fold the same per-instance weights, and gradient
+    # sums differ from the distributed partial-aggregation order only
+    # in summation-reorder ulps (the documented tolerance of this fit
+    # — test_train_deterministic_under_partitioning pins 1e-9, and
+    # every consumer rounds to 6dp). A 10^9-doc labeled set takes the
+    # distributed loop unchanged.
+    max_docs = int(
+        df.sparkSession.conf.get(
+            "spark.meta_frame.logreg.driverMaxDocs", "50000"
+        )
+    )
+    if max_docs > 0:
+        rows = doc_arr.limit(max_docs + 1).collect()
+        if len(rows) <= max_docs:
+            if not rows:
+                raise ValueError(
+                    "train_text_classifier: no non-null-text rows"
+                )
+            return _train_driver(rows, v, iters, learning_rate)
     n_rows = None
     weights = [0.0] * (v + 1)
     for _ in range(iters):
@@ -154,6 +186,37 @@ def train_text_classifier(
             idx = 0 if row._b == -1 else row._b + 1
             weights[idx] -= step * float(row._g)
     return weights
+
+
+def _train_driver(rows, v: int, iters: int, learning_rate: float) -> list[float]:
+    """Driver-side full-batch GD over collected ``(_y, _ba)`` rows —
+    identical arithmetic to the distributed loop (float64, same update
+    rule, same N scaling; summation order differs only the way any
+    re-partitioning of the distributed loop would). Bounded by the
+    caller's conf'd collect cap."""
+    import numpy as np
+
+    lens = np.array([len(r._ba) for r in rows], dtype=np.int64)
+    yv = np.array([float(r._y) for r in rows])
+    n_rows = len(rows)
+    flat = (
+        np.concatenate([np.asarray(r._ba, dtype=np.int64) for r in rows])
+        if int(lens.sum()) else np.empty(0, dtype=np.int64)
+    )
+    ends = np.cumsum(lens)
+    w = np.zeros(v + 1)
+    for _ in range(iters):
+        per = w[1:][flat] if flat.size else flat.astype(np.float64)
+        cs = np.concatenate(([0.0], np.cumsum(per)))
+        z = w[0] + (cs[ends] - cs[ends - lens])
+        resid = 1.0 / (1.0 + np.exp(-z)) - yv
+        step = learning_rate / n_rows
+        gw = np.bincount(
+            flat, weights=np.repeat(resid, lens), minlength=v
+        ) if flat.size else np.zeros(v)
+        w[0] -= step * float(resid.sum())
+        w[1:] -= step * gw
+    return [float(x) for x in w]
 
 
 def score_text_classifier(

@@ -272,6 +272,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion into an in-memory
     table with an availableNow trigger (test/CI harness — a production
@@ -285,13 +286,38 @@ def run_to_memory(
     partition per stateful subtree, so a small local corpus pays
     store-init latency 32x while holding trivial state (measured 6.2s
     -> 2.4s on the stream-stream join at sf0.1 going 32 -> 8). On a
-    real cluster SIZE IT UP: state partitions are the unit of both
-    parallelism and state-store memory — ~2-3x total cores, exactly
-    like batch shuffle partitions."""
+    real cluster SIZE IT TO THE STATE, not to a constant: state
+    partitions are the unit of both parallelism and state-store
+    memory, so scale them with the number of distinct state rows the
+    query retains (group/key cardinality) up to ~2-3x total cores —
+    a 20-group complete-mode rollup holds 20 state rows at ANY corpus
+    size and pays pure store-init/commit overhead for every partition
+    beyond that, while a per-user keyed operator wants the full core
+    multiple.
+
+    ``no_data_batches=False`` additionally disables the trailing
+    NO-DATA micro-batch (``spark.sql.streaming.noDataMicroBatches``,
+    bound at ``start()`` and restored after). After the last data
+    batch advances the watermark, that extra empty batch exists ONLY
+    to let event-time-final operators emit rows that become complete
+    when the watermark passes (left-outer interval-join nulls,
+    append-mode aggregation finals) and to evict expired state. For
+    shapes that emit everything in the batch that carries the data —
+    INNER stream-stream joins, ``dropDuplicatesWithinWatermark``
+    (first occurrence emits immediately), complete-mode aggregations —
+    the no-data batch re-runs the whole stateful pipeline (state store
+    load + commit per partition) to produce zero rows; skipping it is
+    output-identical (the drained-stream == batch oracle pins this)
+    and saves a full micro-batch of harness cost per run. Leave it ON
+    for any left-outer join or append-mode windowed aggregation."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    _ND_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(_ND_CONF)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if not no_data_batches:
+        spark.conf.set(_ND_CONF, "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -304,4 +330,6 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not no_data_batches:
+            spark.conf.set(_ND_CONF, prev_nd)
     return spark.table(name)
