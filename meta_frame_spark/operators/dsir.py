@@ -142,43 +142,39 @@ def dsir_log_weights(
         )
         .persist()
     )
-    t_counts = track(
-        _gram_buckets(target, text_col, n, hex_chars)
-        .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-        .persist()
-    )
-    r_counts = track(
-        doc_arr.select(F.explode("_ba").alias("_b"))
-        .groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
-        .persist()
-    )
-    # bounded driver scalars: the two corpus gram totals, fetched in
-    # ONE job (a crossJoin of two 1-row aggregates) so both persisted
-    # count frames materialize in parallel instead of as two
-    # driver-sequenced barriers
-    totals = (
-        t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("st"))
-        .crossJoin(
-            r_counts.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("sr"))
+    # BOTH model fits share ONE bucket-grain aggregation (r15, VERDICT
+    # r14 "Next round" #4, guide §2.4 "remove shuffles outright"): the
+    # target grams and pool grams union with a side flag and ONE
+    # groupBy(_b) emits both counts side by side — the old shape's
+    # second bucket-grain exchange AND the full_outer count-table join
+    # disappear; conditional counts make absent-side buckets 0, exactly
+    # what the old coalesce(_c, 0) after the outer join produced, so
+    # every _lr value (and the oracle replay) is byte-identical.
+    counts = track(
+        doc_arr.select(F.explode("_ba").alias("_b"), F.lit(False).alias("_t"))
+        .unionAll(
+            _gram_buckets(target, text_col, n, hex_chars)
+            .select("_b", F.lit(True).alias("_t"))
         )
-        .collect()[0]
+        .groupBy("_b").agg(
+            F.count(F.when(F.col("_t"), 1)).alias("_ct"),
+            F.count(F.when(~F.col("_t"), 1)).alias("_cr"),
+        )
+        .persist()
     )
+    # bounded driver scalars: the two corpus gram totals, in ONE
+    # aggregate over the single persisted count frame
+    totals = counts.agg(
+        F.coalesce(F.sum("_ct"), F.lit(0)).alias("st"),
+        F.coalesce(F.sum("_cr"), F.lit(0)).alias("sr"),
+    ).collect()[0]
     tt, tr = float(totals.st), float(totals.sr)
-    ratio = (
-        t_counts.join(r_counts, "_b", "full_outer")
-        .select(
-            "_b",
-            (
-                F.log(
-                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(tt + smoothing * v)
-                )
-                - F.log(
-                    (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(smoothing))
-                    / F.lit(tr + smoothing * v)
-                )
-            ).alias("_lr"),
-        )
+    ratio = counts.select(
+        "_b",
+        (
+            F.log((F.col("_ct") + F.lit(smoothing)) / F.lit(tt + smoothing * v))
+            - F.log((F.col("_cr") + F.lit(smoothing)) / F.lit(tr + smoothing * v))
+        ).alias("_lr"),
     )
     # buckets observed in neither corpus: the smoothed-floor constant
     import math
