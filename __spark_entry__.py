@@ -1577,26 +1577,47 @@ def _ann_recall_summary(approx: DataFrame, exact: DataFrame, k: int,
     ``n_queries`` (oracle recomputes exactly), ``k``, and two
     Spark-verified booleans — every query returned k rows, and
     recall@k against the exact result clears ``recall_bound``
-    (deterministic under the operators' fixed seeds)."""
-    # Both inputs are referenced twice below (approx: per-query census
-    # + hit semi-join; exact: semi-join + total). Without persist the
-    # single output action recomputes each full ANN DAG — fits, UDF
-    # encode passes, windows — once per reference. The frames are
-    # (n_queries x k) rows, trivially cacheable; bench/driver
-    # clearCache() drops them after the query.
-    approx = approx.persist()
-    exact = exact.persist()
-    per_q = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ret"))
-    stats = per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.min("n_ret").alias("min_ret"),
-        F.max("n_ret").alias("max_ret"),
+    (deterministic under the operators' fixed seeds).
+
+    One fused action (r15, VERDICT r14 "Next round" #5, guide §1.2):
+    the census, the hit count and the exact total all reduce over ONE
+    side-tagged union of the two result sets — a (query, neighbor)
+    pair present on both sides is a hit, so the old semi-join + three
+    crossJoined aggregates (each re-referencing a persisted input, 4+
+    sequential jobs) collapse into union -> two-level aggregate. The
+    two ANN DAGs are each referenced exactly once, so the persists go
+    too, and their independent stages overlap inside the single job
+    instead of materializing back to back. Multiplicity-exact: n_hits
+    counts approx rows whose pair exists in exact (the semi-join
+    semantics), n_ret/n_exact sum per-side multiplicities."""
+    tagged = approx.select(
+        "query_id", "neighbor_id",
+        F.lit(1).alias("_a"), F.lit(0).alias("_e"),
+    ).unionAll(
+        exact.select(
+            "query_id", "neighbor_id",
+            F.lit(0).alias("_a"), F.lit(1).alias("_e"),
+        )
     )
-    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi").agg(
-        F.count(F.lit(1)).cast("double").alias("n_hits")
+    pairs = tagged.groupBy("query_id", "neighbor_id").agg(
+        F.sum("_a").alias("_in_a"), F.sum("_e").alias("_in_e")
     )
-    total = exact.agg(F.count(F.lit(1)).cast("double").alias("n_exact"))
-    return stats.crossJoin(hits).crossJoin(total).select(
+    per_q = pairs.groupBy("query_id").agg(
+        F.sum("_in_a").alias("n_ret"),
+        F.sum(F.when(F.col("_in_e") > 0, F.col("_in_a")).otherwise(0))
+        .alias("n_hit"),
+        F.sum("_in_e").alias("n_ex"),
+    )
+    # census over queries the APPROX side returned (absent-from-approx
+    # queries held no per_q row in the old shape either)
+    ret = F.when(F.col("n_ret") > 0, F.col("n_ret"))
+    return per_q.agg(
+        F.count(ret).alias("n_queries"),
+        F.min(ret).alias("min_ret"),
+        F.max(ret).alias("max_ret"),
+        F.sum("n_hit").cast("double").alias("n_hits"),
+        F.sum("n_ex").cast("double").alias("n_exact"),
+    ).select(
         "n_queries",
         F.lit(k).alias("k"),
         # min AND max: catches both under-returning (<k rows for some
