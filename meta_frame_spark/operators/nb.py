@@ -159,35 +159,38 @@ def nb_predict(
     tok = base.select(
         "_id", F.explode(tokens(F.lower(F.col("_text")))).alias("token")
     )
-    ll = (
-        tok.join(F.broadcast(cond), "token")
-        .groupBy("_id", "label")
-        .agg(F.sum("log_cond").alias("_ll"))
-    )
-    # doc x label score matrix from the id set crossed with the L-row
-    # prior table (broadcast nested loop over a handful of labels) —
-    # keeps zero-known-token docs scoreable
-    mat = (
+    # Prior fused into the score union (r15, VERDICT r14 "Next round"
+    # #7, guide §2.4): instead of aggregating token log-conditionals
+    # per (doc, label) and LEFT-JOINING the result onto the doc x label
+    # prior matrix (a second (doc,label)-grain exchange), the prior
+    # rides as one more addend row — the doc x label matrix (broadcast
+    # nested loop over a handful of labels; keeps zero-known-token
+    # docs scoreable) unions with the token-grain scored rows and ONE
+    # groupBy sums both. log_prior + sum(log_cond) per (doc, label)
+    # to summation-reorder ulps, far below the round_to presentation
+    # rounding the argmax reads.
+    pri = (
         base.select("_id").distinct()
         .crossJoin(F.broadcast(priors))
-        .join(ll, ["_id", "label"], "left")
-        .select(
-            "_id",
-            "label",
-            (F.col("log_prior") + F.coalesce(F.col("_ll"), F.lit(0.0))).alias(
-                "_score"
-            ),
-        )
+        .select("_id", "label", F.col("log_prior").alias("_part"))
     )
-    w = Window.partitionBy("_id").orderBy(
-        F.round(F.col("_score"), round_to).desc(), F.col("label").asc()
+    scored = tok.join(F.broadcast(cond), "token").select(
+        "_id", "label", F.col("log_cond").alias("_part")
     )
-    return (
-        mat.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("label").alias("pred_label"),
-            F.round(F.col("_score"), round_to).alias("score"),
-        )
+    mat = (
+        pri.unionByName(scored)
+        .groupBy("_id", "label")
+        .agg(F.sum("_part").alias("_score"))
+    )
+    # argmax as an aggregate, not a window (no per-doc sort): min over
+    # struct(-rounded score, label) is exactly (score desc, label asc)
+    r = F.round(F.col("_score"), round_to)
+    best = mat.groupBy("_id").agg(
+        F.min(F.struct((-r).alias("_nr"), F.col("label").alias("_l"),
+                       r.alias("_r"))).alias("_m")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_m._l").alias("pred_label"),
+        F.col("_m._r").alias("score"),
     )
