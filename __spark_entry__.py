@@ -56,7 +56,61 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if len(files) < target and \
                 _splittable_chunks(tuple(files), target) < target:
             df = df.repartition(target, F.col("doc_id"))
+    if name == "embeddings":
+        # Same under-split hazard as documents, but the vector family
+        # is Arrow/BLAS-batched: per-row work is so cheap that at bench
+        # scale (2k rows) the spreading exchange costs MORE than the
+        # single-core matmul stage it parallelizes (measured r14
+        # regression, hard_neg_lsh 1.56->2.60s). Spread only when BOTH
+        # the scan under-splits AND the per-core row share clears
+        # _VEC_ROWS_PER_CORE — a real multi-million-row single-file
+        # embedding dump fans out, the test fixture stays a no-op with
+        # an identical plan.
+        target = spark.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        if len(files) < target and \
+                _splittable_chunks(tuple(files), target) < target and \
+                _parquet_rows(tuple(files)) >= target * _VEC_ROWS_PER_CORE:
+            df = df.repartition(target, F.col("vec_id"))
     return df
+
+
+#: Minimum embedding rows PER CORE before the reader-level spread pays.
+#: A dim-64 float64 row costs ~0.5 KB to exchange but only ~100ns of
+#: BLAS per matmul pass; the round trip through a hash exchange breaks
+#: even around a few thousand rows per task (r14 stash A/B: 2,000 rows
+#: across the whole machine lost 1.7x; the text family's win appears
+#: when each core owns tokenizer-bound work, not BLAS-bound work).
+_VEC_ROWS_PER_CORE = 4096
+
+
+def _parquet_rows(files: tuple[str, ...]) -> int:
+    """Total footer row count for local parquet files (driver-side
+    metadata only, cached per file list). Unknown/remote layouts return
+    0 — the conservative no-spread answer for the embeddings gate,
+    because spreading costs a wide-row shuffle when wrong."""
+    hit = _ROWS_CACHE.get(files)
+    if hit is not None:
+        return hit
+    total = 0
+    try:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                total = 0
+                break
+            total += pq.ParquetFile(u.path or f).metadata.num_rows
+    except Exception:
+        total = 0
+    _ROWS_CACHE[files] = total
+    return total
+
+
+_ROWS_CACHE: dict[tuple[str, ...], int] = {}
 
 
 def _splittable_chunks(files: tuple[str, ...], cap: int) -> int:

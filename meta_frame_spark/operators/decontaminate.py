@@ -216,7 +216,18 @@ def embedding_contamination(
     Exact copies of a benchmark vector collide in EVERY band
     regardless, so planted contaminants cannot be missed. Zero-norm
     vectors drop at normalization on BOTH arms (their cosine is 0 by
-    convention — below any sane threshold)."""
+    convention — below any sane threshold).
+
+    Two exact-arm contract notes (ADVICE r14): (1) the arm is EAGER —
+    ``benchmark.limit(cap+1).collect()`` runs at CALL time to pick the
+    arm and freeze the benchmark matrix, so the benchmark plan
+    executes even if the returned report is never consumed, and the
+    report scores against benchmark data as of the call (the LSH arm
+    stays fully lazy). (2) ``n_bench_hits`` counts benchmark ROWS at
+    or above ``threshold`` in the exact arm but DISTINCT benchmark ids
+    in the LSH arm — identical when benchmark ids are unique (the
+    normal eval-set shape); a benchmark with duplicated ids or
+    repeated vectors counts duplicates only in the exact arm."""
     from meta_frame_spark.operators.similarity import _bucketize, _srp_planes
 
     def _unit(df: DataFrame) -> DataFrame:

@@ -311,8 +311,12 @@ def chrf_scores(
     ``1..max_n`` of the clipped char-n-gram precision/recall
     (whitespace stripped first, the chrF convention); ``chrf`` is
     their F-beta (beta=2 weights recall, the published default). An
-    order where a side has no grams scores 0 for that side's ratio —
-    every id yields exactly one output row.
+    order where a side has no grams scores 0 for that side's ratio.
+    One output row per INPUT row (ADVICE r14): duplicate ``id_col``
+    values each score independently — the pre-r14 explode shape
+    pooled gram counts across same-id rows into one grouped row;
+    callers needing per-id pooling should pre-aggregate to one
+    (candidate, reference) pair per id.
 
     Scale design — MAP-ONLY: normalization (lowercase + whitespace
     strip) stays in JVM expressions so gram identity matches the

@@ -621,25 +621,46 @@ def _op_cache(df: DataFrame) -> DataFrame:
     reference + count — re-derives the whole upstream plan per
     reference.
 
-    Lazy ``localCheckpoint`` rather than ``persist`` (guide §3.3/§5
-    "materialising an intermediate truncates the plan"): a persisted
-    frame still carries its full logical lineage, so each of the
-    ~10 downstream actions of a selection pipeline re-analyzed and
-    re-optimized a plan that embeds the DSIR scorer and every prior
-    gate — measured as the dominant driver-side cost of
-    ``curation_select`` (hundreds of KB of plan per action). The
-    checkpoint truncates the lineage to an RDD leaf, so downstream
-    analysis is over a two-node plan; the data itself is identical
-    and still computed from the inputs on every run (eager=False:
-    materialization happens at the first consuming action). Trade,
-    documented: checkpointed partitions are not fault-tolerant to
-    executor loss (they re-materialize the whole pipeline on a
-    lost-partition retry at worst) and are released by the context
-    cleaner when the plan is dropped rather than by
-    release_tracked_caches()."""
+    Two mechanisms, chosen per call (guide §3.3/§5 "materialising an
+    intermediate truncates the plan"): a persisted frame still carries
+    its full logical lineage, so each of the ~10 downstream actions of
+    a selection pipeline re-analyzes and re-optimizes a plan that
+    embeds the DSIR scorer and every prior gate — measured as the
+    dominant driver-side cost of ``curation_select`` (hundreds of KB
+    of plan per action). Lazy ``localCheckpoint`` truncates the
+    lineage to an RDD leaf, so downstream analysis is over a two-node
+    plan; the data itself is identical and still computed from the
+    inputs on every run (eager=False: materialization happens at the
+    first consuming action). But local-checkpoint blocks are NOT
+    fault-tolerant: on executor loss the lineage needed to recompute
+    them is gone and the job FAILS (it does not re-materialize), and
+    ``DataFrame.unpersist()`` cannot release them — only the context
+    cleaner can, when the plan is garbage-collected.
+
+    So: ``spark.meta_frame.curation.checkpoint`` = ``always`` /
+    ``never`` / ``auto`` (default). ``auto`` checkpoints exactly when
+    the master is ``local[*]`` — a single process has no executor to
+    lose, so the truncation is free of the failure mode — and persists
+    on a real cluster, where a lost executor must be able to recompute.
+    (An r15 plan-size probe that switched small LOCAL pipelines back
+    to persist was measured and rejected: reading the analyzed plan to
+    size it costs ~0.3s even on curation_budget — more than the ~0.1s
+    checkpoint overhead it tried to save.) The persist branch is
+    registered with ``release_tracked_caches()``; the checkpoint
+    branch is not, since unpersist is a no-op on checkpointed plans."""
     from meta_frame_spark.operators.cache import track
 
-    return track(df.localCheckpoint(eager=False))
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.meta_frame.curation.checkpoint", "auto")
+    if mode == "auto":
+        mode = (
+            "always"
+            if spark.sparkContext.master.startswith("local")
+            else "never"
+        )
+    if mode == "always":
+        return df.localCheckpoint(eager=False)
+    return track(df.persist())
 
 
 def _op_select(df: DataFrame, columns: list[str]) -> DataFrame:

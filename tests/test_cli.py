@@ -353,3 +353,27 @@ def test_example_eval_report_runs(spark, sf_dir):
     assert r["kanon_suppressed_frac"] < 1.0
     assert 0.0 <= r["ldiv_groups_ok_frac"] <= 1.0
     assert 0.0 <= r["tclose_groups_ok_frac"] <= 1.0
+
+
+def test_embeddings_reader_spread_gate(spark, sf_dir, tmp_path, monkeypatch):
+    """The embeddings reader spreads a single-row-group file ONLY when
+    the per-core row share clears _VEC_ROWS_PER_CORE (r15: at bench
+    scale the exchange costs more than the BLAS stage it parallelizes,
+    so the fixture-sized table must keep an exchange-free plan)."""
+    import __spark_entry__ as e
+
+    # (a) the real fixture (2k rows, 1 row group): gate must be a no-op
+    df = e._t(spark, sf_dir, "embeddings")
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+    # (b) same file, threshold monkeypatched under the fixture's
+    # per-core share: the spread must engage with a hash repartition
+    monkeypatch.setattr(e, "_VEC_ROWS_PER_CORE", 1)
+    e._ROWS_CACHE.clear()
+    df2 = e._t(spark, sf_dir, "embeddings")
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(vec_id" in plan
+    assert (
+        df2.count()
+        == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )

@@ -130,8 +130,14 @@ def test_dup_clusters_transitive(spark):
     got_uf = {r.node: r.cluster for r in dup_clusters(pairs).collect()}
     got_dist = {r.node: r.cluster
                 for r in dup_clusters(pairs, driver_threshold=0).collect()}
+    # a pair count ABOVE a nonzero threshold must fall through the
+    # persist+count probe to the distributed loop (r15: the probe
+    # replaced a limit(n+1).collect() take-ramp)
+    got_over = {r.node: r.cluster
+                for r in dup_clusters(pairs, driver_threshold=2).collect()}
     assert got_uf == expected
     assert got_dist == expected
+    assert got_over == expected
 
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in range(12)], "doc_id bigint, text string"
