@@ -1938,7 +1938,54 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dedup(
         docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
         restrict_to_candidates=False,
-    ).persist()  # census + triangles both consume it; bench clears cache
+    )
+    # Bounded driver census (r15, VERDICT r14 "Next round" #8 — the
+    # dup_clusters / pagerank pattern, guide §1.2/§5): the verified
+    # pair graph is tiny relative to the corpus (LSH banding bounds
+    # degree), so at or below the same 100k-pair bound dup_clusters
+    # uses, ONE bounded collect replaces the distinct+groupBy census
+    # and the two wedge-close shuffle joins with a dict/set pass on
+    # the driver; the derived columns go through the SAME Spark
+    # expressions (sum/2 cast, round(avg, 6)) so every value is
+    # bit-identical to the operators'. Larger graphs take the
+    # distributed operators unchanged.
+    rows = pairs.select("id_a", "id_b").limit(100_001).collect()
+    if len(rows) <= 100_000:
+        from collections import defaultdict
+
+        adj: dict = defaultdict(set)
+        for r in rows:
+            a, b = r[0], r[1]
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                adj[lo].add(hi)
+                adj[hi].add(lo)
+        if adj:
+            tri = 0
+            for a, nbrs in adj.items():
+                for b in nbrs:
+                    if b > a:
+                        na, nb = nbrs, adj[b]
+                        if len(nb) < len(na):
+                            na, nb = nb, na
+                        tri += sum(1 for c in na if c > b and c in nb)
+            base = spark.createDataFrame(
+                [(
+                    len(adj),
+                    sum(len(s) for s in adj.values()),
+                    max(len(s) for s in adj.values()),
+                    tri,
+                )],
+                "n_nodes long, _sumdeg long, max_degree long, n_triangles long",
+            )
+            return base.select(
+                "n_nodes",
+                (F.col("_sumdeg") / 2).cast("long").alias("n_edges"),
+                "max_degree",
+                F.round(F.col("_sumdeg") / F.col("n_nodes"), 6).alias("avg_degree"),
+                "n_triangles",
+            )
+    pairs = pairs.persist()  # census + triangles both consume it
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return degree_stats(e).crossJoin(triangle_count(e))
 

@@ -182,6 +182,25 @@ def test_triangle_count_direction_insensitive(spark):
     assert triangle_count(df).collect()[0].n_triangles == 1
 
 
+def test_dup_graph_stats_driver_census_matches_operators(spark, sf_dir):
+    """The r15 bounded driver census in q_dup_graph_stats equals the
+    distributed degree_stats x triangle_count on the same pair set."""
+    import __spark_entry__ as entrymod
+    from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+    from pyspark.sql import functions as F
+
+    fast = entrymod.queries()["dup_graph_stats"](spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+        restrict_to_candidates=False,
+    ).persist()
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    slow = degree_stats(e).crossJoin(triangle_count(e)).collect()[0]
+    pairs.unpersist()
+    assert fast.asDict() == slow.asDict()
+
+
 def test_bad_params(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError):
