@@ -27,7 +27,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from meta_frame_spark.operators.skew import ensure_min_partitions
@@ -249,38 +249,29 @@ def kneser_ney_logprob(
             F.count(F.lit(1)).alias("_cab")
         ).persist()
     )
+    ctx = cb.groupBy("token").agg(
+        F.sum("_cab").alias("_ca"),
+        F.count(F.lit(1)).alias("_n_follow"),
+    )
+    cont = cb.groupBy("next_token").agg(F.count(F.lit(1)).alias("_n_prec"))
     n_types = cb.count()  # ONE scalar on the driver
 
     d = F.lit(float(discount))
     # fold the model into ONE probability per distinct bigram TYPE
     # the scored corpus actually contains (see kneser_ney3_logprob).
-    # Self-fit fast path (r14, guide §2.4; restructured r15 the same
-    # way as kneser_ney3_logprob): when df IS the fit corpus, its
-    # distinct bigram types are BY CONSTRUCTION exactly cb's key set —
-    # and both marginals are windowed folds of that one table (each cb
-    # row is one distinct (a,b)): c(a·) = sum(_cab) over (token),
-    # N1+(a,·) = count(*) over (token), N1+(·,b) = count(*) over
-    # (next_token). The two marginal groupBys and the two type-grain
-    # joins they fed disappear; integer sums reassociate exactly, so
-    # every probability is byte-identical.
+    # Self-fit fast path (r14 optimization, guide §2.4 "remove
+    # shuffles outright"): when df IS the fit corpus, its distinct
+    # bigram types are BY CONSTRUCTION exactly cb's key set — reuse
+    # the persisted table instead of re-scanning the corpus and
+    # re-aggregating the same keys (1 corpus scan + 1 corpus-grain
+    # shuffle + 1 type-grain join removed; identical rows either way).
     if fit is df:
-        unb = (Window.unboundedPreceding, Window.unboundedFollowing)
-        wa = Window.partitionBy("token").rowsBetween(*unb)
-        wb = Window.partitionBy("next_token").rowsBetween(*unb)
-        typed = cb.select(
-            "token", "next_token", "_cab",
-            F.sum("_cab").over(wa).alias("_ca"),
-            F.count(F.lit(1)).over(wa).alias("_n_follow"),
-            F.count(F.lit(1)).over(wb).alias("_n_prec"),
+        typed = (
+            cb
+            .join(ctx, "token", "left")
+            .join(cont, "next_token", "left")
         )
     else:
-        ctx = cb.groupBy("token").agg(
-            F.sum("_cab").alias("_ca"),
-            F.count(F.lit(1)).alias("_n_follow"),
-        )
-        cont = cb.groupBy("next_token").agg(
-            F.count(F.lit(1)).alias("_n_prec")
-        )
         need = _pairs(df, False).groupBy("token", "next_token").agg(
             F.count(F.lit(1)).alias("_drop")
         ).drop("_drop")
@@ -392,80 +383,45 @@ def kneser_ney3_logprob(
             F.count(F.lit(1)).alias("_c3")
         ).persist()
     )
+    ctx3 = c3.groupBy("w1", "w2").agg(
+        F.sum("_c3").alias("_c12"),
+        F.count(F.lit(1)).alias("_nf12"),
+    )
+    # N1+(·bc): distinct left-extensions of each (b,c) — one row per
+    # (w2,w3) over the trigram TYPE table
+    mid = track(
+        c3.groupBy("w2", "w3").agg(
+            F.count(F.lit(1)).alias("_n23")
+        ).persist()
+    )
+    ctx2 = mid.groupBy("w2").agg(
+        F.sum("_n23").alias("_n2dot"),
+        F.count(F.lit(1)).alias("_nf2"),
+    )
+    cont1 = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("_n3"))
+    n_types = mid.count()  # N1+(···): ONE scalar on the driver
 
     d = F.lit(float(discount))
     # fold the model into ONE probability per distinct trigram TYPE
-    # the scored corpus actually contains — type-grain derivation
-    # instead of five stream-grain joins. Self-fit fast path (r14,
-    # guide §2.4; restructured r15 per VERDICT r14 "Next round" #3):
-    # when df IS the fit corpus its distinct trigram types are exactly
-    # c3's key set, and EVERY lower-order count is a windowed fold of
-    # that one table — each c3 row is one distinct (a,b,c), so
-    #   c(ab·)        = sum(_c3)  over (w1,w2)
-    #   N1+(ab·)      = count(*)  over (w1,w2)
-    #   N1+(·bc)      = count(*)  over (w2,w3)
-    #   N1+(·b·)      = count(*)  over (w2)        [= Σ_c N1+(·bc)]
-    #   N1+(b··types) = Σ first-in-(w2,w3) flags over (w2)
-    #   N1+(··c)      = Σ first-in-(w2,w3) flags over (w3)
-    #   N1+(···)      = Σ flags (one 1-row aggregate, the only scalar)
-    # so the separate mid/ctx3/ctx2/cont1 groupBys (4 Exchange) and
-    # the four type-grain joins they fed disappear; three window
-    # partitionings over the persisted type table replace them. All
-    # factors are integer counts — sums reassociate exactly — so every
-    # probability is byte-identical to the join form's.
+    # the scored corpus actually contains — five type-grain joins
+    # instead of five stream-grain ones. Self-fit fast path (r14
+    # optimization, guide §2.4): when df IS the fit corpus its
+    # distinct trigram types are exactly c3's key set — reuse the
+    # persisted table instead of re-scanning the corpus for the same
+    # keys (1 corpus scan + 1 corpus-grain shuffle + 1 type-grain
+    # join removed; identical rows either way).
     if fit is df:
-        unb = (Window.unboundedPreceding, Window.unboundedFollowing)
-        w12 = Window.partitionBy("w1", "w2").rowsBetween(*unb)
-        w23 = Window.partitionBy("w2", "w3").rowsBetween(*unb)
-        wb = Window.partitionBy("w2").rowsBetween(*unb)
-        wc = Window.partitionBy("w3").rowsBetween(*unb)
-        first23 = F.when(
-            F.row_number().over(
-                Window.partitionBy("w2", "w3").orderBy("w1")
-            ) == 1, 1,
-        ).otherwise(0)
-        typed = track(
-            c3.select(
-                "w1", "w2", "w3", "_c3",
-                F.sum("_c3").over(w12).alias("_c12"),
-                F.count(F.lit(1)).over(w12).alias("_nf12"),
-                F.count(F.lit(1)).over(w23).alias("_n23"),
-                first23.alias("_f23"),
-            )
-            .select(
-                "*",
-                F.count(F.lit(1)).over(wb).alias("_n2dot"),
-                F.sum("_f23").over(wb).alias("_nf2"),
-                F.sum("_f23").over(wc).alias("_n3"),
-            )
-            .persist()
+        typed = (
+            c3
+            .join(ctx3, ["w1", "w2"], "left")
+            .join(mid, ["w2", "w3"], "left")
+            .join(ctx2, "w2", "left")
+            .join(cont1, "w3", "left")
         )
-        # N1+(···): ONE scalar on the driver, off the persisted frame
-        n_types = typed.agg(F.sum("_f23")).collect()[0][0]
     else:
         need = _tris(df, False).groupBy("w1", "w2", "w3").agg(
             F.count(F.lit(1)).alias("_drop")
         ).drop("_drop")
-        # general branch: the scored corpus's types are NOT c3's key
-        # set, so the lower-order tables derive as keyed aggregates of
-        # c3 and attach to `need` by type-grain joins (unchanged shape)
-        ctx3 = c3.groupBy("w1", "w2").agg(
-            F.sum("_c3").alias("_c12"),
-            F.count(F.lit(1)).alias("_nf12"),
-        )
-        # N1+(·bc): distinct left-extensions of each (b,c) — one row
-        # per (w2,w3) over the trigram TYPE table
-        mid = track(
-            c3.groupBy("w2", "w3").agg(
-                F.count(F.lit(1)).alias("_n23")
-            ).persist()
-        )
-        ctx2 = mid.groupBy("w2").agg(
-            F.sum("_n23").alias("_n2dot"),
-            F.count(F.lit(1)).alias("_nf2"),
-        )
-        cont1 = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("_n3"))
-        n_types = mid.count()  # N1+(···): ONE scalar on the driver
         typed = (
             need
             .join(c3, ["w1", "w2", "w3"], "left")

@@ -15,13 +15,16 @@ fit caches and the slot; the per-side value is the MIN over reps
 Never writes into the repo; prints a table.
 """
 
-from __future__ import annotations
-
 import argparse
 import json
 import os
 import sys
 import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "8")
+
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,7 +45,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     # bench.py-identical warmups
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
