@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from meta_frame_spark import aggregate_and_join, nested_aggregate, run_pipeline
 
@@ -2010,7 +2011,41 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
         restrict_to_candidates=False,
     )
-    clusters = dup_clusters(pairs)
+    # Bounded driver rollup (r15, same gate as dup_clusters/VERDICT #8):
+    # below the 100k-pair bound the cluster labels are already a driver
+    # dict, so the per-cluster size census is a Counter over union-find
+    # roots — the distributed groupBy over the tiny local label frame
+    # (one more scheduled exchange job) disappears. Larger graphs take
+    # dup_clusters' distributed loop + groupBy unchanged.
+    rows = pairs.select("id_a", "id_b").limit(100_001).collect()
+    if len(rows) <= 100_000:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        from collections import Counter
+
+        sizes = Counter(find(n) for n in parent)
+        schema = T.StructType([
+            pairs.select(F.col("id_a").alias("cluster")).schema.fields[0],
+            T.StructField("n_nodes", T.LongType(), False),
+        ])
+        return spark.createDataFrame(
+            [(c, n) for c, n in sizes.items()], schema
+        )
+    clusters = dup_clusters(pairs, driver_threshold=0)
     return clusters.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
