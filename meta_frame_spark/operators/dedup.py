@@ -734,7 +734,6 @@ def keep_best_per_cluster(
     priority: str,
     id_col: str = "doc_id",
     tiebreak: str | None = None,
-    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Near-dup canonical selection by QUALITY instead of min id: one
     row per dup cluster — the one maximizing ``priority`` (ties broken
@@ -747,89 +746,16 @@ def keep_best_per_cluster(
     the keeper choice is one window over CLUSTER MEMBERS — state per
     task is a cluster, never the corpus. Non-dup rows never shuffle.
 
-    Pair sets at or below ``driver_threshold`` short-circuit the whole
-    keeper decision to the driver (r15, the :func:`dup_clusters` /
-    pagerank pattern, guide §1.2/§5): the SAME bounded pair collect
-    that already fed dup_clusters' union-find also yields the member
-    id set, so the cluster labels never round-trip through a
-    distributed window — one broadcast semi-join fetches the members'
-    ``(id, priority, tiebreak)`` rows (bounded by 2x the pair count),
-    the keeper argmax runs in plain Python with the window's exact
-    ordering (priority desc nulls-last, tiebreak asc nulls-first), and
-    the final anti-join streams ``df`` against the broadcast loser
-    list. Identical output either way (pinned by test); a real
-    billion-pair corpus takes the distributed branch unchanged. Set
-    ``driver_threshold=0`` to force the distributed path.
+    (r15 note: a bounded all-driver keeper path — union-find + member
+    collect + broadcast anti-join, mirroring dup_clusters' gate — was
+    measured 5% SLOWER than this shape in a same-session A/B: the
+    extra member-fetch action costs more than the window over the tiny
+    member set saves. Rejected per guide §1.1; dup_clusters' own
+    driver short-circuit already does the heavy lifting here.)
     """
+    clusters = dup_clusters(pairs)
     tiebreak = tiebreak or id_col
     member_cols = list(dict.fromkeys([id_col, priority, tiebreak]))
-    rows = None
-    if driver_threshold:
-        rows = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
-        if len(rows) > driver_threshold:
-            rows = None
-    if rows is not None:
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in rows:
-            a, b = r[0], r[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        if not parent:
-            return df
-        spark = df.sparkSession
-        id_schema = df.select(id_col).schema
-        nodes = spark.createDataFrame([(n,) for n in parent], id_schema)
-        members = (
-            df.join(F.broadcast(nodes), id_col, "left_semi")
-            .select(*member_cols)
-            .collect()
-        )
-        best: dict = {}  # cluster -> (id, priority, tiebreak)
-        p_ix = member_cols.index(priority)
-        t_ix = member_cols.index(tiebreak)
-        for m in members:
-            i, p, t = m[0], m[p_ix], m[t_ix]
-            c = find(i)
-            cur = best.get(c)
-            # window order: priority DESC (nulls last), tiebreak ASC
-            # (nulls first) — replicate Spark's default null ordering
-            if cur is None:
-                best[c] = (i, p, t)
-                continue
-            _, cp, ct = cur
-            p_wins = (cp is None and p is not None) or (
-                p is not None and cp is not None and p > cp
-            )
-            p_ties = (p is None and cp is None) or (
-                p is not None and cp is not None and p == cp
-            )
-            t_wins = (t is None and ct is not None) or (
-                t is not None and ct is not None and t < ct
-            )
-            if p_wins or (p_ties and t_wins):
-                best[c] = (i, p, t)
-        keep_ids = {v[0] for v in best.values()}
-        loser_ids = [n for n in parent if n not in keep_ids]
-        losers = spark.createDataFrame([(n,) for n in loser_ids], id_schema)
-        return df.join(F.broadcast(losers), id_col, "left_anti")
-
-    # driver_threshold==0 forces the full r14 distributed shape (incl.
-    # dup_clusters' own gate); otherwise our probe already saw > threshold
-    # pairs, so skip dup_clusters' redundant limit-collect re-probe.
-    clusters = dup_clusters(
-        pairs, driver_threshold=0 if driver_threshold else 100_000
-    )
     members = clusters.withColumnRenamed("node", id_col).join(
         df.select(*member_cols), id_col
     )

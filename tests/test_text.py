@@ -474,9 +474,8 @@ def test_keep_best_per_cluster_custom_tiebreak(spark):
     assert kept == {2}  # lowest crawl_ts wins the tie
 
 
-def test_keep_best_driver_matches_distributed(spark):
-    # r15 bounded driver fast path == forced distributed window path,
-    # including a priority tie (tiebreak asc) and a solo survivor
+def test_keep_best_tie_and_solo(spark):
+    # priority tie resolves by tiebreak asc; solo docs survive untouched
     from meta_frame_spark.operators.dedup import keep_best_per_cluster
 
     df = spark.createDataFrame(
@@ -491,11 +490,9 @@ def test_keep_best_driver_matches_distributed(spark):
         ["doc_id", "text", "n_chars"],
     )
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
-    fast = {r.doc_id for r in
+    kept = {r.doc_id for r in
             keep_best_per_cluster(df, pairs, priority="n_chars").collect()}
-    slow = {r.doc_id for r in keep_best_per_cluster(
-        df, pairs, priority="n_chars", driver_threshold=0).collect()}
-    assert fast == slow == {2, 7, 9}
+    assert kept == {2, 7, 9}
 
 
 def test_script_profile_null_stays_null(spark):

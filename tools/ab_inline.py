@@ -83,8 +83,9 @@ def main() -> int:
 
     def run_one(n: str) -> float:
         spark.sparkContext.setJobDescription(f"ab:{n}")
+        fn = entrymod.queries()[n]  # re-resolve so variants may patch entrymod
         t0 = time.perf_counter()
-        qs[n](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         sec = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         return sec
@@ -180,9 +181,79 @@ def _v_kn_join_r14():
     return apply, undo
 
 
+def _v_dup_driver_r14():
+    """Restore the r14 distributed shapes of the dup-family queries:
+    keep_best window path, graph census/triangles operators, cluster-
+    size groupBy. keep_best/dup_clusters flip via driver_threshold=0
+    wrappers; the two query bodies are replaced wholesale."""
+    import __spark_entry__ as entrymod
+    from meta_frame_spark.operators import dedup as ddp
+    from pyspark.sql import functions as F
+
+    new_kb = ddp.keep_best_per_cluster
+    new_gs = entrymod.q_dup_graph_stats
+    new_cs = entrymod.q_dup_cluster_sizes
+
+    def old_kb(df, pairs, priority, id_col="doc_id", tiebreak=None,
+               driver_threshold=100_000):
+        # r14 shape: dup_clusters (its own driver gate intact) + window
+        from pyspark.sql import Window
+        clusters = ddp.dup_clusters(pairs)
+        tiebreak = tiebreak or id_col
+        member_cols = list(dict.fromkeys([id_col, priority, tiebreak]))
+        members = clusters.withColumnRenamed("node", id_col).join(
+            df.select(*member_cols), id_col
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.col(priority).desc(), F.col(tiebreak).asc()
+        )
+        losers = (
+            members.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select(id_col)
+        )
+        return df.join(losers, id_col, "left_anti")
+
+    def old_gs(spark, sf_dir):
+        from meta_frame_spark.operators.dedup import minhash_lsh_dedup
+        from meta_frame_spark.operators.graph import degree_stats, triangle_count
+        docs = entrymod._t(spark, sf_dir, "documents")
+        pairs = minhash_lsh_dedup(
+            docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+            restrict_to_candidates=False,
+        ).persist()
+        e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        return degree_stats(e).crossJoin(triangle_count(e))
+
+    def old_cs(spark, sf_dir):
+        from meta_frame_spark.operators.dedup import dup_clusters, minhash_lsh_dedup
+        docs = entrymod._t(spark, sf_dir, "documents")
+        pairs = minhash_lsh_dedup(
+            docs, threshold=0.5, num_hashes=64, num_bands=32, shingle_n=3,
+            restrict_to_candidates=False,
+        )
+        clusters = dup_clusters(pairs)
+        return clusters.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+
+    def apply():
+        ddp.keep_best_per_cluster = old_kb
+        entrymod.q_dup_graph_stats = old_gs
+        entrymod.q_dup_cluster_sizes = old_cs
+
+    def undo():
+        ddp.keep_best_per_cluster = new_kb
+        entrymod.q_dup_graph_stats = new_gs
+        entrymod.q_dup_cluster_sizes = new_cs
+
+    return apply, undo
+
+
 VARIANTS = {
     "ann_summary_r14": _v_ann_summary_r14,
     "kn_join_r14": _v_kn_join_r14,
+    "dup_driver_r14": _v_dup_driver_r14,
 }
 
 
